@@ -1,0 +1,45 @@
+"""distributed_vector_database_spark — a PySpark-native analytics engine.
+
+A brand-new, Spark-first re-expression of the query and data-processing
+capabilities of the reference system ``nickglandry/distributed_vector_database``
+(an IVF-sharded distributed vector database: FastAPI compute router + SQLite
+storage shards, `reference: src/compute_server.py`, `src/storage_server.py`),
+plus the surrounding LLM-training-data pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing) required at 100 TB scale.
+
+Design principles (see SURVEY.md §7):
+  - DataFrame / Spark SQL only; declarative plans so Catalyst gets predicate
+    pushdown, column pruning and partition pruning for free.
+  - Vectors are plain ``array<float|double>`` columns (no UDT) so every table
+    we write is readable by any parquet reader (incl. the DuckDB oracle).
+  - IVF sharding == parquet ``partitionBy("shard_id")`` + a broadcast centroid
+    table; probe pruning == a partition-pruned filter.
+  - Python UDFs only where built-ins genuinely cannot express the semantics,
+    and then always Arrow-vectorized (pandas_udf / mapInPandas).
+"""
+
+from distributed_vector_database_spark.session import get_session
+from distributed_vector_database_spark.functions.vector import (
+    dot,
+    l2_norm,
+    cosine_similarity,
+    euclidean_distance,
+)
+from distributed_vector_database_spark.operators.topk import topk, batch_topk
+from distributed_vector_database_spark.operators.ivf import IVFIndex, assign_shards
+from distributed_vector_database_spark.sources.vector_store import VectorStore
+
+__all__ = [
+    "get_session",
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "euclidean_distance",
+    "topk",
+    "batch_topk",
+    "IVFIndex",
+    "assign_shards",
+    "VectorStore",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,95 @@
+"""Vector math as native Spark SQL column expressions.
+
+The reference computes cosine similarity and Euclidean distance in per-pair
+Python/numpy calls on the compute node (`reference: src/compute_server.py:29-38`):
+
+    def euclidean(a, b): return np.linalg.norm(a - b)
+    def cosine(a, b):
+        na, nb = norm(a), norm(b)
+        if na == 0 or nb == 0: return 0.0        # zero-norm guard
+        return dot(a, b) / (na * nb)
+
+Here the same math is expressed with Catalyst higher-order functions
+(``zip_with`` + ``aggregate``), which run JVM-side inside the task — no
+Python boundary, no serialization, works on any ``array<numeric>`` column.
+All arithmetic is float64 regardless of the storage type (testdata stores
+float32) so results are deterministic and oracle-comparable.
+
+For brute-force scoring of very wide corpora there is also an Arrow-batched
+numpy path in ``operators/topk.py``; these expressions are the semantic
+definition both must match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "euclidean_distance",
+    "squared_euclidean",
+]
+
+
+def _as_double(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return c.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns, computed in float64.
+
+    Sequential left-to-right accumulation (same order as numpy's pairwise
+    falls within 1e-12 for 64-d unit vectors; oracle comparisons round
+    to 6 decimals — see ``round_score``).
+    """
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean (L2) norm of an array column, float64."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity with the reference's zero-norm guard.
+
+    Returns 0.0 when either vector has zero norm
+    (`reference: src/compute_server.py:36-37`), else dot/(|a|·|b|).
+    """
+    na = l2_norm(a)
+    nb = l2_norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def squared_euclidean(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance — cheaper than euclidean for argmin comparisons
+    (monotone transform, same argmin), used by IVF shard routing."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def euclidean_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance (`reference: src/compute_server.py:29-30`)."""
+    return F.sqrt(squared_euclidean(a, b))
+
+
+def round_score(c: Column, digits: int = 6) -> Column:
+    """Round a float64 score for oracle comparison.
+
+    Absorbs summation-order FP noise between engines (<=1e-12 for unit
+    vectors) while keeping 6 significant decimals of the score.
+    """
+    return F.round(c, digits)

@@ -1,0 +1,332 @@
+"""IVF (inverted-file) index: centroid fit, shard assignment, pruned search.
+
+Reference semantics:
+  - KMeans centroids, one per shard, fit on a sample
+    (`reference: src/cluster.py:28-33`, sample at `src/test.py:41-42`).
+  - Every vector routed to the shard whose centroid is nearest by Euclidean
+    distance (`reference: src/compute_server.py:41-49`, store at :84).
+  - Search probes only the ``nprobe`` nearest shards
+    (`reference: src/compute_server.py:110,114`), brute-force cosine inside,
+    global merge+truncate (:137-138).
+  - Centroids replaceable wholesale (`reference: src/compute_server.py:67-71`,
+    POST /set_centroids).
+
+Spark-first design:
+  - Centroids are a tiny driver-side list (num_shards × dim floats) — the
+    same in-memory footprint the reference keeps (`src/compute_server.py:23-26`).
+    They enter plans as broadcast literals, never as a shuffle side.
+  - Shard assignment is a broadcast nearest-neighbor argmin join expressed
+    with ``zip_with``/``aggregate`` + ``array_position(array_min(...))`` —
+    pure JVM expressions, no Python, no window shuffle.
+  - The index layout is parquet ``partitionBy("shard_id")``; probing nprobe
+    shards is then ``filter(shard_id IN (...))`` which Catalyst turns into
+    PARTITION PRUNING — only the probed directories are even listed. This is
+    the exact Spark-native analogue of "only query n storage nodes"
+    (SURVEY.md §4).
+  - At 100 TB: assignment is a narrow map over the corpus (centroid table is
+    broadcast); the partitioned write shuffles once by shard_id; every später
+    search touches only nprobe/num_shards of the data.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.vector import squared_euclidean
+from distributed_vector_database_spark.operators.topk import topk
+
+__all__ = ["IVFIndex", "assign_shards", "nearest_shards", "fit_centroids"]
+
+
+def _centroid_array_expr(centroids: Sequence[Sequence[float]]) -> F.Column:
+    """Centroid matrix as a literal array<array<double>> expression."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+
+
+def _dists_expr(vector_col, centroids: Sequence[Sequence[float]]) -> F.Column:
+    """array of squared distances vector→each centroid (JVM-side transform)."""
+    cents = _centroid_array_expr(centroids)
+    return F.transform(cents, lambda c: squared_euclidean(vector_col, c))
+
+
+def assign_shards(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    *,
+    vector_col: str = "embedding",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Add ``shard_id`` = argmin over centroids of Euclidean distance.
+
+    The routing rule of `reference: src/compute_server.py:41-49` (store path
+    :84). Ties broken by LOWEST shard id, matching the reference's
+    ``sort`` stability over ascending shard iteration order.
+
+    Implemented as literal-array transform + array_position(min): a narrow,
+    whole-stage-codegen-friendly projection — no join, no shuffle.
+    """
+    dists = _dists_expr(F.col(vector_col), centroids)
+    # array_position returns the FIRST index (1-based) of the min -> lowest
+    # shard wins ties.
+    shard = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn(out_col, shard)
+
+
+def nearest_shards(
+    query_vector: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    nprobe: int = 1,
+) -> list[int]:
+    """The nprobe shard ids nearest to the query (driver-side, O(num_shards)).
+
+    `reference: src/compute_server.py:41-49` — ascending Euclidean distance,
+    ties by lower shard id (Python sort stability).
+    """
+    q = [float(x) for x in query_vector]
+    dists = [
+        (math.sqrt(sum((a - float(b)) ** 2 for a, b in zip(q, c))), sid)
+        for sid, c in enumerate(centroids)
+    ]
+    dists.sort()
+    return [sid for _, sid in dists[: max(1, nprobe)]]
+
+
+def fit_centroids(
+    df: DataFrame,
+    num_shards: int,
+    *,
+    vector_col: str = "embedding",
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Fit KMeans centroids on a sample of the corpus (MLlib).
+
+    Mirrors `reference: src/cluster.py:28-33` (sklearn KMeans, seed 42) and
+    the 10% sample of `reference: src/test.py:41-42`. MLlib != sklearn
+    numerically, so centroids are never oracle-compared — only downstream
+    invariants are (SURVEY.md §7.3). VectorUDT stays internal to this
+    function; the public surface is plain ``list[list[float]]``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = df.select(vector_col)
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    va = sample.select(array_to_vector(F.col(vector_col)).alias("features"))
+    model = KMeans(k=num_shards, seed=seed, maxIter=max_iter).fit(va)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+class IVFIndex:
+    """An IVF-sharded vector index over a parquet layout.
+
+    Lifecycle mirrors the reference driver program
+    (`reference: src/test.py:132-145`): fit centroids → set_centroids →
+    bulk store → search. Plus Spark-only: persisted partitioned layout and
+    ``describe()`` metadata (`reference: GET /`, src/compute_server.py:74-79).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        centroids: Sequence[Sequence[float]],
+        *,
+        path: str | None = None,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        self.spark = spark
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.path = path
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self._df: DataFrame | None = None
+
+    # ---- build ------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        num_shards: int,
+        *,
+        path: str | None = None,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_fraction: float = 0.1,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        """Fit centroids and index ``df`` in one shot."""
+        cents = fit_centroids(
+            df,
+            num_shards,
+            vector_col=vector_col,
+            sample_fraction=sample_fraction,
+            seed=seed,
+        )
+        idx = cls(
+            df.sparkSession, cents, path=path, vector_col=vector_col, id_col=id_col
+        )
+        idx.write(df)
+        return idx
+
+    def set_centroids(self, centroids: Sequence[Sequence[float]]) -> None:
+        """Replace the centroid map (`reference: POST /set_centroids`,
+        src/compute_server.py:67-71). Existing partitioned data is NOT
+        rewritten (same as the reference — which is how its duplicate-id
+        quirk arises, SURVEY.md §1.3); call ``write`` again to re-shard.
+        """
+        self.centroids = [list(map(float, c)) for c in centroids]
+
+    def assign(self, df: DataFrame) -> DataFrame:
+        return assign_shards(
+            df, self.centroids, vector_col=self.vector_col, out_col="shard_id"
+        )
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Assign shards and persist partitioned by shard_id.
+
+        One shuffle (repartition by shard_id so each shard is a small number
+        of whole files, not num_input_partitions fragments), then a parquet
+        write whose directory layout IS the inverted file.
+        """
+        assigned = self.assign(df)
+        if self.path is None:
+            # in-memory index: cache the assigned frame
+            self._df = assigned.repartition("shard_id").cache()
+            self._df.count()  # materialize
+            return
+        (
+            assigned.repartition("shard_id")
+            .write.mode(mode)
+            .partitionBy("shard_id")
+            .parquet(self.path)
+        )
+        self._df = None
+
+    # ---- read -------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is not None:
+            return self._df
+        if self.path is None:
+            raise ValueError("index not built: call write() first")
+        return self.spark.read.parquet(self.path)
+
+    def num_shards(self) -> int:
+        return len(self.centroids)
+
+    def describe(self) -> DataFrame:
+        """Per-shard row counts + centroid — the engine's answer to the
+        reference's topology/health endpoints (`reference:
+        src/compute_server.py:74-79`, `src/storage_server.py:72-81`)."""
+        counts = self.df.groupBy("shard_id").agg(F.count("*").alias("num_vectors"))
+        cent = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "shard_id int, centroid array<double>",
+        )
+        return cent.join(counts, "shard_id", "left").fillna(0, ["num_vectors"])
+
+    # ---- search -----------------------------------------------------------
+
+    def probe(self, query_vector: Sequence[float], nprobe: int = 1) -> DataFrame:
+        """The partition-pruned candidate scan for one query."""
+        shards = nearest_shards(query_vector, self.centroids, nprobe)
+        return self.df.filter(F.col("shard_id").isin(shards))
+
+    def search(
+        self,
+        query_vector: Sequence[float],
+        k: int = 5,
+        nprobe: int = 1,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """IVF top-k: prune to nprobe shards, brute-force score, merge.
+
+        `reference: POST /search` (src/compute_server.py:107-138) as one
+        declarative job. With nprobe == num_shards this is EXACT search —
+        the primary correctness invariant (SURVEY.md §5.3).
+        """
+        return topk(
+            self.probe(query_vector, nprobe),
+            query_vector,
+            k,
+            vector_col=self.vector_col,
+            id_col=self.id_col,
+            metric=metric,
+        )
+
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+        metric: str = "cosine",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vector",
+    ) -> DataFrame:
+        """Batched IVF search: the union of probed shards over the whole
+        query batch is scanned ONCE; per-(query,shard) candidate filtering
+        happens via an assignment map on the scores side.
+
+        Scale note: per-query probing of disjoint partitions would launch
+        |Q| jobs; amortizing into one scan of the union is the batch-mode
+        plan (BASELINE.md: batching amortizes per-job overhead).
+        """
+        from pyspark.sql import Window
+        from distributed_vector_database_spark.operators.topk import (
+            score_column,
+        )
+        from distributed_vector_database_spark.functions.vector import round_score
+
+        q_rows = queries.select(query_id_col, query_vec_col).collect()
+        probe_map = {
+            r[0]: nearest_shards(r[1], self.centroids, nprobe) for r in q_rows
+        }
+        union_shards = sorted({s for ss in probe_map.values() for s in ss})
+        # ONE partition-pruned scan over the union of probed shards
+        pruned = self.df.filter(F.col("shard_id").isin(union_shards))
+        # queries carry their probe set; the (query × row) pairing is a
+        # broadcast cross join filtered to shard ∈ that query's probe set
+        probe_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(qid, ss) for qid, ss in probe_map.items()],
+                f"{query_id_col} long, _probe array<int>",
+            ).join(queries, query_id_col)
+        )
+        joined = pruned.crossJoin(probe_df).filter(
+            F.array_contains(F.col("_probe"), F.col("shard_id"))
+        )
+        score = round_score(
+            score_column(metric, F.col(self.vector_col), F.col(query_vec_col)), 6
+        )
+        reduced = joined.select(
+            F.col(query_id_col), F.col(self.id_col), score.alias("score")
+        )
+        asc = metric == "euclidean"
+        order = [
+            F.asc("score") if asc else F.desc("score"),
+            F.asc(self.id_col),
+        ]
+        w = Window.partitionBy(query_id_col).orderBy(*order)
+        return (
+            reduced.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, self.id_col, "score", "rank")
+        )
+
+    def exact_search(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:
+        """Brute-force over all shards (nprobe = num_shards)."""
+        return self.search(query_vector, k, nprobe=self.num_shards())

@@ -1,0 +1,234 @@
+"""Top-k similarity search operators.
+
+Reference semantics (`reference: src/compute_server.py:107-138`): for a query
+vector, score every candidate with cosine similarity, sort descending, take
+top_k. The reference does this with one HTTP GET *per candidate row* (the N+1
+pattern that makes its shards=1 latency 26.7 s, BASELINE.md); here it is one
+declarative Spark job:
+
+    scan (parquet, column-pruned to id+vector) -> score -> TakeOrderedAndProject
+
+Tie-break: the reference relies on Python's stable sort (arbitrary). This
+engine ALWAYS orders by (score DESC, id ASC) so results are deterministic and
+oracle-comparable (SURVEY.md §2.6).
+
+Scale notes (100 TB):
+  - Single query: Spark plans orderBy().limit(k) as per-partition TakeOrdered
+    + driver merge of num_partitions*k rows — already the "local top-k then
+    global merge" physical plan of the reference's pymilvus variant
+    (`reference: report p.3`, SURVEY.md §2.11). No full sort, no big shuffle.
+  - Query batches: a window rank over (query_id) would shuffle the full
+    corpus×queries cross product by query_id (each query's candidates = whole
+    corpus -> catastrophic skew). ``batch_topk`` instead reduces per input
+    partition first (Arrow-batched numpy top-k, narrow), then merges the
+    surviving num_partitions*k rows per query — shuffle input shrinks from
+    |corpus|×|Q| to num_partitions×k×|Q|.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    euclidean_distance,
+    dot,
+    round_score,
+)
+
+__all__ = ["topk", "batch_topk", "score_column"]
+
+_METRICS = ("cosine", "euclidean", "dot")
+
+
+def score_column(metric: str, vec_col, query_col):
+    """Similarity/distance score between two array columns.
+
+    ``cosine`` and ``dot`` are similarities (higher = better);
+    ``euclidean`` is a distance (lower = better).
+    """
+    if metric == "cosine":
+        return cosine_similarity(vec_col, query_col)
+    if metric == "euclidean":
+        return euclidean_distance(vec_col, query_col)
+    if metric == "dot":
+        return dot(vec_col, query_col)
+    raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+
+
+def _order(metric: str, score, id_col):
+    desc = metric != "euclidean"
+    return [F.desc(score) if desc else F.asc(score), F.asc(id_col)]
+
+
+def topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 5,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    score_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k nearest rows to one query vector.
+
+    Returns (id_col, score) ordered by (score best-first, id ASC).
+    Physical plan: column-pruned parquet scan -> project score ->
+    TakeOrderedAndProject (per-partition heap + driver merge).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+    score = score_column(metric, F.col(vector_col), q)
+    if score_digits is not None:
+        score = round_score(score, score_digits)
+    scored = df.select(F.col(id_col), score.alias("score"))
+    return scored.orderBy(*_order(metric, F.col("score"), F.col(id_col))).limit(k)
+
+
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    metric: str = "cosine",
+    score_digits: int | None = 6,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Exact top-k for a batch of queries in ONE job.
+
+    The query set is broadcast (it is small by construction); the corpus is
+    never shuffled at full width. Two-phase plan:
+
+      1. per-partition: score all (row × query) pairs with Arrow-batched
+         numpy matmul, keep the k best per query per partition (narrow);
+      2. global: window rank over the num_partitions*k survivors per query.
+
+    Returns (query_id, id_col, score, rank), rank 1..k per query.
+
+    Amortizing many queries per job is also how this engine beats the
+    reference's small-shard latency floor (BASELINE.md "Reading the numbers").
+    """
+    if use_arrow:
+        reduced = _partition_topk_arrow(
+            df, queries, k, vector_col, id_col, query_id_col, query_vec_col, metric
+        )
+        score = F.col("score")
+        if score_digits is not None:
+            score = round_score(score, score_digits)
+        reduced = reduced.withColumn("score", score)
+    else:
+        joined = df.crossJoin(F.broadcast(queries))
+        score = score_column(metric, F.col(vector_col), F.col(query_vec_col))
+        if score_digits is not None:
+            score = round_score(score, score_digits)
+        reduced = joined.select(
+            F.col(query_id_col), F.col(id_col), score.alias("score")
+        )
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        *_order(metric, F.col("score"), F.col(id_col))
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+def _partition_topk_arrow(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vector_col: str,
+    id_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    metric: str,
+) -> DataFrame:
+    """Per-partition top-k via mapInPandas + numpy (Arrow batches).
+
+    The full query matrix is captured in the closure (broadcast by Spark's
+    task serializer — fine for <=O(10^4) queries); each input partition emits
+    at most |Q|*k candidate rows.
+    """
+    import numpy as np
+
+    rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in rows])
+    q_mat = np.array([r[1] for r in rows], dtype=np.float64)  # |Q| x d
+
+    schema = f"{query_id_col} long, {id_col} long, score double"
+    larger_better = metric != "euclidean"
+
+    def part_topk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        frames = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)  # n x d
+            if metric == "cosine":
+                qn = np.linalg.norm(q_mat, axis=1)
+                mn = np.linalg.norm(mat, axis=1)
+                denom = np.outer(mn, qn)
+                scores = mat @ q_mat.T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom == 0.0, 0.0, scores / denom)
+            elif metric == "dot":
+                scores = mat @ q_mat.T
+            else:  # euclidean
+                scores = np.sqrt(
+                    np.maximum(
+                        (mat * mat).sum(1)[:, None]
+                        + (q_mat * q_mat).sum(1)[None, :]
+                        - 2.0 * (mat @ q_mat.T),
+                        0.0,
+                    )
+                )
+            n = len(ids)
+            kk = min(k, n)
+            # selection key uses the ROUNDED score so boundary decisions agree
+            # with the final (rounded) global ordering; ties broken by id ASC
+            key = np.round(scores, 6)
+            if larger_better:
+                key = -key
+            sel_qid, sel_id, sel_score = [], [], []
+            for j in range(len(q_ids)):
+                order = np.lexsort((ids, key[:, j]))[:kk]
+                sel_qid.append(np.full(kk, q_ids[j]))
+                sel_id.append(ids[order])
+                sel_score.append(scores[order, j])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(sel_qid),
+                        id_col: np.concatenate(sel_id),
+                        "score": np.concatenate(sel_score),
+                    }
+                )
+            )
+        if frames:
+            allf = pd.concat(frames, ignore_index=True)
+            # reduce across batches of this partition: keep k best per query
+            allf["_key"] = np.round(allf["score"].to_numpy(), 6)
+            allf = (
+                allf.sort_values(
+                    [query_id_col, "_key", id_col],
+                    ascending=[True, not larger_better, True],
+                )
+                .groupby(query_id_col, sort=False)
+                .head(k)
+                .drop(columns="_key")
+            )
+            yield allf
+
+    return df.select(id_col, vector_col).mapInPandas(part_topk, schema=schema)

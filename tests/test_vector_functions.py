@@ -1,0 +1,84 @@
+"""Micro-fixture tests for the vector math (FIXTURES.md §5).
+
+Hand-computable cases: orthogonal/identical/opposite pairs, the zero-vector
+guard (`reference: src/compute_server.py:36-37`), euclidean distances.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    euclidean_distance,
+    l2_norm,
+)
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    rows = [
+        ("identical", [1.0, 2.0, 2.0], [1.0, 2.0, 2.0]),
+        ("opposite", [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),
+        ("orthogonal", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        ("zero_left", [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+        ("zero_right", [1.0, 2.0, 3.0], [0.0, 0.0, 0.0]),
+        ("both_zero", [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),
+        ("pythagoras", [0.0, 0.0, 0.0], [3.0, 4.0, 0.0]),
+        ("scaled", [1.0, 1.0, 0.0], [5.0, 5.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "name string, a array<double>, b array<double>"
+    )
+
+
+def scores(pairs):
+    return {
+        r["name"]: r
+        for r in pairs.select(
+            "name",
+            cosine_similarity("a", "b").alias("cos"),
+            euclidean_distance("a", "b").alias("euc"),
+            dot("a", "b").alias("dot"),
+            l2_norm("a").alias("na"),
+        ).collect()
+    }
+
+
+def test_cosine(pairs):
+    s = scores(pairs)
+    assert s["identical"]["cos"] == pytest.approx(1.0)
+    assert s["opposite"]["cos"] == pytest.approx(-1.0)
+    assert s["orthogonal"]["cos"] == pytest.approx(0.0)
+    assert s["scaled"]["cos"] == pytest.approx(1.0)
+    # reference zero-norm guard returns 0.0, src/compute_server.py:36-37
+    assert s["zero_left"]["cos"] == 0.0
+    assert s["zero_right"]["cos"] == 0.0
+    assert s["both_zero"]["cos"] == 0.0
+
+
+def test_euclidean(pairs):
+    s = scores(pairs)
+    assert s["identical"]["euc"] == pytest.approx(0.0)
+    assert s["pythagoras"]["euc"] == pytest.approx(5.0)
+    assert s["opposite"]["euc"] == pytest.approx(2.0)
+
+
+def test_dot_and_norm(pairs):
+    s = scores(pairs)
+    assert s["identical"]["dot"] == pytest.approx(9.0)
+    assert s["identical"]["na"] == pytest.approx(3.0)
+    assert s["both_zero"]["dot"] == 0.0
+
+
+def test_float32_input_upcast(spark):
+    """Storage is float32 (testdata embeddings); math must be float64."""
+    df = spark.createDataFrame(
+        [([0.1, 0.2],), ([0.3, 0.4],)], "v array<float>"
+    )
+    out = df.select(dot("v", "v").alias("d")).collect()
+    # float32(0.1) etc upcast to double then multiplied
+    assert out[0]["d"] == pytest.approx(0.05, abs=1e-7)
+    assert out[1]["d"] == pytest.approx(0.25, abs=1e-6)
