@@ -1,0 +1,104 @@
+"""Benchmark harness — prints ONE JSON line for the round driver.
+
+Protocol mirrors the reference's (BASELINE.md): warm-up runs discarded, mean
+of timed runs. Two layers:
+
+  1. every registered driver-contract query, timed at $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1) — the per-query seconds dict;
+  2. a headline search-latency metric comparable to BASELINE.md: IVF
+     top-5 cosine search over the embeddings corpus (nprobe=1 of 8 shards
+     via injected centroids), single query, mean over N timed runs after
+     warm-ups. The reference's comparable config (10k vectors, nprobe=1)
+     costs 21-27 s/query; one Spark job over the same scale is ~0.1-1 s.
+
+Usage: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_vector_database_spark.session import get_session
+from distributed_vector_database_spark import queries as _q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARMUPS = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _run(df) -> int:
+    """Force full execution without driver-side materialization cost."""
+    return df.count()
+
+
+def time_query(fn, spark, warmups=WARMUPS, runs=RUNS) -> float:
+    for _ in range(warmups):
+        _run(fn(spark))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        _run(fn(spark))
+        times.append(time.perf_counter() - t0)
+    return sum(times) / len(times)
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="dvdb-bench")
+
+    per_query: dict[str, float] = {}
+    for name, fn in sorted(_q.spark_queries().items()):
+        try:
+            per_query[name] = round(
+                time_query(lambda s, f=fn: f(s, SF_DIR), spark), 4
+            )
+        except Exception as e:  # a failing query must not kill the bench
+            print(f"# bench query {name} failed: {e}", file=sys.stderr)
+            per_query[name] = -1.0
+
+    # headline: search latency, BASELINE-comparable protocol
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+        nearest_shards,
+    )
+    from distributed_vector_database_spark.operators.topk import topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = _q._fixed_centroids(spark, SF_DIR, n=8)
+    qv = _q._query_vec(spark, SF_DIR, 0)
+    # pre-materialize the sharded layout once (index build, not query time)
+    indexed = assign_shards(emb, cents).cache()
+    indexed.count()
+    shards = nearest_shards(qv, cents, nprobe=1)
+
+    def search(s):
+        return topk(
+            indexed.filter(F.col("shard_id").isin(shards)), qv, k=5
+        )
+
+    latency = time_query(search, spark, warmups=3, runs=11)
+    per_query["ivf_search_nprobe1_cached"] = round(latency, 4)
+    indexed.unpersist()
+
+    print(
+        json.dumps(
+            {
+                "metric": "ivf_search_latency_nprobe1",
+                "value": round(latency, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables, each a
+declarative DataFrame plan (SURVEY.md §7.7; BASELINE.json north star):
+
+  - exact:      content-hash groupBy (one shuffle on the hash)
+  - jaccard:    exact n-gram Jaccard similarity join (explode + equi-join on
+                shingle — the shuffle key is the shingle, so common shingles
+                dominate cost; use minhash for the 100 TB path)
+  - minhash:    MinHash+LSH banding — candidate pairs via equi-join on band
+                signature; O(docs × bands) shuffle rows instead of O(pairs)
+  - simhash:    64-bit SimHash fingerprint (bit-vote aggregation)
+  - embedding:  cosine near-duplicate pairs (brute force here; the ANN/LSH
+                variants in operators/ann.py are the scale path)
+
+All hashing is md5-based (portable across engines — see functions/text.py),
+so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import (
+    tokens,
+    word_shingles,
+    doc_fingerprint,
+    minhash_value,
+)
+from distributed_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    round_score,
+)
+
+__all__ = [
+    "exact_dedup_groups",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash_fingerprints",
+    "embedding_neardup_pairs",
+]
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup_groups(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-content hash.
+
+    Returns (text_hash, rep_doc_id = min id, dup_count). Drop duplicates by
+    keeping rep_doc_id. One hash-shuffle; at 100 TB combine map-side via the
+    partial aggregation Spark already does for min/count.
+    """
+    return (
+        docs.select(doc_fingerprint(text_col).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("rep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        word_shingles(tokens(text_col), n=n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity self-join.
+
+    Plan: shingle -> explode -> equi-join on shingle (a < b) -> count
+    intersections -> |A∪B| = |A|+|B|-∩. Returns (doc_id_a, doc_id_b, jaccard)
+    for pairs >= threshold.
+
+    Scale note: the equi-join on shingle is exact but its cost is
+    sum(df_shingle²) over shingle frequencies — a stop-shingle appearing in
+    every doc creates |docs|² pairs. At 100 TB use minhash_candidate_pairs
+    (bounded fan-out) and verify candidates with this operator.
+    """
+    sh = _shingled(docs, text_col, id_col, n)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("sg"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sg") == F.col("b.sg"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            round_score(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: for seed j, min over shingles of
+    md5(j ':' shingle) (lexicographic min of hex strings — engine-portable).
+
+    Returns (id, mh0..mh{num_hashes-1}). One explode + one groupBy with
+    map-side-combinable min aggregates.
+    """
+    sh = _shingled(docs, text_col, id_col, n)
+    ex = sh.select(F.col(id_col), F.explode("shingles").alias("sg"))
+    aggs = [
+        F.min(minhash_value(F.col("sg"), j)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their MinHash signature.
+
+    band_b = md5(concat of the band's rows); candidates = equi-join on
+    (band index, band value), a < b, distinct. Returns (doc_id_a, doc_id_b).
+
+    Scale: the join key is a hash band — uniform by construction, so the
+    shuffle is balanced; pair fan-out is bounded by bucket sizes (tunable
+    via bands/rows), never |docs|².
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n=n, text_col=text_col, id_col=id_col)
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_ix"), F.col(f"band{b}").alias("bv")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band_ix"), F.col("bb.bv"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document as a 16-char hex string.
+
+    Per token occurrence: h = md5(token); its first 16 hex nibbles carry
+    4 bits each. Each bit votes +1/-1; fingerprint bit = majority > 0.
+    Pure aggregation: explode tokens -> 64 conditional sums -> reassemble.
+    All md5/strpos arithmetic — portable to the SQL oracle.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    agg_exprs = []
+    for j in range(16):
+        # nibble value at 1-based hex position j+1: conv(hexchar, 16, 10)
+        nib = F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int")
+        for bit in range(4):
+            vote = (F.floor(nib / (2**bit)).cast("int") % 2) * 2 - 1
+            agg_exprs.append(F.sum(vote).alias(f"v_{j}_{bit}"))
+    votes = ex.groupBy(id_col).agg(*agg_exprs)
+    hex_chars = F.array(*[F.lit(c) for c in HEX])
+    chars = [
+        F.element_at(
+            hex_chars,
+            (
+                reduce(
+                    lambda x, y: x + y,
+                    [
+                        F.when(F.col(f"v_{j}_{b}") > 0, F.lit(2**b)).otherwise(
+                            F.lit(0)
+                        )
+                        for b in range(4)
+                    ],
+                )
+                + 1
+            ).cast("int"),
+        )
+        for j in range(16)
+    ]
+    return votes.select(F.col(id_col), F.concat(*chars).alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Brute-force O(n²) pairs — exact, fine to ~10^5 rows per executor-group.
+    The 100 TB path is operators/ann.py's LSH bucketing (join only within
+    buckets) with this as the verifier inside each bucket.
+    """
+    a = emb.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vector_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vector_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("score", round_score(cosine_similarity("va", "vb"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("vec_id_a", "vec_id_b", "score")
+    )

@@ -1,0 +1,150 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+regex token counting, content fingerprinting.
+
+Training-data-pipeline surface (SURVEY.md §7.7) over the ``documents`` table.
+Everything is JVM-side Catalyst expressions over whitespace tokens — no
+Python in the hot path; each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import (
+    tokens,
+    doc_fingerprint,
+)
+
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "language_id",
+    "regex_token_count",
+    "fingerprints",
+    "LANG_MARKERS",
+]
+
+
+def token_stats(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, avg_token_len) — narrow projection."""
+    t = tokens(text_col)
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.round(total_len.cast("double") / F.size(t), 6).alias("avg_token_len"),
+    )
+
+
+def quality_scores(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+
+      0.4 * min(n_tokens/50, 1)        (enough content)
+    + 0.4 * n_distinct/n_tokens        (lexical diversity)
+    + 0.2 * min(avg_token_len/6, 1)    (non-degenerate tokens)
+
+    The shape (length + diversity + token-size mix) follows public
+    pretraining-data heuristics (C4/Gopher-style filters); weights are this
+    engine's own.
+    """
+    t = tokens(text_col)
+    n = F.size(t).cast("double")
+    nd = F.size(F.array_distinct(t)).cast("double")
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    score = (
+        F.lit(0.4) * F.least(n / 50.0, F.lit(1.0))
+        + F.lit(0.4) * (nd / n)
+        + F.lit(0.2) * F.least((total_len / n) / 6.0, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+# marker stopwords per language; cascade order = tie-break priority
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "de", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+}
+
+
+def _marker_hits(t: Column, markers: list[str]) -> Column:
+    mset = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(t, lambda x: F.array_contains(mset, x)))
+
+
+def language_id(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-stopword language ID: hit count per language's marker set,
+    argmax with fixed cascade priority (en > de > es > fr), 'und' when no
+    marker hits. Returns (doc_id, lang_pred, lang_hits).
+
+    (A production system swaps the marker sets for char-n-gram profiles;
+    the operator shape — per-language score then cascade argmax — is the
+    same and stays fully declarative.)
+    """
+    t = tokens(text_col)
+    hits = {lang: _marker_hits(t, m) for lang, m in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    # cascade argmax: a language wins if it strictly beats every
+    # higher-priority language and ties-or-beats every lower-priority one
+    pred = F.lit("und")
+    for lang in reversed(order):
+        others = [o for o in order if o != lang]
+        cond = hits[lang] > 0
+        for other in others:
+            if order.index(other) < order.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            else:
+                cond = cond & (hits[lang] >= hits[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    total_hits = None
+    for lang in order:
+        total_hits = hits[lang] if total_hits is None else total_hits + hits[lang]
+    return docs.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        total_hits.cast("long").alias("lang_hits"),
+    )
+
+
+def regex_token_count(
+    docs: DataFrame,
+    pattern: str = "[a-z0-9]+|[^a-z0-9\\s]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE-ish token count: alnum runs + single punctuation marks.
+
+    (Whitespace tokenization undercounts for tokenizer-budget estimates;
+    this matches the common pre-tokenizer split.)
+    """
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, fp): whitespace-insensitive md5 content fingerprint."""
+    return docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))

@@ -61,6 +61,17 @@ def oracle_queries() -> dict[str, str]:
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+        # read the raw int64 and truncate to micros (same nanos->micros
+        # truncation DuckDB applies when it reads the file).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -337,4 +348,485 @@ def q_upsert_keep_latest(spark, sf_dir):
     merged = upsert_keep_latest(emb, updates, id_col="vec_id")
     return merged.filter(F.col("vec_id") < 20).select(
         "vec_id", round_score(l2_norm("embedding")).alias("norm")
+    )
+
+
+# ===========================================================================
+# Text analysis operators (SURVEY.md §7.7; operators/text_analysis.py)
+# ===========================================================================
+
+from distributed_vector_database_spark.operators import text_analysis as _ta
+from distributed_vector_database_spark.operators import dedup as _dd
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, text, "
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t "
+    "FROM documents)"
+)
+
+
+@register(
+    "doc_token_stats",
+    f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+       ROUND(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6)
+         AS avg_token_len
+FROM toks
+""",
+)
+def q_doc_token_stats(spark, sf_dir):
+    return _ta.token_stats(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_quality",
+    f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, len(t) AS n_tokens,
+       ROUND(0.4 * LEAST(len(t) / 50.0, 1.0)
+           + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+           + 0.2 * LEAST((list_sum(list_transform(t, x -> len(x)))::DOUBLE
+                          / len(t)) / 6.0, 1.0), 6) AS quality
+FROM toks
+""",
+)
+def q_doc_quality(spark, sf_dir):
+    return _ta.quality_scores(_read(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    from distributed_vector_database_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    order = list(LANG_MARKERS)
+    hits = {
+        lang: (
+            "len(list_filter(t, x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in ms)
+            + "], x)))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"{hits[lang]} AS s_{lang}" for lang in order)
+    cases = []
+    for lang in order:
+        conds = [f"s_{lang} > 0"]
+        for other in order:
+            if other == lang:
+                continue
+            op = ">" if order.index(other) < order.index(lang) else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    total = " + ".join(f"s_{lang}" for lang in order)
+    return f"""
+WITH {_TOKS_CTE},
+sc AS (SELECT doc_id, {sel} FROM toks)
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE 'und' END AS lang_pred,
+       ({total}) AS lang_hits
+FROM sc
+"""
+
+
+@register("lang_id", _lang_sql())
+def q_lang_id(spark, sf_dir):
+    return _ta.language_id(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_token_count",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+         AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_bpe_token_count(spark, sf_dir):
+    return _ta.regex_token_count(_read(spark, sf_dir, "documents"))
+
+
+_FP = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, {_FP} AS fp FROM documents",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return _ta.fingerprints(_read(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Dedup operators (SURVEY.md §7.7; operators/dedup.py)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT {_FP} AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return _dd.exact_dedup_groups(_read(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = f"""
+{_TOKS_CTE},
+sh0 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sh AS (SELECT * FROM sh0 WHERE len(s) > 0)
+"""
+
+
+@register(
+    "dedup_jaccard",
+    f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_id_a, doc_id_b,
+       ROUND(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+FROM p
+WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
+""",
+)
+def q_dedup_jaccard(spark, sf_dir):
+    return _dd.jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _minhash_sql(num_hashes: int = 8, bands: int = 2) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_ix, band{b} AS bv FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+st AS ({stacked})
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM st a JOIN st b
+  ON a.band_ix = b.band_ix AND a.bv = b.bv AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_sql())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return _dd.minhash_candidate_pairs(
+        _read(spark, sf_dir, "documents"), num_hashes=8, bands=2
+    )
+
+
+def _simhash_sql() -> str:
+    hexs = "0123456789abcdef"
+    sums = []
+    for j in range(16):
+        nib = f"(strpos('{hexs}', substr(h, {j + 1}, 1)) - 1)"
+        for bit in range(4):
+            sums.append(
+                f"sum((({nib} // {2 ** bit}) % 2) * 2 - 1) AS v_{j}_{bit}"
+            )
+    chars = []
+    for j in range(16):
+        val = " + ".join(
+            f"(CASE WHEN v_{j}_{b} > 0 THEN {2 ** b} ELSE 0 END)"
+            for b in range(4)
+        )
+        chars.append(f"substr('{hexs}', ({val}) + 1, 1)")
+    return f"""
+WITH {_TOKS_CTE},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+hh AS (SELECT doc_id, md5(tok) AS h FROM tk),
+v AS (SELECT doc_id, {', '.join(sums)} FROM hh GROUP BY doc_id)
+SELECT doc_id, {' || '.join(chars)} AS simhash FROM v
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark, sf_dir):
+    return _dd.simhash_fingerprints(_read(spark, sf_dir, "documents"))
+
+
+_EA = "(a.embedding::DOUBLE[])"
+_EB = "(b.embedding::DOUBLE[])"
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND({_cos(_EA, _EB)}, 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos(_EA, _EB)}, 6) >= 0.45
+""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    # testdata has no true near-dups (max pairwise cosine ~0.51); 0.45
+    # exercises the operator non-trivially. Production default is 0.99.
+    return _dd.embedding_neardup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+# ===========================================================================
+# Relational operator surface (beyond-reference, SURVEY.md §2.12 gaps filled
+# Spark-natively): hash-agg with exact DECIMAL sums, broadcast joins, window
+# functions, sessionization, rollup, set ops, JSON extraction.
+# ===========================================================================
+
+from distributed_vector_database_spark.operators import sessions as _ss
+
+
+@register(
+    "lineitem_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_qty,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_base_price,
+       ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_lineitem_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregation. Sums go through DECIMAL so results
+    are independent of partial-aggregation order (double sums are not)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sp"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sp").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("sq").cast("double") / F.col("count_order"), 6).alias(
+            "avg_qty"
+        ),
+        "count_order",
+    )
+
+
+@register(
+    "top_revenue_customers",
+    """
+SELECT c.c_custkey AS c_custkey, n.n_name AS nation,
+       ROUND(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS num_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def q_top_revenue_customers(spark, sf_dir):
+    """Fact-to-dim joins: both dims are broadcast (no shuffle of orders on
+    the dim side); one hash-agg shuffle on custkey; TakeOrdered top-10."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    agg = joined.groupBy(
+        F.col("c_custkey"), F.col("n_name").alias("nation")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("num_orders"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+@register(
+    "events_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window counts (batch form of the streaming demo in
+    streaming/; epoch-aligned 1h tumble == date_trunc('hour'))."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+
+
+@register(
+    "sessionization",
+    """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sx AS (
+  SELECT user_id, ts, event_id, value,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_ix
+  FROM s
+)
+SELECT user_id, session_ix, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM sx
+GROUP BY user_id, session_ix
+""",
+)
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (lag window -> boundary flags -> running sum
+    -> per-session aggregates). Spark-native form of a session window."""
+    return _ss.session_stats(_read(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "running_totals",
+    """
+SELECT event_id, user_id,
+       count(*) OVER w AS running_n,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS UNBOUNDED PRECEDING)
+""",
+)
+def q_running_totals(spark, sf_dir):
+    return _ss.running_totals(_read(spark, sf_dir, "events"))
+
+
+@register(
+    "latest_event_per_user",
+    """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+""",
+)
+def q_latest_event_per_user(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return _ss.latest_event_per_user(ev).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@register(
+    "event_type_rollup",
+    """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY ROLLUP (event_type)
+""",
+)
+def q_event_type_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (subtotal + grand total rows, NULL markers)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "clickers_also_purchasing",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_clickers_also_purchasing(spark, sf_dir):
+    """Set operation (INTERSECT == distinct semi-join both ways)."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@register(
+    "json_props_extract",
+    """
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def q_json_props_extract(spark, sf_dir):
+    """Typed extraction from the JSON props column (regex form is portable;
+    Spark-native alternative is get_json_object / from_json)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+        .cast("long")
+        .alias("k"),
+    )
+
+
+@register(
+    "median_value_by_type",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+       ROUND(avg(value), 6) AS mean_value
+FROM events GROUP BY event_type
+""",
+)
+def q_median_value_by_type(spark, sf_dir):
+    """Exact interpolated median + mean per group (the reference's benchmark
+    stats shape — mean/std over trials, report/benchmarks.py:35-41)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
     )
