@@ -27,6 +27,11 @@ from distributed_vector_database_spark.functions.vector import (
 )
 from distributed_vector_database_spark.operators.topk import topk, batch_topk
 from distributed_vector_database_spark.operators.ivf import IVFIndex, assign_shards
+from distributed_vector_database_spark.operators.ann import (
+    lsh_index,
+    lsh_search,
+    random_hyperplanes,
+)
 from distributed_vector_database_spark.sources.vector_store import VectorStore
 
 __all__ = [
@@ -39,6 +44,9 @@ __all__ = [
     "batch_topk",
     "IVFIndex",
     "assign_shards",
+    "lsh_index",
+    "lsh_search",
+    "random_hyperplanes",
     "VectorStore",
 ]
 

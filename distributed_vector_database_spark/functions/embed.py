@@ -1,0 +1,133 @@
+"""Text -> dense-vector embedding (pluggable, offline-safe).
+
+Reference: sentence-transformers ``all-mpnet-base-v2``/``all-MiniLM-L6-v2``
+behind ``embed_text(text) -> List[float]`` (`reference: src/embed.py:6-20`).
+Model downloads are unavailable offline, so this module provides:
+
+  1. ``hashing_embed`` — a deterministic hashing-trick bag-of-words embedder
+     (token -> md5 -> bucket -> count, L2-normalized), pure Catalyst
+     expressions, exact DuckDB oracle. The engine's default.
+  2. ``sparse_token_buckets`` — its sparse (doc, bucket, count) form.
+  3. ``transformer_embed_udf`` — the production path: an Arrow-batched
+     pandas_udf that loads a sentence-transformers model once per executor.
+     Gated behind import; raises with instructions when the lib is absent.
+
+Scale: (1) is a narrow map + one groupBy(doc, bucket) with map-side combine;
+(3) is embarrassingly parallel with model weights loaded per-worker (never
+broadcast through the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import tokens
+
+__all__ = ["token_bucket", "sparse_token_buckets", "hashing_embed", "transformer_embed_udf"]
+
+
+def token_bucket(tok: Column, dim: int = 64) -> Column:
+    """Hash bucket of a token: int(md5(tok)[:6], 16) % dim.
+
+    conv() on 6 hex chars stays within int range; the DuckDB mirror computes
+    the same value from hex nibbles (strpos arithmetic).
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 6), 16, 10).cast("long") % dim
+
+
+def sparse_token_buckets(
+    docs: DataFrame,
+    dim: int = 64,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, cnt): the sparse hashed bag-of-words."""
+    tk = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    return (
+        tk.withColumn("bucket", token_bucket(F.col("tok"), dim))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hashing_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """(doc_id, embedding: array<double>[dim]) — dense hashed BoW, L2-normed.
+
+    Densification is a map lookup over a 0..dim-1 sequence (JVM-side);
+    documents with no tokens get the zero vector.
+    """
+    sparse = sparse_token_buckets(docs, dim, text_col=text_col, id_col=id_col)
+    m = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", F.col("cnt").cast("double")))
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    out = docs.select(F.col(id_col)).join(m, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("m").isNull(), F.array_repeat(F.lit(0.0), dim))
+        .otherwise(dense)
+        .alias("embedding"),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        out = out.select(
+            F.col(id_col),
+            F.when(nrm == 0.0, F.col("embedding"))
+            .otherwise(F.transform(F.col("embedding"), lambda x: x / nrm))
+            .alias("embedding"),
+        )
+    return out
+
+
+def transformer_embed_udf(model_name: str = "all-MiniLM-L6-v2"):
+    """Arrow-batched sentence-transformers embedder (production path).
+
+    Returns a pandas_udf mapping a text column to array<float>. The model
+    loads once per executor process (module-level cache), mirroring the
+    reference's module-level model load (`reference: src/embed.py:8`).
+    """
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError as e:  # pragma: no cover - lib absent in this env
+        raise NotImplementedError(
+            "sentence-transformers is not installed in this environment; "
+            "use hashing_embed() or install the model dependencies."
+        ) from e
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def embed(texts):  # pragma: no cover - requires model download
+        import pandas as pd
+        from sentence_transformers import SentenceTransformer
+
+        global _ST_MODEL
+        try:
+            model = _ST_MODEL
+        except NameError:
+            model = _ST_MODEL = SentenceTransformer(model_name)
+        vecs = model.encode(texts.tolist(), convert_to_numpy=True)
+        return pd.Series(list(vecs))
+
+    return embed

@@ -830,3 +830,153 @@ def q_median_value_by_type(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
         F.round(F.avg("value"), 6).alias("mean_value"),
     )
+
+
+# ===========================================================================
+# ANN (sign-LSH) + hashing embedder (operators/ann.py, functions/embed.py)
+# ===========================================================================
+
+from distributed_vector_database_spark.operators import ann as _ann
+from distributed_vector_database_spark.functions import embed as _em
+
+_LSH_CTE = """
+p AS (SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE vec_id < 8),
+b AS (SELECT e.vec_id,
+             string_agg(CASE WHEN list_dot_product((e.embedding::DOUBLE[]), p.pv) >= 0
+                             THEN '1' ELSE '0' END, '' ORDER BY p.plane_id)
+               AS bucket
+      FROM embeddings e, p GROUP BY e.vec_id)
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+WITH {_LSH_CTE}
+SELECT bucket, count(*) AS n_vectors FROM b GROUP BY bucket
+""",
+)
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucket histogram (planes := first 8 embeddings so the oracle
+    can recompute them; production uses random_hyperplanes(seed))."""
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _fixed_centroids(spark, sf_dir, 8)
+    return (
+        _ann.lsh_index(emb, planes)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@register(
+    "ann_lsh_search",
+    f"""
+WITH {_LSH_CTE},
+q AS (SELECT b.bucket AS qb, (e2.embedding::DOUBLE[]) AS qv
+      FROM embeddings e2 JOIN b ON b.vec_id = e2.vec_id
+      WHERE e2.vec_id = 100),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN b ON e.vec_id = b.vec_id
+         JOIN q ON b.bucket = q.qb)
+SELECT e.vec_id AS vec_id, ROUND({_cos(E, 'q.qv')}, 6) AS score
+FROM cand e, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+""",
+)
+def q_ann_lsh_search(spark, sf_dir):
+    """LSH-bucketed ANN top-k: candidates = the query's bucket only (the
+    scale path — one pruned partition instead of the whole corpus)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _fixed_centroids(spark, sf_dir, 8)
+    indexed = _ann.lsh_index(emb, planes)
+    return _ann.lsh_search(indexed, planes, _query_vec(spark, sf_dir, 100), k=5)
+
+
+def _bucket_sql(tok_expr: str, dim: int = 64) -> str:
+    hexs = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{hexs}', substr(md5({tok_expr}), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({terms}) % {dim})"
+
+
+@register(
+    "embed_hash_sparse",
+    f"""
+WITH {_TOKS_CTE},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+SELECT doc_id, {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+FROM tk GROUP BY 1, 2
+""",
+)
+def q_embed_hash_sparse(spark, sf_dir):
+    """Hashing-trick embedder, sparse form (reference: src/embed.py's
+    embed_text, re-expressed as an offline-safe deterministic transform)."""
+    return _em.sparse_token_buckets(_read(spark, sf_dir, "documents"), dim=64)
+
+
+@register(
+    "embed_hash_dense_check",
+    f"""
+WITH {_TOKS_CTE},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+sp AS (SELECT doc_id, {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+       FROM tk GROUP BY 1, 2)
+SELECT doc_id, ROUND(sqrt(sum(cnt * cnt)::DOUBLE), 6) AS norm,
+       count(*) AS nnz
+FROM sp GROUP BY doc_id
+""",
+)
+def q_embed_hash_dense_check(spark, sf_dir):
+    """Dense hashed-BoW construction checked against an independent SQL
+    path: ||dense||₂ must equal sqrt(Σ cnt²) and nnz the bucket count."""
+    dense = _em.hashing_embed(
+        _read(spark, sf_dir, "documents"), dim=64, normalize=False
+    )
+    return dense.select(
+        "doc_id",
+        round_score(l2_norm("embedding")).alias("norm"),
+        F.size(F.filter("embedding", lambda x: x != 0.0))
+        .cast("long")
+        .alias("nnz"),
+    )
+
+
+# ===========================================================================
+# Streaming-capable session windows (streaming/events.py, batch-checkable)
+# ===========================================================================
+
+from distributed_vector_database_spark.streaming import events as _st
+
+
+@register(
+    "session_window_stats",
+    """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sx AS (
+  SELECT user_id, ts,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_ix
+  FROM s
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sx GROUP BY user_id, session_ix
+""",
+)
+def q_session_window_stats(spark, sf_dir):
+    """Spark-native session_window (stream-capable) checked against an
+    independent lag/boundary SQL derivation. session_window's end is
+    last-event + gap; a new session starts when the exact gap >= 30 min."""
+    return _st.session_window_stats(_read(spark, sf_dir, "events"))

@@ -1,0 +1,157 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Beyond-reference surface for training-data pipelines: image/audio/video
+content travels as a ``binary`` column with a typed metadata struct; decode /
+feature-extraction / frame-sampling run as Arrow-batched ``mapInPandas``
+stages. The Spark-side plumbing (schemas, batch iteration, partitioning) is
+real and tested; the actual codecs are STUBBED — this container has no
+image/audio libraries, so:
+
+  - ``decode_image_meta`` parses a deterministic fake header this module
+    itself writes (so tests exercise real bytes end-to-end);
+  - ``decode_with_pillow`` raises NotImplementedError unless PIL is
+    importable (the clearly-marked production hook).
+
+Scale notes: binary payloads make rows wide — keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition of blobs
+fits executor memory, and always project metadata-only when content is not
+needed (column pruning skips the blob bytes entirely in parquet).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ASSET_SCHEMA",
+    "synth_assets",
+    "decode_image_meta",
+    "image_features",
+    "frame_sample",
+    "decode_with_pillow",
+]
+
+ASSET_SCHEMA = (
+    "asset_id long, modality string, mime string, content binary"
+)
+
+_MAGIC = b"DVDB"
+
+
+def _fake_image_bytes(asset_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake image: 12-byte header + pseudo pixel bytes."""
+    header = _MAGIC + struct.pack("<HH", width, height)
+    n = min(width * height, 256)
+    body = bytes((asset_id * 31 + i * 7) % 256 for i in range(n))
+    return header + body
+
+
+def synth_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake multimodal table (images only for now)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 8) * 4, 16 + (i % 5) * 8
+        rows.append((i, "image", "image/x-dvdb", _fake_image_bytes(i, w, h)))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def decode_image_meta(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: parse (width, height) from the content
+    header, emit metadata + payload size. Real Arrow batch plumbing; the
+    header format is this module's own deterministic fake."""
+    schema = "asset_id long, width int, height int, n_bytes long, valid boolean"
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "n_bytes": [],
+                "valid": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                ok = len(b) >= 8 and b[:4] == _MAGIC
+                w, h = struct.unpack("<HH", b[4:8]) if ok else (0, 0)
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(b))
+                out["valid"].append(ok)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "content").mapInPandas(decode, schema)
+
+
+def image_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic 'feature extraction': a dim-length float vector from
+    payload byte histograms (stands in for a CNN embedding; the output feeds
+    the SAME ANN/dedup operators as text embeddings)."""
+    schema = f"asset_id long, features array<float>"
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, feats = [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = np.frombuffer(bytes(content)[8:], dtype=np.uint8)
+                if len(b) == 0:
+                    v = np.zeros(dim, dtype=np.float32)
+                else:
+                    hist, _ = np.histogram(b, bins=dim, range=(0, 256))
+                    v = hist.astype(np.float64)
+                    nrm = np.linalg.norm(v)
+                    v = (v / nrm if nrm > 0 else v).astype(np.float32)
+                ids.append(aid)
+                feats.append(v.tolist())
+            yield pd.DataFrame({"asset_id": ids, "features": feats})
+
+    return assets.select("asset_id", "content").mapInPandas(extract, schema)
+
+
+def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stub: emit one row per sampled offset of the payload
+    (the video analogue — one row per sampled frame). Demonstrates the
+    1-to-N mapInPandas expansion shape."""
+    schema = "asset_id long, frame_ix int, offset long, byte int"
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_ix": [], "offset": [], "byte": []}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)[8:]
+                for ix, off in enumerate(range(0, len(b), every_n_bytes)):
+                    rows["asset_id"].append(aid)
+                    rows["frame_ix"].append(ix)
+                    rows["offset"].append(off)
+                    rows["byte"].append(b[off])
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "content").mapInPandas(sample, schema)
+
+
+def decode_with_pillow(assets: DataFrame) -> DataFrame:  # pragma: no cover
+    """Production decode hook: real image decoding via Pillow.
+
+    STUB: raises unless PIL is available in the executors' environment.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; use "
+            "decode_image_meta/image_features (deterministic fakes) or "
+            "install PIL on the executors."
+        ) from e
+    raise NotImplementedError("wire the PIL decode here when the lib exists")

@@ -1,0 +1,66 @@
+"""Multimodal plumbing: binary payload schema, mapInPandas decode batches,
+feature extraction shape, 1-to-N frame sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.sources.multimodal import (
+    synth_assets,
+    decode_image_meta,
+    image_features,
+    frame_sample,
+    decode_with_pillow,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return synth_assets(spark, n=32).repartition(4).cache()
+
+
+def test_decode_meta(assets):
+    meta = {r["asset_id"]: r for r in decode_image_meta(assets).collect()}
+    assert len(meta) == 32
+    for i in range(32):
+        r = meta[i]
+        assert r["valid"]
+        assert r["width"] == 16 + (i % 8) * 4
+        assert r["height"] == 16 + (i % 5) * 8
+        assert r["n_bytes"] > 8
+
+
+def test_image_features_shape_and_norm(assets):
+    rows = image_features(assets, dim=16).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["features"]) == 16
+        nrm = sum(x * x for x in r["features"]) ** 0.5
+        assert nrm == pytest.approx(1.0, abs=1e-5)
+
+
+def test_features_feed_vector_ops(spark, assets):
+    """Multimodal features flow into the same top-k operator as text/emb."""
+    from distributed_vector_database_spark.operators.topk import topk
+
+    feats = image_features(assets, dim=16)
+    q = feats.filter(F.col("asset_id") == 0).head()["features"]
+    res = topk(feats, q, k=3, vector_col="features", id_col="asset_id")
+    rows = res.collect()
+    assert rows[0]["asset_id"] == 0  # self-match first
+    assert rows[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_frame_sample_counts(assets):
+    per = (
+        frame_sample(assets, every_n_bytes=64)
+        .groupBy("asset_id")
+        .count()
+        .collect()
+    )
+    assert len(per) == 32
+    assert all(r["count"] >= 1 for r in per)
+
+
+def test_pillow_stub_raises(assets):
+    with pytest.raises(NotImplementedError):
+        decode_with_pillow(assets)

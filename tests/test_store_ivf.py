@@ -1,0 +1,144 @@
+"""IVF index lifecycle (MLlib KMeans fit -> partitioned write -> pruned
+search) and VectorStore record ops, including physical-plan assertions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.ivf import (
+    IVFIndex,
+    fit_centroids,
+    nearest_shards,
+)
+from distributed_vector_database_spark.operators.topk import topk
+from distributed_vector_database_spark.sources.vector_store import (
+    VectorStore,
+    upsert_keep_latest,
+)
+from distributed_vector_database_spark.plans import (
+    assert_partition_pruned,
+    assert_filter_pushdown,
+)
+
+
+@pytest.fixture(scope="module")
+def index(spark, embeddings, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    cents = fit_centroids(
+        embeddings, num_shards=8, sample_fraction=0.5, seed=42
+    )
+    idx = IVFIndex(spark, cents, path=path)
+    idx.write(embeddings)
+    return idx
+
+
+def test_kmeans_fit_shape(embeddings):
+    cents = fit_centroids(embeddings, num_shards=4, sample_fraction=0.5)
+    assert len(cents) == 4
+    assert all(len(c) == 64 for c in cents)
+
+
+def test_index_layout_and_describe(index, embeddings):
+    desc = index.describe().collect()
+    assert len(desc) == 8
+    assert sum(r["num_vectors"] for r in desc) == embeddings.count()
+    # every shard got a real centroid
+    assert all(len(r["centroid"]) == 64 for r in desc)
+
+
+def test_probe_is_partition_pruned(index):
+    """The nprobe filter must be DIRECTORY pruning, not a full scan."""
+    q = [0.1] * 64
+    probe = index.probe(q, nprobe=2)
+    assert_partition_pruned(probe, "shard_id")
+
+
+def test_exact_equals_bruteforce(index, embeddings):
+    q_row = embeddings.filter(F.col("vec_id") == 7).head()
+    q = list(q_row["embedding"])
+    exact = index.exact_search(q, k=5).collect()
+    brute = topk(embeddings, q, k=5).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in brute]
+
+
+def test_pruned_subset_of_probed(index):
+    """nprobe<N results == brute force over exactly the probed shards."""
+    q = [0.05 * i for i in range(64)]
+    shards = nearest_shards(q, index.centroids, nprobe=2)
+    res = index.search(q, k=5, nprobe=2).collect()
+    cand = index.df.filter(F.col("shard_id").isin(shards))
+    exp = topk(cand, q, k=5).collect()
+    assert [tuple(r) for r in res] == [tuple(r) for r in exp]
+
+
+def test_search_batch(index, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = index.search_batch(queries, k=4, nprobe=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+            1,
+            2,
+            3,
+            4,
+        ]
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid  # nprobe=all -> self-match at rank 1
+        assert best["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_set_centroids_changes_routing(spark, embeddings):
+    idx = IVFIndex(spark, [[0.0] * 64, [1.0] * 64])
+    a = idx.assign(embeddings.limit(10)).select("vec_id", "shard_id").collect()
+    idx.set_centroids([[1.0] * 64, [0.0] * 64])
+    b = idx.assign(embeddings.limit(10)).select("vec_id", "shard_id").collect()
+    assert {r["vec_id"]: r["shard_id"] for r in a} == {
+        r["vec_id"]: 1 - r["shard_id"] for r in b
+    }
+
+
+# ---- VectorStore record ops ----------------------------------------------
+
+
+def test_point_lookup_pushdown(embeddings):
+    store = VectorStore(embeddings)
+    hit = store.get(42)
+    assert_filter_pushdown(hit, "vec_id")
+    assert hit.count() == 1
+
+
+def test_upsert_last_write_wins(spark):
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id long, vector array<double>"
+    )
+    upd = spark.createDataFrame(
+        [(2, [9.0, 9.0]), (3, [5.0, 5.0])], "id long, vector array<double>"
+    )
+    merged = {
+        r["id"]: list(r["vector"])
+        for r in upsert_keep_latest(base, upd, id_col="id").collect()
+    }
+    assert merged == {1: [1.0, 0.0], 2: [9.0, 9.0], 3: [5.0, 5.0]}
+
+
+def test_list_ids_and_counts(index):
+    store = VectorStore(index.df)
+    ids = store.list_ids()
+    assert set(ids.columns) == {"vec_id", "shard_id"}
+    counts = store.count_per_shard().collect()
+    assert sum(r["num_vectors"] for r in counts) == ids.count()
+
+
+def test_duplicate_id_lowest_shard_wins(spark):
+    """SURVEY.md §1.3 quirk: same id on two shards -> first (lowest) shard."""
+    df = spark.createDataFrame(
+        [(1, [1.0], 5), (1, [2.0], 2)],
+        "vec_id long, embedding array<double>, shard_id int",
+    )
+    row = VectorStore(df).get(1).head()
+    assert row["shard_id"] == 2

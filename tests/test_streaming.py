@@ -1,0 +1,52 @@
+"""Structured Streaming correctness: the streaming tumbling-window counts
+must converge to exactly the batch result over the same events."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.streaming.events import (
+    read_event_stream,
+    tumbling_counts,
+)
+from distributed_vector_database_spark.queries import _read
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-write the smoke events as micro-timestamped parquet files (3 files
+    -> 3 micro-batches with maxFilesPerTrigger=1)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = _read(spark, SF_SMOKE, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = tumbling_counts(_read(spark, SF_SMOKE, "events"), window="1 hour")
+    exp = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == exp
+    assert len(exp) > 0
