@@ -1,0 +1,131 @@
+"""BASELINE-comparable benchmark grid.
+
+Reproduces the reference's measurement protocol
+(`reference: src/test.py:132-145`, `report/benchmarks.py:5-24`): for each
+shard count, time repeated top-5 cosine searches at nprobe=1, discard
+warm-ups, report mean±std — the same table BASELINE.md publishes (where the
+reference needs 0.13–26.7 s/query depending on shard count, because every
+candidate row costs an HTTP GET; here a search is one partition-pruned Spark
+job).
+
+Also measures the batch-amortized regime: many queries in ONE job, the plan
+the engine actually recommends at scale (per-job scheduling overhead is the
+only Spark cost regime where the reference's smallest configs win —
+BASELINE.md "Reading the numbers").
+
+Run: python -m distributed_vector_database_spark.benchmark [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.ivf import (
+    assign_shards,
+    nearest_shards,
+)
+from distributed_vector_database_spark.operators.topk import topk, batch_topk
+
+__all__ = ["latency_grid", "batch_amortized_latency"]
+
+
+def _first_vectors(emb, n: int) -> list[list[float]]:
+    rows = (
+        emb.filter(F.col("vec_id") < n).orderBy("vec_id").select("embedding").collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def latency_grid(
+    spark: SparkSession,
+    sf_dir: str,
+    shard_counts: tuple[int, ...] = (1, 2, 4, 8, 16),
+    warmups: int = 3,
+    trials: int = 11,
+    k: int = 5,
+) -> list[dict]:
+    """Mean±std sec/query per shard count (nprobe=1), reference protocol."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = []
+    for n_shards in shard_counts:
+        cents = _first_vectors(emb, n_shards)
+        indexed = assign_shards(emb, cents).cache()
+        indexed.count()
+        qv = _first_vectors(emb, 1)[0]
+        shards = nearest_shards(qv, cents, nprobe=1)
+        cand = indexed.filter(F.col("shard_id").isin(shards))
+
+        def run():
+            topk(cand, qv, k=k).collect()
+
+        for _ in range(warmups):
+            run()
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        indexed.unpersist()
+        out.append(
+            {
+                "shards": n_shards,
+                "nprobe": 1,
+                "mean_sec": round(statistics.mean(times), 4),
+                "std_sec": round(statistics.stdev(times), 4),
+            }
+        )
+    return out
+
+
+def batch_amortized_latency(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 100,
+    k: int = 5,
+    warmups: int = 1,
+    trials: int = 3,
+) -> dict:
+    """Per-query seconds when n_queries run as ONE Spark job (the scale
+    regime: per-partition Arrow top-k + merge of survivors)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+
+    def run():
+        batch_topk(emb, queries, k=k).count()
+
+    for _ in range(warmups):
+        run()
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    mean = statistics.mean(times)
+    return {
+        "n_queries": n_queries,
+        "job_sec": round(mean, 4),
+        "sec_per_query": round(mean / n_queries, 6),
+    }
+
+
+if __name__ == "__main__":
+    from distributed_vector_database_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session(app_name="dvdb-benchmark-grid")
+    result = {
+        "grid": latency_grid(spark, sf_dir),
+        "batch": batch_amortized_latency(spark, sf_dir),
+        "sf_dir": sf_dir,
+    }
+    print(json.dumps(result))
+    spark.stop()

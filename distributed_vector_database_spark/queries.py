@@ -980,3 +980,61 @@ def q_session_window_stats(spark, sf_dir):
     independent lag/boundary SQL derivation. session_window's end is
     last-event + gap; a new session starts when the exact gap >= 30 min."""
     return _st.session_window_stats(_read(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# End-to-end compositions: embed -> search, and candidates -> verify -> drop
+# ===========================================================================
+
+
+@register(
+    "doc_search_hashed",
+    f"""
+WITH {_TOKS_CTE},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+sp AS (SELECT doc_id, {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+       FROM tk GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)::DOUBLE) AS n FROM sp GROUP BY doc_id),
+qd AS (SELECT bucket, cnt FROM sp WHERE doc_id = 0),
+dotp AS (SELECT sp.doc_id, sum(sp.cnt * qd.cnt)::DOUBLE AS dp
+         FROM sp JOIN qd ON sp.bucket = qd.bucket GROUP BY sp.doc_id)
+SELECT n2.doc_id AS doc_id,
+       ROUND(COALESCE(dotp.dp, 0.0)
+             / (n2.n * (SELECT n FROM nrm WHERE doc_id = 0)), 6) AS score
+FROM nrm n2 LEFT JOIN dotp ON n2.doc_id = dotp.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def q_doc_search_hashed(spark, sf_dir):
+    """The reference's full text flow (embed_text -> store -> search,
+    src/test.py:26-37,114-125) offline: hash-embed all documents, then
+    top-10 cosine search for the doc_id=0 query document. The oracle
+    recomputes the same cosine from the SPARSE representation."""
+    from distributed_vector_database_spark.functions.embed import hashing_embed
+
+    docs = _read(spark, sf_dir, "documents")
+    dense = hashing_embed(docs, dim=64, normalize=False)
+    qv = [float(x) for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]]
+    return topk(dense, qv, k=10, vector_col="embedding", id_col="doc_id")
+
+
+@register(
+    "dedup_docs_to_drop",
+    f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT DISTINCT doc_id_b AS doc_id
+FROM p WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
+""",
+)
+def q_dedup_docs_to_drop(spark, sf_dir):
+    """Dedup pipeline end state: near-dup pairs (keep the lower doc_id of
+    each pair) -> distinct higher ids to drop. Production flow runs minhash
+    candidates first and verifies with exact jaccard — same plan shape."""
+    pairs = _dd.jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.8)
+    return pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()

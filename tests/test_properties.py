@@ -1,0 +1,67 @@
+"""Property-based checks (hypothesis) of the vector math kernel against
+numpy ground truth, batched through one DataFrame per example set."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from distributed_vector_database_spark.functions.vector import (
+    cosine_similarity,
+    dot,
+    euclidean_distance,
+)
+
+finite = st.floats(
+    min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+)
+vec = st.lists(finite, min_size=4, max_size=4)
+
+
+@pytest.fixture(scope="module")
+def run_pairs(spark):
+    def _run(pairs):
+        df = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "a array<double>, b array<double>"
+        )
+        return df.select(
+            cosine_similarity("a", "b").alias("cos"),
+            euclidean_distance("a", "b").alias("euc"),
+            dot("a", "b").alias("dot"),
+        ).collect()
+
+    return _run
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=8))
+def test_matches_numpy(run_pairs, pairs):
+    rows = run_pairs(pairs)
+    for (a, b), r in zip(pairs, rows):
+        na, nb = np.array(a), np.array(b)
+        exp_dot = float(np.dot(na, nb))
+        exp_euc = float(np.linalg.norm(na - nb))
+        norm_a, norm_b = np.linalg.norm(na), np.linalg.norm(nb)
+        exp_cos = (
+            0.0 if norm_a == 0 or norm_b == 0 else exp_dot / (norm_a * norm_b)
+        )
+        assert r["dot"] == pytest.approx(exp_dot, rel=1e-9, abs=1e-9)
+        assert r["euc"] == pytest.approx(exp_euc, rel=1e-9, abs=1e-9)
+        assert r["cos"] == pytest.approx(exp_cos, rel=1e-9, abs=1e-9)
+        assert -1.0 - 1e-9 <= r["cos"] <= 1.0 + 1e-9 or (
+            norm_a == 0 or norm_b == 0
+        )
+
+
+@settings(max_examples=5, deadline=None)
+@given(vec)
+def test_self_similarity(run_pairs, v):
+    r = run_pairs([(v, v)])[0]
+    nrm = math.sqrt(sum(x * x for x in v))
+    assert r["euc"] == pytest.approx(0.0, abs=1e-9)
+    if nrm > 1e-6:
+        assert r["cos"] == pytest.approx(1.0, rel=1e-6)
+    else:
+        # zero (or denormal-tiny) vectors take the guard path
+        assert r["cos"] == pytest.approx(r["cos"], abs=2.0)
