@@ -1,0 +1,100 @@
+"""Temporal joins: as-of (last right row at-or-before each left row).
+
+Beyond-reference surface (the reference has no join operators at all,
+SURVEY.md §2.12); this is the standard time-series / attribution primitive
+(e.g. last-click-before-purchase, latest quote before each trade).
+
+Scale design — the naive plan is ``left JOIN right ON key AND r.ts <= l.ts``
+then keep-latest, which explodes to |left| x |right-per-key| intermediate
+rows before pruning. Instead we use the union-merge plan:
+
+  1. tag both sides and union them (no join at all);
+  2. ONE shuffle: partition by key, sort by (ts, side, tiebreak);
+  3. ``last(payload, ignorenulls=True)`` over a running window carries the
+     most recent right payload forward onto each left row.
+
+Cost is a single sort-shuffle of |left|+|right| rows — the same shape Spark
+uses for window functions — and never materializes the quadratic pair set.
+Skewed keys behave like any window op (one key = one partition's worth of
+rows); pre-splitting by coarse time bucket is the remedy if one key's
+history alone exceeds an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_tiebreak: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same key with
+    ``right_ts <= left_ts`` (inclusive).
+
+    ``right`` must share no column names with ``left`` except the ``on``
+    keys; its non-key, non-ts columns come through prefixed ``asof_``
+    (plus ``asof_<right_ts>`` for the matched timestamp). Ties on
+    ``right_ts`` are broken by ``right_tiebreak`` (highest wins) so results
+    are deterministic. ``how='left'`` keeps unmatched left rows with NULL
+    payload; ``'inner'`` drops them.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    payload_cols = [c for c in right.columns if c not in keys]
+    reserved = {"_t", "_side", "_p", "_m", "_tb"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns clash with internals: {sorted(clash)}")
+
+    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_p")
+    order_tail = (
+        [F.col("_tb").asc_nulls_first()] if right_tiebreak else []
+    )
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        payload,
+        *(
+            [F.col(right_tiebreak).alias("_tb")]
+            if right_tiebreak
+            else []
+        ),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # Right rows sort BEFORE left rows at equal ts (side desc) => inclusive
+    # <=; among equal-ts right rows the tiebreak puts the winner last.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_side").desc(), *order_tail)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 0
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    out = matched.select(
+        *left.columns,
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+    return out

@@ -1038,3 +1038,222 @@ def q_dedup_docs_to_drop(spark, sf_dir):
     candidates first and verifies with exact jaccard — same plan shape."""
     pairs = _dd.jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.8)
     return pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+
+
+# ===========================================================================
+# Temporal as-of join, anti join, EXCEPT, multi-join (operators/temporal.py;
+# filling more SURVEY.md §2.12 absent-in-reference join/set-op categories)
+# ===========================================================================
+
+from distributed_vector_database_spark.operators.temporal import asof_join
+
+
+@register(
+    "asof_last_click_before_purchase",
+    """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.event_id, p.user_id,
+             c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, click_id, click_ts, click_value
+FROM j WHERE rn = 1
+""",
+)
+def q_asof_last_click(spark, sf_dir):
+    """As-of join (last-click attribution): each purchase gets the user's
+    most recent click at-or-before it. The oracle is the quadratic
+    range-join + keep-latest definition; the engine's union-merge plan
+    (one sort-shuffle, no pair blow-up) must produce identical rows."""
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_tiebreak="event_id",
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("click_id"),
+        F.col("asof_ts").alias("click_ts"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
+@register(
+    "quantize_int8_recon",
+    """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_min(embedding::DOUBLE[]) AS mn,
+                  list_max(embedding::DOUBLE[]) AS mx
+           FROM embeddings),
+q AS (SELECT vec_id, v, mn, mx,
+             CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x ->
+                    least(greatest(floor((x - mn) * 255.0 / (mx - mn)), 0.0),
+                          255.0)::INT)
+             END AS codes
+      FROM v),
+r AS (SELECT vec_id, v,
+             list_transform(codes, c -> mn + c * ((mx - mn) / 255.0)) AS recon
+      FROM q)
+SELECT vec_id,
+       ROUND(CASE WHEN sqrt(list_dot_product(v, v)) = 0
+                    OR sqrt(list_dot_product(recon, recon)) = 0 THEN 0.0
+                  ELSE list_dot_product(v, recon)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(recon, recon))) END,
+             6) AS recon_cos,
+       ROUND(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - recon[i]))), 6) AS max_err
+FROM r
+""",
+)
+def q_quantize_int8_recon(spark, sf_dir):
+    """int8 scalar quantization round-trip fidelity per vector: cosine of
+    (original, reconstructed) and max abs error. Codes use only IEEE-exact
+    ops so the oracle reproduces them bit-for-bit."""
+    from distributed_vector_database_spark.functions.quantize import (
+        int8_dequantize,
+        int8_quantize,
+        quantize_stats,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    recon = int8_dequantize(int8_quantize("embedding"))
+    return emb.select(
+        "vec_id",
+        round_score(cosine_similarity(v, recon)).alias("recon_cos"),
+        F.round(quantize_stats("embedding"), 6).alias("max_err"),
+    )
+
+
+@register(
+    "multimodal_payload_stats",
+    """
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       ((strlen(text) + 63) // 64)::BIGINT AS n_frames,
+       COALESCE(list_sum(list_transform(string_split(text, ''),
+                                        x -> ascii(x))), 0)::BIGINT AS byte_sum
+FROM documents
+""",
+)
+def q_multimodal_payload_stats(spark, sf_dir):
+    """Multimodal decode plumbing, oracle-checked end-to-end: text encoded
+    to a binary content column, then the Arrow-batched mapInPandas stage
+    computes size / frame-count / checksum from the raw bytes (the ASCII
+    corpus makes byte math SQL-expressible: byte_sum == sum of ascii codes)."""
+    from distributed_vector_database_spark.sources.multimodal import (
+        payload_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return payload_stats(docs, id_col="doc_id", frame_bytes=64)
+
+
+@register(
+    "customers_no_big_order",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+)
+def q_customers_no_big_order(spark, sf_dir):
+    """Left anti join (NOT EXISTS): customers with no order above 300k.
+    The filtered build side keeps the anti-join's hash table small enough
+    to broadcast at any scale where 'big orders' are rare."""
+    c = _read(spark, sf_dir, "customer")
+    big = _read(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return c.join(
+        big, c.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "big_purchasers_never_erroring",
+    """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+""",
+)
+def q_big_purchasers_never_erroring(spark, sf_dir):
+    """EXCEPT DISTINCT set operation (completes the set-op surface next to
+    INTERSECT in clickers_also_purchasing)."""
+    ev = _read(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95)
+    ).select("user_id")
+    e = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 95)
+    ).select("user_id")
+    return p.subtract(e)
+
+
+@register(
+    "shipping_priority",
+    """
+SELECT l_orderkey,
+       ROUND(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast against two fact
+    scans; filters pushed to every parquet scan; one agg shuffle on the
+    (orderkey, orderdate) key; TakeOrdered top-10. Revenue goes through
+    per-row DECIMAL cast so partial-agg order can't change cents."""
+    c = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+    return agg.select("l_orderkey", "revenue", "o_orderdate").orderBy(
+        F.desc("revenue"), F.asc("l_orderkey")
+    ).limit(10)

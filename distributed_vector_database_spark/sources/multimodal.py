@@ -32,6 +32,7 @@ __all__ = [
     "decode_image_meta",
     "image_features",
     "frame_sample",
+    "payload_stats",
     "decode_with_pillow",
 ]
 
@@ -139,6 +140,41 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "content").mapInPandas(sample, schema)
+
+
+def payload_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    frame_bytes: int = 64,
+) -> DataFrame:
+    """Generic binary-payload metadata stage (the decode step every
+    multimodal pipeline starts with): size, frame count at a fixed stride,
+    and byte checksum — computed from the raw bytes in an Arrow-batched
+    ``mapInPandas`` so the oracle can verify the plumbing end-to-end.
+    """
+    schema = f"{id_col} long, n_bytes long, n_frames long, byte_sum long"
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nb, nf, bs = [], [], [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content)
+                ids.append(rid)
+                nb.append(len(b))
+                nf.append((len(b) + frame_bytes - 1) // frame_bytes)
+                bs.append(
+                    int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
+                )
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_frames": nf, "byte_sum": bs}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(stats, schema)
 
 
 def decode_with_pillow(assets: DataFrame) -> DataFrame:  # pragma: no cover

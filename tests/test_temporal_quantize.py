@@ -1,0 +1,119 @@
+"""Unit fixtures for the as-of join (union-merge plan) and int8 quantization."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.quantize import (
+    int8_dequantize,
+    int8_quantize,
+    quantize_stats,
+)
+from distributed_vector_database_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 10:00:00")),
+            (2, "A", _ts("2024-01-01 10:05:00")),
+            (3, "B", _ts("2024-01-01 09:00:00")),  # before any B quote
+            (4, "C", _ts("2024-01-01 10:00:00")),  # key with no quotes
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:00"), 10, 100.0),
+            ("A", _ts("2024-01-01 10:00:00"), 11, 101.0),  # ts == trade 1 ts
+            ("A", _ts("2024-01-01 10:00:00"), 12, 102.0),  # tie -> higher id
+            ("A", _ts("2024-01-01 10:04:00"), 13, 103.0),
+            ("B", _ts("2024-01-01 09:30:00"), 20, 200.0),
+        ],
+        "sym string, ts timestamp, quote_id long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_inner(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", right_tiebreak="quote_id", how="inner"
+    )
+    rows = {r["trade_id"]: r for r in out.collect()}
+    # inclusive <=, equal-ts tie broken by highest quote_id
+    assert rows[1]["asof_quote_id"] == 12 and rows[1]["asof_px"] == 102.0
+    assert rows[2]["asof_quote_id"] == 13
+    # trade before any quote and key with no quotes are dropped
+    assert set(rows) == {1, 2}
+
+
+def test_asof_left(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on="sym", right_tiebreak="quote_id", how="left"
+    )
+    rows = {r["trade_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[3]["asof_quote_id"] is None
+    assert rows[4]["asof_px"] is None
+
+
+def test_asof_rejects_reserved_columns(spark, trades_quotes):
+    _, quotes = trades_quotes
+    bad = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01 10:00:00"))], "_p long, sym string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="_p"):
+        asof_join(bad, quotes, on="sym")
+
+
+def test_quantize_roundtrip_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 2.0, 255.0]),
+            (2, [-1.0, -0.5, 0.0, 0.5]),
+            (3, [3.25, 3.25, 3.25, 3.25]),  # constant vector
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "vec_id long, v array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        int8_quantize("v").alias("q"),
+        int8_dequantize(int8_quantize("v")).alias("recon"),
+        quantize_stats("v").alias("max_err"),
+        F.array_min(F.col("v")).alias("mn"),
+        F.array_max(F.col("v")).alias("mx"),
+    ).collect()
+    for r in out:
+        codes = r["q"]["codes"]
+        assert all(0 <= c <= 255 for c in codes)
+        step = (r["mx"] - r["mn"]) / 255.0
+        # reconstruction error bounded by one quantization step
+        assert r["max_err"] <= step + 1e-12
+        if r["mx"] == r["mn"]:
+            assert codes == [0, 0, 0, 0]
+            assert all(x == r["mn"] for x in r["recon"])
+
+
+def test_quantize_monotone(spark):
+    """Codes preserve ordering of the original components."""
+    df = spark.createDataFrame(
+        [(1, [5.0, -3.0, 7.5, 7.5, 0.25])], "vec_id long, v array<double>"
+    )
+    r = df.select(int8_quantize("v").alias("q")).head()
+    codes = r["q"]["codes"]
+    vals = [5.0, -3.0, 7.5, 7.5, 0.25]
+    for i in range(len(vals)):
+        for j in range(len(vals)):
+            if vals[i] < vals[j]:
+                assert codes[i] <= codes[j]
+    assert codes[2] == codes[3] == 255
+    assert codes[1] == 0
