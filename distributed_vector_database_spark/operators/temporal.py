@@ -25,7 +25,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Interval join: pairs (l, r) of the same key with
+    ``l.ts - window <= r.ts < l.ts`` (the "right events in the window
+    before each left event" shape, e.g. clicks preceding a purchase).
+
+    Scale design — a raw theta-join ``ON key AND r.ts BETWEEN ...`` degrades
+    to a per-key nested loop. Instead the left side EXPLODES to its two
+    covering time buckets of width ``window_seconds`` and the join becomes a
+    pure equi-join on (key, bucket) — shuffle-hash/sort-merge eligible,
+    AQE-skew-splittable — followed by the exact range filter. Each left row
+    duplicates exactly twice regardless of window size, so the intermediate
+    is 2|L| + matched pairs, never |L|x|R|.
+
+    Right columns come through prefixed ``r_``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+
+    l = left.withColumn("_bucket", F.explode(F.array(lb - 1, lb)))
+    r = right.select(
+        *[F.col(c).alias(c if c in keys else f"r_{c}") for c in right.columns]
+    ).withColumn(
+        "_bucket",
+        F.floor(F.unix_timestamp(F.col(f"r_{right_ts}")) / window_seconds),
+    )
+    rts = F.col(f"r_{right_ts}")
+    lts = F.col(left_ts)
+    return (
+        l.join(r, [*keys, "_bucket"])
+        .filter(
+            (rts >= lts - F.expr(f"INTERVAL {window_seconds} SECOND"))
+            & (rts < lts)
+        )
+        .drop("_bucket")
+    )
 
 
 def asof_join(

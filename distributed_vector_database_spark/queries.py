@@ -1292,3 +1292,89 @@ def q_stateful_running_totals(spark, sf_dir):
         final_keys=["user_id"],
         latest_by="n_events",
     )
+
+
+@register(
+    "range_clicks_before_purchase",
+    """
+SELECT p.event_id AS event_id, count(*) AS n_clicks,
+       ROUND(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS click_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY 1
+""",
+)
+def q_range_clicks_before_purchase(spark, sf_dir):
+    """Interval join: clicks in the hour before each purchase. The oracle
+    is the quadratic theta-join definition; the engine's plan explodes each
+    purchase to its two covering hour-buckets and equi-joins on
+    (user_id, bucket) — shuffle-hash eligible, no per-key nested loop."""
+    from distributed_vector_database_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        purchases, clicks, on="user_id", window_seconds=3600
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(
+            F.sum(F.col("r_value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("click_value"),
+    )
+
+
+@register(
+    "event_cohort_cube",
+    """
+SELECT event_type, user_id % 10 AS cohort, count(*) AS n
+FROM events GROUP BY CUBE (event_type, cohort)
+""",
+)
+def q_event_cohort_cube(spark, sf_dir):
+    """CUBE grouping sets (all 4 grouping combinations, NULL markers) —
+    completes the grouping-set surface next to ROLLUP."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 10
+    )
+    return ev.cube("event_type", "cohort").agg(F.count("*").alias("n"))
+
+
+@register(
+    "sql_topk_cosine",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
+SELECT e.vec_id AS vec_id, ROUND({_cos(E, 'q.qv')}, 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_sql_topk_cosine(spark, sf_dir):
+    """The flagship search expressed as pure SQL TEXT against the engine's
+    SQL surface (temp views + Spark-4 SQL scalar UDFs that inline into
+    codegen — sql.py). Same plan as the Column-API topk_cosine."""
+    from distributed_vector_database_spark import sql as _sql
+
+    return _sql.sql(
+        spark,
+        sf_dir,
+        """
+WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+           FROM embeddings WHERE vec_id = 2)
+SELECT e.vec_id AS vec_id,
+       ROUND(cosine_sim(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv), 6) AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+    )

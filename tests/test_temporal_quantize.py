@@ -117,3 +117,29 @@ def test_quantize_monotone(spark):
                 assert codes[i] <= codes[j]
     assert codes[2] == codes[3] == 255
     assert codes[1] == 0
+
+
+def test_range_join_boundaries(spark):
+    """Window is inclusive at ts-W, exclusive at ts."""
+    from distributed_vector_database_spark.operators.temporal import range_join
+
+    purchases = spark.createDataFrame(
+        [(1, 7, _ts("2024-01-01 10:00:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, 7, _ts("2024-01-01 08:59:59")),  # too early
+            (11, 7, _ts("2024-01-01 09:00:00")),  # == ts-W -> in
+            (12, 7, _ts("2024-01-01 09:59:59")),  # in
+            (13, 7, _ts("2024-01-01 10:00:00")),  # == ts -> out
+            (14, 8, _ts("2024-01-01 09:30:00")),  # other user
+        ],
+        "click_id long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        r["r_click_id"]
+        for r in range_join(
+            purchases, clicks, on="user_id", window_seconds=3600
+        ).collect()
+    )
+    assert got == [11, 12]
