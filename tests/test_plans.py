@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the scale contract, checked by reading the plan.
+
+Each test pins the plan property that makes the operator survive 100x data:
+joins that must broadcast, filters that must reach the scan, and operators
+that must NOT plan a join/cartesian at all.
+"""
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.plans.inspect import (
+    assert_filter_pushdown,
+    assert_no_cross_join,
+    plan_text,
+    pushed_filters,
+    read_schema_columns,
+)
+from distributed_vector_database_spark.queries import _read, spark_queries
+from tests.conftest import SF_SMOKE
+
+
+def test_asof_join_plans_no_join(spark):
+    """The union-merge as-of plan must contain no join operator — its only
+    wide stage is the window sort-shuffle."""
+    df = spark_queries()["asof_last_click_before_purchase"](spark, SF_SMOKE)
+    text = plan_text(df)
+    assert "Join" not in text, text
+    assert "Window" in text
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketed range join must plan a hash/merge equi-join — never a
+    cartesian or broadcast-nested-loop theta join."""
+    df = spark_queries()["range_clicks_before_purchase"](spark, SF_SMOKE)
+    assert_no_cross_join(df, allow_broadcast=False)
+    # the event_type predicates must reach both parquet scans
+    assert any("event_type" in f for f in pushed_filters(df))
+
+
+def test_shipping_priority_broadcasts_dim(spark):
+    df = spark_queries()["shipping_priority"](spark, SF_SMOKE)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "CartesianProduct" not in text
+    # date filters pushed into the fact scans
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed)
+    assert any("o_orderdate" in f for f in pushed)
+    assert any("c_mktsegment" in f for f in pushed)
+
+
+def test_topk_prunes_columns(spark):
+    """The search scan must read only (id, vector) — label etc. pruned."""
+    df = spark_queries()["topk_cosine"](spark, SF_SMOKE)
+    scans = read_schema_columns(df)
+    assert scans and all(
+        set(cols) <= {"vec_id", "embedding"} for cols in scans
+    ), scans
+
+
+def test_point_lookup_pushdown(spark):
+    df = _read(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") == 7)
+    assert_filter_pushdown(df, "vec_id")
+
+
+def test_anti_join_broadcasts(spark):
+    df = spark_queries()["customers_no_big_order"](spark, SF_SMOKE)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text and "LeftAnti" in text, text
+    assert any("o_totalprice" in f for f in pushed_filters(df))
