@@ -1378,3 +1378,108 @@ ORDER BY score DESC, vec_id ASC
 LIMIT 10
 """,
     )
+
+
+@register(
+    "skewed_type_totals",
+    """
+SELECT event_type, count(*) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_skewed_type_totals(spark, sf_dir):
+    """Skew-resistant two-phase aggregation (operators/skew.py): 6 hot keys
+    salted across 32 buckets before the final combine. DECIMAL sums make the
+    regrouping provably result-identical to the plain GROUP BY oracle."""
+    from distributed_vector_database_spark.operators.skew import (
+        skew_safe_totals,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return skew_safe_totals(
+        ev, ["event_type"], value_col="value", salt_from="event_id"
+    )
+
+
+_MULTIRES_SQL = """
+WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+                  value
+           FROM events)
+SELECT bucket_hour, bucket_day, count(*) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM b GROUP BY GROUPING SETS ((bucket_hour), (bucket_day))
+"""
+
+
+@register("multires_rollup", _MULTIRES_SQL)
+def q_multires_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    aggregates in ONE scan via GROUPING SETS (the same SQL text runs on
+    both engines). At scale this halves the passes a tiered
+    continuous-aggregate pipeline makes over raw events."""
+    from distributed_vector_database_spark import sql as _sql
+
+    return _sql.sql(spark, sf_dir, _MULTIRES_SQL)
+
+
+@register(
+    "local_supplier_volume",
+    """
+SELECT n_name AS nation,
+       ROUND(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation ASC
+""",
+)
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the six-table join. Every dimension (customer,
+    supplier, nation, region) broadcasts; the only shuffle joins the two
+    facts on orderkey; region filter prunes suppliers BEFORE the fact join
+    via the broadcast hash lookup."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == dims.s_suppkey)
+            & (c.c_nationkey == dims.s_nationkey),
+        )
+    )
+    agg = j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("nation"))
