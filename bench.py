@@ -53,6 +53,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name, fn in sorted(_q.spark_queries().items()):
+        t0 = time.perf_counter()
         try:
             per_query[name] = round(
                 time_query(lambda s, f=fn: f(s, SF_DIR), spark), 4
@@ -60,6 +61,12 @@ def main() -> None:
         except Exception as e:  # a failing query must not kill the bench
             print(f"# bench query {name} failed: {e}", file=sys.stderr)
             per_query[name] = -1.0
+        print(
+            f"# bench {name}: {per_query[name]}s "
+            f"(wall {time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # headline: search latency, BASELINE-comparable protocol
     from distributed_vector_database_spark.operators.ivf import (

@@ -67,9 +67,22 @@ def exact_dedup_groups(
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+    """(id, shingles) with tokenization forced to evaluate ONCE per row.
+
+    Catalyst does no subexpression elimination inside higher-order-function
+    lambdas, and ProjectCollapse re-inlines aliased projections — so naively
+    passing ``tokens(text)`` into ``word_shingles`` makes every per-position
+    ``element_at`` lambda re-tokenize the document: O(len²) per doc and a
+    ~60x slowdown observed at sf0.1. ``explode(array(expr))`` routes the
+    token array through a Generate operator (one evaluation per row, not
+    inlinable), so the shingle lambdas read a materialized array attribute.
+    """
+    with_toks = docs.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
+    )
+    return with_toks.select(
         F.col(id_col),
-        word_shingles(tokens(text_col), n=n).alias("shingles"),
+        word_shingles(F.col("_toks"), n=n).alias("shingles"),
     ).filter(F.size("shingles") > 0)
 
 
