@@ -39,7 +39,29 @@ from pyspark.sql import functions as F
 from distributed_vector_database_spark.functions.vector import squared_euclidean
 from distributed_vector_database_spark.operators.topk import topk
 
-__all__ = ["IVFIndex", "assign_shards", "nearest_shards", "fit_centroids"]
+__all__ = [
+    "IVFIndex",
+    "assign_shards",
+    "nearest_shards",
+    "fit_centroids",
+    "random_centroids",
+]
+
+
+def random_centroids(
+    num_shards: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Seeded standard-normal placeholder centroids.
+
+    The reference boots every shard with ``np.random.randn(EMBED_DIM)``
+    until /set_centroids replaces them (`reference:
+    src/compute_server.py:23-26`, `README.md:60`); this is that
+    placeholder, made deterministic so tests can pin routing.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in rng.standard_normal(dim)] for _ in range(num_shards)]
 
 
 def _centroid_array_expr(centroids: Sequence[Sequence[float]]) -> F.Column:
