@@ -1,0 +1,63 @@
+"""GEMM block dedup vs brute-force ground truth (property-style), and
+recall@k of the approximate search paths."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.dedup import (
+    embedding_neardup_pairs,
+)
+from distributed_vector_database_spark.operators.eval import recall_at_k
+from distributed_vector_database_spark.operators.topk import topk
+from tests.conftest import SF_SMOKE
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 8])
+def test_gemm_pairs_equal_bruteforce(spark, num_blocks):
+    rng = np.random.default_rng(7)
+    n, dim, thr = 60, 8, 0.9
+    vecs = rng.standard_normal((n, dim))
+    vecs[5] = vecs[4] * 2.0  # exact-direction dup
+    vecs[9] = vecs[8] + rng.standard_normal(dim) * 0.01  # near dup
+    vecs[13] = 0.0  # zero vector -> cosine 0 with everything
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["score"]
+        for r in embedding_neardup_pairs(
+            df, threshold=thr, num_blocks=num_blocks
+        ).collect()
+    }
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    unit = np.zeros_like(vecs)
+    np.divide(vecs, norms, out=unit, where=norms > 0)
+    sims = np.round(unit @ unit.T, 6)
+    exp = {
+        (i, j): sims[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= thr
+    }
+    assert got == exp
+    assert (4, 5) in got and (8, 9) in got
+    assert not any(13 in p for p in got)
+
+
+def test_recall_exact_vs_itself_is_one(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = topk(emb, q, k=10)
+    r = recall_at_k(exact, exact).head()
+    assert r["recall"] == 1.0 and r["n_exact"] == 10
+
+
+def test_recall_partial_overlap(spark):
+    exact = spark.createDataFrame([(i,) for i in range(10)], "vec_id long")
+    approx = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 99, 98, 97, 96, 95]], "vec_id long"
+    )
+    r = recall_at_k(approx, exact).head()
+    assert r["recall"] == 0.5 and r["n_hit"] == 5
