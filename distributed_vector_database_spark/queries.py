@@ -1491,3 +1491,58 @@ def q_local_supplier_volume(spark, sf_dir):
         ).alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), F.asc("nation"))
+
+
+# ===========================================================================
+# Deterministic sketches (operators/sketch.py): portable-hash KMV distinct
+# estimation and hash-Bernoulli sampling — oracle-exact across engines.
+# ===========================================================================
+
+
+@register(
+    "kmv_distinct_users_by_type",
+    """
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+               / 281474976710656.0 AS _h
+      FROM d),
+r AS (SELECT event_type, _h,
+             row_number() OVER (PARTITION BY event_type ORDER BY _h ASC)
+               AS _rn
+      FROM h),
+a AS (SELECT event_type, count(*) AS _nd,
+             max(CASE WHEN _rn = 64 THEN _h END) AS _hk
+      FROM r GROUP BY event_type)
+SELECT event_type,
+       (CASE WHEN _nd <= 64 THEN _nd
+             ELSE round(63.0 / _hk)::BIGINT END)::BIGINT AS kmv_distinct
+FROM a
+""",
+)
+def q_kmv_distinct_users(spark, sf_dir):
+    """KMV distinct-count sketch per event_type (k=64; 150 users > k so the
+    ESTIMATOR path is exercised, not the exact fallback). Portable md5
+    hashing makes the estimate bit-identical across engines — a sketch the
+    oracle can verify EXACTLY, unlike HLL."""
+    from distributed_vector_database_spark.operators.sketch import kmv_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", group_cols=["event_type"], k=64)
+
+
+@register(
+    "hash_sample_docs",
+    """
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+      / 281474976710656.0 < 0.1
+""",
+)
+def q_hash_sample_docs(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample by key hash (eval-set carving:
+    reproducible, join-stable, no RNG state, no global sort)."""
+    from distributed_vector_database_spark.operators.sketch import hash_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return hash_sample(docs, "doc_id", 0.1)
