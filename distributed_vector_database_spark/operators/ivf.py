@@ -235,7 +235,49 @@ class IVFIndex:
             .partitionBy("shard_id")
             .parquet(self.path)
         )
+        self.save_centroids()
         self._df = None
+
+    # ---- persistence ------------------------------------------------------
+
+    def save_centroids(self) -> None:
+        """Persist the centroid table INSIDE the index layout (under a
+        ``_``-prefixed subdir, which parquet readers treat as hidden — like
+        ``_SUCCESS``). The reference keeps centroids only in router memory
+        (`reference: src/compute_server.py:23-26`) and loses them on
+        restart; a persisted index must carry its own routing table."""
+        if self.path is None:
+            raise ValueError("in-memory index: no path to save centroids to")
+        cent = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "shard_id int, centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").json(
+            f"{self.path}/_centroids"
+        )
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFIndex":
+        """Open a persisted index: data layout + its saved centroid table."""
+        rows = (
+            spark.read.schema("shard_id int, centroid array<double>")
+            .json(f"{path}/_centroids")
+            .orderBy("shard_id")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"no centroids found under {path}/_centroids")
+        cents = [list(map(float, r["centroid"])) for r in rows]
+        return cls(
+            spark, cents, path=path, vector_col=vector_col, id_col=id_col
+        )
 
     # ---- read -------------------------------------------------------------
 

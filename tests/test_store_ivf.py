@@ -142,3 +142,24 @@ def test_duplicate_id_lowest_shard_wins(spark):
     )
     row = VectorStore(df).get(1).head()
     assert row["shard_id"] == 2
+
+
+def test_index_save_load_roundtrip(spark, embeddings, tmp_path):
+    """A persisted index reopens with identical centroids and identical
+    search results (the reference loses centroids on router restart)."""
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "ivf_store")
+    idx = IVFIndex(spark, cents, path=path)
+    idx.write(embeddings)
+
+    reopened = IVFIndex.load(spark, path)
+    assert reopened.centroids == idx.centroids
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 7).head()["embedding"]]
+    a = [(r["vec_id"], r["score"]) for r in idx.search(q, k=5, nprobe=4).collect()]
+    b = [(r["vec_id"], r["score"]) for r in reopened.search(q, k=5, nprobe=4).collect()]
+    assert a == b and len(a) == 5

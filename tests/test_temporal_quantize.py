@@ -143,3 +143,43 @@ def test_range_join_boundaries(spark):
         ).collect()
     )
     assert got == [11, 12]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 999)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_matches_quadratic_reference(spark, lefts, rights):
+    """Union-merge as-of == the brute-force 'latest right with rt <= lt,
+    ties by highest tiebreak id' definition, on random key/time data."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, base + timedelta(seconds=t), rid) for (k, t, rid) in rights],
+        "k long, ts timestamp, rid long",
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            left, right, on="k", right_tiebreak="rid", how="left"
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, rid) for (rk, rt, rid) in rights if rk == k and rt <= t]
+        exp = max(cands, key=lambda c: (c[0], c[1]))[1] if cands else None
+        assert got[i] == exp, (i, k, t, cands)
