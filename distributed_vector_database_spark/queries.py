@@ -1213,8 +1213,8 @@ def q_big_purchasers_never_erroring(spark, sf_dir):
     "shipping_priority",
     """
 SELECT l_orderkey,
-       ROUND(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                           AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
        o_orderdate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1247,9 +1247,11 @@ def q_shipping_priority(spark, sf_dir):
     agg = j.groupBy("l_orderkey", "o_orderdate").agg(
         F.round(
             F.sum(
-                (
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1.0).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
             ).cast("double"),
             2,
         ).alias("revenue")
@@ -1438,8 +1440,8 @@ def q_multires_rollup(spark, sf_dir):
     "local_supplier_volume",
     """
 SELECT n_name AS nation,
-       ROUND(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-                           AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1483,9 +1485,11 @@ def q_local_supplier_volume(spark, sf_dir):
     agg = j.groupBy(F.col("n_name").alias("nation")).agg(
         F.round(
             F.sum(
-                (
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ).cast("decimal(18,2)")
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1.0).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
             ).cast("double"),
             2,
         ).alias("revenue")
@@ -1546,3 +1550,63 @@ def q_hash_sample_docs(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return hash_sample(docs, "doc_id", 0.1)
+
+
+@register(
+    "brand_revenue",
+    """
+SELECT p_brand,
+       ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand ASC
+LIMIT 10
+""",
+)
+def q_brand_revenue(spark, sf_dir):
+    """Fact-to-part-dim broadcast join + hash agg on the dim attribute
+    (completes table coverage: every testdata table now appears in at
+    least one oracle-checked query)."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.groupBy("p_brand").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1.0).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("p_brand")).limit(10)
+
+
+@register(
+    "vector_json_roundtrip",
+    f"""
+SELECT e.vec_id AS vec_id, ROUND({_norm(E)}, 6) AS norm
+FROM embeddings e
+""",
+)
+def q_vector_json_roundtrip(spark, sf_dir):
+    """Reference storage-format compatibility: vectors serialized to the
+    JSON-text encoding the reference keeps in SQLite (`reference:
+    src/storage_server.py:43-46`) and parsed back must be lossless — the
+    oracle computes each norm from the ORIGINAL column; we compute it from
+    the to_json -> from_json round-trip."""
+    emb = _read(spark, sf_dir, "embeddings")
+    as_json = emb.select(
+        "vec_id", F.to_json(F.col("embedding")).alias("vector_json")
+    )
+    parsed = as_json.select(
+        "vec_id",
+        F.from_json(F.col("vector_json"), "array<double>").alias("v"),
+    )
+    return parsed.select("vec_id", round_score(l2_norm("v")).alias("norm"))
