@@ -117,6 +117,46 @@ def batch_amortized_latency(
     }
 
 
+def high_dim_latency(
+    spark: SparkSession,
+    sf_dir: str,
+    dim_factor: int = 12,
+    k: int = 5,
+    warmups: int = 2,
+    trials: int = 5,
+) -> dict:
+    """Search latency at the REFERENCE's dimensionality (64d x 12 = 768d,
+    BASELINE.md's embedding size), via deterministic tiling of the testdata
+    vectors — equal compute intensity per candidate row. Compares the
+    Catalyst-expression scorer vs the Arrow/BLAS kernel at high dim."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wide = emb.select(
+        "vec_id",
+        F.flatten(
+            F.array_repeat(F.col("embedding").cast("array<double>"), dim_factor)
+        ).alias("embedding"),
+    ).cache()
+    wide.count()
+    qv = [float(x) for x in _first_vectors(emb, 1)[0]] * dim_factor
+
+    out = {}
+    for method in ("expr", "arrow"):
+        def run():
+            topk(wide, qv, k=k, method=method).collect()
+
+        for _ in range(warmups):
+            run()
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        out[f"{method}_mean_sec"] = round(statistics.mean(times), 4)
+    wide.unpersist()
+    out["dim"] = 64 * dim_factor
+    return out
+
+
 if __name__ == "__main__":
     from distributed_vector_database_spark.session import get_session
 
@@ -125,6 +165,7 @@ if __name__ == "__main__":
     result = {
         "grid": latency_grid(spark, sf_dir),
         "batch": batch_amortized_latency(spark, sf_dir),
+        "dim768": high_dim_latency(spark, sf_dir),
         "sf_dir": sf_dir,
     }
     print(json.dumps(result))

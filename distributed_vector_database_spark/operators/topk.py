@@ -73,13 +73,41 @@ def topk(
     id_col: str = "vec_id",
     metric: str = "cosine",
     score_digits: int | None = 6,
+    method: str = "expr",
 ) -> DataFrame:
     """Exact top-k nearest rows to one query vector.
 
     Returns (id_col, score) ordered by (score best-first, id ASC).
-    Physical plan: column-pruned parquet scan -> project score ->
-    TakeOrderedAndProject (per-partition heap + driver merge).
+
+    ``method='expr'`` (default): column-pruned scan -> Catalyst expression
+    score -> TakeOrderedAndProject (per-partition heap + driver merge).
+    Zero Python; right up to ~10^2 dims where expression evaluation of the
+    dot product (interpreted inside the higher-order lambda) starts to
+    dominate.
+    ``method='arrow'``: route through the batch kernel (numpy BLAS dot in
+    mapInPandas, per-partition top-k, then merge) — faster for high-dim
+    vectors or wide scans, same results by construction.
     """
+    if method == "arrow":
+        spark = df.sparkSession
+        qdf = spark.createDataFrame(
+            [(0, [float(x) for x in query_vector])],
+            "query_id long, query_vector array<double>",
+        )
+        out = batch_topk(
+            df,
+            qdf,
+            k,
+            vector_col=vector_col,
+            id_col=id_col,
+            metric=metric,
+            score_digits=score_digits,
+        )
+        return out.select(id_col, "score").orderBy(
+            *_order(metric, F.col("score"), F.col(id_col))
+        )
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'arrow', got {method!r}")
     q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     score = score_column(metric, F.col(vector_col), q)
     if score_digits is not None:

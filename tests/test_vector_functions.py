@@ -82,3 +82,17 @@ def test_float32_input_upcast(spark):
     # float32(0.1) etc upcast to double then multiplied
     assert out[0]["d"] == pytest.approx(0.05, abs=1e-7)
     assert out[1]["d"] == pytest.approx(0.25, abs=1e-6)
+
+
+def test_topk_arrow_equals_expr(spark):
+    """The Arrow/BLAS single-query path returns exactly the expression
+    path's results (same rounding, same tie-breaks)."""
+    from distributed_vector_database_spark.operators.topk import topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    for metric in ("cosine", "euclidean", "dot"):
+        a = [tuple(r) for r in topk(emb, q, k=12, metric=metric).collect()]
+        b = [tuple(r) for r in topk(emb, q, k=12, metric=metric, method="arrow").collect()]
+        assert a == b, metric
