@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.text import (
@@ -38,6 +38,7 @@ from distributed_vector_database_spark.functions.vector import (
 __all__ = [
     "exact_dedup_groups",
     "jaccard_pairs",
+    "jaccard_pairs_prefix",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash_fingerprints",
@@ -137,6 +138,100 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style prefix filtering — identical
+    results to :func:`jaccard_pairs`, sub-quadratic candidate generation.
+
+    Theorem (prefix filter): order every set by one global total order; if
+    J(A,B) >= t, A and B must share a shingle within each one's first
+    ``|X| - ceil(t*|X|) + 1`` elements. Ordering by ASCENDING document
+    frequency puts the RAREST shingles in the prefix, so the candidate
+    equi-join runs on rare keys only — the hot-shingle blow-up of the full
+    join (cost sum(df²), SURVEY-noted) never happens. A length filter
+    (t*|A| <= |B|) prunes further. Candidates are verified exactly with
+    ``array_intersect`` on the two shingle arrays — no second explode.
+
+    Shuffles: one groupBy(shingle) for df, one window by doc for prefix
+    positions, the (small) candidate join, one join back to the shingle
+    arrays. Every stage is partial-aggregated or narrow.
+    """
+    sh = _shingled(docs, text_col, id_col, n).select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.size("shingles").alias("n_sh"),
+    )
+    ex = sh.select(F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sg"))
+    df_counts = ex.groupBy("sg").agg(F.count("*").alias("_df"))
+    ranked = ex.join(df_counts, "sg").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.asc("_df"), F.asc("sg")
+            )
+        ),
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    )
+    prefix = ranked.filter(F.col("_pos") <= prefix_len).select(
+        id_col, "n_sh", "sg"
+    )
+
+    a = prefix.select(
+        F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("na"), "sg"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("nb"), "sg"
+    )
+    cands = (
+        a.join(b, "sg")
+        .filter(
+            (F.col("doc_id_a") < F.col("doc_id_b"))
+            # length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
+            & (F.lit(float(threshold)) * F.col("na") <= F.col("nb"))
+            & (F.lit(float(threshold)) * F.col("nb") <= F.col("na"))
+        )
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+    sa = sh.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    verified = (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            round_score(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+    return verified
 
 
 def minhash_signatures(

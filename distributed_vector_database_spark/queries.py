@@ -501,7 +501,7 @@ WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
 """,
 )
 def q_dedup_jaccard(spark, sf_dir):
-    return _dd.jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.8)
+    return _dd.jaccard_pairs_prefix(_read(spark, sf_dir, "documents"), threshold=0.8)
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 2) -> str:
@@ -1036,7 +1036,7 @@ def q_dedup_docs_to_drop(spark, sf_dir):
     """Dedup pipeline end state: near-dup pairs (keep the lower doc_id of
     each pair) -> distinct higher ids to drop. Production flow runs minhash
     candidates first and verifies with exact jaccard — same plan shape."""
-    pairs = _dd.jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.8)
+    pairs = _dd.jaccard_pairs_prefix(_read(spark, sf_dir, "documents"), threshold=0.8)
     return pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
 
 

@@ -61,3 +61,20 @@ def test_recall_partial_overlap(spark):
     )
     r = recall_at_k(approx, exact).head()
     assert r["recall"] == 0.5 and r["n_hit"] == 5
+
+
+def test_prefix_jaccard_equals_full_join(spark):
+    """PPJoin prefix filtering is provably lossless: identical pairs and
+    scores to the full shingle self-join, including boundary thresholds."""
+    from distributed_vector_database_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for t in (0.5, 0.8, 0.95):
+        full = sorted(tuple(r) for r in jaccard_pairs(docs, t).collect())
+        pref = sorted(tuple(r) for r in jaccard_pairs_prefix(docs, t).collect())
+        assert full == pref, t
+        if t == 0.5:
+            assert len(full) > 0
