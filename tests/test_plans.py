@@ -67,3 +67,35 @@ def test_anti_join_broadcasts(spark):
     text = plan_text(df)
     assert "BroadcastHashJoin" in text and "LeftAnti" in text, text
     assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tables equi-join with ZERO shuffle: the plan must
+    contain no Exchange (broadcast disabled to force the point)."""
+    from distributed_vector_database_spark.queries import _read
+    from distributed_vector_database_spark.sources.bucketed import save_bucketed
+
+    ev = _read(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    t1 = save_bucketed(
+        ev, "ev_bucketed_a", "user_id", num_buckets=8,
+        path=str(tmp_path / "ba"),
+    )
+    t2 = save_bucketed(
+        ev.selectExpr("user_id", "value AS v2"),
+        "ev_bucketed_b",
+        "user_id",
+        num_buckets=8,
+        path=str(tmp_path / "bb"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t1.join(t2, "user_id")
+        text = plan_text(joined)
+        assert "Exchange" not in text, text
+        assert joined.count() > 0
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")

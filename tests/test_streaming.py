@@ -82,3 +82,44 @@ def test_stateful_totals_accumulate_across_batches(spark, events_dir):
     # state genuinely crossed batches: users appear in >1 of the 3 files,
     # so at least one user's final count must exceed any single batch size
     assert len(got) > 0
+
+
+def test_stream_ingest_matches_batch_index(spark, tmp_path):
+    """Vectors streamed through foreachBatch ingest land in the same
+    partitioned layout — and answer searches identically — as a one-shot
+    batch build over the same data."""
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+    from distributed_vector_database_spark.streaming.ingest import stream_ingest
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+
+    src_dir = str(tmp_path / "vec_stream_src")
+    emb.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    stream_path = str(tmp_path / "ivf_streamed")
+    idx = IVFIndex(spark, cents, path=stream_path)
+    idx.save_centroids()
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_ingest(idx, stream, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_path = str(tmp_path / "ivf_batch")
+    batch_idx = IVFIndex(spark, cents, path=batch_path)
+    batch_idx.write(emb)
+
+    assert idx.df.count() == batch_idx.df.count() == emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 9).head()["embedding"]]
+    a = [tuple(r) for r in IVFIndex.load(spark, stream_path).search(qv, k=5, nprobe=4).collect()]
+    b = [tuple(r) for r in batch_idx.search(qv, k=5, nprobe=4).collect()]
+    assert a == b and len(a) == 5
