@@ -1610,3 +1610,67 @@ def q_vector_json_roundtrip(spark, sf_dir):
         F.from_json(F.col("vector_json"), "array<double>").alias("v"),
     )
     return parsed.select("vec_id", round_score(l2_norm("v")).alias("norm"))
+
+
+@register(
+    "event_value_pivot",
+    """
+SELECT user_id,
+       ROUND(CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS click,
+       ROUND(CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS purchase,
+       ROUND(CAST(sum(CASE WHEN event_type = 'error'
+                           THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 2)
+         AS error
+FROM events GROUP BY user_id
+""",
+)
+def q_event_value_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per-user value sums as one column per event
+    type. A fixed pivot-value list keeps the schema static (no extra
+    distinct-scan job) — the form that scales."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.round(F.col(c).cast("double"), 2).alias(c)
+            for c in ("click", "purchase", "error")
+        ],
+    )
+
+
+@register(
+    "moving_avg_value",
+    """
+SELECT event_id, user_id,
+       ROUND(avg(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS avg_7
+FROM events
+""",
+)
+def q_moving_avg_value(spark, sf_dir):
+    """Bounded-frame analytic window (7-row sliding mean per user) —
+    completes the frame-spec surface next to the unbounded running sums."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_7"),
+    )
