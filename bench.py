@@ -93,6 +93,14 @@ def main() -> None:
     per_query["ivf_search_nprobe1_cached"] = round(latency, 4)
     indexed.unpersist()
 
+    # BASELINE-dimension parity: the reference's numbers are 768-d; tile the
+    # 64-d testdata 12x and measure full-scan exact search at equal compute.
+    from distributed_vector_database_spark.benchmark import high_dim_latency
+
+    hd = high_dim_latency(spark, SF_DIR, warmups=1, trials=3)
+    per_query["topk768_expr"] = hd["expr_mean_sec"]
+    per_query["topk768_arrow"] = hd["arrow_mean_sec"]
+
     print(
         json.dumps(
             {
