@@ -33,6 +33,21 @@ from distributed_vector_database_spark.operators.ann import (
     random_hyperplanes,
 )
 from distributed_vector_database_spark.sources.vector_store import VectorStore
+from distributed_vector_database_spark.sources.bucketed import save_bucketed
+from distributed_vector_database_spark.operators.temporal import (
+    asof_join,
+    range_join,
+)
+from distributed_vector_database_spark.operators.skew import skew_safe_totals
+from distributed_vector_database_spark.operators.sketch import (
+    hash_sample,
+    kmv_distinct,
+)
+from distributed_vector_database_spark.operators.eval import recall_at_k
+from distributed_vector_database_spark.functions.quantize import (
+    int8_dequantize,
+    int8_quantize,
+)
 
 __all__ = [
     "get_session",
@@ -48,6 +63,15 @@ __all__ = [
     "lsh_search",
     "random_hyperplanes",
     "VectorStore",
+    "save_bucketed",
+    "asof_join",
+    "range_join",
+    "skew_safe_totals",
+    "hash_sample",
+    "kmv_distinct",
+    "recall_at_k",
+    "int8_quantize",
+    "int8_dequantize",
 ]
 
 __version__ = "0.1.0"

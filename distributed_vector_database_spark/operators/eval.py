@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k"]
+__all__ = ["recall_at_k", "ivf_recall_curve"]
 
 
 def recall_at_k(
@@ -54,3 +54,41 @@ def recall_at_k(
         "n_hit",
         "n_exact",
     )
+
+
+def ivf_recall_curve(
+    index,
+    query_vectors,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+) -> list[dict]:
+    """Mean recall@k over the query set at each nprobe — the tuning curve
+    that tells you how many shards to probe for a target quality.
+
+    ``index`` is an :class:`~...operators.ivf.IVFIndex`;
+    ``query_vectors`` an iterable of vectors. Exact ground truth is the
+    nprobe=num_shards search. Returns
+    ``[{nprobe, mean_recall, n_queries}, ...]``.
+    """
+    qs = [list(map(float, q)) for q in query_vectors]
+    exact = [
+        {r[index.id_col] for r in index.exact_search(q, k).collect()}
+        for q in qs
+    ]
+    out = []
+    for nprobe in nprobes:
+        recalls = []
+        for q, truth in zip(qs, exact):
+            got = {
+                r[index.id_col]
+                for r in index.search(q, k, nprobe=nprobe).collect()
+            }
+            recalls.append(len(got & truth) / len(truth))
+        out.append(
+            {
+                "nprobe": nprobe,
+                "mean_recall": round(sum(recalls) / len(recalls), 4),
+                "n_queries": len(qs),
+            }
+        )
+    return out

@@ -78,3 +78,26 @@ def test_prefix_jaccard_equals_full_join(spark):
         assert full == pref, t
         if t == 0.5:
             assert len(full) > 0
+
+
+def test_ivf_recall_curve_monotone(spark):
+    """Recall rises (weakly) with nprobe and hits 1.0 at nprobe=num_shards."""
+    from distributed_vector_database_spark.operators.eval import ivf_recall_curve
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    idx = IVFIndex(spark, cents)
+    idx.write(emb)
+    qs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([11, 23])).collect()
+    ]
+    curve = ivf_recall_curve(idx, qs, k=5, nprobes=(1, 2, 4))
+    recalls = [p["mean_recall"] for p in curve]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+    assert all(p["n_queries"] == 2 for p in curve)
