@@ -279,6 +279,32 @@ class IVFIndex:
             spark, cents, path=path, vector_col=vector_col, id_col=id_col
         )
 
+    def compact(self) -> None:
+        """Rewrite the layout into few whole files per shard.
+
+        Streaming ingest (streaming/ingest.py) appends O(num_shards) files
+        per micro-batch; over many batches the small-file count degrades
+        scan planning. Compaction is one read + one partitioned rewrite via
+        a staging directory (an in-place overwrite would read and clobber
+        the same files)."""
+        if self.path is None:
+            raise ValueError("in-memory index has nothing to compact")
+        spark = self.spark
+        current = spark.read.parquet(self.path).drop("shard_id")
+        staging = f"{self.path}__compacting"
+        saved_path, self.path = self.path, staging
+        try:
+            self.write(current)
+        finally:
+            self.path = saved_path
+        # swap staging into place
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(hconf)
+        fs.delete(Path(self.path), True)
+        fs.rename(Path(staging), Path(self.path))
+
     # ---- read -------------------------------------------------------------
 
     @property

@@ -1,0 +1,65 @@
+"""Edge-case probes: zero vectors, k > corpus, empty inputs, tiny corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.topk import topk, batch_topk
+from distributed_vector_database_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    jaccard_pairs_prefix,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_zero_query_vector_scores_zero(spark):
+    """The reference's zero-norm guard: cosine with a zero query is 0.0
+    for every row (reference: src/compute_server.py:36-37)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    dim = len(emb.head()["embedding"])
+    rows = topk(emb, [0.0] * dim, k=7).collect()
+    assert len(rows) == 7
+    assert all(r["score"] == 0.0 for r in rows)
+    # ties on score=0 resolve by id ASC -> deterministic
+    assert [r["vec_id"] for r in rows] == sorted(r["vec_id"] for r in rows)
+
+
+def test_k_larger_than_corpus(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(6)
+    q = [float(x) for x in emb.head()["embedding"]]
+    assert topk(emb, q, k=100).count() == 6
+    queries = spark.createDataFrame(
+        [(0, q)], "query_id long, query_vector array<double>"
+    )
+    assert batch_topk(emb, queries, k=100).count() == 6
+
+
+def test_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert topk(empty, [1.0, 0.0], k=5).count() == 0
+    assert embedding_neardup_pairs(empty, threshold=0.5).count() == 0
+
+
+def test_single_doc_no_pairs(spark):
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    assert jaccard_pairs_prefix(one, threshold=0.1).count() == 0
+
+
+def test_docs_shorter_than_shingle_width(spark):
+    """Docs with < n tokens produce no shingles and never crash or pair."""
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "x")], "doc_id long, text string"
+    )
+    assert jaccard_pairs_prefix(docs, threshold=0.5, n=3).count() == 0
+
+
+def test_identical_docs_jaccard_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    rows = jaccard_pairs_prefix(docs, threshold=0.99, n=3).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in rows] == [
+        (1, 2, 1.0)
+    ]

@@ -123,3 +123,46 @@ def test_stream_ingest_matches_batch_index(spark, tmp_path):
     a = [tuple(r) for r in IVFIndex.load(spark, stream_path).search(qv, k=5, nprobe=4).collect()]
     b = [tuple(r) for r in batch_idx.search(qv, k=5, nprobe=4).collect()]
     assert a == b and len(a) == 5
+
+
+def test_compact_after_stream_ingest(spark, tmp_path):
+    """Compaction shrinks the streamed layout's file count without changing
+    its contents or its saved centroids."""
+    import glob
+
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+    from distributed_vector_database_spark.streaming.ingest import stream_ingest
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 2).orderBy("vec_id").collect()
+    ]
+    src = str(tmp_path / "src")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    path = str(tmp_path / "idx")
+    idx = IVFIndex(spark, cents, path=path)
+    idx.save_centroids()
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ingest(idx, stream, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def data_files():
+        return glob.glob(f"{path}/shard_id=*/*.parquet")
+
+    before_files = len(data_files())
+    before_ids = sorted(r["vec_id"] for r in idx.df.select("vec_id").collect())
+    idx.compact()
+    after_files = len(data_files())
+    reopened = IVFIndex.load(spark, path)
+    after_ids = sorted(r["vec_id"] for r in reopened.df.select("vec_id").collect())
+    assert after_ids == before_ids
+    assert after_files < before_files
+    assert reopened.centroids == idx.centroids
