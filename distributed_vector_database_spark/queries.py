@@ -1674,3 +1674,84 @@ def q_moving_avg_value(spark, sf_dir):
         "user_id",
         F.round(F.avg("value").over(w), 6).alias("avg_7"),
     )
+
+
+def _curation_funnel_sql() -> str:
+    """Compose the quality / language / dedup oracle fragments into the
+    one-pass curation-report SQL (same fragments the individual queries
+    verify in isolation)."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    order = list(LANG_MARKERS)
+    hits = {
+        lang: (
+            "len(list_filter(t, x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in ms)
+            + "], x)))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"{hits[lang]} AS s_{lang}" for lang in order)
+    cases = []
+    for lang in order:
+        conds = [f"s_{lang} > 0"]
+        for other in order:
+            if other == lang:
+                continue
+            op = ">" if order.index(other) < order.index(lang) else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH {_TOKS_CTE},
+q AS (SELECT doc_id, len(t) AS n_tokens,
+             ROUND(0.4 * LEAST(len(t) / 50.0, 1.0)
+                 + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+                 + 0.2 * LEAST((list_sum(list_transform(t, x -> len(x)))::DOUBLE
+                                / len(t)) / 6.0, 1.0), 6) AS quality
+      FROM toks),
+sc AS (SELECT doc_id, {sel} FROM toks),
+lng AS (SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+        FROM sc),
+f AS (SELECT d.doc_id, d.source, d.text, q.n_tokens, q.quality
+      FROM documents d
+      JOIN q USING (doc_id) JOIN lng USING (doc_id)
+      WHERE q.quality >= 0.5 AND lng.lang_pred = 'en'),
+k AS (SELECT *, row_number() OVER (PARTITION BY {_FP.replace('text', 'f.text')}
+                                   ORDER BY doc_id ASC) AS rn
+      FROM f)
+SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       ROUND(avg(quality), 6) AS avg_quality
+FROM k WHERE rn = 1
+GROUP BY source
+"""
+
+
+@register("curation_funnel", _curation_funnel_sql())
+def q_curation_funnel(spark, sf_dir):
+    """The training-data curation pipeline END TO END as one declarative
+    plan: quality filter -> language filter -> exact dedup (keep lowest id
+    per content hash) -> per-source corpus report (docs kept, token budget,
+    mean quality). Every stage reuses an operator already verified in
+    isolation; this query verifies their COMPOSITION against the composed
+    oracle."""
+    from distributed_vector_database_spark.functions.text import doc_fingerprint
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    q = _ta.quality_scores(docs)
+    lng = _ta.language_id(docs).select("doc_id", "lang_pred")
+    f = (
+        docs.select("doc_id", "source", "text")
+        .join(q, "doc_id")
+        .join(lng, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    )
+    w = Window.partitionBy(doc_fingerprint("text")).orderBy(F.asc("doc_id"))
+    kept = f.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
