@@ -1755,3 +1755,52 @@ def q_curation_funnel(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def _lang_confusion_sql() -> str:
+    from distributed_vector_database_spark.operators.text_analysis import (
+        LANG_MARKERS,
+    )
+
+    order = list(LANG_MARKERS)
+    hits = {
+        lang: (
+            "len(list_filter(t, x -> list_contains(["
+            + ", ".join(f"'{m}'" for m in ms)
+            + "], x)))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    sel = ", ".join(f"{hits[lang]} AS s_{lang}" for lang in order)
+    cases = []
+    for lang in order:
+        conds = [f"s_{lang} > 0"]
+        for other in order:
+            if other == lang:
+                continue
+            op = ">" if order.index(other) < order.index(lang) else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+WITH {_TOKS_CTE},
+sc AS (SELECT doc_id, {sel} FROM toks),
+p AS (SELECT doc_id, CASE {' '.join(cases)} ELSE 'und' END AS lang_pred
+      FROM sc)
+SELECT d.lang, p.lang_pred, count(*) AS n
+FROM documents d JOIN p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+"""
+
+
+@register("lang_confusion", _lang_confusion_sql())
+def q_lang_confusion(spark, sf_dir):
+    """Classifier evaluation as a query: confusion counts of predicted vs
+    labeled language (the documents table carries ground-truth ``lang``)."""
+    docs = _read(spark, sf_dir, "documents")
+    pred = _ta.language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
