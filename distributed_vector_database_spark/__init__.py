@@ -44,6 +44,13 @@ from distributed_vector_database_spark.operators.sketch import (
     kmv_distinct,
 )
 from distributed_vector_database_spark.operators.eval import recall_at_k
+from distributed_vector_database_spark.operators.pq import (
+    fit_pq_codebooks,
+    pq_adc_topk,
+    pq_decode,
+    pq_encode,
+    pq_encode_arrow,
+)
 from distributed_vector_database_spark.functions.quantize import (
     int8_dequantize,
     int8_quantize,
@@ -70,6 +77,11 @@ __all__ = [
     "hash_sample",
     "kmv_distinct",
     "recall_at_k",
+    "fit_pq_codebooks",
+    "pq_encode",
+    "pq_encode_arrow",
+    "pq_decode",
+    "pq_adc_topk",
     "int8_quantize",
     "int8_dequantize",
 ]

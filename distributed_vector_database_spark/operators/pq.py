@@ -1,0 +1,330 @@
+"""Product quantization (PQ) — compressed-domain vector search.
+
+Beyond-reference surface (BASELINE.json north star). The reference stores
+every vector as raw float64 JSON text and scores candidates one HTTP GET at
+a time (`reference: src/storage_server.py:43-46`,
+`reference: src/compute_server.py:118-127`); its report cites IVF (report
+p.2) but not the PQ half of the classic IVF-PQ pairing (Jégou et al., "
+Product Quantization for Nearest Neighbor Search", TPAMI 2011). At 100 TB
+PQ is what makes an ANN index *resident*: a 768-d float32 vector is 3 KB,
+its m=96 / k=256 PQ code is 96 bytes — a 32× compression that turns a
+100 TB corpus into a ~3 TB scannable code table.
+
+Spark-first design:
+
+  - **Codebooks are tiny, data is huge** → codebooks travel as plan
+    literals (same broadcast-literal pattern as IVF centroids,
+    operators/ivf.py); encoding is a narrow projection — no shuffle.
+  - **Encode** has two physical paths with identical semantics:
+    ``pq_encode`` (pure Catalyst higher-order functions — whole-stage
+    codegen, best ≤ ~128-d) and ``pq_encode_arrow`` (mapInPandas GEMM:
+    ``||x-c||² = ||x||² - 2x·c + ||c||²`` per subspace — best at high
+    dims / large k where an m·k expression tree gets unwieldy).
+  - **Search (ADC)**: the query is NOT encoded; per subspace a k-entry
+    lookup table of query-to-codeword distances is computed once on the
+    driver and injected as a literal, so scoring a candidate is m array
+    lookups + a sum — O(m) per row instead of O(dim), JVM-side, no UDF.
+  - **Tie-breaks** are deterministic everywhere (first minimal codeword
+    index; ``(score, id)`` result order) so a SQL oracle can reproduce
+    encode and search bit-for-bit.
+
+Compose with IVF for the full IVF-PQ plan: route/prune by centroid
+(`operators/ivf.py`), then ADC-scan only the probed shards' codes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fit_pq_codebooks",
+    "pq_encode",
+    "pq_encode_arrow",
+    "pq_decode",
+    "pq_adc_lut",
+    "pq_adc_score",
+    "pq_adc_topk",
+    "codebooks_from_rows",
+]
+
+Codebooks = Sequence[Sequence[Sequence[float]]]  # [m][k][dim/m]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _check(codebooks: Codebooks) -> tuple[int, int, int]:
+    """Return (m, k, sub_dim); validate rectangular shape."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must have at least one subspace")
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    for book in codebooks:
+        if len(book) != k or any(len(c) != sub for c in book):
+            raise ValueError("codebooks must be rectangular [m][k][sub_dim]")
+    return m, k, sub
+
+
+def codebooks_from_rows(
+    vectors: Sequence[Sequence[float]], m: int
+) -> list[list[list[float]]]:
+    """Deterministic codebooks from explicit vectors (k = len(vectors)):
+    codeword c of subspace j is the j-th slice of ``vectors[c]``.
+
+    The PQ analogue of the reference's ``POST /set_centroids`` override
+    (`reference: src/compute_server.py:67-71`) — lets tests and the DuckDB
+    oracle derive the exact same codebooks from table rows.
+    """
+    dim = len(vectors[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in v[j * sub : (j + 1) * sub]] for v in vectors]
+        for j in range(m)
+    ]
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a deterministic hash-ordered sample.
+
+    Index-build step (runs once, driver-side numpy on ≤ ``sample_n`` rows —
+    the same sample-then-fit shape as the reference's KMeans,
+    `reference: src/test.py:41-42`, `reference: src/cluster.py:28-33`).
+    Deterministic: sample = first ``sample_n`` rows by ``xxhash64(id, seed)``,
+    init = k evenly spaced sample rows; empty clusters re-seeded from the
+    worst-fit point.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(_c(vector_col).cast("array<double>").alias("v"), id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if n < k:
+        raise ValueError(f"sample of {n} rows < k={k}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        C = S[np.linspace(0, n - 1, k).astype(int)].copy()
+        for _ in range(iters):
+            # GEMM distance: argmin_c ||s||^2 - 2 s.c + ||c||^2
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(0)
+                else:  # re-seed dead codeword from the worst-fit point
+                    C[c] = S[d2.min(1).argmax()]
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _book_lit(book: Sequence[Sequence[float]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in code]).cast("array<double>")
+            for code in book
+        ]
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Sequential left-to-right sum of squared differences (float64) —
+    accumulation order mirrored exactly by the DuckDB oracle's
+    ``list_reduce`` so argmin tie behavior matches across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    vector_col: str | Column, codebooks: Codebooks
+) -> Column:
+    """``array<int>`` of m codes: per subspace, the index (0-based) of the
+    nearest codeword by squared L2; ties → lowest index.
+
+    Pure Catalyst (slice + transform + aggregate) — no Python, no shuffle;
+    suitable while m·k stays modest (≤ ~2048 inner expressions).
+    """
+    m, k, sub = _check(codebooks)
+    v = _c(vector_col).cast("array<double>")
+
+    def _dist_to(s):
+        # single-arg lambda: PySpark reads lambda arity, and a 2-arg
+        # (c, s=s) form would be mis-bound as (element, index)
+        return lambda c: _sq_dist(s, c)
+
+    codes = []
+    for j in range(m):
+        s = F.slice(v, j * sub + 1, sub)
+        dists = F.transform(_book_lit(codebooks[j]), _dist_to(s))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: Codebooks,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Arrow-batched GEMM encode: same semantics as :func:`pq_encode`
+    (squared-L2 argmin, lowest index on ties), vectorized per batch.
+
+    The scale path for high dims / large k: one ``(batch × k)`` matmul per
+    subspace instead of an m·k-term expression tree. Narrow map — partition
+    layout is preserved; codebooks ship once per task via closure.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub = _check(codebooks)
+    C = [np.asarray(book, dtype=np.float64) for book in codebooks]
+    cn2 = [(c * c).sum(1) for c in C]
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(id_col, vector_col).schema.fields
+    )
+    schema = f"{out_fields}, {codes_col} array<int>"
+    id_c, vec_c = id_col, vector_col
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_c]]
+            )
+            if len(X) == 0:
+                yield pdf.assign(**{codes_col: []})
+                continue
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * sub : (j + 1) * sub]
+                d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C[j].T) + cn2[j][None, :]
+                codes[:, j] = d2.argmin(1)  # numpy argmin: first min index
+            yield pd.DataFrame(
+                {
+                    id_c: pdf[id_c],
+                    vec_c: pdf[vec_c],
+                    codes_col: list(codes),
+                }
+            )
+
+    return df.select(id_col, vector_col).mapInPandas(encode, schema)
+
+
+def pq_decode(codes_col: str | Column, codebooks: Codebooks) -> Column:
+    """Reconstruct an ``array<double>`` by concatenating each subspace's
+    codeword — the lossy inverse of :func:`pq_encode`."""
+    _check(codebooks)
+    cb = F.array(*[_book_lit(book) for book in codebooks])
+    return F.flatten(
+        F.zip_with(
+            _c(codes_col),
+            cb,
+            lambda c, book: F.element_at(book, c.cast("int") + 1),
+        )
+    )
+
+
+def pq_adc_lut(
+    query_vector: Sequence[float], codebooks: Codebooks
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: ``lut[j][c] = ||q_j - cb[j][c]||²``
+    (float64, sequential accumulation — oracle-reproducible)."""
+    m, k, sub = _check(codebooks)
+    q = [float(x) for x in query_vector]
+    if len(q) != m * sub:
+        raise ValueError(f"query dim {len(q)} != {m * sub}")
+    lut = []
+    for j in range(m):
+        qj = q[j * sub : (j + 1) * sub]
+        row = []
+        for code in codebooks[j]:
+            acc = 0.0
+            for x, y in zip(qj, code):
+                acc += (x - y) * (x - y)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_score(codes_col: str | Column, lut: Sequence[Sequence[float]]) -> Column:
+    """Approximate squared L2 distance from the codes alone: m table
+    lookups + a sum. O(m) per row, JVM-side, no vector column needed."""
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row]).cast("array<double>")
+            for row in lut
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            _c(codes_col),
+            lut_lit,
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: Codebooks,
+    query_vector: Sequence[float],
+    k: int = 5,
+    *,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Compressed-domain top-k: ADC distance over PQ codes, ascending,
+    deterministic ``(adc_dist, id)`` order. Plans as per-partition
+    TakeOrdered + merge (same shape as exact ``topk``) but reads only the
+    code column — at 100 TB raw this scans ~3 TB and never touches floats.
+
+    Compose with IVF pruning for IVF-PQ: pass
+    ``encoded.filter(col("shard_id").isin(probed))``.
+    """
+    lut = pq_adc_lut(query_vector, codebooks)
+    return (
+        encoded.select(
+            id_col,
+            F.round(pq_adc_score(codes_col, lut), 6).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -35,6 +35,7 @@ from distributed_vector_database_spark.operators.ivf import (
 from distributed_vector_database_spark.sources.vector_store import (
     upsert_keep_latest,
 )
+from distributed_vector_database_spark.operators import pq as _pq
 
 # name -> (spark_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -1804,3 +1805,98 @@ def q_lang_confusion(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ===========================================================================
+# Product quantization (operators/pq.py): compressed-domain encode + ADC
+# search — the 100 TB memory path the reference lacks (it stores raw float64
+# JSON, src/storage_server.py:43-46). Codebooks := subvector slices of
+# embeddings vec_id < 16 (m=8 subspaces × k=16 codewords over 64-d), the PQ
+# analogue of POST /set_centroids so both engines derive identical books.
+# ===========================================================================
+
+_PQ_CTE = """
+cbrows AS (SELECT vec_id AS c, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 16),
+js AS (SELECT j::INT AS j FROM range(8) t(j)),
+cb AS (SELECT j, list(list_slice(e, j*8+1, j*8+8) ORDER BY c) AS book FROM cbrows, js GROUP BY j),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+enc AS (SELECT v.vec_id, cb.j, cb.book,
+        list_transform(cb.book,
+          c -> list_reduce(list_transform(list_zip(list_slice(v.e, cb.j*8+1, cb.j*8+8), c),
+                 z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS dists
+        FROM vecs v, cb),
+codes AS (SELECT vec_id, j, book, dists,
+          (list_position(dists, list_min(dists)) - 1)::INT AS code FROM enc)
+"""
+
+
+def _pq_books(spark, sf_dir, n: int = 16, m: int = 8):
+    rows = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return _pq.codebooks_from_rows([[float(x) for x in r[0]] for r in rows], m)
+
+
+@register(
+    "pq_encode_recon",
+    f"""
+WITH {_PQ_CTE}
+SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY j) AS codes,
+       ROUND(sqrt(SUM(list_min(dists))), 6) AS recon_err
+FROM codes GROUP BY vec_id
+""",
+)
+def q_pq_encode_recon(spark, sf_dir):
+    """PQ encode (squared-L2 argmin per subspace, first-min tie-break) +
+    reconstruction error — a narrow projection, no shuffle; codes are the
+    32x-compressed index representation."""
+    books = _pq_books(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    enc = emb.select(
+        "vec_id",
+        _pq.pq_encode("embedding", books).alias("codes"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    from distributed_vector_database_spark.functions.vector import (
+        euclidean_distance,
+    )
+
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        F.round(
+            euclidean_distance("e", _pq.pq_decode("codes", books)), 6
+        ).alias("recon_err"),
+    )
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+WITH {_PQ_CTE},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+adc AS (SELECT vec_id,
+        SUM(list_reduce(list_transform(list_zip(list_slice(q.qv, j*8+1, j*8+8), book[code+1]),
+              z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS d
+        FROM codes, q GROUP BY vec_id)
+SELECT vec_id, ROUND(d, 6) AS adc_dist FROM adc
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+""",
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes only (query stays raw; per-
+    subspace LUT enters the plan as a literal — m lookups + sum per row,
+    scanning 1/32nd the bytes of the float column)."""
+    books = _pq_books(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    enc = emb.select(
+        "vec_id", _pq.pq_encode("embedding", books).alias("codes")
+    )
+    qv = _query_vec(spark, sf_dir, 100)
+    return _pq.pq_adc_topk(enc, books, qv, k=10)

@@ -1,0 +1,177 @@
+"""Product-quantization operator tests (operators/pq.py).
+
+Semantics: per-subspace squared-L2 argmin encode (first-min tie-break),
+lossy decode by codeword concatenation, ADC search from codes alone.
+Cross-checked against numpy and against exact search for recall.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.pq import (
+    codebooks_from_rows,
+    fit_pq_codebooks,
+    pq_adc_lut,
+    pq_adc_topk,
+    pq_decode,
+    pq_encode,
+    pq_encode_arrow,
+)
+from distributed_vector_database_spark.operators.topk import topk
+from distributed_vector_database_spark.operators.eval import recall_at_k
+from distributed_vector_database_spark.functions.vector import (
+    euclidean_distance,
+)
+
+
+@pytest.fixture(scope="module")
+def books(embeddings):
+    rows = (
+        embeddings.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return codebooks_from_rows([[float(x) for x in r[0]] for r in rows], m=8)
+
+
+def _np_encode(X, books):
+    m, sub = len(books), len(books[0][0])
+    C = [np.asarray(b, dtype=np.float64) for b in books]
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        S = X[:, j * sub : (j + 1) * sub]
+        d2 = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(1)
+    return codes
+
+
+def test_encode_matches_numpy(spark, embeddings, books):
+    sample = embeddings.orderBy("vec_id").limit(50)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in sample.select(
+            "vec_id", pq_encode("embedding", books).alias("codes")
+        ).collect()
+    }
+    rows = sample.select("vec_id", "embedding").collect()
+    X = np.asarray([[float(x) for x in r["embedding"]] for r in rows])
+    exp = _np_encode(X, books)
+    for i, r in enumerate(rows):
+        assert got[r["vec_id"]] == list(exp[i])
+
+
+def test_arrow_path_equals_expression_path(spark, embeddings, books):
+    expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in embeddings.select(
+            "vec_id", pq_encode("embedding", books).alias("codes")
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_arrow(embeddings, books).collect()
+    }
+    assert expr == arrow
+
+
+def test_decode_error_bounded_by_worst_codeword(spark, embeddings, books):
+    # reconstruction can never be worse than the farthest codeword choice;
+    # sanity bound: err^2 <= sum_j max_c ||s_j - c||^2 and err >= 0
+    enc = embeddings.select(
+        F.col("embedding").cast("array<double>").alias("e"),
+        pq_encode("embedding", books).alias("codes"),
+    )
+    errs = enc.select(
+        euclidean_distance("e", pq_decode("codes", books)).alias("err")
+    ).agg(F.min("err"), F.max("err")).head()
+    assert errs[0] >= 0.0
+    assert errs[1] < 10.0  # unit-ish 64-d embeddings: loose sanity ceiling
+
+
+def test_fit_is_deterministic_and_improves_on_arbitrary_books(
+    spark, embeddings
+):
+    f1 = fit_pq_codebooks(embeddings, m=8, k=16, sample_n=256, iters=5)
+    f2 = fit_pq_codebooks(embeddings, m=8, k=16, sample_n=256, iters=5)
+    assert f1 == f2  # deterministic sample + init + iterations
+
+    rows = (
+        embeddings.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    naive = codebooks_from_rows(
+        [[float(x) for x in r[0]] for r in rows], m=8
+    )
+
+    def mean_err(bk):
+        enc = embeddings.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            pq_encode("embedding", bk).alias("codes"),
+        )
+        return enc.select(
+            euclidean_distance("e", pq_decode("codes", bk)).alias("err")
+        ).agg(F.avg("err")).head()[0]
+
+    assert mean_err(f1) < mean_err(naive)  # k-means beats raw-row codebooks
+
+
+def test_adc_topk_recall_vs_exact(spark, embeddings):
+    # finer subspaces -> better recall (m=32 over 64-d: 2-d subquantizers)
+    books = fit_pq_codebooks(embeddings, m=32, k=16, sample_n=512, iters=8)
+    enc = pq_encode_arrow(embeddings, books).select("vec_id", "codes").cache()
+    qv = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 3)
+        .select("embedding")
+        .head()[0]
+    ]
+    approx = pq_adc_topk(enc, books, qv, k=10)
+    exact = topk(embeddings, qv, k=10, metric="euclidean")
+    r = recall_at_k(approx, exact, id_col="vec_id").head()["recall"]
+    assert r >= 0.5, f"ADC recall@10 {r} too low"
+    # the query's own row must be the nearest code
+    assert approx.head()["vec_id"] == 3
+    enc.unpersist()
+
+
+def test_adc_score_matches_python_lut(spark, embeddings, books):
+    qv = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()[0]
+    ]
+    lut = pq_adc_lut(qv, books)
+    enc_rows = (
+        embeddings.orderBy("vec_id")
+        .limit(20)
+        .select("vec_id", pq_encode("embedding", books).alias("codes"))
+        .collect()
+    )
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk(
+            embeddings.orderBy("vec_id")
+            .limit(20)
+            .select(
+                "vec_id", pq_encode("embedding", books).alias("codes")
+            ),
+            books,
+            qv,
+            k=20,
+        ).collect()
+    }
+    for r in enc_rows:
+        exp = sum(lut[j][c] for j, c in enumerate(r["codes"]))
+        assert got[r["vec_id"]] == pytest.approx(round(exp, 6), abs=1e-6)
+
+
+def test_bad_shapes_raise():
+    with pytest.raises(ValueError):
+        codebooks_from_rows([[1.0, 2.0, 3.0]], m=2)  # 3 % 2 != 0
+    with pytest.raises(ValueError):
+        pq_encode("v", [[[1.0]], [[1.0], [2.0]]])  # ragged
