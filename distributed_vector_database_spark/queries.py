@@ -1900,3 +1900,121 @@ def q_pq_adc_topk(spark, sf_dir):
     )
     qv = _query_vec(spark, sf_dir, 100)
     return _pq.pq_adc_topk(enc, books, qv, k=10)
+
+
+# ===========================================================================
+# Interchange formats (sources/formats.py): CSV / JSON-lines round trips.
+# The re-read copy must aggregate identically to the original parquet —
+# proves the text sources/sinks are lossless (explicit schema, microsecond
+# timestamps). Oracle reads the ORIGINAL parquet: any roundtrip loss shows
+# up as a value mismatch.
+# ===========================================================================
+
+_FMT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _roundtripped(spark, sf_dir: str, table: str, fmt: str, cols) -> DataFrame:
+    import tempfile
+
+    from distributed_vector_database_spark.sources.formats import (
+        read_text_format,
+        write_text_format,
+    )
+
+    src = _read(spark, sf_dir, table).select(*cols)
+    key = (sf_dir, f"{table}.{fmt}")
+    d = _FMT_CACHE.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix=f"dvdb_{fmt}_")
+        write_text_format(src, fmt, d)
+        _FMT_CACHE[key] = d
+    return read_text_format(spark, fmt, d, src.schema)
+
+
+@register(
+    "csv_roundtrip_orders",
+    """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100))::BIGINT AS total_cents,
+       max(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_csv_roundtrip_orders(spark, sf_dir):
+    """Orders written to CSV and re-read with explicit schema; aggregates
+    must equal DuckDB over the original parquet (lossless text sink)."""
+    back = _roundtripped(
+        spark,
+        sf_dir,
+        "orders",
+        "csv",
+        ["o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+@register(
+    "json_roundtrip_events",
+    """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents,
+       max(ts) AS last_ts
+FROM events GROUP BY event_type
+""",
+)
+def q_json_roundtrip_events(spark, sf_dir):
+    """Events written as JSON lines and re-read (microsecond timestamps);
+    aggregates must equal DuckDB over the original parquet."""
+    back = _roundtripped(
+        spark, sf_dir, "events", "json", ["event_type", "value", "ts"]
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+# ===========================================================================
+# §2.5 extension: lag/lead analytic windows — inter-event gap + next event
+# type per user (the per-entity sequence feature a training pipeline derives
+# from an event log).
+# ===========================================================================
+
+
+@register(
+    "event_gaps",
+    """
+SELECT user_id, event_id,
+       ROUND(EXTRACT(EPOCH FROM ts - LAG(ts) OVER w), 6) AS gap_sec,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_event_gaps(spark, sf_dir):
+    """lag/lead over a deterministic (ts, event_id) per-user order: seconds
+    since the user's previous event and the type of their next one. One
+    shuffle by user_id; both functions share the same window spec so
+    Catalyst plans a single Window operator."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            (us - F.lag(us).over(w)).cast("double") / 1000000.0, 6
+        ).alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
