@@ -38,7 +38,10 @@ from distributed_vector_database_spark.operators.temporal import (
     asof_join,
     range_join,
 )
-from distributed_vector_database_spark.operators.skew import skew_safe_totals
+from distributed_vector_database_spark.operators.skew import (
+    salted_join,
+    skew_safe_totals,
+)
 from distributed_vector_database_spark.operators.sketch import (
     hash_sample,
     kmv_distinct,
@@ -74,6 +77,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "skew_safe_totals",
+    "salted_join",
     "hash_sample",
     "kmv_distinct",
     "recall_at_k",

@@ -22,6 +22,8 @@ __all__ = [
     "language_id",
     "regex_token_count",
     "fingerprints",
+    "term_frequencies",
+    "tfidf_top_terms",
     "LANG_MARKERS",
 ]
 
@@ -148,3 +150,67 @@ def fingerprints(
 ) -> DataFrame:
     """(doc_id, fp): whitespace-insensitive md5 content fingerprint."""
     return docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+
+
+def term_frequencies(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global ``(term, n)`` counts — distributed wordcount.
+
+    explode → hash-agg: Spark plans a map-side partial count per partition,
+    so the shuffle carries |vocab| partials, not |tokens| rows. At 100 TB
+    this is the canonical "build the corpus dictionary" job.
+    """
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF:
+    ``tf(term, doc) * ln((1 + N) / (1 + df(term)))``.
+
+    Plan shape: one explode + (doc, term) hash-agg for tf; df derives from
+    the SAME aggregated frame (|doc·term| rows, not |tokens|); the df join
+    is on ``term`` (broadcastable while the vocabulary is small); final
+    per-doc ranking windows only |doc·term| rows. Deterministic order:
+    (rounded score DESC, term ASC).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.count()  # index-build scalar, enters the plan as a literal
+    scored = tf.join(df, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(
+            F.col("tf")
+            * F.log((1.0 + float(n)) / (1.0 + F.col("df").cast("double"))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

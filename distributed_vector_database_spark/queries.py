@@ -2018,3 +2018,181 @@ def q_event_gaps(spark, sf_dir):
         ).alias("gap_sec"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+# ===========================================================================
+# Skew-safe equi-join (operators/skew.py salted_join): big-side salt +
+# buckets-fold dim replication. Semantically a plain equi-join — the oracle
+# is the unsalted SQL join, so any row lost/duplicated by the salting
+# mechanics fails the gate.
+# ===========================================================================
+
+
+@register(
+    "salted_event_enrichment",
+    """
+SELECT c.c_mktsegment, count(*)::BIGINT AS n_events,
+       count(DISTINCT e.user_id)::BIGINT AS n_users,
+       sum(round(e.value * 100))::BIGINT AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_salted_event_enrichment(spark, sf_dir):
+    """Enrich the (skewed) event log with customer attributes via
+    salted_join(buckets=8), then aggregate per market segment. At scale:
+    each hot user's rows spread over 8 tasks instead of stalling one."""
+    from distributed_vector_database_spark.operators.skew import salted_join
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", buckets=8, salt_from="event_id")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )
+
+
+# ===========================================================================
+# IVF-PQ: the two index halves composed — centroid routing prunes shards
+# (reference's only optimization, src/compute_server.py:110), then the
+# surviving shards are scanned in the COMPRESSED domain (ADC over codes).
+# At 100 TB: read nprobe/N of the corpus × 1/32 of the bytes.
+# ===========================================================================
+
+
+@register(
+    "ivfpq_search",
+    f"""
+WITH {_ASSIGN_CTE}, {_PQ_CTE},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+probe AS (SELECT c.shard_id FROM c, q
+          ORDER BY list_distance(c.cv, q.qv) ASC, c.shard_id ASC LIMIT 2),
+adc AS (SELECT codes.vec_id,
+        SUM(list_reduce(list_transform(list_zip(list_slice(q.qv, j*8+1, j*8+8), book[code+1]),
+              z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS d
+        FROM codes, q
+        WHERE codes.vec_id IN (SELECT vec_id FROM assign
+                               WHERE shard_id IN (SELECT shard_id FROM probe))
+        GROUP BY codes.vec_id)
+SELECT vec_id, ROUND(d, 6) AS adc_dist FROM adc
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+""",
+)
+def q_ivfpq_search(spark, sf_dir):
+    """Full IVF-PQ read path: nearest-2-centroid probe -> partition-pruned
+    scan -> ADC top-10 over PQ codes only (no float column touched)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    books = _pq_books(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 100)
+    enc = assign_shards(emb, cents).select(
+        "vec_id", "shard_id", _pq.pq_encode("embedding", books).alias("codes")
+    )
+    shards = nearest_shards(qv, cents, nprobe=2)
+    pruned = enc.filter(F.col("shard_id").isin(shards))
+    return _pq.pq_adc_topk(pruned, books, qv, k=10)
+
+
+# ===========================================================================
+# Corpus dictionary + keyword extraction (operators/text_analysis.py):
+# global term frequencies and per-doc smoothed TF-IDF top terms.
+# ===========================================================================
+
+_DT_CTE = (
+    _TOKS_CTE
+    + """,
+dt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM dt GROUP BY doc_id, term)"""
+)
+
+
+@register(
+    "term_frequencies",
+    f"""
+WITH {_DT_CTE}
+SELECT term, sum(tf)::BIGINT AS n FROM tf GROUP BY term
+ORDER BY n DESC, term ASC LIMIT 50
+""",
+)
+def q_term_frequencies(spark, sf_dir):
+    """Top-50 corpus dictionary: explode -> partial-agg wordcount."""
+    return (
+        _ta.term_frequencies(_read(spark, sf_dir, "documents"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(50)
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    f"""
+WITH {_DT_CTE},
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 6) AS tfidf
+  FROM tf JOIN df USING (term), n),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+""",
+)
+def q_doc_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 keywords by smoothed TF-IDF (rounded-score ranking so
+    both engines break ties identically)."""
+    return _ta.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+# ===========================================================================
+# Streaming exact dedup (streaming/events.py dedup_stream): the event log is
+# replayed TWICE as separate micro-batches; the deduped stream must
+# aggregate exactly like the single batch copy — proving cross-batch
+# duplicate state works. Oracle: plain SQL over the original events.
+# ===========================================================================
+
+_DEDUP_STREAM_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_dedup_counts",
+    """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(round(value * 100))::BIGINT AS value_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_dedup_counts(spark, sf_dir):
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.events import (
+        dedup_stream,
+        read_event_stream,
+        run_stream_to_batch,
+    )
+
+    d = _DEDUP_STREAM_CACHE.get(sf_dir)
+    if d is None:
+        src = _read(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="dvdb_dedupstream_")
+        # two identical file sets -> every event arrives in two different
+        # micro-batches
+        src.coalesce(2).write.mode("append").parquet(d)
+        src.coalesce(2).write.mode("append").parquet(d)
+        _DEDUP_STREAM_CACHE[sf_dir] = d
+    deduped = dedup_stream(read_event_stream(spark, d), keys=["event_id"])
+    out = run_stream_to_batch(deduped)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "value_cents"
+        ),
+    )

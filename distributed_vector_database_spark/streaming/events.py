@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "read_event_stream",
+    "dedup_stream",
     "tumbling_counts",
     "session_window_stats",
     "stateful_user_totals",
@@ -73,6 +74,38 @@ def tumbling_counts(
         "n_events",
         "sum_value",
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    within_watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: each key's FIRST arrival is emitted,
+    later duplicates are dropped across micro-batches (the streaming form
+    of the batch ``dedup_exact`` operator; the reference gets this only as
+    SQLite REPLACE-on-id, `reference: src/storage_server.py:43-46`).
+
+    Default keeps one state entry per key forever — exact, but state grows
+    with |keys|. Pass ``within_watermark`` (e.g. ``"2 hours"``) to bound
+    state via ``dropDuplicatesWithinWatermark``: duplicates are only
+    guaranteed dropped when they arrive within the watermark delay of the
+    first occurrence — the standard at-scale trade (bounded state, dedup
+    window instead of global exactness).
+
+    Works on batch frames too (plain dropDuplicates) so one definition
+    serves both, same as ``tumbling_counts``.
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    if within_watermark:
+        return events.withWatermark(
+            ts_col, within_watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
 
 
 def stateful_user_totals(events: DataFrame) -> DataFrame:

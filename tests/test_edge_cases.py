@@ -63,3 +63,46 @@ def test_identical_docs_jaccard_one(spark):
     assert [(r["doc_id_a"], r["doc_id_b"], r["jaccard"]) for r in rows] == [
         (1, 2, 1.0)
     ]
+
+
+# ---------------------------------------------------------------------------
+# salted_join (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from distributed_vector_database_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # hot key: 900 of 1000 rows share key=7
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(big, dim, "k", buckets=4, how=how).collect()
+        )
+        exp = sorted(tuple(r) for r in big.join(dim, "k", how).collect())
+        assert got == exp, how
+
+
+def test_salted_join_spreads_hot_key_and_rejects_bad_how(spark):
+    from distributed_vector_database_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    big = spark.range(400).select(F.lit(1).alias("k"), F.col("id").alias("rid"))
+    dim = spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    # the internal salt must take >1 distinct value for a single hot key
+    salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.struct(*big.columns)), F.lit(8)).cast("int"),
+    )
+    assert salted.select("_salt").distinct().count() > 1
+    with _pt.raises(ValueError):
+        salted_join(big, dim, "k", how="full")
