@@ -101,6 +101,12 @@ def main() -> None:
     per_query["topk768_expr"] = hd["expr_mean_sec"]
     per_query["topk768_arrow"] = hd["arrow_mean_sec"]
 
+    # skew story (ROADMAP #5): hot-key join, AQE-skew vs no-AQE vs salted
+    from distributed_vector_database_spark.benchmark import skew_join_compare
+
+    for name, sec in skew_join_compare(spark).items():
+        per_query[f"skewjoin_{name}"] = sec
+
     print(
         json.dumps(
             {

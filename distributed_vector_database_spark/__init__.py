@@ -34,6 +34,8 @@ from distributed_vector_database_spark.operators.ann import (
 )
 from distributed_vector_database_spark.sources.vector_store import VectorStore
 from distributed_vector_database_spark.sources.bucketed import save_bucketed
+from distributed_vector_database_spark.sources.layout import save_zordered, zvalue
+from distributed_vector_database_spark.sources.formats import roundtrip as format_roundtrip
 from distributed_vector_database_spark.operators.temporal import (
     asof_join,
     range_join,
@@ -74,6 +76,9 @@ __all__ = [
     "random_hyperplanes",
     "VectorStore",
     "save_bucketed",
+    "save_zordered",
+    "zvalue",
+    "format_roundtrip",
     "asof_join",
     "range_join",
     "skew_safe_totals",

@@ -32,7 +32,7 @@ from distributed_vector_database_spark.operators.ivf import (
 )
 from distributed_vector_database_spark.operators.topk import topk, batch_topk
 
-__all__ = ["latency_grid", "batch_amortized_latency"]
+__all__ = ["latency_grid", "batch_amortized_latency", "high_dim_latency", "skew_join_compare"]
 
 
 def _first_vectors(emb, n: int) -> list[list[float]]:
@@ -170,3 +170,80 @@ if __name__ == "__main__":
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def skew_join_compare(
+    spark,
+    *,
+    rows: int = 2_000_000,
+    hot_fraction: float = 0.9,
+    dim_rows: int = 20_000,
+    buckets: int = 16,
+    warmups: int = 1,
+    trials: int = 3,
+) -> dict:
+    """Measured skew story (ROADMAP #5): join a synthetic log where
+    ``hot_fraction`` of rows share ONE key against a non-broadcastable dim,
+    three ways — plain shuffle join with AQE skew-split ON, AQE OFF (the
+    single-stalled-task baseline), and the explicit ``salted_join``.
+
+    Returns mean seconds per strategy. At local[N] scale the gap is modest;
+    the shape (one reducer owning 90% of rows vs salt spreading it) is what
+    transfers to 1000 executors.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.skew import salted_join
+
+    big = spark.range(rows).select(
+        F.when(
+            F.col("id") < int(rows * hot_fraction), F.lit(7)
+        ).otherwise(F.col("id") % dim_rows).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    dim = spark.range(dim_rows).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr")
+    )
+
+    def timed(make_df):
+        # defeat broadcast: the dim must take the shuffle path
+        with_conf = [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ]
+        old = {k: spark.conf.get(k, None) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            for _ in range(warmups):
+                make_df().count()
+            ts = []
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                make_df().count()
+                ts.append(time.perf_counter() - t0)
+            return round(sum(ts) / len(ts), 4)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def plain():
+        return big.join(dim, "k").select(F.sum("attr"))
+
+    def salted():
+        return salted_join(big, dim, "k", buckets=buckets, salt_from="rid").select(
+            F.sum("attr")
+        )
+
+    out = {}
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["plain_aqe_skew_sec"] = timed(plain)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    out["plain_no_aqe_sec"] = timed(plain)
+    out["salted_no_aqe_sec"] = timed(salted)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return out

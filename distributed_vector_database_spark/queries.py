@@ -2196,3 +2196,43 @@ def q_stream_dedup_counts(spark, sf_dir):
             "value_cents"
         ),
     )
+
+
+# ===========================================================================
+# Z-order layout (sources/layout.py): Morton z-value of (l_orderkey,
+# l_partkey), histogrammed by fixed z-range — the curve addressing that
+# makes a two-column range predicate file-skippable. Oracle computes the
+# identical unrolled bit-interleave in SQL.
+# ===========================================================================
+
+
+def _zorder_sql() -> str:
+    from distributed_vector_database_spark.sources.layout import zvalue_sql
+
+    z = zvalue_sql("l_orderkey", "l_partkey", bits=16)
+    return f"""
+WITH z AS (SELECT {z} AS zv FROM lineitem)
+SELECT (zv >> 26)::BIGINT AS z_bucket, count(*)::BIGINT AS n,
+       min(zv)::BIGINT AS min_z, max(zv)::BIGINT AS max_z
+FROM z GROUP BY z_bucket
+"""
+
+
+@register("zorder_curve_stats", _zorder_sql())
+def q_zorder_curve_stats(spark, sf_dir):
+    """Morton z-values bucketed by their top bits: each bucket is a
+    rectangle of the (orderkey, partkey) plane — the per-file range audit
+    of a z-ordered layout, without a global sort (bucket = zv >> 26)."""
+    from distributed_vector_database_spark.sources.layout import zvalue
+
+    li = _read(spark, sf_dir, "lineitem")
+    zv = zvalue("l_orderkey", "l_partkey", bits=16)
+    return (
+        li.select(zv.alias("zv"))
+        .groupBy(F.shiftright(F.col("zv"), 26).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("zv").alias("min_z"),
+            F.max("zv").alias("max_z"),
+        )
+    )
