@@ -124,19 +124,31 @@ def high_dim_latency(
     k: int = 5,
     warmups: int = 2,
     trials: int = 5,
+    row_target: int = 10_000,
 ) -> dict:
-    """Search latency at the REFERENCE's dimensionality (64d x 12 = 768d,
-    BASELINE.md's embedding size), via deterministic tiling of the testdata
-    vectors — equal compute intensity per candidate row. Compares the
-    Catalyst-expression scorer vs the Arrow/BLAS kernel at high dim."""
+    """Search latency at the REFERENCE's exact corpus scale: 64d x 12 =
+    768d (BASELINE.md's embedding size) and rows replicated up to
+    ``row_target`` (the reference's 10k AG News corpus) — equal compute
+    per candidate row AND equal candidate count. Compares the
+    Catalyst-expression scorer vs the Arrow/BLAS kernel."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    wide = emb.select(
-        "vec_id",
-        F.flatten(
-            F.array_repeat(F.col("embedding").cast("array<double>"), dim_factor)
-        ).alias("embedding"),
-    ).cache()
-    wide.count()
+    n = emb.count()
+    row_factor = max(1, -(-row_target // n))  # ceil
+    wide = (
+        emb.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(row_factor - 1)))
+        )
+        .select(
+            (F.col("vec_id") * row_factor + F.col("rep")).alias("vec_id"),
+            F.flatten(
+                F.array_repeat(
+                    F.col("embedding").cast("array<double>"), dim_factor
+                )
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    n_rows = wide.count()
     qv = [float(x) for x in _first_vectors(emb, 1)[0]] * dim_factor
 
     out = {}
@@ -154,22 +166,8 @@ def high_dim_latency(
         out[f"{method}_mean_sec"] = round(statistics.mean(times), 4)
     wide.unpersist()
     out["dim"] = 64 * dim_factor
+    out["rows"] = n_rows
     return out
-
-
-if __name__ == "__main__":
-    from distributed_vector_database_spark.session import get_session
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_session(app_name="dvdb-benchmark-grid")
-    result = {
-        "grid": latency_grid(spark, sf_dir),
-        "batch": batch_amortized_latency(spark, sf_dir),
-        "dim768": high_dim_latency(spark, sf_dir),
-        "sf_dir": sf_dir,
-    }
-    print(json.dumps(result))
-    spark.stop()
 
 
 def skew_join_compare(
@@ -247,3 +245,18 @@ def skew_join_compare(
     out["salted_no_aqe_sec"] = timed(salted)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return out
+
+
+if __name__ == "__main__":
+    from distributed_vector_database_spark.session import get_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session(app_name="dvdb-benchmark-grid")
+    result = {
+        "grid": latency_grid(spark, sf_dir),
+        "batch": batch_amortized_latency(spark, sf_dir),
+        "dim768": high_dim_latency(spark, sf_dir),
+        "sf_dir": sf_dir,
+    }
+    print(json.dumps(result))
+    spark.stop()

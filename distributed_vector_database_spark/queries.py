@@ -819,7 +819,8 @@ def q_json_props_extract(spark, sf_dir):
     """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS median_value,
-       ROUND(avg(value), 6) AS mean_value
+       ROUND(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE
+             / count(*) / 100.0, 6) AS mean_value
 FROM events GROUP BY event_type
 """,
 )
@@ -827,9 +828,16 @@ def q_median_value_by_type(spark, sf_dir):
     """Exact interpolated median + mean per group (the reference's benchmark
     stats shape — mean/std over trials, report/benchmarks.py:35-41)."""
     ev = _read(spark, sf_dir, "events")
+    # mean via exact integer-cents sum: double avg() partial-sum order can
+    # straddle the 6-dec rounding boundary across engines/runs
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
-        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("mean_value"),
     )
 
 
@@ -1723,7 +1731,8 @@ k AS (SELECT *, row_number() OVER (PARTITION BY {_FP.replace('text', 'f.text')}
                                    ORDER BY doc_id ASC) AS rn
       FROM f)
 SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
-       ROUND(avg(quality), 6) AS avg_quality
+       ROUND(sum(CAST(round(quality * 1000000) AS BIGINT))::DOUBLE
+             / count(*) / 1000000.0, 6) AS avg_quality
 FROM k WHERE rn = 1
 GROUP BY source
 """
@@ -1751,10 +1760,20 @@ def q_curation_funnel(spark, sf_dir):
     )
     w = Window.partitionBy(doc_fingerprint("text")).orderBy(F.asc("doc_id"))
     kept = f.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # quality is 6-dec rounded -> micro-units are exact integers; integer
+    # sum + one division is order-independent, unlike avg() over doubles
+    # (whose partial-sum order can straddle a rounding boundary)
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(
+            F.sum(F.round(F.col("quality") * 1000000).cast("long")).cast(
+                "double"
+            )
+            / F.count("*")
+            / 1000000.0,
+            6,
+        ).alias("avg_quality"),
     )
 
 
@@ -1856,9 +1875,12 @@ def q_pq_encode_recon(spark, sf_dir):
     32x-compressed index representation."""
     books = _pq_books(spark, sf_dir)
     emb = _read(spark, sf_dir, "embeddings")
-    enc = emb.select(
+    # Arrow/GEMM encode (proven element-identical to the expression path in
+    # tests/test_pq.py::test_arrow_path_equals_expression_path) — at 100k+
+    # rows the batched matmul beats the m*k expression tree ~10x
+    enc = _pq.pq_encode_arrow(emb, books).select(
         "vec_id",
-        _pq.pq_encode("embedding", books).alias("codes"),
+        "codes",
         F.col("embedding").cast("array<double>").alias("e"),
     )
     from distributed_vector_database_spark.functions.vector import (
@@ -1895,9 +1917,7 @@ def q_pq_adc_topk(spark, sf_dir):
     scanning 1/32nd the bytes of the float column)."""
     books = _pq_books(spark, sf_dir)
     emb = _read(spark, sf_dir, "embeddings")
-    enc = emb.select(
-        "vec_id", _pq.pq_encode("embedding", books).alias("codes")
-    )
+    enc = _pq.pq_encode_arrow(emb, books).select("vec_id", "codes")
     qv = _query_vec(spark, sf_dir, 100)
     return _pq.pq_adc_topk(enc, books, qv, k=10)
 
@@ -2091,12 +2111,13 @@ def q_ivfpq_search(spark, sf_dir):
     cents = _fixed_centroids(spark, sf_dir)
     books = _pq_books(spark, sf_dir)
     qv = _query_vec(spark, sf_dir, 100)
-    enc = assign_shards(emb, cents).select(
-        "vec_id", "shard_id", _pq.pq_encode("embedding", books).alias("codes")
-    )
     shards = nearest_shards(qv, cents, nprobe=2)
-    pruned = enc.filter(F.col("shard_id").isin(shards))
-    return _pq.pq_adc_topk(pruned, books, qv, k=10)
+    # prune FIRST, then encode only the probed shards' rows (at scale the
+    # codes are precomputed at index build; on the fly, encoding after the
+    # prune keeps the Python kernel off the unprobed 6/8 of the corpus)
+    pruned = assign_shards(emb, cents).filter(F.col("shard_id").isin(shards))
+    enc = _pq.pq_encode_arrow(pruned, books).select("vec_id", "codes")
+    return _pq.pq_adc_topk(enc, books, qv, k=10)
 
 
 # ===========================================================================
@@ -2235,4 +2256,139 @@ def q_zorder_curve_stats(spark, sf_dir):
             F.min("zv").alias("min_z"),
             F.max("zv").alias("max_z"),
         )
+    )
+
+
+# ===========================================================================
+# Streamed tumbling windows (streaming/events.tumbling_counts): the event
+# log replayed as 4 unordered micro-batches; final window states must equal
+# the one-shot batch rollup. watermark=None because backfill replay is not
+# time-ordered (see docstring) — the live-feed path keeps the watermark.
+# ===========================================================================
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_counts(spark, sf_dir):
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_batch,
+        tumbling_counts,
+    )
+
+    d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+    if d is None:
+        src = _read(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+        src.repartition(4).write.mode("overwrite").parquet(d)
+        _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+    stream = read_event_stream(spark, d)
+    out = run_stream_to_batch(
+        tumbling_counts(stream, watermark=None),
+        final_keys=["window_start", "window_end", "event_type"],
+        latest_by="n_events",
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
+# ===========================================================================
+# UDAF surface: a registered pandas GROUPED_AGG aggregate (the reference has
+# no UDF system at all, SURVEY.md §2.10). Money math in integer cents inside
+# the UDAF so partial-order cannot change the result.
+# ===========================================================================
+
+
+@register(
+    "udaf_mean_cents_by_type",
+    """
+SELECT event_type,
+       ROUND(sum(round(value * 100)) / count(*), 6) AS mean_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_udaf_mean_cents_by_type(spark, sf_dir):
+    """Arrow-batched GROUPED_AGG pandas UDAF (registered, reusable from SQL
+    too): exact mean-in-cents per event type."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the type-hint form can't resolve 'pd.Series'
+    # under postponed annotations with a function-local pandas import
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mean_cents(v):
+        cents = (v * 100).round().astype("int64")
+        return float(cents.sum()) / float(len(cents))
+
+    spark.udf.register("mean_cents", mean_cents)
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(mean_cents(F.col("value")), 6).alias("mean_cents")
+    )
+
+
+# ===========================================================================
+# Scalar + correlated subqueries (§2.12 absent-in-reference category).
+# ===========================================================================
+
+
+@register(
+    "orders_above_global_avg",
+    """
+SELECT o_orderstatus, count(*)::BIGINT AS n
+FROM orders
+WHERE o_totalprice > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))::DOUBLE
+                             / count(*) / 100.0
+                      FROM orders)
+GROUP BY o_orderstatus
+""",
+)
+def q_orders_above_global_avg(spark, sf_dir):
+    """Scalar subquery: orders pricier than the global mean. Spark plans
+    the subquery as an independent one-row job reused as a literal."""
+    o = _read(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM _orders_sq
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                                     / count(*) / 100.0
+                              FROM _orders_sq)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "customer_max_order",
+    """
+SELECT c.c_custkey, c.c_name,
+       (SELECT max(o.o_totalprice) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE c.c_custkey < 100
+""",
+)
+def q_customer_max_order(spark, sf_dir):
+    """Correlated scalar subquery per customer (Catalyst de-correlates it
+    into an aggregate + left outer join — no per-row re-execution)."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("_orders_c")
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("_customer_c")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT max(o.o_totalprice) FROM _orders_c o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM _customer_c c
+        WHERE c.c_custkey < 100
+        """
     )

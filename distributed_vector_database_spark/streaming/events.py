@@ -48,7 +48,7 @@ def read_event_stream(
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
     *,
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -57,8 +57,11 @@ def tumbling_counts(
     """Per (tumbling window, event_type): count + exact DECIMAL value sum.
 
     Works on batch or streaming input; watermark applied only for streams.
+    ``watermark=None`` keeps all window state forever — exact for replays
+    whose arrival order is not time-ordered (historical backfill), at the
+    cost of unbounded state; leave the default for live feeds.
     """
-    if events.isStreaming:
+    if events.isStreaming and watermark is not None:
         events = events.withWatermark(ts_col, watermark)
     return events.groupBy(
         F.window(ts_col, window).alias("w"), F.col(type_col)
