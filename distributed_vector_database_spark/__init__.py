@@ -51,6 +51,7 @@ from distributed_vector_database_spark.operators.sketch import (
 from distributed_vector_database_spark.operators.eval import recall_at_k
 from distributed_vector_database_spark.operators.pq import (
     fit_pq_codebooks,
+    pq_adc_batch_topk,
     pq_adc_topk,
     pq_decode,
     pq_encode,
@@ -91,6 +92,7 @@ __all__ = [
     "pq_encode_arrow",
     "pq_decode",
     "pq_adc_topk",
+    "pq_adc_batch_topk",
     "int8_quantize",
     "int8_dequantize",
 ]

@@ -47,6 +47,7 @@ __all__ = [
     "pq_adc_lut",
     "pq_adc_score",
     "pq_adc_topk",
+    "pq_adc_batch_topk",
     "codebooks_from_rows",
 ]
 
@@ -327,4 +328,76 @@ def pq_adc_topk(
         )
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def pq_adc_batch_topk(
+    encoded: DataFrame,
+    codebooks: Codebooks,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    *,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k for a BATCH of queries in one job over PQ codes only.
+
+    Physical plan mirrors ``operators/topk.batch_topk``: the per-query LUT
+    tensor (|Q| × m × k_codes float64, tiny) ships in the task closure;
+    each partition scores its code rows against every query with numpy
+    gathers (m adds per row per query — no float vectors touched), keeps
+    the k best per query, and the final window ranks the
+    ``partitions × k × |Q|`` survivors. Returns
+    (query_id, id_col, adc_dist, rank), rank 1..k, ordered by
+    (adc_dist ASC, id ASC) per query — deterministic and
+    oracle-comparable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    m, kc, sub = _check(codebooks)
+    q_ids = [int(q[0]) for q in queries]
+    # lut[qi][j][c] via the same sequential accumulation as pq_adc_lut
+    lut = np.asarray(
+        [pq_adc_lut(vec, codebooks) for _, vec in queries], dtype=np.float64
+    )  # |Q| x m x kc
+    nq = len(q_ids)
+    schema = f"query_id long, {id_col} long, adc_dist double"
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf[codes_col]]
+            )  # n x m
+            ids = pdf[id_col].to_numpy()
+            total = np.zeros((nq, n), dtype=np.float64)
+            for j in range(m):
+                # lut[:, j, codes[:, j]] -> (nq, n) gather, m adds total
+                total += lut[:, j, codes[:, j]]
+            top = min(k, n)
+            out_q, out_i, out_d = [], [], []
+            for qi in range(nq):
+                d = total[qi]
+                part = np.argpartition(d, top - 1)[:top]
+                out_q.extend([q_ids[qi]] * top)
+                out_i.extend(ids[part])
+                out_d.extend(d[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_i, "adc_dist": out_d}
+            )
+
+    reduced = encoded.select(id_col, codes_col).mapInPandas(part_topk, schema)
+    reduced = reduced.withColumn("adc_dist", F.round("adc_dist", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
     )

@@ -2392,3 +2392,35 @@ def q_customer_max_order(spark, sf_dir):
         WHERE c.c_custkey < 100
         """
     )
+
+
+@register(
+    "pq_adc_batch_topk",
+    f"""
+WITH {_PQ_CTE},
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (100, 200, 300)),
+adc AS (SELECT q.query_id, codes.vec_id,
+        SUM(list_reduce(list_transform(list_zip(list_slice(q.qv, j*8+1, j*8+8), book[code+1]),
+              z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS d
+        FROM codes, q GROUP BY q.query_id, codes.vec_id),
+ranked AS (SELECT query_id, vec_id, ROUND(d, 6) AS adc_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ROUND(d, 6) ASC, vec_id ASC) AS rank
+           FROM adc)
+SELECT query_id, vec_id, adc_dist, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_pq_adc_batch_topk(spark, sf_dir):
+    """Batched compressed-domain search: 3 queries' LUT tensors ship in one
+    task closure; per-partition numpy-gather top-k then a window merge of
+    partitions x k x |Q| survivors (same two-phase shape as batch_topk)."""
+    books = _pq_books(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    enc = _pq.pq_encode_arrow(emb, books).select("vec_id", "codes")
+    queries = [
+        (qid, _query_vec(spark, sf_dir, qid)) for qid in (100, 200, 300)
+    ]
+    out = _pq.pq_adc_batch_topk(enc, books, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))

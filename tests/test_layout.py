@@ -87,3 +87,35 @@ def test_zorder_reduces_scanned_rows_vs_single_sort(spark):
         1 for r in chunks if not (r["hi"] < target_lo or r["lo"] > target_hi)
     )
     assert touched < len(chunks), "z-chunks show no b-locality"
+
+
+def test_zvalue_roundtrips_via_deinterleave(spark):
+    from hypothesis import given, settings, strategies as st
+
+    # build once outside the property: one Spark job over a parameter table
+    pairs = [(a, b) for a in (0, 1, 5, 127, 255) for b in (0, 2, 63, 254, 255)]
+    df = spark.createDataFrame(pairs, "a int, b int").select(
+        "a", "b", zvalue("a", "b", bits=8).alias("z")
+    )
+    for r in df.collect():
+        z = r["z"]
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (a, b) == (r["a"], r["b"])
+
+    # pure-python model must agree with the Spark expression on random pairs
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+        st.integers(min_value=0, max_value=(1 << 16) - 1),
+    )
+    def model(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        az = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        bz = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (az, bz) == (a, b)
+
+    model()

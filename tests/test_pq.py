@@ -175,3 +175,37 @@ def test_bad_shapes_raise():
         codebooks_from_rows([[1.0, 2.0, 3.0]], m=2)  # 3 % 2 != 0
     with pytest.raises(ValueError):
         pq_encode("v", [[[1.0]], [[1.0], [2.0]]])  # ragged
+
+
+def test_batch_adc_equals_single_query_loop(spark, embeddings, books):
+    from distributed_vector_database_spark.operators.pq import (
+        pq_adc_batch_topk,
+        pq_encode_arrow,
+    )
+
+    enc = pq_encode_arrow(embeddings, books).select("vec_id", "codes").cache()
+    qids = [3, 47, 200]
+    queries = [
+        (
+            qid,
+            [
+                float(x)
+                for x in embeddings.filter(F.col("vec_id") == qid)
+                .select("embedding")
+                .head()[0]
+            ],
+        )
+        for qid in qids
+    ]
+    batch = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist"])
+        for r in pq_adc_batch_topk(enc, books, queries, k=7).collect()
+    }
+    for qid, vec in queries:
+        single = pq_adc_topk(enc, books, vec, k=7).collect()
+        for rank, r in enumerate(single, start=1):
+            assert batch[(qid, rank)] == (r["vec_id"], r["adc_dist"]), (
+                qid,
+                rank,
+            )
+    enc.unpersist()
