@@ -49,6 +49,7 @@ from distributed_vector_database_spark.operators.sketch import (
     kmv_distinct,
 )
 from distributed_vector_database_spark.operators.eval import recall_at_k
+from distributed_vector_database_spark.operators.graph import connected_components
 from distributed_vector_database_spark.operators.pq import (
     fit_pq_codebooks,
     pq_adc_batch_topk,
@@ -87,6 +88,7 @@ __all__ = [
     "hash_sample",
     "kmv_distinct",
     "recall_at_k",
+    "connected_components",
     "fit_pq_codebooks",
     "pq_encode",
     "pq_encode_arrow",

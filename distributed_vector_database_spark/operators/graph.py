@@ -1,0 +1,86 @@
+"""Iterative graph operators: connected components by label propagation.
+
+The missing last step of near-duplicate deduplication: pair detection
+(`operators/dedup.py`) yields EDGES, but "keep one doc per duplicate
+GROUP" needs the transitive closure — if A~B and B~C, all three are one
+cluster even though (A, C) was never emitted as a pair. The reference has
+no notion of this (its only dedup is REPLACE-on-primary-key,
+`reference: src/storage_server.py:43-46`).
+
+Spark has no recursive CTE, so closure is an ITERATIVE fixpoint — the one
+operator class where a driver loop around declarative jobs is the idiomatic
+plan (same structure as MLlib's own iterative algorithms):
+
+    label(n) <- min(label(n), min over neighbors of label)   until stable
+
+Each round is one shuffle (edge join + min-aggregate) over |E| rows;
+rounds needed = graph diameter (near-dup clusters are tiny and dense, so
+2-3 rounds in practice). Convergence is checked with a cheap sum-of-labels
+aggregate; labels only ever decrease, so equal checksum == fixpoint.
+At huge |E|, alternate large-star/small-star rounds (Kiveris et al.,
+"Connected Components in MapReduce", SoCC 2014) cut rounds to
+O(log log n); plain propagation is kept here for plan transparency.
+
+The oracle is a DuckDB RECURSIVE CTE computing min-reachable-id — an
+independent formulation of the same closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node in the edge list, where
+    ``component`` is the smallest node id reachable through the undirected
+    graph — deterministic cluster representative.
+
+    Nodes are the union of both endpoint columns (isolated rows never
+    appear in an edge list; callers union them back if needed).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()  # re-joined every round — never recompute the edge source
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        # pull the smallest neighbor label, keep own if smaller
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # truncate the growing lineage
+        )
+        # labels only decrease -> equal checksum means fixpoint
+        cur_sum = labels.agg(F.sum("component")).head()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()  # labels are materialized (localCheckpoint) — safe
+    return labels

@@ -2424,3 +2424,50 @@ def q_pq_adc_batch_topk(spark, sf_dir):
     ]
     out = _pq.pq_adc_batch_topk(enc, books, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ===========================================================================
+# Iterative closure (operators/graph.py): connected components of the
+# near-dup pair graph — the "keep one per duplicate GROUP" step that pair
+# detection alone cannot answer (A~B, B~C => {A,B,C} one cluster). Spark
+# side is a label-propagation fixpoint loop; oracle is an independent
+# RECURSIVE CTE. A new operator class: iterative algorithms.
+# ===========================================================================
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+          WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(n, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a)
+SELECT n AS doc_id, min(m)::BIGINT AS cluster_id FROM walk GROUP BY n
+""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: exact-Jaccard pairs (>= 0.8) closed into
+    components; cluster_id = smallest doc_id reachable (the canonical
+    keeper). Label propagation converges in diameter rounds, one
+    edge-join shuffle each."""
+    from distributed_vector_database_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = _dd.jaccard_pairs_prefix(
+        _read(spark, sf_dir, "documents"), threshold=0.8
+    ).select("doc_id_a", "doc_id_b")
+    cc = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )

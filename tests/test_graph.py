@@ -1,0 +1,39 @@
+"""Connected-components tests (operators/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # path graph 1-2-3-4-5: diameter 4, all label to 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_multiple_components_and_direction_invariance(spark):
+    got = _cc(spark, [(2, 1), (3, 2), (10, 11), (20, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_transitive_closure_beyond_pairs(spark):
+    # A~B, B~C but no (A, C) edge: still one cluster
+    got = _cc(spark, [(100, 200), (200, 300)])
+    assert got == {100: 100, 200: 100, 300: 100}
+
+
+def test_star_converges_in_few_rounds(spark):
+    edges = [(0, i) for i in range(1, 40)]
+    got = _cc(spark, edges, max_iters=3)  # star diameter 2
+    assert set(got.values()) == {0}
+    assert len(got) == 40
