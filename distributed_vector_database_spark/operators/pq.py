@@ -49,6 +49,8 @@ __all__ = [
     "pq_adc_topk",
     "pq_adc_batch_topk",
     "codebooks_from_rows",
+    "save_codebooks",
+    "load_codebooks",
 ]
 
 Codebooks = Sequence[Sequence[Sequence[float]]]  # [m][k][dim/m]
@@ -401,3 +403,43 @@ def pq_adc_batch_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adc_dist", "rank")
     )
+
+
+def save_codebooks(
+    spark, codebooks: Codebooks, path: str, *, subdir: str = "_pq_codebooks"
+) -> None:
+    """Persist codebooks INSIDE an index layout (``_``-prefixed subdir =
+    hidden to parquet readers, same convention as ``IVFIndex.save_centroids``).
+    One row per (subspace, code) keeps the file schema flat and readable
+    by any engine."""
+    m, k, sub = _check(codebooks)
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(m)
+        for c in range(k)
+    ]
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, codeword array<double>"
+    )
+    df.coalesce(1).write.mode("overwrite").json(f"{path}/{subdir}")
+
+
+def load_codebooks(
+    spark, path: str, *, subdir: str = "_pq_codebooks"
+) -> list[list[list[float]]]:
+    """Inverse of :func:`save_codebooks`; validates rectangular shape."""
+    rows = (
+        spark.read.schema("subspace int, code int, codeword array<double>")
+        .json(f"{path}/{subdir}")
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no codebooks found under {path}/{subdir}")
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r["subspace"]:
+            books.append([])
+        books[r["subspace"]].append([float(x) for x in r["codeword"]])
+    _check(books)
+    return books

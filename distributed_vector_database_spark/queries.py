@@ -2471,3 +2471,80 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("node").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
     )
+
+
+# ===========================================================================
+# Two-stage retrieval: ADC shortlist (compressed domain, cheap) -> exact
+# re-rank of the survivors (full floats, 50 rows) — the standard production
+# ANN topology (shortlist cost O(m) per row; exact cost paid only on R
+# candidates). Both stages already verified alone; this checks the splice.
+# ===========================================================================
+
+
+@register(
+    "pq_rerank_topk",
+    f"""
+WITH {_PQ_CTE},
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+adc AS (SELECT vec_id,
+        SUM(list_reduce(list_transform(list_zip(list_slice(q.qv, j*8+1, j*8+8), book[code+1]),
+              z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS d
+        FROM codes, q GROUP BY vec_id),
+short AS (SELECT vec_id FROM adc
+          ORDER BY ROUND(d, 6) ASC, vec_id ASC LIMIT 50)
+SELECT e.vec_id AS vec_id, ROUND({_cos(E, 'q.qv')}, 6) AS score
+FROM embeddings e JOIN short USING (vec_id), q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_pq_rerank_topk(spark, sf_dir):
+    """ADC top-50 shortlist re-ranked exactly (cosine) to top-10. The
+    shortlist never materializes float vectors; the re-rank join touches
+    50 rows of the float column (broadcast semi join at scale)."""
+    books = _pq_books(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    enc = _pq.pq_encode_arrow(emb, books).select("vec_id", "codes")
+    qv = _query_vec(spark, sf_dir, 100)
+    shortlist = _pq.pq_adc_topk(enc, books, qv, k=50).select("vec_id")
+    return topk(
+        emb.join(F.broadcast(shortlist), "vec_id"), qv, k=10, metric="cosine"
+    )
+
+
+# ===========================================================================
+# Ranking analytics: ntile + percent_rank over per-user spend (both are
+# exact rational functions of the deterministic (total, user) order).
+# ===========================================================================
+
+
+@register(
+    "user_spend_quartiles",
+    """
+WITH t AS (SELECT user_id, sum(round(value * 100))::BIGINT AS total_cents
+           FROM events GROUP BY user_id)
+SELECT user_id, total_cents,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM t
+WINDOW w AS (ORDER BY total_cents DESC, user_id ASC)
+""",
+)
+def q_user_spend_quartiles(spark, sf_dir):
+    """ntile(4) + percent_rank over exact per-user cents totals; single
+    window spec -> one sort, deterministic (total DESC, user ASC) order."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "total_cents"
+        )
+    )
+    w = Window.orderBy(F.desc("total_cents"), F.asc("user_id"))
+    return t.select(
+        "user_id",
+        "total_cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

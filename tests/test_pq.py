@@ -209,3 +209,17 @@ def test_batch_adc_equals_single_query_loop(spark, embeddings, books):
                 rank,
             )
     enc.unpersist()
+
+
+def test_codebooks_save_load_roundtrip(spark, books, tmp_path):
+    from distributed_vector_database_spark.operators.pq import (
+        load_codebooks,
+        save_codebooks,
+    )
+
+    d = str(tmp_path / "idx")
+    save_codebooks(spark, books, d)
+    loaded = load_codebooks(spark, d)
+    assert loaded == [[list(c) for c in b] for b in books]
+    with pytest.raises(Exception):  # Spark AnalysisException: path not found
+        load_codebooks(spark, str(tmp_path / "empty"), subdir="_nope")
