@@ -101,6 +101,13 @@ def main() -> None:
     per_query["topk768_expr"] = hd["expr_mean_sec"]
     per_query["topk768_arrow"] = hd["arrow_mean_sec"]
 
+    # compressed-domain counterpart at the same 10k x 768-d scale
+    from distributed_vector_database_spark.benchmark import high_dim_pq_latency
+
+    pqhd = high_dim_pq_latency(spark, SF_DIR)
+    per_query["topk768_pq_adc"] = pqhd["adc_gather_mean_sec"]
+    per_query["pq768_encode"] = pqhd["encode_sec"]
+
     # skew story (ROADMAP #5): hot-key join, AQE-skew vs no-AQE vs salted
     from distributed_vector_database_spark.benchmark import skew_join_compare
 

@@ -32,7 +32,7 @@ from distributed_vector_database_spark.operators.ivf import (
 )
 from distributed_vector_database_spark.operators.topk import topk, batch_topk
 
-__all__ = ["latency_grid", "batch_amortized_latency", "high_dim_latency", "skew_join_compare"]
+__all__ = ["latency_grid", "batch_amortized_latency", "high_dim_latency", "high_dim_pq_latency", "skew_join_compare"]
 
 
 def _first_vectors(emb, n: int) -> list[list[float]]:
@@ -260,3 +260,76 @@ if __name__ == "__main__":
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def high_dim_pq_latency(
+    spark,
+    sf_dir: str,
+    dim_factor: int = 12,
+    m: int = 96,
+    k_codes: int = 16,
+    k: int = 5,
+    warmups: int = 1,
+    trials: int = 3,
+    row_target: int = 10_000,
+) -> dict:
+    """PQ-ADC search latency at the reference's scale (10k x 768-d): the
+    compressed-domain counterpart of ``high_dim_latency``. Codes are 8-d
+    subvector indices (m=96 over 768 dims) — the scan touches ~1/32 of the
+    float bytes; at 100 TB this is the difference between a memory-resident
+    index and a disk-bound one."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    row_factor = max(1, -(-row_target // n))
+    wide = emb.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(row_factor - 1)))
+    ).select(
+        (F.col("vec_id") * row_factor + F.col("rep")).alias("vec_id"),
+        F.flatten(
+            F.array_repeat(F.col("embedding").cast("array<double>"), dim_factor)
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    books = fit_pq_codebooks(
+        wide, m=m, k=k_codes, sample_n=1024, iters=6
+    )
+    fit_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    enc = pq_encode_arrow(wide, books).select("vec_id", "codes").cache()
+    n_rows = enc.count()
+    encode_sec = time.perf_counter() - t0
+    qv = [float(x) for x in _first_vectors(emb, 1)[0]] * dim_factor
+
+    out = {}
+    for method in ("expr", "gather"):
+        def run():
+            pq_adc_topk(enc, books, qv, k=k, method=method).collect()
+
+        for _ in range(warmups):
+            run()
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        out[f"adc_{method}_mean_sec"] = round(statistics.mean(times), 4)
+    enc.unpersist()
+    return {
+        **out,
+        "fit_sec": round(fit_sec, 4),
+        "encode_sec": round(encode_sec, 4),
+        "rows": n_rows,
+        "dim": 64 * dim_factor,
+        "m": m,
+        "k_codes": k_codes,
+    }

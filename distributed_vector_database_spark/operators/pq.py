@@ -313,15 +313,36 @@ def pq_adc_topk(
     *,
     codes_col: str = "codes",
     id_col: str = "vec_id",
+    method: str = "expr",
 ) -> DataFrame:
     """Compressed-domain top-k: ADC distance over PQ codes, ascending,
-    deterministic ``(adc_dist, id)`` order. Plans as per-partition
-    TakeOrdered + merge (same shape as exact ``topk``) but reads only the
-    code column — at 100 TB raw this scans ~3 TB and never touches floats.
+    deterministic ``(adc_dist, id)`` order. Reads only the code column —
+    at 100 TB raw this scans ~3 TB and never touches floats.
+
+    ``method='expr'``: pure Catalyst (LUT literal + m lookups per row),
+    TakeOrderedAndProject plan — zero Python. ``method='gather'``: route
+    through the numpy-gather batch kernel (``pq_adc_batch_topk`` with one
+    query) — ~3x faster at large m since the LUT literal's m·k plan
+    constants are gathered vectorized instead of per row; identical
+    results (same j-sequential accumulation order).
 
     Compose with IVF pruning for IVF-PQ: pass
     ``encoded.filter(col("shard_id").isin(probed))``.
     """
+    if method == "gather":
+        out = pq_adc_batch_topk(
+            encoded,
+            codebooks,
+            [(0, query_vector)],
+            k,
+            codes_col=codes_col,
+            id_col=id_col,
+        )
+        return out.select(id_col, "adc_dist").orderBy(
+            F.asc("adc_dist"), F.asc(id_col)
+        )
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'gather', got {method!r}")
     lut = pq_adc_lut(query_vector, codebooks)
     return (
         encoded.select(

@@ -99,3 +99,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
+
+
+def test_pq_adc_scan_prunes_to_codes_column(spark, tmp_path):
+    # a persisted PQ index scanned by ADC must never read the float vectors
+    from distributed_vector_database_spark.operators.pq import (
+        codebooks_from_rows,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    books = codebooks_from_rows([[float(x) for x in r[0]] for r in rows], m=8)
+    path = str(tmp_path / "pq_index")
+    emb.select(
+        "vec_id",
+        F.col("embedding").alias("embedding"),
+        pq_encode("embedding", books).alias("codes"),
+    ).write.parquet(path)
+
+    indexed = spark.read.parquet(path)
+    qv = [float(x) for x in rows[0][0]]
+    out = pq_adc_topk(indexed, books, qv, k=5)
+    schemas = read_schema_columns(out)
+    assert schemas, "no parquet ReadSchema found in plan"
+    for cols in schemas:
+        assert "embedding" not in cols, (
+            f"ADC scan reads the float column: {cols}"
+        )
+        assert "codes" in cols
+    assert out.count() == 5

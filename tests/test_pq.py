@@ -223,3 +223,25 @@ def test_codebooks_save_load_roundtrip(spark, books, tmp_path):
     assert loaded == [[list(c) for c in b] for b in books]
     with pytest.raises(Exception):  # Spark AnalysisException: path not found
         load_codebooks(spark, str(tmp_path / "empty"), subdir="_nope")
+
+
+def test_adc_gather_method_equals_expr(spark, embeddings, books):
+    from distributed_vector_database_spark.operators.pq import (
+        pq_encode_arrow,
+    )
+
+    enc = pq_encode_arrow(embeddings, books).select("vec_id", "codes")
+    qv = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 11)
+        .select("embedding")
+        .head()[0]
+    ]
+    expr = [tuple(r) for r in pq_adc_topk(enc, books, qv, k=12).collect()]
+    gather = [
+        tuple(r)
+        for r in pq_adc_topk(enc, books, qv, k=12, method="gather").collect()
+    ]
+    assert expr == gather
+    with pytest.raises(ValueError):
+        pq_adc_topk(enc, books, qv, method="nope")
