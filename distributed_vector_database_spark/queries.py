@@ -2548,3 +2548,47 @@ def q_user_spend_quartiles(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# ===========================================================================
+# TPC-H Q6 shape: the canonical filter->aggregate scan. Every predicate
+# must reach the parquet scan (PushedFilters); revenue through DECIMAL.
+# ===========================================================================
+
+
+@register(
+    "forecast_revenue_change",
+    """
+SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6: what revenue would vanish if small-quantity discounts in
+    1996 were dropped. One scan, four pushed predicates, DECIMAL-exact
+    money math, single-row aggregate."""
+    li = _read(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

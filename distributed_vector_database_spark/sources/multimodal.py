@@ -32,6 +32,7 @@ __all__ = [
     "decode_image_meta",
     "image_features",
     "frame_sample",
+    "resize_images",
     "payload_stats",
     "decode_with_pillow",
 ]
@@ -140,6 +141,48 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.select("asset_id", "content").mapInPandas(sample, schema)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """'Resize' stage: re-emit each asset with a payload downsampled to
+    ``width*height`` bytes (deterministic stride sampling over the body —
+    the real op would be a Pillow/libvips resize; this container has no
+    image codecs, so the TRANSFORM is stubbed while the Spark plumbing is
+    real: binary in -> binary out, schema carries the new dims, narrow
+    mapInPandas, partition layout preserved).
+
+    Batch shape note: payloads stay inside the Arrow batch; nothing is
+    collected. At 100 TB, cap ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    so batch_bytes = records x payload fits executor memory.
+    """
+    schema = "asset_id long, width int, height int, content binary"
+    target = width * height
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = np.frombuffer(bytes(content)[8:], dtype=np.uint8)
+                if len(b) == 0:
+                    out = np.zeros(target, dtype=np.uint8)
+                else:
+                    # stride sample = nearest-neighbor "resize" of the body
+                    ix = np.linspace(0, len(b) - 1, target).astype(np.int64)
+                    out = b[ix]
+                ids.append(aid)
+                ws.append(width)
+                hs.append(height)
+                outs.append(out.tobytes())
+            yield pd.DataFrame(
+                {"asset_id": ids, "width": ws, "height": hs, "content": outs}
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(resize, schema)
 
 
 def payload_stats(

@@ -64,3 +64,23 @@ def test_frame_sample_counts(assets):
 def test_pillow_stub_raises(assets):
     with pytest.raises(NotImplementedError):
         decode_with_pillow(assets)
+
+
+def test_resize_is_deterministic_and_fixed_size(spark):
+    from distributed_vector_database_spark.sources.multimodal import (
+        resize_images,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, n=12)
+    out = resize_images(assets, width=4, height=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert (r["width"], r["height"]) == (4, 4)
+        assert len(bytes(r["content"])) == 16
+    again = {
+        r["asset_id"]: bytes(r["content"])
+        for r in resize_images(assets, width=4, height=4).collect()
+    }
+    for r in out:
+        assert again[r["asset_id"]] == bytes(r["content"])

@@ -135,3 +135,17 @@ def test_pq_adc_scan_prunes_to_codes_column(spark, tmp_path):
         )
         assert "codes" in cols
     assert out.count() == 5
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    df = spark_queries()["forecast_revenue_change"](spark, SF_SMOKE)
+    pf = " ".join(" ".join(f) for f in [pushed_filters(df)]) or str(
+        pushed_filters(df)
+    )
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in str(pushed_filters(df)), (
+            f"{col} not pushed: {pushed_filters(df)}"
+        )
+    # and the scan must not read money columns it doesn't aggregate
+    cols = read_schema_columns(df)
+    assert cols and all("l_tax" not in c for c in cols)
