@@ -50,6 +50,33 @@ from distributed_vector_database_spark.operators.sketch import (
 )
 from distributed_vector_database_spark.operators.eval import recall_at_k
 from distributed_vector_database_spark.operators.graph import connected_components
+from distributed_vector_database_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    jaccard_pairs,
+    jaccard_pairs_prefix,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from distributed_vector_database_spark.operators.text_analysis import (
+    language_id,
+    quality_scores,
+    term_frequencies,
+    tfidf_top_terms,
+    token_stats,
+)
+from distributed_vector_database_spark.operators.sessions import (
+    latest_event_per_user,
+    running_totals,
+    sessionize,
+)
+from distributed_vector_database_spark.streaming.events import (
+    dedup_stream,
+    session_window_stats,
+    stateful_user_totals,
+    tumbling_counts,
+)
 from distributed_vector_database_spark.operators.pq import (
     fit_pq_codebooks,
     pq_adc_batch_topk,
@@ -89,6 +116,25 @@ __all__ = [
     "kmv_distinct",
     "recall_at_k",
     "connected_components",
+    "exact_dedup_groups",
+    "jaccard_pairs",
+    "jaccard_pairs_prefix",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash_fingerprints",
+    "embedding_neardup_pairs",
+    "token_stats",
+    "quality_scores",
+    "language_id",
+    "term_frequencies",
+    "tfidf_top_terms",
+    "sessionize",
+    "running_totals",
+    "latest_event_per_user",
+    "dedup_stream",
+    "tumbling_counts",
+    "session_window_stats",
+    "stateful_user_totals",
     "fit_pq_codebooks",
     "pq_encode",
     "pq_encode_arrow",
