@@ -46,6 +46,7 @@ from distributed_vector_database_spark.operators.skew import (
 )
 from distributed_vector_database_spark.operators.sketch import (
     hash_sample,
+    hash_split,
     kmv_distinct,
 )
 from distributed_vector_database_spark.operators.eval import recall_at_k
@@ -113,6 +114,7 @@ __all__ = [
     "skew_safe_totals",
     "salted_join",
     "hash_sample",
+    "hash_split",
     "kmv_distinct",
     "recall_at_k",
     "connected_components",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "kmv_distinct", "hash_sample"]
+__all__ = ["hash_fraction", "kmv_distinct", "hash_sample", "hash_split"]
 
 _HEX_DIGITS = 12
 _DENOM = float(16**_HEX_DIGITS)  # 2^48 — exact in float64
@@ -71,3 +71,37 @@ def hash_sample(
     """Deterministic Bernoulli sample: rows whose key's hash fraction is
     below ``rate``. Same keys survive in every run/engine/table."""
     return df.filter(hash_fraction(key_col) < F.lit(rate))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Deterministic train/val/test split: a ``split`` column assigned by
+    the key's hash fraction against cumulative ``fractions`` boundaries
+    (e.g. ``{"train": 0.8, "val": 0.1, "test": 0.1}``).
+
+    Properties a training pipeline needs and RNG-based ``randomSplit``
+    lacks: reproducible across runs/engines/cluster sizes, join-stable
+    (the same key lands in the same split in every table), leakage-free
+    (membership depends only on the key), and a narrow projection — no
+    shuffle, no RNG state.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    frac = hash_fraction(key_col)
+    expr = None
+    cum = 0.0
+    *head, (last_name, _) = list(fractions.items())
+    for name, f in head:
+        cum += f
+        cond_expr = frac < F.lit(cum)
+        expr = (
+            F.when(cond_expr, F.lit(name))
+            if expr is None
+            else expr.when(cond_expr, F.lit(name))
+        )
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", expr)

@@ -2592,3 +2592,38 @@ def q_forecast_revenue_change(spark, sf_dir):
         ).alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+# ===========================================================================
+# Train/val/test split (operators/sketch.hash_split): reproducible hash
+# carving — same key -> same split in every run, engine, and table.
+# ===========================================================================
+
+
+@register(
+    "train_val_test_split",
+    """
+WITH f AS (SELECT doc_id, source,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+             / 281474976710656.0 AS hf
+           FROM documents)
+SELECT source,
+       CASE WHEN hf < 0.8 THEN 'train'
+            WHEN hf < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM f GROUP BY 1, 2
+""",
+)
+def q_train_val_test_split(spark, sf_dir):
+    """80/10/10 deterministic split audited per source — the leakage-free
+    eval carving a dedup-then-split pipeline needs (randomSplit would
+    reshuffle membership every run)."""
+    from distributed_vector_database_spark.operators.sketch import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

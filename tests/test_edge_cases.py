@@ -106,3 +106,22 @@ def test_salted_join_spreads_hot_key_and_rejects_bad_how(spark):
     assert salted.select("_salt").distinct().count() > 1
     with _pt.raises(ValueError):
         salted_join(big, dim, "k", how="full")
+
+
+def test_hash_split_is_exhaustive_stable_and_validates(spark):
+    from distributed_vector_database_spark.operators.sketch import hash_split
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = hash_split(df, "k", fr)
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # exhaustive, no row lost
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stable: identical assignment on re-run
+    s2 = {r["k"]: r["split"] for r in hash_split(df, "k", fr).collect()}
+    for r in s1.collect():
+        assert s2[r["k"]] == r["split"]
+    with _pt.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.2})
