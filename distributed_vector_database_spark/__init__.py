@@ -50,7 +50,10 @@ from distributed_vector_database_spark.operators.sketch import (
     kmv_distinct,
 )
 from distributed_vector_database_spark.operators.eval import recall_at_k
-from distributed_vector_database_spark.operators.graph import connected_components
+from distributed_vector_database_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 from distributed_vector_database_spark.operators.dedup import (
     embedding_neardup_pairs,
     exact_dedup_groups,
@@ -118,6 +121,7 @@ __all__ = [
     "kmv_distinct",
     "recall_at_k",
     "connected_components",
+    "connected_components_star",
     "exact_dedup_groups",
     "jaccard_pairs",
     "jaccard_pairs_prefix",

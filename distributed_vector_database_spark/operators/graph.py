@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "connected_components_star"]
 
 
 def connected_components(
@@ -84,3 +84,92 @@ def connected_components(
         prev_sum = cur_sum
     sym.unpersist()  # labels are materialized (localCheckpoint) — safe
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round over canonical edges ``(u, v), u > v``.
+
+    For each node n, connect every STRICTLY LARGER neighbor to the minimum
+    of Γ(n) ∪ {n}. Emitted per symmetric group; self-loops dropped.
+    """
+    sym = e.select("u", "v").union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy(F.col("u").alias("n")).agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, sym["u"] == mins["n"])
+        .filter(F.col("v") > F.col("u"))  # only larger neighbors re-point
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: connect each node's SMALLER neighbors (and the
+    node itself) to the minimum of that group. Input/output edges are
+    canonical ``u > v``."""
+    mins = e.groupBy(F.col("u").alias("n")).agg(F.min("v").alias("m"))
+    j = e.join(mins, e["u"] == mins["n"])
+    # all smaller neighbors -> m, plus the center itself -> m
+    repointed = j.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        j.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return (
+        repointed.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """``(node, component)`` via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — O(log² n) rounds worst-case vs. O(diameter) for plain
+    label propagation, so this is the scale path for long-chain graphs.
+
+    Same contract as :func:`connected_components`: nodes are the union of
+    both endpoint columns, ``component`` is the minimum reachable id.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    e = (
+        edges.select(
+            F.greatest(src, dst).alias("u"), F.least(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixpoint when the canonical edge set stops changing; (count,
+        # sum u, sum v) is a cheap signature — edge endpoints only ever
+        # decrease under star contraction, so an equal signature after a
+        # full large+small round means no edge moved.
+        sig = tuple(
+            e.agg(F.count("*"), F.sum("u"), F.sum("v")).head()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edges form stars: every edge points node -> component min.
+    # min-aggregate is insurance for a max_iters cutoff mid-contraction.
+    star = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("c"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
+    )

@@ -37,3 +37,41 @@ def test_star_converges_in_few_rounds(spark):
     got = _cc(spark, edges, max_iters=3)  # star diameter 2
     assert set(got.values()) == {0}
     assert len(got) == 40
+
+
+# ---- large-star/small-star variant (scale path) ----------------------------
+
+from distributed_vector_database_spark.operators.graph import (  # noqa: E402
+    connected_components_star,
+)
+
+
+def _cc_star(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, **kw).collect()
+    }
+
+
+def test_star_cc_long_chain(spark):
+    # path graph of 65 nodes: diameter 64 — label propagation would need
+    # 64 rounds; star contraction collapses it in O(log^2 n)
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc_star(spark, edges, max_iters=10)
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_star_cc_matches_label_propagation_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+    ]  # sparse -> several components, self-loops included
+    assert _cc_star(spark, edges) == _cc(spark, edges, max_iters=60)
+
+
+def test_star_cc_self_loop_and_direction(spark):
+    got = _cc_star(spark, [(5, 5), (9, 3), (3, 7)])
+    assert got == {5: 5, 3: 3, 7: 3, 9: 3}
