@@ -2627,3 +2627,158 @@ def q_train_val_test_split(spark, sf_dir):
         .groupBy("source", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ===========================================================================
+# TPC-H Q4 / Q18 shapes over the synthetic star schema (correlated-EXISTS
+# semi join; groupBy-HAVING-IN pipeline) + a relational Lloyd step.
+# ===========================================================================
+
+
+@register(
+    "late_orders_by_priority",
+    """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q_late_orders_by_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS becomes
+    a LEFT SEMI join with a non-equi ship-lag predicate, then one small
+    agg on priority. The semi join shuffles on orderkey only once and
+    keeps no lineitem payload columns past the probe."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+SELECT c_custkey, c_name, o_orderkey, ROUND(sum_qty, 2) AS sum_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN big ON o_orderkey = l_orderkey
+""",
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): pre-aggregate lineitem to
+    per-order quantity, HAVING-filter BEFORE the joins (the selective side
+    shrinks to ~20% so both remaining joins move only qualifying orders),
+    then join orders + customer. Quantities sum as DECIMAL so the HAVING
+    boundary is exact across engines."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+        )
+        .filter(F.col("q") > 150)
+        .select("l_orderkey", F.round(F.col("q").cast("double"), 2).alias("sum_qty"))
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
+    )
+
+
+@register(
+    "ivf_centroid_update",
+    f"""
+WITH {_ASSIGN_CTE},
+x AS (
+  SELECT a.shard_id, t.pos,
+         CAST(round((e.embedding::DOUBLE[])[t.pos] * 1e6) AS BIGINT) AS vmic
+  FROM embeddings e
+  JOIN assign a ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t)
+SELECT shard_id, pos::BIGINT AS pos,
+       ROUND(sum(vmic) / count(*) / 1e6, 6) AS mean_val
+FROM x GROUP BY shard_id, pos
+""",
+)
+def q_ivf_centroid_update(spark, sf_dir):
+    """One Lloyd iteration expressed relationally: per-shard mean vector
+    (posexplode -> groupBy(shard, dim) avg) — the distributed KMeans
+    update step the reference runs inside sklearn on a collected sample
+    (`reference: src/cluster.py:28-33`). Values quantize to integer
+    micro-units before summing so the mean is order-independent and
+    exact across engines (same trick as udaf_mean_cents_by_type).
+
+    Scale note: posexplode multiplies rows by dim; the alternative narrow
+    plan is a GROUPED_AGG pandas UDAF summing numpy arrays per shard.
+    Both shuffle once on shard_id; this form keeps the whole plan in
+    codegen and gives Catalyst a (shard_id, pos) key to parallelize the
+    reduce across 64x more tasks than shards."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    assigned = assign_shards(emb, cents)
+    ex = assigned.select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    )
+    return (
+        ex.select(
+            "shard_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.round(F.col("val").cast("double") * 1e6)
+            .cast("long")
+            .alias("vmic"),
+        )
+        .groupBy("shard_id", "pos")
+        .agg(
+            F.round(
+                F.sum("vmic") / F.count("*") / F.lit(1e6), 6
+            ).alias("mean_val")
+        )
+    )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       sum(round(l_extendedprice * 100))::BIGINT AS price_cents,
+       max(l_shipdate) AS last_ship
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_orc_roundtrip_lineitem(spark, sf_dir):
+    """Lineitem written to ORC and re-read; aggregates must equal DuckDB
+    over the original parquet — the engine's second lossless columnar
+    interchange format (splittable, predicate-pushdown scans like
+    parquet, unlike the non-splittable multiLine CSV path)."""
+    back = _roundtripped(
+        spark,
+        sf_dir,
+        "lineitem",
+        "orc",
+        ["l_returnflag", "l_extendedprice", "l_shipdate"],
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        F.max("l_shipdate").alias("last_ship"),
+    )

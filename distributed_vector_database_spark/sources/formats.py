@@ -26,12 +26,15 @@ from pyspark.sql import DataFrame
 __all__ = ["write_text_format", "read_text_format", "roundtrip"]
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-_FORMATS = ("csv", "json")
+_FORMATS = ("csv", "json", "orc")
 
 
 def _opts(fmt: str) -> dict[str, str]:
     if fmt not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}, got {fmt!r}")
+    if fmt == "orc":
+        # binary columnar — types are self-describing, no text options
+        return {}
     o = {"timestampFormat": _TS_FMT}
     if fmt == "csv":
         o["header"] = "true"
@@ -45,8 +48,10 @@ def _opts(fmt: str) -> dict[str, str]:
 
 
 def write_text_format(df: DataFrame, fmt: str, path: str) -> None:
-    """Write ``df`` as CSV (RFC quoting, header) or JSON lines, with
-    microsecond timestamps."""
+    """Write ``df`` as CSV (RFC quoting, header) or JSON lines with
+    microsecond timestamps, or as ORC (the second columnar interchange
+    format next to parquet — same splittable/predicate-pushdown scan
+    properties)."""
     df.write.mode("overwrite").options(**_opts(fmt)).format(fmt).save(path)
 
 
