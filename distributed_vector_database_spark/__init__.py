@@ -77,6 +77,7 @@ from distributed_vector_database_spark.operators.sessions import (
 )
 from distributed_vector_database_spark.streaming.events import (
     dedup_stream,
+    join_event_streams,
     session_window_stats,
     stateful_user_totals,
     tumbling_counts,
@@ -138,6 +139,7 @@ __all__ = [
     "running_totals",
     "latest_event_per_user",
     "dedup_stream",
+    "join_event_streams",
     "tumbling_counts",
     "session_window_stats",
     "stateful_user_totals",

@@ -2782,3 +2782,46 @@ def q_orc_roundtrip_lineitem(spark, sf_dir):
         ),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@register(
+    "stream_click_purchase_join",
+    """
+SELECT c.user_id,
+       c.event_id AS left_id, c.ts AS left_ts,
+       p.event_id AS right_id, p.ts AS right_ts
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def q_stream_click_purchase_join(spark, sf_dir):
+    """Stream-stream inner join replayed to completion: purchases within
+    60 min of a same-user click, both sides micro-batched file streams.
+    No watermark (exact historical replay — files are not time-ordered);
+    append-mode sink; result must equal the batch interval join."""
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.events import (
+        join_event_streams,
+        read_event_stream,
+        run_stream_to_batch,
+    )
+
+    d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+    if d is None:
+        src = _read(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+        src.repartition(4).write.mode("overwrite").parquet(d)
+        _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+    clicks = read_event_stream(spark, d).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, d).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_stream_to_batch(
+        join_event_streams(clicks, purchases, within="60 minutes"),
+        output_mode="append",
+    )

@@ -23,6 +23,7 @@ __all__ = [
     "tumbling_counts",
     "session_window_stats",
     "stateful_user_totals",
+    "join_event_streams",
     "run_stream_to_batch",
 ]
 
@@ -148,11 +149,63 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "60 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream INNER join: pair each left event with every right
+    event of the same key whose timestamp lands in ``[left.ts, left.ts +
+    within]`` — e.g. purchases attributable to a preceding click. The
+    batch form of this semantics is ``operators/temporal.range_join``; one
+    definition here serves streaming AND batch frames like the rest of
+    this module.
+
+    State: an inner stream-stream join is complete without watermarks but
+    buffers both sides forever; pass ``watermark`` (applied to both sides,
+    which with the interval condition lets Spark evict rows older than
+    watermark + within) for bounded state on live feeds. Leave ``None``
+    for historical replays where files arrive out of time order — exact
+    results, unbounded state (SURVEY.md §2.9 extension; same replay-vs-live
+    trade documented on ``tumbling_counts``/``dedup_stream``).
+
+    Output columns: key, left ``event_id``/``ts`` as ``left_id``/``left_ts``,
+    right as ``right_id``/``right_ts``.
+    """
+    if left.isStreaming and watermark is not None:
+        left = left.withWatermark(ts_col, watermark)
+    if right.isStreaming and watermark is not None:
+        right = right.withWatermark(ts_col, watermark)
+    l = left.select(
+        F.col(key_col).alias("k"),
+        F.col("event_id").alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    )
+    r = right.select(
+        F.col(key_col).alias("rk"),
+        F.col("event_id").alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    )
+    cond = (
+        (l["k"] == r["rk"])
+        & (r["right_ts"] >= l["left_ts"])
+        & (r["right_ts"] <= l["left_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("k").alias(key_col), "left_id", "left_ts", "right_id", "right_ts"
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     *,
     final_keys: list[str] | None = None,
     latest_by: str | None = None,
+    output_mode: str = "update",
 ) -> DataFrame:
     """Run a streaming DataFrame to completion against a memory sink and
     return the result as a batch DataFrame.
@@ -168,7 +221,7 @@ def run_stream_to_batch(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .start()
     )
     try:

@@ -166,3 +166,59 @@ def test_compact_after_stream_ingest(spark, tmp_path):
     assert after_ids == before_ids
     assert after_files < before_files
     assert reopened.centroids == idx.centroids
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Inner stream-stream interval join (no watermark, exact replay) must
+    equal the same join run as one batch job."""
+    from distributed_vector_database_spark.streaming.events import (
+        join_event_streams,
+    )
+
+    def sides(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "view"),
+        )
+
+    sc, sv = sides(read_event_stream(spark, events_dir))
+    streamed = run_stream_to_batch(
+        join_event_streams(sc, sv, within="30 minutes"),
+        output_mode="append",
+    )
+    bc, bv = sides(_read(spark, SF_SMOKE, "events"))
+    batch = join_event_streams(bc, bv, within="30 minutes")
+    key = lambda r: (r["user_id"], r["left_id"], r["right_id"])
+    got = sorted(map(key, streamed.collect()))
+    exp = sorted(map(key, batch.collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_stream_stream_join_watermarked_runs(spark, events_dir):
+    """Watermarked form (bounded state, live-feed config) starts, runs to
+    completion, and emits a subset of the exact pairs."""
+    from distributed_vector_database_spark.streaming.events import (
+        join_event_streams,
+    )
+
+    sc = read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    sv = read_event_stream(spark, events_dir).filter(
+        F.col("event_type") == "view"
+    )
+    streamed = run_stream_to_batch(
+        join_event_streams(sc, sv, within="30 minutes", watermark="10 years"),
+        output_mode="append",
+    )
+    bc = _read(spark, SF_SMOKE, "events").filter(F.col("event_type") == "click")
+    bv = _read(spark, SF_SMOKE, "events").filter(F.col("event_type") == "view")
+    exact = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in join_event_streams(bc, bv, within="30 minutes").collect()
+    }
+    got = {
+        (r["user_id"], r["left_id"], r["right_id"])
+        for r in streamed.collect()
+    }
+    assert got <= exact
