@@ -47,6 +47,7 @@ from distributed_vector_database_spark.operators.skew import (
 from distributed_vector_database_spark.operators.sketch import (
     hash_sample,
     hash_split,
+    stratified_hash_sample,
     kmv_distinct,
 )
 from distributed_vector_database_spark.operators.eval import recall_at_k
@@ -119,6 +120,7 @@ __all__ = [
     "salted_join",
     "hash_sample",
     "hash_split",
+    "stratified_hash_sample",
     "kmv_distinct",
     "recall_at_k",
     "connected_components",

@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "kmv_distinct", "hash_sample", "hash_split"]
+__all__ = [
+    "hash_fraction",
+    "kmv_distinct",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+]
 
 _HEX_DIGITS = 12
 _DENOM = float(16**_HEX_DIGITS)  # 2^48 — exact in float64
@@ -71,6 +77,39 @@ def hash_sample(
     """Deterministic Bernoulli sample: rows whose key's hash fraction is
     below ``rate``. Same keys survive in every run/engine/table."""
     return df.filter(hash_fraction(key_col) < F.lit(rate))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps rows whose
+    key hash fraction is below that stratum's rate (``sampleBy`` without
+    RNG state). The training-data use: rebalance a corpus — e.g. keep all
+    of a rare language but 10% of the dominant one — reproducibly, so a
+    re-run or a second table carves the identical subset. Narrow filter,
+    no shuffle.
+    """
+    frac = hash_fraction(key_col)
+    s = F.col(strata_col)
+    rate = None
+    for name, r in rates.items():
+        cond = s == F.lit(name)
+        rate = (
+            F.when(cond, F.lit(float(r)))
+            if rate is None
+            else rate.when(cond, F.lit(float(r)))
+        )
+    rate = (
+        F.lit(float(default_rate))
+        if rate is None
+        else rate.otherwise(F.lit(float(default_rate)))
+    )
+    return df.filter(frac < rate)
 
 
 def hash_split(

@@ -2825,3 +2825,108 @@ def q_stream_click_purchase_join(spark, sf_dir):
         join_event_streams(clicks, purchases, within="60 minutes"),
         output_mode="append",
     )
+
+
+# ===========================================================================
+# Reshaping (unpivot), stratified sampling, histogram binning.
+# ===========================================================================
+
+
+@register(
+    "stratified_lang_sample",
+    """
+WITH f AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+           / 281474976710656.0 AS hf
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc
+FROM f
+WHERE hf < (CASE lang WHEN 'en' THEN 0.1
+                      WHEN 'fr' THEN 0.5
+                      ELSE 1.0 END)
+GROUP BY lang
+""",
+)
+def q_stratified_lang_sample(spark, sf_dir):
+    """Corpus rebalancing: per-language deterministic sampling (keep 10% of
+    dominant English, 50% of French, all the rest) — audited by per-lang
+    counts. Join-stable and reproducible, unlike RNG ``sampleBy``."""
+    from distributed_vector_database_spark.operators.sketch import (
+        stratified_hash_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.1, "fr": 0.5}, default_rate=1.0
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@register(
+    "event_value_unpivot",
+    """
+WITH wide AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'click'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS click,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2)) END) AS purchase
+  FROM events GROUP BY user_id)
+SELECT user_id, 'click' AS event_type,
+       ROUND(CAST(click AS DOUBLE), 2) AS sum_value
+FROM wide WHERE click IS NOT NULL
+UNION ALL
+SELECT user_id, 'purchase', ROUND(CAST(purchase AS DOUBLE), 2)
+FROM wide WHERE purchase IS NOT NULL
+""",
+)
+def q_event_value_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long, the inverse of event_value_pivot): per-user
+    per-type sums melt back into (user_id, event_type, sum_value) rows.
+    Unpivot is a zero-shuffle projection (each input row expands locally);
+    null cells are dropped to mirror 'absent in long form'."""
+    ev = _read(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+    )
+    long = wide.unpivot(
+        ["user_id"], ["click", "purchase"], "event_type", "v"
+    )
+    return long.filter(F.col("v").isNotNull()).select(
+        "user_id",
+        "event_type",
+        F.round(F.col("v").cast("double"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_type,
+       CAST(floor(cents / 5000.0) AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n
+FROM c GROUP BY event_type, bucket
+""",
+)
+def q_event_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type (bucket = 50-unit bins
+    over exact integer cents, so bin edges are engine-independent). The
+    profiling pass a quality-filter pipeline runs before choosing
+    thresholds; one partial-aggregated shuffle on (type, bucket)."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(
+            "event_type", F.floor(cents / F.lit(5000.0)).cast("long").alias("bucket")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
