@@ -25,7 +25,11 @@ from distributed_vector_database_spark.functions.vector import (
     cosine_similarity,
     euclidean_distance,
 )
-from distributed_vector_database_spark.operators.topk import topk, batch_topk
+from distributed_vector_database_spark.operators.topk import (
+    topk,
+    batch_topk,
+    radius_search,
+)
 from distributed_vector_database_spark.operators.ivf import IVFIndex, assign_shards
 from distributed_vector_database_spark.operators.ann import (
     lsh_index,
@@ -104,6 +108,7 @@ __all__ = [
     "euclidean_distance",
     "topk",
     "batch_topk",
+    "radius_search",
     "IVFIndex",
     "assign_shards",
     "lsh_index",

@@ -39,7 +39,7 @@ from distributed_vector_database_spark.functions.vector import (
     round_score,
 )
 
-__all__ = ["topk", "batch_topk", "score_column"]
+__all__ = ["topk", "batch_topk", "radius_search", "score_column"]
 
 _METRICS = ("cosine", "euclidean", "dot")
 
@@ -114,6 +114,39 @@ def topk(
         score = round_score(score, score_digits)
     scored = df.select(F.col(id_col), score.alias("score"))
     return scored.orderBy(*_order(metric, F.col("score"), F.col(id_col))).limit(k)
+
+
+def radius_search(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    threshold: float,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    score_digits: int | None = 6,
+) -> DataFrame:
+    """Range (radius) similarity search: every row whose score against the
+    query passes ``threshold`` — ``>=`` for similarity metrics (cosine,
+    dot), ``<=`` for euclidean distance. The set-valued companion to
+    ``topk`` (Faiss calls it range_search); the reference only exposes
+    top-k, but "all near-duplicates of this document" is a radius query.
+
+    Unlike top-k there is no global merge AT ALL: the plan is a pruned
+    scan + filter, embarrassingly parallel at any scale, and composes with
+    IVF probing the same way ``topk`` does (filter shard_id first).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+    score = score_column(metric, F.col(vector_col), q)
+    if score_digits is not None:
+        score = round_score(score, score_digits)
+    scored = df.select(F.col(id_col), score.alias("score"))
+    keep = (
+        F.col("score") <= F.lit(float(threshold))
+        if metric == "euclidean"
+        else F.col("score") >= F.lit(float(threshold))
+    )
+    return scored.filter(keep)
 
 
 def batch_topk(

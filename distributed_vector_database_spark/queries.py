@@ -2930,3 +2930,23 @@ def q_event_value_histogram(spark, sf_dir):
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "radius_search_cosine",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, ROUND({_cos(E, 'q.qv')}, 6) AS score
+FROM embeddings e, q
+WHERE ROUND({_cos(E, 'q.qv')}, 6) >= 0.2
+""",
+)
+def q_radius_search_cosine(spark, sf_dir):
+    """Range/radius search (Faiss range_search semantics): all rows with
+    cosine >= 0.2 against the query — a filter-only plan with no global
+    merge, the set-valued companion to top-k."""
+    from distributed_vector_database_spark.operators.topk import radius_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return radius_search(emb, qv, 0.2, metric="cosine")

@@ -96,3 +96,25 @@ def test_topk_arrow_equals_expr(spark):
         a = [tuple(r) for r in topk(emb, q, k=12, metric=metric).collect()]
         b = [tuple(r) for r in topk(emb, q, k=12, metric=metric, method="arrow").collect()]
         assert a == b, metric
+
+
+def test_radius_search_matches_filterled_scan(spark):
+    """radius_search == manual score-and-filter, both metrics' directions."""
+    from distributed_vector_database_spark.operators.topk import (
+        radius_search,
+        topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 1").head()["embedding"]]
+
+    cos = radius_search(emb, qv, 0.15, metric="cosine")
+    rows = {r["vec_id"]: r["score"] for r in cos.collect()}
+    assert rows[1] == 1.0  # the query itself passes
+    assert all(s >= 0.15 for s in rows.values())
+    # consistent with topk: every radius hit above the kth score is in topk
+    top = {r["vec_id"] for r in topk(emb, qv, k=len(rows)).collect()}
+    assert set(rows) == top
+
+    euc = radius_search(emb, qv, 2.0, metric="euclidean")
+    assert all(r["score"] <= 2.0 for r in euc.collect())
