@@ -22,6 +22,7 @@ from distributed_vector_database_spark.session import get_session
 from distributed_vector_database_spark.functions.vector import (
     dot,
     l2_norm,
+    l2_normalize,
     cosine_similarity,
     euclidean_distance,
 )
@@ -104,6 +105,7 @@ __all__ = [
     "get_session",
     "dot",
     "l2_norm",
+    "l2_normalize",
     "cosine_similarity",
     "euclidean_distance",
     "topk",

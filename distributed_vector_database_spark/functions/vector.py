@@ -86,6 +86,35 @@ def euclidean_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(squared_euclidean(a, b))
 
 
+def l2_normalize(df, vector_col: str, out_col: str | None = None):
+    """Unit-normalize an array column (zero vectors pass through unchanged,
+    mirroring the cosine zero-norm guard). Returns the DataFrame with
+    ``out_col`` (default: replace ``vector_col``).
+
+    This is a DataFrame-level op, not a Column fn, on purpose: the norm
+    must be materialized ONCE per row through a Generate barrier —
+    referencing a norm subexpression inside a ``transform`` lambda would
+    recompute the O(d) norm for every element (Catalyst does no CSE inside
+    HOF lambda bodies; README 'higher-order-function discipline').
+
+    Why pre-normalize at all: over a normalized corpus cosine == dot, so
+    every search drops two norm computations per row — the standard
+    store-time trade for embedding tables.
+    """
+    out = out_col or vector_col
+    v = _as_double(vector_col)
+    with_n = df.select(
+        *df.columns, F.explode(F.array(l2_norm(vector_col))).alias("_n")
+    )
+    unit = F.when(F.col("_n") == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / F.col("_n"))
+    )
+    cols = [unit.alias(c) if c == out else F.col(c) for c in df.columns]
+    if out not in df.columns:
+        cols.append(unit.alias(out))
+    return with_n.select(*cols)
+
+
 def round_score(c: Column, digits: int = 6) -> Column:
     """Round a float64 score for oracle comparison.
 

@@ -118,3 +118,28 @@ def test_radius_search_matches_filterled_scan(spark):
 
     euc = radius_search(emb, qv, 2.0, metric="euclidean")
     assert all(r["score"] <= 2.0 for r in euc.collect())
+
+
+def test_l2_normalize_unit_norm_and_zero_guard(spark):
+    from distributed_vector_database_spark.functions.vector import (
+        l2_norm,
+        l2_normalize,
+    )
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [0.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = l2_normalize(df, "embedding")
+    assert out.columns == ["vec_id", "embedding"]
+    norms = {
+        r["vec_id"]: r["n"]
+        for r in out.select(
+            "vec_id", SF.round(l2_norm("embedding"), 9).alias("n")
+        ).collect()
+    }
+    assert norms[1] == 1.0 and norms[3] == 1.0
+    assert norms[2] == 0.0  # zero vector passes through
+    row = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    assert row[1] == [0.6, 0.8]
