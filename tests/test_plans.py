@@ -149,3 +149,17 @@ def test_q6_predicates_reach_the_scan(spark):
     # and the scan must not read money columns it doesn't aggregate
     cols = read_schema_columns(df)
     assert cols and all("l_tax" not in c for c in cols)
+
+
+def test_radius_search_is_shuffle_free(spark):
+    """radius_search's claim: a pruned scan + filter — no Exchange, no
+    Sort, no global merge anywhere in the plan."""
+    from distributed_vector_database_spark.operators.topk import radius_search
+
+    emb = _read(spark, SF_SMOKE, "embeddings")
+    qv = [float(x) for x in emb.head()["embedding"]]
+    txt = plan_text(radius_search(emb, qv, 0.2))
+    assert "Exchange" not in txt and "Sort" not in txt
+    # and the scan is column-pruned to what the score needs
+    cols = read_schema_columns(radius_search(emb, qv, 0.2))
+    assert "label" not in cols
