@@ -2985,3 +2985,34 @@ def q_topk_dot_prenormalized(spark, sf_dir):
     qn = math.sqrt(sum(x * x for x in qv))
     qunit = [x / qn for x in qv]
     return topk(unit, qunit, k=10, metric="dot")
+
+
+@register(
+    "kfold_assignment",
+    """
+WITH f AS (SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS hv
+           FROM documents)
+SELECT (hv % 5)::BIGINT AS fold, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS min_doc
+FROM f GROUP BY fold
+""",
+)
+def q_kfold_assignment(spark, sf_dir):
+    """Deterministic k-fold assignment (fold = key-hash mod k) audited by
+    per-fold counts: the cross-validation carving that, like hash_split,
+    is reproducible across runs/engines and join-stable across tables —
+    no RNG, no shuffle, a narrow projection."""
+    from distributed_vector_database_spark.operators.sketch import _HEX_DIGITS
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("doc_id", (hv % 5).alias("fold"))
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
