@@ -108,6 +108,15 @@ def main() -> None:
     per_query["topk768_pq_adc"] = pqhd["adc_gather_mean_sec"]
     per_query["pq768_encode"] = pqhd["encode_sec"]
 
+    # batch-mode amortization: 100 queries in ONE job (BASELINE.md notes
+    # this is the regime that beats every reference cell)
+    from distributed_vector_database_spark.benchmark import (
+        batch_amortized_latency,
+    )
+
+    ba = batch_amortized_latency(spark, SF_DIR)
+    per_query["batch100_sec_per_query"] = round(ba["sec_per_query"], 5)
+
     # skew story (ROADMAP #5): hot-key join, AQE-skew vs no-AQE vs salted
     from distributed_vector_database_spark.benchmark import skew_join_compare
 
