@@ -1,0 +1,209 @@
+"""Corpus-curation operators: decontamination, sequence packing,
+quality-weighted sampling, domain mixing.
+
+Training-data-pipeline steps the reference (a vector DB prototype) has
+no analogue for, but that any 100 TB pretraining corpus build needs:
+
+- **Decontamination**: drop training documents that share an n-gram with a
+  held-out evaluation set, so benchmark text does not leak into training
+  (the published n-gram-overlap protocol of GPT-2/GPT-3/PaLM appendix-style
+  decontamination). Shaped as a semi-join of exploded shingles against the
+  eval set's shingle dictionary, then an anti-join back to docs.
+
+- **Sequence packing**: deterministically assign documents to fixed
+  token-budget packs. Docs are ordered by a portable hash (md5 — a
+  deterministic global shuffle, the same trick as ``sketch.hash_sample``),
+  bucketed so the packing window parallelizes, and chunked greedily by
+  cumulative token count within each bucket.
+
+Scale notes (100 TB):
+- Eval sets are small (thousands of docs, ~1e6 distinct shingles), so the
+  contaminated-shingle dictionary broadcasts; the only wide op against the
+  full corpus is the final doc_id anti-join, and with the broadcast
+  semi-join the candidate set is already tiny. The corpus-side explode
+  never shuffles (generate -> broadcast-hash-semi-join -> distinct on the
+  small survivor set).
+- Packing's window runs PER BUCKET (``num_buckets`` parallel chains), not
+  as one global ORDER BY — a global window would serialize 100 TB through
+  one task. Buckets are hash-derived, so the assignment is reproducible
+  run-to-run and engine-to-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "contaminated_doc_ids",
+    "decontaminate",
+    "pack_sequences",
+    "quality_weighted_sample",
+    "budget_mix",
+]
+
+
+def _shingles(text_col: str, n: int):
+    return word_shingles(tokens(text_col), n=n, distinct=True)
+
+
+def contaminated_doc_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shared) of training docs sharing >=1 word ``ngram`` with
+    any eval doc. ``n_shared`` counts the doc's distinct leaked shingles."""
+    eval_sh = (
+        eval_docs.select(
+            F.explode(_shingles(text_col, ngram)).alias("shingle")
+        )
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(_shingles(text_col, ngram)).alias("shingle")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training docs with every eval-overlapping doc removed (anti-join on
+    the contaminated id set). Schema = ``train``'s."""
+    bad = contaminated_doc_ids(
+        train, eval_docs, ngram=ngram, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    return train.join(bad, id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    budget_tokens: int = 512,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic greedy packing: (doc_id, n_tokens, bucket, pack_id).
+
+    Docs are ordered by ``md5(id)`` (portable pseudo-shuffle), split into
+    ``num_buckets`` independent chains by the hash's first hex nibbles,
+    and packed contiguously: a doc starts a new pack when the running
+    token total before it has crossed the next ``budget_tokens`` boundary
+    (packs may overflow by at most one doc — standard greedy semantics).
+    ``pack_id`` is unique per (bucket, chunk).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    n_tok = F.size(tokens(text_col)).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        h.alias("_h"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % num_buckets)
+        .alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("bucket"),
+        F.floor((cum - F.col("n_tokens")) / budget_tokens)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def quality_weighted_sample(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic importance sampling: keep a doc iff its key's md5
+    fraction is below its quality score — i.e. each doc survives with
+    probability equal to ``text_analysis.quality_scores`` quality, but
+    reproducibly (no RNG) and join-stably (same keys survive every run,
+    every engine). Output: (doc_id, quality) of survivors.
+
+    This is the standard quality-weighted corpus resampling step
+    (keep-probability proportional to a scorer) expressed as a narrow
+    filter — no shuffle, scales linearly.
+    """
+    from distributed_vector_database_spark.operators.sketch import (
+        hash_fraction,
+    )
+    from distributed_vector_database_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    q = quality_scores(docs, text_col=text_col, id_col=id_col)
+    return q.filter(hash_fraction(id_col) < F.col("quality")).select(
+        id_col, "quality"
+    )
+
+
+def budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int] | None = None,
+    *,
+    default_budget: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain mixing to per-source token budgets: within each source, docs
+    are ordered by md5(id) (deterministic shuffle) and kept while the
+    running token total stays within the source's budget (truncating —
+    the first doc that would cross the cap is dropped, as is everything
+    after it). Output: (doc_id, source, n_tokens) of the mixed corpus.
+
+    This is the mixture-weights step of a pretraining data recipe (cap
+    each domain's token contribution) as one window per source — the
+    window parallelizes across sources, and within a source the scan is
+    a single ordered chain (at 100 TB, split giant sources into
+    sub-buckets first, as ``pack_sequences`` does).
+    """
+    budget_expr = F.lit(default_budget)
+    if budgets:
+        pairs = [x for kv in budgets.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        budget_expr = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)),
+            F.lit(default_budget),
+        )
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+        budget_expr.alias("_budget"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .select(id_col, source_col, "n_tokens")
+    )

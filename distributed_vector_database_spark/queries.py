@@ -3016,3 +3016,206 @@ def q_kfold_assignment(spark, sf_dir):
         .groupBy("fold")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
     )
+
+
+# ===========================================================================
+# Corpus curation: decontamination + repetition filter + sequence packing
+# (operators/curation.py, text_analysis.repetition_scores)
+# ===========================================================================
+
+_EVAL_PRED = "doc_id % 50 = 0"  # deterministic stand-in eval/benchmark set
+
+
+@register(
+    "decontaminate_report",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE {_EVAL_PRED}),
+tr AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE NOT ({_EVAL_PRED}))
+SELECT tr.doc_id AS doc_id, count(*)::BIGINT AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+""",
+)
+def q_decontaminate_report(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py): training docs
+    sharing any word 3-gram with the held-out eval slice, with the count
+    of leaked shingles. Eval shingle dictionary is BROADCAST; the corpus
+    side is a narrow explode -> broadcast semi-join (no corpus shuffle
+    before the tiny survivor aggregation)."""
+    from distributed_vector_database_spark.operators.curation import (
+        contaminated_doc_ids,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.expr(_EVAL_PRED))
+    tr = docs.filter(~F.expr(_EVAL_PRED))
+    return contaminated_doc_ids(tr, ev, ngram=3)
+
+
+@register(
+    "decontaminate_clean_count",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE {_EVAL_PRED}),
+bad AS (SELECT DISTINCT doc_id FROM
+          (SELECT doc_id, unnest(s) AS shingle FROM sh
+           WHERE NOT ({_EVAL_PRED})) tr
+        JOIN ev USING (shingle))
+SELECT count(*)::BIGINT AS n_clean,
+       (SELECT count(*) FROM bad)::BIGINT AS n_dropped
+FROM documents d
+WHERE NOT ({_EVAL_PRED})
+  AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = d.doc_id)
+""",
+)
+def q_decontaminate_clean_count(spark, sf_dir):
+    """The anti-join side of decontamination: how much of the training
+    corpus survives. Single-row audit (n_clean, n_dropped)."""
+    from distributed_vector_database_spark.operators.curation import (
+        decontaminate,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.filter(F.expr(_EVAL_PRED))
+    tr = docs.filter(~F.expr(_EVAL_PRED))
+    clean = decontaminate(tr, ev, ngram=3)
+    n_tr = tr.count()
+    return clean.agg(
+        F.count("*").cast("long").alias("n_clean"),
+        (F.lit(n_tr) - F.count("*")).cast("long").alias("n_dropped"),
+    )
+
+
+@register(
+    "doc_repetition",
+    f"""
+WITH {_TOKS_CTE},
+bg0 AS (SELECT doc_id, t,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END AS bg
+        FROM toks),
+m AS (SELECT doc_id,
+             ROUND(CASE WHEN len(t) > 0
+                   THEN 1.0 - len(list_distinct(t))::DOUBLE / len(t)
+                   ELSE 0.0 END, 6) AS dup_word_frac,
+             ROUND(CASE WHEN len(bg) > 0
+                   THEN list_max(list_transform(list_distinct(bg),
+                        d -> len(list_filter(bg, x -> x = d))))::DOUBLE
+                        / len(bg)
+                   ELSE 0.0 END, 6) AS top_bigram_frac,
+             COALESCE(list_max(list_transform(list_distinct(bg),
+                      d -> len(list_filter(bg, x -> x = d)))), 0)
+               AS top_cnt
+      FROM bg0)
+SELECT doc_id, dup_word_frac, top_bigram_frac,
+       (dup_word_frac > 0.7
+        OR (top_bigram_frac > 0.18 AND top_cnt >= 2)) AS is_repetitive
+FROM m
+""",
+)
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter (text_analysis.repetition_scores):
+    duplicate-word fraction + top-bigram fraction, flagged against fixed
+    thresholds. Pure narrow Catalyst expressions — no shuffle."""
+    return _ta.repetition_scores(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "sequence_packing",
+    """
+WITH b AS (SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                 x -> x <> '')) AS n_tokens,
+             md5(doc_id::VARCHAR) AS h,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 8
+               AS bucket
+           FROM documents),
+c AS (SELECT doc_id, n_tokens::BIGINT AS n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b)
+SELECT doc_id, n_tokens, bucket,
+       ((cum - n_tokens) // 512)::BIGINT AS pack_id
+FROM c
+""",
+)
+def q_sequence_packing(spark, sf_dir):
+    """Deterministic sequence packing (operators/curation.pack_sequences):
+    md5-ordered docs chunked into 512-token packs within 8 hash buckets.
+    The window is PARTITIONED BY bucket so the packing parallelizes (a
+    global ORDER BY window would serialize the corpus through one task)."""
+    from distributed_vector_database_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"),
+        budget_tokens=512,
+        num_buckets=8,
+    )
+
+
+@register(
+    "quality_weighted_sample",
+    f"""
+WITH {_TOKS_CTE},
+q AS (SELECT doc_id,
+       ROUND(0.4 * LEAST(len(t) / 50.0, 1.0)
+           + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+           + 0.2 * LEAST((list_sum(list_transform(t, x -> len(x)))::DOUBLE
+                          / len(t)) / 6.0, 1.0), 6) AS quality
+      FROM toks)
+SELECT doc_id, quality FROM q
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+      / 281474976710656.0 < quality
+""",
+)
+def q_quality_weighted_sample(spark, sf_dir):
+    """Deterministic importance resampling (curation.quality_weighted_sample):
+    survive with probability = quality score, via the portable md5
+    fraction instead of RNG. Narrow filter, no shuffle."""
+    from distributed_vector_database_spark.operators.curation import (
+        quality_weighted_sample,
+    )
+
+    return quality_weighted_sample(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_budget_mix",
+    """
+WITH b AS (SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                 x -> x <> ''))::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR) AS h
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b)
+SELECT doc_id, source, n_tokens FROM c
+WHERE cum <= (CASE WHEN source = 'src0' THEN 900 ELSE 600 END)
+""",
+)
+def q_source_budget_mix(spark, sf_dir):
+    """Domain mixing (curation.budget_mix): cap each source's token
+    contribution (src0 over-weighted at 900 tokens, 600 for the rest) by
+    an md5-ordered running total per source — one parallel window per
+    source, deterministic across engines."""
+    from distributed_vector_database_spark.operators.curation import budget_mix
+
+    return budget_mix(
+        _read(spark, sf_dir, "documents"),
+        {"src0": 900},
+        default_budget=600,
+    )

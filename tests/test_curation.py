@@ -1,0 +1,183 @@
+"""Corpus curation: decontamination, repetition filter, sequence packing."""
+
+import pyspark.sql.functions as F
+
+from distributed_vector_database_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+from distributed_vector_database_spark.operators.curation import (
+    contaminated_doc_ids,
+    decontaminate,
+    pack_sequences,
+)
+from distributed_vector_database_spark.operators.text_analysis import (
+    repetition_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_removes_every_overlap(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps")])
+    tr = _docs(
+        spark,
+        [
+            (1, "a quick brown fox ran away"),  # shares "quick brown fox"
+            (2, "totally unrelated text here now"),
+            (3, "the quick brown fox jumps again"),  # shares several
+            (4, "short doc"),  # < 3 tokens -> no shingles, never flagged
+        ],
+    )
+    bad = {r["doc_id"]: r["n_shared"] for r in
+           contaminated_doc_ids(tr, ev, ngram=3).collect()}
+    assert set(bad) == {1, 3}
+    assert bad[3] > bad[1] >= 1
+    clean = decontaminate(tr, ev, ngram=3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    # invariant: clean corpus shares ZERO shingles with the eval set
+    sh = lambda df: {
+        r[0]
+        for r in df.select(
+            F.explode(word_shingles(tokens("text"), n=3)).alias("s")
+        ).collect()
+    }
+    assert not (sh(clean) & sh(ev))
+
+
+def test_decontaminate_eval_side_is_broadcast(spark, documents):
+    ev = documents.filter(F.col("doc_id") % 50 == 0)
+    tr = documents.filter(F.col("doc_id") % 50 != 0)
+    plan = (
+        contaminated_doc_ids(tr, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_repetition_scores_flags_degenerate_docs(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),  # one token repeated
+            (2, "buy now buy now buy now buy now"),  # one bigram dominates
+            (3, "each word here appears exactly once"),
+            (4, ""),  # empty -> 0.0 fractions, not flagged
+        ],
+    )
+    r = {x["doc_id"]: x for x in repetition_scores(docs).collect()}
+    assert r[1]["is_repetitive"] and r[1]["dup_word_frac"] > 0.8
+    assert r[2]["is_repetitive"] and r[2]["top_bigram_frac"] > 0.4
+    assert not r[3]["is_repetitive"] and r[3]["dup_word_frac"] == 0.0
+    assert not r[4]["is_repetitive"]
+    assert r[4]["dup_word_frac"] == r[4]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_scores_is_shuffle_free(spark, documents):
+    plan = (
+        repetition_scores(documents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_partitions_and_budget(spark, documents):
+    packed = pack_sequences(documents, budget_tokens=128, num_buckets=4)
+    rows = packed.collect()
+    # every doc packed exactly once
+    assert len({r["doc_id"] for r in rows}) == documents.count()
+    assert {r["bucket"] for r in rows} <= set(range(4))
+    # greedy-contiguous invariant: a pack exceeds the budget only by its
+    # final doc => sum(pack) - max_doc(pack) < budget for multi-doc packs
+    agg = (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max("n_tokens").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in agg:
+        if r["n"] > 1:
+            assert r["tot"] - r["mx"] < 128, dict(r.asDict())
+    # pack ids within a bucket are dense from 0
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], set()).add(r["pack_id"])
+    for ids in by_bucket.values():
+        assert ids == set(range(max(ids) + 1))
+
+
+def test_pack_sequences_deterministic(spark, documents):
+    a = sorted(map(tuple, pack_sequences(documents).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(documents.repartition(7)).collect())
+    )
+    assert a == b
+
+
+def test_quality_weighted_sample_subset_and_deterministic(spark, documents):
+    from distributed_vector_database_spark.operators.curation import (
+        quality_weighted_sample,
+    )
+    from distributed_vector_database_spark.operators.sketch import (
+        hash_fraction,
+    )
+    from distributed_vector_database_spark.operators.text_analysis import (
+        quality_scores,
+    )
+
+    kept = quality_weighted_sample(documents)
+    rows = kept.collect()
+    n_docs = documents.count()
+    assert 0 < len(rows) < n_docs
+    # survival rule is exactly hash_fraction < quality
+    q = {r["doc_id"]: r["quality"] for r in quality_scores(documents).collect()}
+    frac = {
+        r["doc_id"]: r["f"]
+        for r in documents.select(
+            "doc_id", hash_fraction("doc_id").alias("f")
+        ).collect()
+    }
+    kept_ids = {r["doc_id"] for r in rows}
+    expect = {d for d in q if frac[d] < q[d]}
+    assert kept_ids == expect
+    # shuffle-free narrow plan
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_budget_mix_caps_every_source(spark, documents):
+    from distributed_vector_database_spark.operators.curation import budget_mix
+
+    mixed = budget_mix(documents, {"src0": 900}, default_budget=600)
+    per_src = {
+        r["source"]: r["tot"]
+        for r in mixed.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    }
+    for src, tot in per_src.items():
+        cap = 900 if src == "src0" else 600
+        assert tot <= cap, (src, tot)
+    # the cap binds (sources have more tokens than budget) and the
+    # over-weighted source got more than the default cap allows
+    assert per_src["src0"] > 600
+    # deterministic under physical re-layout
+    a = sorted(map(tuple, mixed.collect()))
+    b = sorted(
+        map(
+            tuple,
+            budget_mix(
+                documents.repartition(13), {"src0": 900}, default_budget=600
+            ).collect(),
+        )
+    )
+    assert a == b
