@@ -3219,3 +3219,91 @@ def q_source_budget_mix(spark, sf_dir):
         {"src0": 900},
         default_budget=600,
     )
+
+
+# ===========================================================================
+# Filtered / grouped vector search (operators/topk.py composed with
+# relational predicates — the "filtered ANN" surface real vector stores add
+# on top of the reference's unfiltered POST /search)
+# ===========================================================================
+
+
+@register(
+    "filtered_topk_cosine",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT e.vec_id, e.embedding, d.lang FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.lang = 'en' AND d.n_chars >= 200)
+SELECT c.vec_id AS vec_id, c.lang AS lang,
+       ROUND({_cos('(c.embedding::DOUBLE[])', 'q.qv')}, 6) AS score
+FROM c, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_filtered_topk_cosine(spark, sf_dir):
+    """Attribute-filtered vector search: metadata predicates (lang,
+    length) applied BEFORE scoring, so the scan that feeds top-k reads
+    only survivors — predicate pushdown into the parquet scan plus an
+    equi-join to the metadata table, then the same TakeOrdered top-k.
+    (The filter must run pre-k, not post-k: filtering the top-10 of the
+    unfiltered corpus would return < 10 survivors.)"""
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    )
+    cand = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    scored = topk(cand, _query_vec(spark, sf_dir, 0), k=10, metric="cosine")
+    # topk returns (vec_id, score); re-attach the filtered attribute
+    return (
+        scored.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        )
+        .select("vec_id", "lang", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+    )
+
+
+@register(
+    "grouped_topk_by_label",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, e.label,
+             ROUND({_cos(E, 'q.qv')}, 6) AS score,
+             row_number() OVER (PARTITION BY e.label
+                                ORDER BY ROUND({_cos(E, 'q.qv')}, 6) DESC,
+                                         e.vec_id ASC) AS rnk
+      FROM embeddings e, q)
+SELECT vec_id, label, score, rnk::BIGINT AS rnk
+FROM s WHERE rnk <= 3
+""",
+)
+def q_grouped_topk_by_label(spark, sf_dir):
+    """Grouped top-k: the 3 nearest corpus vectors to the query PER
+    label — one scored scan + a rank window partitioned by label (the
+    'diverse results' shape: per-category best hits in one job, no
+    per-category re-scan)."""
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        round_score(
+            cosine_similarity(F.col("embedding"), F.lit(qv)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

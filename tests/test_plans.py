@@ -163,3 +163,26 @@ def test_radius_search_is_shuffle_free(spark):
     # and the scan is column-pruned to what the score needs
     cols = read_schema_columns(radius_search(emb, qv, 0.2))
     assert "label" not in cols
+
+
+def test_filtered_topk_pushes_metadata_predicates(spark):
+    """filtered_topk_cosine's claim: the lang/length predicates reach the
+    documents parquet scan (filter BEFORE scoring, pushed to the file)."""
+    df = spark_queries()["filtered_topk_cosine"](spark, SF_SMOKE)
+    pf = str(pushed_filters(df))
+    assert "lang" in pf and "n_chars" in pf, pf
+    # scoring input is column-pruned: no text column read anywhere
+    cols = read_schema_columns(df)
+    assert cols and all("text" not in c for c in cols)
+
+
+def test_grouped_topk_single_scan(spark):
+    """grouped_topk_by_label: one scored scan + one rank window — no join,
+    no cartesian, exactly one shuffle (the label window)."""
+    df = spark_queries()["grouped_topk_by_label"](spark, SF_SMOKE)
+    assert_no_cross_join(df)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("Exchange hashpartitioning") == 1, txt
+    # rank <= 3 is pushed below the shuffle: each partition pre-truncates
+    # to its local per-label top-3 before exchanging
+    assert "WindowGroupLimit" in txt.split("Exchange")[1], txt
