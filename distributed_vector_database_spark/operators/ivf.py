@@ -216,6 +216,14 @@ class IVFIndex:
             df, self.centroids, vector_col=self.vector_col, out_col="shard_id"
         )
 
+    def attach(self, df: DataFrame) -> "IVFIndex":
+        """Attach an unmaterialized assigned view of ``df`` (no cache, no
+        write): search paths then run against ``assign(df)`` lazily. For
+        one-shot queries where building a persisted layout isn't warranted;
+        probing degrades from directory pruning to a post-scan filter."""
+        self._df = self.assign(df)
+        return self
+
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Assign shards and persist partitioned by shard_id.
 
@@ -368,53 +376,37 @@ class IVFIndex:
         query_vec_col: str = "query_vector",
     ) -> DataFrame:
         """Batched IVF search: the union of probed shards over the whole
-        query batch is scanned ONCE; per-(query,shard) candidate filtering
-        happens via an assignment map on the scores side.
+        query batch is scanned ONCE; per-(query,shard) probe masking happens
+        INSIDE the Arrow per-partition top-k kernel (operators/topk.py), so
+        the only shuffle is the final merge of <= num_partitions*k rows per
+        query — never the |pruned|×|Q| cross product (a crossJoin + window
+        over query_id would make each query's window partition the entire
+        probed candidate set, the exact skew hazard topk.py documents).
 
         Scale note: per-query probing of disjoint partitions would launch
         |Q| jobs; amortizing into one scan of the union is the batch-mode
         plan (BASELINE.md: batching amortizes per-job overhead).
         """
-        from pyspark.sql import Window
-        from distributed_vector_database_spark.operators.topk import (
-            score_column,
-        )
-        from distributed_vector_database_spark.functions.vector import round_score
+        from distributed_vector_database_spark.operators.topk import batch_topk
 
         q_rows = queries.select(query_id_col, query_vec_col).collect()
         probe_map = {
-            r[0]: nearest_shards(r[1], self.centroids, nprobe) for r in q_rows
+            int(r[0]): nearest_shards(r[1], self.centroids, nprobe)
+            for r in q_rows
         }
         union_shards = sorted({s for ss in probe_map.values() for s in ss})
         # ONE partition-pruned scan over the union of probed shards
         pruned = self.df.filter(F.col("shard_id").isin(union_shards))
-        # queries carry their probe set; the (query × row) pairing is a
-        # broadcast cross join filtered to shard ∈ that query's probe set
-        probe_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(qid, ss) for qid, ss in probe_map.items()],
-                f"{query_id_col} long, _probe array<int>",
-            ).join(queries, query_id_col)
-        )
-        joined = pruned.crossJoin(probe_df).filter(
-            F.array_contains(F.col("_probe"), F.col("shard_id"))
-        )
-        score = round_score(
-            score_column(metric, F.col(self.vector_col), F.col(query_vec_col)), 6
-        )
-        reduced = joined.select(
-            F.col(query_id_col), F.col(self.id_col), score.alias("score")
-        )
-        asc = metric == "euclidean"
-        order = [
-            F.asc("score") if asc else F.desc("score"),
-            F.asc(self.id_col),
-        ]
-        w = Window.partitionBy(query_id_col).orderBy(*order)
-        return (
-            reduced.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id_col, self.id_col, "score", "rank")
+        return batch_topk(
+            pruned,
+            queries,
+            k,
+            vector_col=self.vector_col,
+            id_col=self.id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            metric=metric,
+            allowed_shards=probe_map,
         )
 
     def exact_search(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:

@@ -73,21 +73,25 @@ def topk(
     id_col: str = "vec_id",
     metric: str = "cosine",
     score_digits: int | None = 6,
-    method: str = "expr",
+    method: str = "auto",
 ) -> DataFrame:
     """Exact top-k nearest rows to one query vector.
 
     Returns (id_col, score) ordered by (score best-first, id ASC).
 
-    ``method='expr'`` (default): column-pruned scan -> Catalyst expression
-    score -> TakeOrderedAndProject (per-partition heap + driver merge).
-    Zero Python; right up to ~10^2 dims where expression evaluation of the
-    dot product (interpreted inside the higher-order lambda) starts to
-    dominate.
+    ``method='auto'`` (default): pick by dimensionality — the measured
+    crossover is ~128 dims (BENCH: 768-d expr 3.29 s vs arrow 2.09 s;
+    low-dim the expression path wins on zero Python/Arrow overhead).
+    ``method='expr'``: column-pruned scan -> Catalyst expression score ->
+    TakeOrderedAndProject (per-partition heap + driver merge). Zero Python;
+    right up to ~10^2 dims where expression evaluation of the dot product
+    (interpreted inside the higher-order lambda) starts to dominate.
     ``method='arrow'``: route through the batch kernel (numpy BLAS dot in
     mapInPandas, per-partition top-k, then merge) — faster for high-dim
     vectors or wide scans, same results by construction.
     """
+    if method == "auto":
+        method = "arrow" if len(query_vector) >= 128 else "expr"
     if method == "arrow":
         spark = df.sparkSession
         qdf = spark.createDataFrame(
@@ -161,6 +165,8 @@ def batch_topk(
     metric: str = "cosine",
     score_digits: int | None = 6,
     use_arrow: bool = True,
+    allowed_shards: dict | None = None,
+    shard_col: str = "shard_id",
 ) -> DataFrame:
     """Exact top-k for a batch of queries in ONE job.
 
@@ -173,12 +179,28 @@ def batch_topk(
 
     Returns (query_id, id_col, score, rank), rank 1..k per query.
 
+    ``allowed_shards`` (query_id -> iterable of shard ids) restricts each
+    query's candidates to rows whose ``shard_col`` is in its set — the
+    per-query probe mask of batched IVF search (IVFIndex.search_batch). The
+    mask is applied INSIDE the partition kernel, so the window merge still
+    only sees the <= num_partitions*k survivors per query, never the
+    |pruned|×|Q| cross product.
+
     Amortizing many queries per job is also how this engine beats the
     reference's small-shard latency floor (BASELINE.md "Reading the numbers").
     """
     if use_arrow:
         reduced = _partition_topk_arrow(
-            df, queries, k, vector_col, id_col, query_id_col, query_vec_col, metric
+            df,
+            queries,
+            k,
+            vector_col,
+            id_col,
+            query_id_col,
+            query_vec_col,
+            metric,
+            allowed_shards=allowed_shards,
+            shard_col=shard_col,
         )
         score = F.col("score")
         if score_digits is not None:
@@ -186,6 +208,17 @@ def batch_topk(
         reduced = reduced.withColumn("score", score)
     else:
         joined = df.crossJoin(F.broadcast(queries))
+        if allowed_shards is not None:
+            probe = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(qid, [int(s) for s in ss])
+                     for qid, ss in allowed_shards.items()],
+                    f"{query_id_col} long, _probe array<int>",
+                )
+            )
+            joined = joined.join(probe, query_id_col).filter(
+                F.array_contains(F.col("_probe"), F.col(shard_col))
+            )
         score = score_column(metric, F.col(vector_col), F.col(query_vec_col))
         if score_digits is not None:
             score = round_score(score, score_digits)
@@ -212,21 +245,33 @@ def _partition_topk_arrow(
     query_id_col: str,
     query_vec_col: str,
     metric: str,
+    allowed_shards: dict | None = None,
+    shard_col: str = "shard_id",
 ) -> DataFrame:
     """Per-partition top-k via mapInPandas + numpy (Arrow batches).
 
     The full query matrix is captured in the closure (broadcast by Spark's
     task serializer — fine for <=O(10^4) queries); each input partition emits
-    at most |Q|*k candidate rows.
+    at most |Q|*k candidate rows. With ``allowed_shards``, each query only
+    sees rows whose shard is in its probe set (batched IVF semantics).
     """
     import numpy as np
 
     rows = queries.select(query_id_col, query_vec_col).collect()
     q_ids = np.array([r[0] for r in rows])
     q_mat = np.array([r[1] for r in rows], dtype=np.float64)  # |Q| x d
+    q_allowed = None
+    if allowed_shards is not None:
+        q_allowed = [
+            np.asarray(sorted(allowed_shards.get(int(qid), ())), dtype=np.int64)
+            for qid in q_ids
+        ]
 
     schema = f"{query_id_col} long, {id_col} long, score double"
     larger_better = metric != "euclidean"
+    in_cols = [id_col, vector_col] + (
+        [shard_col] if allowed_shards is not None else []
+    )
 
     def part_topk(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -236,6 +281,11 @@ def _partition_topk_arrow(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
+            shards = (
+                pdf[shard_col].to_numpy().astype(np.int64)
+                if q_allowed is not None
+                else None
+            )
             mat = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)  # n x d
             if metric == "cosine":
                 qn = np.linalg.norm(q_mat, axis=1)
@@ -255,8 +305,6 @@ def _partition_topk_arrow(
                         0.0,
                     )
                 )
-            n = len(ids)
-            kk = min(k, n)
             # selection key uses the ROUNDED score so boundary decisions agree
             # with the final (rounded) global ordering; ties broken by id ASC
             key = np.round(scores, 6)
@@ -264,10 +312,23 @@ def _partition_topk_arrow(
                 key = -key
             sel_qid, sel_id, sel_score = [], [], []
             for j in range(len(q_ids)):
-                order = np.lexsort((ids, key[:, j]))[:kk]
+                if q_allowed is not None:
+                    cand = np.isin(shards, q_allowed[j]).nonzero()[0]
+                    if len(cand) == 0:
+                        continue
+                else:
+                    cand = None
+                jids = ids if cand is None else ids[cand]
+                jkey = key[:, j] if cand is None else key[cand, j]
+                kk = min(k, len(jids))
+                order = np.lexsort((jids, jkey))[:kk]
+                if cand is not None:
+                    order = cand[order]
                 sel_qid.append(np.full(kk, q_ids[j]))
                 sel_id.append(ids[order])
                 sel_score.append(scores[order, j])
+            if not sel_qid:
+                continue
             frames.append(
                 pd.DataFrame(
                     {
@@ -292,4 +353,4 @@ def _partition_topk_arrow(
             )
             yield allf
 
-    return df.select(id_col, vector_col).mapInPandas(part_topk, schema=schema)
+    return df.select(*in_cols).mapInPandas(part_topk, schema=schema)

@@ -317,6 +317,41 @@ def q_ivf_search_pruned(spark, sf_dir):
     return topk(candidates, qv, k=5, metric="cosine")
 
 
+@register(
+    "ivf_exact_equiv",
+    f"""
+WITH qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (0, 50, 100)),
+s AS (SELECT qs.query_id, e.vec_id, ROUND({_cos(E, 'qs.qv')}, 6) AS score
+      FROM embeddings e, qs),
+r AS (SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT query_id, vec_id, score, "rank" FROM r WHERE "rank" <= 10
+""",
+)
+def q_ivf_exact_equiv(spark, sf_dir):
+    """SURVEY §5.3 primary invariant as a driver-checked row: IVF search
+    with nprobe == num_shards must EQUAL exact brute-force top-k
+    (reference: POST /search degrades to exact when shards_to_search = N,
+    src/compute_server.py:110-138). The Spark side runs the full batched
+    IVF machinery — centroid routing, per-query probe masks, Arrow
+    per-partition top-k reduce, global merge (IVFIndex.search_batch); the
+    oracle is plain exact top-k SQL with no IVF anywhere."""
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    idx = IVFIndex(spark, cents).attach(emb)
+    queries = emb.filter(F.col("vec_id").isin(0, 50, 100)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = idx.search_batch(queries, k=10, nprobe=idx.num_shards())
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ===========================================================================
 # §2.1 S3 / §1.4: upsert keep-latest (REPLACE INTO semantics,
 # reference: src/storage_server.py:43-46)
@@ -712,8 +747,11 @@ WITH s AS (
 ),
 sx AS (
   SELECT user_id, ts, event_id, value,
-         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                             ROWS UNBOUNDED PRECEDING) AS session_ix
+         -- CAST: DuckDB sum(INTEGER) is HUGEINT, which pandas renders as
+         -- float64 and the driver's value-hash then mismatches Spark's bigint.
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                                  event_id ASC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_ix
   FROM s
 )
 SELECT user_id, session_ix, min(ts) AS session_start, max(ts) AS session_end,
@@ -1310,6 +1348,7 @@ def q_stateful_running_totals(spark, sf_dir):
         stateful_user_totals(stream),
         final_keys=["user_id"],
         latest_by="n_events",
+        shuffle_partitions=8,
     )
 
 
@@ -2209,8 +2248,11 @@ def q_stream_dedup_counts(spark, sf_dir):
         src.coalesce(2).write.mode("append").parquet(d)
         src.coalesce(2).write.mode("append").parquet(d)
         _DEDUP_STREAM_CACHE[sf_dir] = d
-    deduped = dedup_stream(read_event_stream(spark, d), keys=["event_id"])
-    out = run_stream_to_batch(deduped)
+    deduped = dedup_stream(
+        read_event_stream(spark, d, max_files_per_trigger=2),
+        keys=["event_id"],
+    )
+    out = run_stream_to_batch(deduped, shuffle_partitions=8)
     return out.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias(
@@ -2292,11 +2334,12 @@ def q_stream_tumbling_counts(spark, sf_dir):
         d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
         src.repartition(4).write.mode("overwrite").parquet(d)
         _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
-    stream = read_event_stream(spark, d)
+    stream = read_event_stream(spark, d, max_files_per_trigger=2)
     out = run_stream_to_batch(
         tumbling_counts(stream, watermark=None),
         final_keys=["window_start", "window_end", "event_type"],
         latest_by="n_events",
+        shuffle_partitions=8,
     )
     return out.select("window_start", "event_type", "n_events", "sum_value")
 
@@ -2815,15 +2858,19 @@ def q_stream_click_purchase_join(spark, sf_dir):
         d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
         src.repartition(4).write.mode("overwrite").parquet(d)
         _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
-    clicks = read_event_stream(spark, d).filter(
+    # 2 files per trigger -> 2 micro-batches: still exercises cross-batch
+    # join state, without paying 4x micro-batch spin-up (the round-1 bench
+    # measured harness overhead, not the operator — VERDICT r1 item 6).
+    clicks = read_event_stream(spark, d, max_files_per_trigger=2).filter(
         F.col("event_type") == "click"
     )
-    purchases = read_event_stream(spark, d).filter(
+    purchases = read_event_stream(spark, d, max_files_per_trigger=2).filter(
         F.col("event_type") == "purchase"
     )
     return run_stream_to_batch(
         join_event_streams(clicks, purchases, within="60 minutes"),
         output_mode="append",
+        shuffle_partitions=8,
     )
 
 
@@ -3307,3 +3354,83 @@ def q_grouped_topk_by_label(spark, sf_dir):
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Registration-order rotation (round 2).
+#
+# The round driver oracle-checks only the FIRST 50 registered queries
+# (CORRECTNESS_r01.json covers registrations 1-50; VERDICT r1 item 2), so
+# round 1 left 48 later registrations with zero driver verification. Rotate
+# those to the front — plus `sessionization` (oracle retyped this round:
+# HUGEINT-sum cast, VERDICT r1 item 1) and the new `ivf_exact_equiv` — so
+# every registered query earns a green CORRECTNESS row across rounds. Keep
+# rotating in later rounds as new queries overflow the window.
+# ---------------------------------------------------------------------------
+
+_CHECK_FIRST = [
+    # never driver-verified in round 1 (registration positions 51-98)
+    "kmv_distinct_users_by_type",
+    "hash_sample_docs",
+    "brand_revenue",
+    "vector_json_roundtrip",
+    "event_value_pivot",
+    "moving_avg_value",
+    "curation_funnel",
+    "lang_confusion",
+    "pq_encode_recon",
+    "pq_adc_topk",
+    "csv_roundtrip_orders",
+    "json_roundtrip_events",
+    "event_gaps",
+    "salted_event_enrichment",
+    "ivfpq_search",
+    "term_frequencies",
+    "doc_tfidf_top_terms",
+    "stream_dedup_counts",
+    "zorder_curve_stats",
+    "stream_tumbling_counts",
+    "udaf_mean_cents_by_type",
+    "orders_above_global_avg",
+    "customer_max_order",
+    "pq_adc_batch_topk",
+    "dedup_clusters",
+    "pq_rerank_topk",
+    "user_spend_quartiles",
+    "forecast_revenue_change",
+    "train_val_test_split",
+    "late_orders_by_priority",
+    "large_volume_customers",
+    "ivf_centroid_update",
+    "orc_roundtrip_lineitem",
+    "stream_click_purchase_join",
+    "stratified_lang_sample",
+    "event_value_unpivot",
+    "event_value_histogram",
+    "radius_search_cosine",
+    "topk_dot_prenormalized",
+    "kfold_assignment",
+    "decontaminate_report",
+    "decontaminate_clean_count",
+    "doc_repetition",
+    "sequence_packing",
+    "quality_weighted_sample",
+    "source_budget_mix",
+    "filtered_topk_cosine",
+    "grouped_topk_by_label",
+    # red row fixed this round + the new §5.3 invariant query
+    "sessionization",
+    "ivf_exact_equiv",
+]
+
+
+def _rotate_registry(front: list[str]) -> None:
+    missing = [n for n in front if n not in _REGISTRY]
+    assert not missing, f"rotation names not registered: {missing}"
+    rest = [n for n in _REGISTRY if n not in front]
+    ordered = {n: _REGISTRY[n] for n in [*front, *rest]}
+    _REGISTRY.clear()
+    _REGISTRY.update(ordered)
+
+
+_rotate_registry(_CHECK_FIRST)

@@ -34,16 +34,20 @@ EVENT_SCHEMA = (
 
 
 def read_event_stream(
-    spark: SparkSession, directory: str, *, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    directory: str,
+    *,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """File-source event stream: new parquet files in ``directory`` become
     micro-batches (the Spark-native replacement for the reference's per-record
-    HTTP ingest)."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(directory)
-    )
+    HTTP ingest). ``max_files_per_trigger=None`` drops the cap — all
+    available files arrive in the first micro-batch (the replay-to-batch
+    fast path; per-batch spin-up dominates when batches are tiny)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
 
 
 def tumbling_counts(
@@ -206,6 +210,7 @@ def run_stream_to_batch(
     final_keys: list[str] | None = None,
     latest_by: str | None = None,
     output_mode: str = "update",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion against a memory sink and
     return the result as a batch DataFrame.
@@ -214,21 +219,36 @@ def run_stream_to_batch(
     key's FINAL state: the row maximizing ``latest_by`` (which must be a
     monotone accumulator, e.g. a running count — sink row order is not a
     contract to rely on).
+
+    ``shuffle_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the stream run: a stateful
+    streaming query pays per-micro-batch state-store overhead on EVERY
+    shuffle partition, so a bounded replay (small state, few batches) wants
+    far fewer partitions than a batch shuffle does. The session conf is
+    restored afterwards. A live deployment sizes this to cluster cores ×
+    state volume instead.
     """
     import uuid
 
-    name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     spark = stream_df.sparkSession
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(conf_key, saved)
     out = spark.table(name)
     if final_keys:
         if not latest_by:

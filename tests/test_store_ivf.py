@@ -92,6 +92,50 @@ def test_search_batch(index, embeddings):
         assert best["score"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_search_batch_plan_no_cross_product(index, embeddings):
+    """search_batch must route through the Arrow partition kernel: the only
+    exchange input is <= num_partitions*k rows per query, never the
+    |pruned|×|Q| cross product (VERDICT r1 #4). Plan evidence: a MapInPandas
+    reduce and NO cartesian/nested-loop join."""
+    from distributed_vector_database_spark.plans.inspect import plan_text
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = index.search_batch(queries, k=4, nprobe=2)
+    txt = plan_text(out)
+    assert "MapInPandas" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_search_batch_probed_equals_crossjoin_reference(index, embeddings):
+    """Probe-masked Arrow kernel == the naive broadcast-crossJoin + window
+    formulation on the same probed (nprobe < N) batch."""
+    from distributed_vector_database_spark.operators.topk import batch_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = index.search_batch(queries, k=4, nprobe=2).collect()
+    probe_map = {
+        int(r[0]): nearest_shards(r[1], index.centroids, 2)
+        for r in queries.collect()
+    }
+    union = sorted({s for ss in probe_map.values() for s in ss})
+    pruned = index.df.filter(F.col("shard_id").isin(union))
+    exp = batch_topk(
+        pruned,
+        queries,
+        4,
+        use_arrow=False,
+        allowed_shards=probe_map,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, exp))
+
+
 def test_set_centroids_changes_routing(spark, embeddings):
     idx = IVFIndex(spark, [[0.0] * 64, [1.0] * 64])
     a = idx.assign(embeddings.limit(10)).select("vec_id", "shard_id").collect()
