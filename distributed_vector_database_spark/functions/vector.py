@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot",
     "l2_norm",
+    "l2_normalize",
     "cosine_similarity",
     "euclidean_distance",
     "squared_euclidean",
+    "round_score",
 ]
 
 
@@ -103,11 +105,14 @@ def l2_normalize(df, vector_col: str, out_col: str | None = None):
     """
     out = out_col or vector_col
     v = _as_double(vector_col)
+    ncol = "_n"
+    while ncol in df.columns:  # collision-free helper name
+        ncol += "_"
     with_n = df.select(
-        *df.columns, F.explode(F.array(l2_norm(vector_col))).alias("_n")
+        *df.columns, F.explode(F.array(l2_norm(vector_col))).alias(ncol)
     )
-    unit = F.when(F.col("_n") == 0.0, v).otherwise(
-        F.transform(v, lambda x: x / F.col("_n"))
+    unit = F.when(F.col(ncol) == 0.0, v).otherwise(
+        F.transform(v, lambda x: x / F.col(ncol))
     )
     cols = [unit.alias(c) if c == out else F.col(c) for c in df.columns]
     if out not in df.columns:

@@ -177,6 +177,14 @@ def budget_mix(
     the first doc that would cross the cap is dropped, as is everything
     after it). Output: (doc_id, source, n_tokens) of the mixed corpus.
 
+    The ``cum <= budget`` filter is a true prefix cutoff because
+    ``n_tokens`` is clamped to >= 0 below, making the running sum monotone
+    non-decreasing: once a doc crosses the cap, every later doc in the
+    source — including zero-token docs, whose cum equals the crossing
+    doc's — sits above the budget and is dropped. (Without the clamp a
+    null ``text`` could yield a null/negative size and break the
+    monotonicity argument.)
+
     This is the mixture-weights step of a pretraining data recipe (cap
     each domain's token contribution) as one window per source — the
     window parallelizes across sources, and within a source the scan is
@@ -193,7 +201,9 @@ def budget_mix(
     base = docs.select(
         F.col(id_col),
         F.col(source_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), F.coalesce(F.size(tokens(text_col)), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_h"),
         budget_expr.alias("_budget"),
     )

@@ -155,20 +155,33 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # fixpoint when the canonical edge set stops changing; (count,
-        # sum u, sum v) is a cheap signature — edge endpoints only ever
-        # decrease under star contraction, so an equal signature after a
-        # full large+small round means no edge moved.
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # (count, sum u, sum v) is a cheap signature used as a pre-filter;
+        # equality is then CONFIRMED exactly with a set difference, so a
+        # signature collision between different edge sets cannot end the
+        # loop early.
         sig = tuple(
-            e.agg(F.count("*"), F.sum("u"), F.sum("v")).head()
+            new_e.agg(F.count("*"), F.sum("u"), F.sum("v")).head()
         )
-        if sig == prev_sig:
+        if sig == prev_sig and new_e.exceptAll(e).isEmpty():
+            e = new_e
+            converged = True
             break
         prev_sig = sig
+        e = new_e
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star hit max_iters={max_iters} before "
+            "the edge set reached a fixpoint; labels may be non-minimal — "
+            "raise max_iters (rounds needed is O(log^2 n))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged edges form stars: every edge points node -> component min.
-    # min-aggregate is insurance for a max_iters cutoff mid-contraction.
     star = e.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("c"))
     return nodes.join(star, "node", "left").select(
         "node", F.coalesce(F.col("c"), F.col("node")).alias("component")

@@ -3019,12 +3019,23 @@ def q_topk_dot_prenormalized(spark, sf_dir):
     """Store-time normalization: unit-normalize the corpus once
     (l2_normalize, norm materialized through a Generate barrier), then
     search by plain DOT — equal scores to cosine, two norms cheaper per
-    row per query. The standard embedding-table layout at scale."""
+    row per query. The standard embedding-table layout at scale.
+
+    Zero-norm vectors are EXCLUDED at store time on both sides (a zero
+    vector has no unit form and scores 0 against everything under cosine);
+    the oracle applies the same norm > 0 filter, keeping the two engines
+    aligned even on a corpus that contains zero vectors near the k
+    boundary."""
     from distributed_vector_database_spark.functions.vector import (
+        l2_norm,
         l2_normalize,
     )
 
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(l2_norm("embedding") > 0.0)
+    )
     unit = l2_normalize(emb, "embedding")
     qv = _query_vec(spark, sf_dir, 0)
     import math

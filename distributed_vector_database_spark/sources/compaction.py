@@ -17,10 +17,13 @@ embarrassingly so — each partition is rewritten by an independent Spark
 job reading only that directory, so a 64-shard layout compacts as 64
 small jobs (or one job per *skewed* partition only, via the
 ``min_files`` gate). The rewrite is a narrow coalesce — no shuffle.
-Crash-safety: new files land under a temp dir inside the layout first
-(ignored by readers via the leading underscore), then replace the old
-files; a crash mid-swap loses no committed data because the temp dir is
-only promoted after a successful write.
+Crash-safety: new files are written to a temp dir, staged INTO the
+partition under dot-prefixed names (invisible to readers), and only then
+are the originals moved to a trash dir, the staged files un-dotted, and
+the trash deleted — every rename's return value is checked, and any
+failure aborts with originals intact (or restorable from
+``_compaction_trash``/dotted names; a crash mid-swap can require that
+manual promotion, but never loses row data).
 """
 
 from __future__ import annotations
@@ -113,10 +116,64 @@ def compact_layout(
         spark.read.parquet(d).coalesce(ideal).write.mode("overwrite").parquet(tmp)
 
         new_files = _data_files(fs, jvm, tmp)
-        for p, _n in files:  # drop originals, then promote
-            fs.delete(p, False)
+
+        # clear dotted residue a previously crashed run may have left
+        # (renames below fail if the destination exists)
+        for st in fs.listStatus(hPath(d)):
+            nm = st.getPath().getName()
+            if st.isFile() and nm.startswith(".") and nm.endswith(".compacting"):
+                fs.delete(st.getPath(), False)
+
+        # 1. stage new files INSIDE the partition under dot-prefixed names
+        #    (parquet readers skip dotfiles); abort with originals intact
+        #    if any rename fails.
+        staged: list = []
+        failed = None
         for p, _n in new_files:
-            fs.rename(p, hPath(d + "/" + p.getName()))
+            dst = hPath(d + "/." + p.getName() + ".compacting")
+            if fs.rename(p, dst):
+                staged.append((dst, hPath(d + "/" + p.getName())))
+            else:
+                failed = p
+                break
+        if failed is not None:
+            for dst, _f in staged:
+                fs.delete(dst, False)
+            raise RuntimeError(
+                f"compaction aborted: staging {failed} into {d} failed; "
+                f"originals untouched, new files remain under {tmp}"
+            )
+
+        # 2. move originals to a trash dir; roll back fully on failure
+        trash = f"{path.rstrip('/')}/_compaction_trash/{d.rsplit('/', 1)[-1]}"
+        fs.mkdirs(hPath(trash))
+        trashed: list = []
+        for p, _n in files:
+            tdst = hPath(trash + "/" + p.getName())
+            if fs.rename(p, tdst):
+                trashed.append((p, tdst))
+            else:
+                for orig, tdst2 in trashed:
+                    fs.rename(tdst2, orig)
+                for dst, _f in staged:
+                    fs.delete(dst, False)
+                raise RuntimeError(
+                    f"compaction aborted: could not move original {p} "
+                    f"aside; partition {d} restored"
+                )
+
+        # 3. un-dot the staged files (same-directory renames); originals
+        #    still exist in trash until this completes
+        for dst, final in staged:
+            if not fs.rename(dst, final):
+                raise RuntimeError(
+                    f"compaction: promoting {dst} -> {final} failed; rows "
+                    f"preserved under the dotted name and in {trash} — "
+                    f"manual promotion required"
+                )
+
+        # 4. cleanup, only after every promote succeeded
+        fs.delete(hPath(f"{path.rstrip('/')}/_compaction_trash"), True)
         fs.delete(hPath(f"{path.rstrip('/')}/_compaction_tmp"), True)
         compacted += 1
         files_after += len(new_files)

@@ -220,10 +220,19 @@ def payload_stats(
     return df.select(id_col, content_col).mapInPandas(stats, schema)
 
 
-def decode_with_pillow(assets: DataFrame) -> DataFrame:  # pragma: no cover
+def decode_with_pillow(assets: DataFrame) -> DataFrame:
     """Production decode hook: real image decoding via Pillow.
 
-    STUB: raises unless PIL is available in the executors' environment.
+    Same Arrow ``mapInPandas`` shape as :func:`decode_image_meta`, but the
+    payload is parsed by PIL instead of this module's fake header — so any
+    real PNG/JPEG/etc. binary column decodes to
+    ``(asset_id, width, height, mode, format, valid)``. Undecodable
+    payloads yield ``valid = false`` rather than failing the job (a 100 TB
+    crawl always contains corrupt blobs).
+
+    Raises NotImplementedError at plan time when PIL is absent in this
+    environment (the driver check mirrors the executors' environment in
+    local mode; on a real cluster, ship PIL with the executors).
     """
     try:
         import PIL  # noqa: F401
@@ -233,4 +242,42 @@ def decode_with_pillow(assets: DataFrame) -> DataFrame:  # pragma: no cover
             "decode_image_meta/image_features (deterministic fakes) or "
             "install PIL on the executors."
         ) from e
-    raise NotImplementedError("wire the PIL decode here when the lib exists")
+
+    schema = (
+        "asset_id long, width int, height int, mode string, "
+        "format string, valid boolean"
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "mode": [],
+                "format": [],
+                "valid": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    with Image.open(io.BytesIO(bytes(content))) as im:
+                        w, h = im.size
+                        mode, fmt, ok = im.mode, im.format or "", True
+                except Exception:
+                    w = h = 0
+                    mode = fmt = ""
+                    ok = False
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                out["format"].append(fmt)
+                out["valid"].append(ok)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "content").mapInPandas(decode, schema)

@@ -61,9 +61,42 @@ def test_frame_sample_counts(assets):
     assert all(r["count"] >= 1 for r in per)
 
 
+_HAS_PIL = True
+try:
+    import PIL  # noqa: F401
+except ImportError:
+    _HAS_PIL = False
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: gate does not trigger")
 def test_pillow_stub_raises(assets):
     with pytest.raises(NotImplementedError):
         decode_with_pillow(assets)
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed")
+def test_pillow_decode_real_images(spark):
+    """Production decode path, exercised whenever PIL exists: real PNG
+    bytes decode to true dimensions; corrupt payloads yield valid=false
+    instead of failing the job."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i, (w, h) in enumerate([(5, 3), (8, 8), (2, 7)]):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color=(i, i, i)).save(buf, format="PNG")
+        rows.append((i, "image", "image/png", buf.getvalue()))
+    rows.append((99, "image", "image/png", b"not an image"))
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, mime string, content binary"
+    )
+    out = {r["asset_id"]: r for r in decode_with_pillow(assets).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["valid"]) == (5, 3, True)
+    assert (out[1]["width"], out[1]["height"]) == (8, 8)
+    assert out[2]["format"] == "PNG"
+    assert out[99]["valid"] is False and out[99]["width"] == 0
 
 
 def test_resize_is_deterministic_and_fixed_size(spark):
