@@ -25,6 +25,7 @@ __all__ = [
     "fingerprints",
     "term_frequencies",
     "tfidf_top_terms",
+    "oov_rates",
     "LANG_MARKERS",
 ]
 
@@ -281,4 +282,53 @@ def tfidf_top_terms(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocab_size: int = 100,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own top-V
+    vocabulary — the tokenizer-prep audit (how much of each doc a V-entry
+    vocab fails to cover; high-OOV docs are noise/foreign-language
+    candidates).
+
+    Vocabulary = top ``vocab_size`` terms by global frequency,
+    deterministically tie-broken (n DESC, term ASC). Plan shape: the
+    wordcount's |vocab| result is TakeOrdered'd to V rows and BROADCAST to
+    the exploded corpus (a V-row build side regardless of corpus size), so
+    the only wide op is the per-doc count agg — map-side combinable.
+
+    Output: ``(id, n_tokens, n_oov, oov_rate)`` with rate rounded to 6dp.
+    """
+    vocab = (
+        term_frequencies(docs, text_col=text_col, id_col=id_col)
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    joined = terms.join(F.broadcast(vocab), "term", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
     )

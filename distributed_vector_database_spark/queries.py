@@ -3367,6 +3367,130 @@ def q_grouped_topk_by_label(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# PII scrubbing (operators/curation.pii_scrub): the documents table is
+# synthetic word-soup with no real PII, so both sides deterministically
+# inject synthetic emails/IPs/phones keyed on doc_id before scrubbing —
+# the regex detection + sequential redaction machinery is then genuinely
+# exercised and compared via counts + md5 of the redacted text.
+# ===========================================================================
+
+_PII_ORACLE = (
+    """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' ip 10.0.' || (doc_id % 256) || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-123-4567'
+                 ELSE '' END AS t
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '"""
+    + r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    + """'))::BIGINT AS n_email,
+         len(regexp_extract_all(t, '"""
+    + r"\b\d{3}-\d{3}-\d{4}\b"
+    + """'))::BIGINT AS n_phone,
+         len(regexp_extract_all(t, '"""
+    + r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    + """'))::BIGINT AS n_ipv4,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '"""
+    + r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    + """', '<PII>', 'g'),
+           '"""
+    + r"\b\d{3}-\d{3}-\d{4}\b"
+    + """', '<PII>', 'g'),
+           '"""
+    + r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    + """', '<PII>', 'g') AS r
+  FROM aug)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       (n_email + n_phone + n_ipv4)::BIGINT AS n_pii,
+       md5(r) AS redacted_md5, len(r)::BIGINT AS redacted_len
+FROM red
+"""
+)
+
+
+@register("pii_redaction_stats", _PII_ORACLE)
+def q_pii_redaction_stats(spark, sf_dir):
+    """PII scrub over deterministically-augmented documents: per-doc match
+    counts per pattern plus an md5 of the fully redacted text, so the
+    oracle verifies both detection and the byte-exact replacement output."""
+    from distributed_vector_database_spark.operators.curation import pii_scrub
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "n_pii",
+        F.md5(F.col("text")).alias("redacted_md5"),
+        F.length("text").cast("long").alias("redacted_len"),
+    )
+
+
+@register(
+    "doc_oov_rate",
+    r"""
+WITH toks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+     FROM documents),
+terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+vocab AS (SELECT term FROM (
+            SELECT term, count(*) AS n FROM terms GROUP BY term)
+          ORDER BY n DESC, term ASC LIMIT 100),
+j AS (SELECT d.doc_id, v.term IS NOT NULL AS iv
+      FROM terms d LEFT JOIN vocab v ON d.term = v.term)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN iv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+       ROUND(sum(CASE WHEN iv THEN 0 ELSE 1 END)::DOUBLE / count(*), 6)
+         AS oov_rate
+FROM j GROUP BY doc_id
+""",
+)
+def q_doc_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per doc vs the corpus's own top-100 vocab
+    (text_analysis.oov_rates): wordcount -> TakeOrdered vocab -> broadcast
+    join -> map-side-combinable per-doc agg."""
+    return _ta.oov_rates(_read(spark, sf_dir, "documents"), vocab_size=100)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

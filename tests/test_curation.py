@@ -181,3 +181,58 @@ def test_budget_mix_caps_every_source(spark, documents):
         )
     )
     assert a == b
+
+
+# ---- PII scrubbing --------------------------------------------------------
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    from distributed_vector_database_spark.operators.curation import pii_scrub
+
+    rows = [
+        (0, "reach me at a.b-c_1@mail.example.org thanks"),
+        (1, "server 192.168.1.254 and backup 10.0.0.1"),
+        (2, "call 555-123-4567 now"),
+        (3, "nothing sensitive here"),
+        (4, "x@y.io or 1.2.3.4 or 999-888-7777"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[0]["n_email"], out[0]["n_pii"]) == (1, 1)
+    assert "a.b-c_1@mail.example.org" not in out[0]["text"]
+    assert "<PII>" in out[0]["text"]
+    assert out[1]["n_ipv4"] == 2 and out[1]["text"].count("<PII>") == 2
+    assert out[2]["n_phone"] == 1
+    assert out[3]["n_pii"] == 0 and out[3]["text"] == rows[3][1]
+    assert out[4]["n_pii"] == 3 and out[4]["text"].count("<PII>") == 3
+
+
+def test_pii_scrub_custom_patterns(spark):
+    from distributed_vector_database_spark.operators.curation import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(0, "key=AKIA1234 other")], "doc_id long, text string"
+    )
+    out = pii_scrub(
+        docs, patterns={"akia": r"AKIA[0-9A-Z]+"}, replacement="[SECRET]"
+    ).collect()[0]
+    assert out["n_akia"] == 1 and out["n_pii"] == 1
+    assert out["text"] == "key=[SECRET] other"
+
+
+# ---- OOV rate -------------------------------------------------------------
+
+
+def test_oov_rates_invariants(spark, documents):
+    from distributed_vector_database_spark.operators.text_analysis import (
+        oov_rates,
+    )
+
+    out = oov_rates(documents, vocab_size=10).collect()
+    assert len(out) == documents.count()
+    for r in out:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - round(r["n_oov"] / r["n_tokens"], 6)) < 1e-9
+    # a giant vocab covers everything -> OOV 0 everywhere
+    full = oov_rates(documents, vocab_size=10**6).collect()
+    assert all(r["n_oov"] == 0 for r in full)
