@@ -149,9 +149,9 @@ def main() -> None:
         "topk768_pq_adc",
         "pq768_encode",
         "batch100_sec_per_query",
-        "skewjoin_salted",
-        "skewjoin_aqe_skew",
-        "skewjoin_plain_no_aqe",
+        "skewjoin_salted_no_aqe_sec",
+        "skewjoin_plain_aqe_skew_sec",
+        "skewjoin_plain_no_aqe_sec",
         "topk_cosine",
         "batch_topk_cosine",
         "ivf_search_pruned",

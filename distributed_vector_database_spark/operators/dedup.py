@@ -43,6 +43,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash_fingerprints",
     "embedding_neardup_pairs",
+    "keep_best_per_cluster",
 ]
 
 HEX = "0123456789abcdef"
@@ -466,3 +467,41 @@ def embedding_neardup_pairs(
                 )
 
     return block_pairs.mapInPandas(gemm, out_schema)
+
+
+def keep_best_per_cluster(
+    docs_quality: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware dedup policy: from each near-dup cluster keep the
+    HIGHEST-quality member (ties -> lowest id); documents in no cluster
+    are their own singleton and always kept. The standard refinement over
+    "keep lowest id": when a page exists in five scraped variants, keep
+    the cleanest one, not the numerically first one.
+
+    ``docs_quality``: (id, quality); ``clusters``: (id, cluster) as
+    produced by ``graph.connected_components`` over near-dup pairs —
+    singletons may be absent. Output: kept rows (id, cluster, quality).
+
+    Scale notes: the cluster table is |clustered docs| rows (tiny next to
+    the corpus — broadcastable in practice); the argmax window shuffles
+    by cluster_id once, and cluster sizes are near-dup group sizes, so no
+    skewed partitions.
+    """
+    from pyspark.sql import Window
+
+    joined = docs_quality.join(clusters, id_col, "left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, cluster_col, quality_col)
+    )

@@ -3491,6 +3491,111 @@ def q_doc_oov_rate(spark, sf_dir):
     return _ta.oov_rates(_read(spark, sf_dir, "documents"), vocab_size=100)
 
 
+# ===========================================================================
+# Quality-aware dedup policy (dedup.keep_best_per_cluster): near-dup
+# clusters (exact Jaccard >= 0.8 closed into components) keep their
+# HIGHEST-quality member instead of their lowest id. Oracle: the
+# dedup_clusters RECURSIVE CTE + the doc_quality formula + one argmax
+# window.
+# ===========================================================================
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS n FROM sh),
+p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             count(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+pairs AS (SELECT doc_id_a AS a, doc_id_b AS b FROM p
+          WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(n, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a),
+cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM walk GROUP BY n),
+q AS (SELECT doc_id,
+       ROUND(0.4 * LEAST(len(t) / 50.0, 1.0)
+           + 0.4 * (len(list_distinct(t))::DOUBLE / len(t))
+           + 0.2 * LEAST((list_sum(list_transform(t, x -> len(x)))::DOUBLE
+                          / len(t)) / 6.0, 1.0), 6) AS quality
+      FROM toks),
+j AS (SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+             q.quality
+      FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM j)
+SELECT doc_id, cluster_id::BIGINT AS cluster_id, quality FROM r WHERE rn = 1
+""",
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup keeping the cleanest variant: prefix-filtered exact
+    Jaccard pairs -> connected components -> per-cluster argmax on the
+    quality score (ties -> lowest doc_id); singletons kept as themselves."""
+    from distributed_vector_database_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+    from distributed_vector_database_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    quality = _ta.quality_scores(docs).select("doc_id", "quality")
+    pairs = _dd.jaccard_pairs_prefix(docs, threshold=0.8).select(
+        "doc_id_a", "doc_id_b"
+    )
+    cc = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
+    clusters = cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    return keep_best_per_cluster(quality, clusters)
+
+
+# ===========================================================================
+# Hard-negative mining (operators/mining.py): for each anchor, the top-k
+# most-similar corpus rows of a DIFFERENT label — contrastive-training
+# pair mining, riding the batched top-k kernel's per-query mask.
+# ===========================================================================
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+WITH qs AS (SELECT vec_id AS query_id, label AS qlabel,
+                   embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (0, 7, 42)),
+s AS (SELECT qs.query_id, e.vec_id, ROUND({_cos(E, 'qs.qv')}, 6) AS score
+      FROM embeddings e, qs WHERE e.label <> qs.qlabel),
+r AS (SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT query_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
+""",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Top-5 wrong-label nearest neighbors per anchor (mining.hard_negatives):
+    one job, per-anchor label exclusion applied inside the Arrow partition
+    kernel — no per-label driver loop, no corpus×anchors cross product."""
+    from distributed_vector_database_spark.operators.mining import (
+        hard_negatives,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives(emb, anchors, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
