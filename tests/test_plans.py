@@ -97,6 +97,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            # get(key, None) returns None when the conf was never set
+            # explicitly; leaving -1 in place disables auto-broadcast for
+            # every later test in the session (flaky CartesianProduct
+            # failures in the registry-wide plan audit).
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_b")
 
