@@ -76,6 +76,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a small input across the cluster before CPU-heavy
+    per-row work (shingle explode, signature aggregation, GEMM).
+
+    The sf* corpora are ONE parquet row-group each, so Spark plans a single
+    input task and the whole derivation runs serially on 1 of N cores. A
+    real 100 TB corpus has input splits >> cores, where the condition below
+    is False and this is a no-op — the repartition is a small-input-only
+    policy, never a full-corpus shuffle at scale.
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragment helpers (float64 list math mirroring functions/vector.py)
 # ---------------------------------------------------------------------------
@@ -537,7 +553,9 @@ WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
 """,
 )
 def q_dedup_jaccard(spark, sf_dir):
-    return _dd.jaccard_pairs_prefix(_read(spark, sf_dir, "documents"), threshold=0.8)
+    return _dd.jaccard_pairs_prefix(
+        _spread(_read(spark, sf_dir, "documents")), threshold=0.8
+    )
 
 
 def _minhash_sql(num_hashes: int = 8, bands: int = 2) -> str:
@@ -570,7 +588,7 @@ FROM st a JOIN st b
 @register("dedup_minhash_lsh", _minhash_sql())
 def q_dedup_minhash_lsh(spark, sf_dir):
     return _dd.minhash_candidate_pairs(
-        _read(spark, sf_dir, "documents"), num_hashes=8, bands=2
+        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
     )
 
 
@@ -601,7 +619,7 @@ SELECT doc_id, {' || '.join(chars)} AS simhash FROM v
 
 @register("dedup_simhash", _simhash_sql())
 def q_dedup_simhash(spark, sf_dir):
-    return _dd.simhash_fingerprints(_read(spark, sf_dir, "documents"))
+    return _dd.simhash_fingerprints(_spread(_read(spark, sf_dir, "documents")))
 
 
 _EA = "(a.embedding::DOUBLE[])"
@@ -1060,7 +1078,7 @@ def q_doc_search_hashed(spark, sf_dir):
     recomputes the same cosine from the SPARSE representation."""
     from distributed_vector_database_spark.functions.embed import hashing_embed
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     dense = hashing_embed(docs, dim=64, normalize=False)
     qv = [float(x) for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]]
     return topk(dense, qv, k=10, vector_col="embedding", id_col="doc_id")
@@ -1083,7 +1101,9 @@ def q_dedup_docs_to_drop(spark, sf_dir):
     """Dedup pipeline end state: near-dup pairs (keep the lower doc_id of
     each pair) -> distinct higher ids to drop. Production flow runs minhash
     candidates first and verifies with exact jaccard — same plan shape."""
-    pairs = _dd.jaccard_pairs_prefix(_read(spark, sf_dir, "documents"), threshold=0.8)
+    pairs = _dd.jaccard_pairs_prefix(
+        _spread(_read(spark, sf_dir, "documents")), threshold=0.8
+    )
     return pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
 
 
@@ -2507,7 +2527,7 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
     pairs = _dd.jaccard_pairs_prefix(
-        _read(spark, sf_dir, "documents"), threshold=0.8
+        _spread(_read(spark, sf_dir, "documents")), threshold=0.8
     ).select("doc_id_a", "doc_id_b")
     cc = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
     return cc.select(
@@ -3109,7 +3129,7 @@ def q_decontaminate_report(spark, sf_dir):
         contaminated_doc_ids,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     return contaminated_doc_ids(tr, ev, ngram=3)
@@ -3142,7 +3162,7 @@ def q_decontaminate_clean_count(spark, sf_dir):
         decontaminate,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     clean = decontaminate(tr, ev, ngram=3)
@@ -3543,7 +3563,7 @@ def q_dedup_keep_best(spark, sf_dir):
         connected_components,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _spread(_read(spark, sf_dir, "documents"))
     quality = _ta.quality_scores(docs).select("doc_id", "quality")
     pairs = _dd.jaccard_pairs_prefix(docs, threshold=0.8).select(
         "doc_id_a", "doc_id_b"
