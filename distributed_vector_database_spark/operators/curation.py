@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.text import (
     tokens,
-    word_shingles,
+    word_shingles_arrow,
 )
 
 __all__ = [
@@ -51,7 +51,9 @@ __all__ = [
 
 
 def _shingles(text_col: str, n: int):
-    return word_shingles(tokens(text_col), n=n, distinct=True)
+    # Arrow-batched kernel: 3.5x the interpreted HOF expression (see
+    # functions.text.word_shingles_arrow); same distinct-n-gram contract.
+    return word_shingles_arrow(text_col, n=n, distinct=True)
 
 
 def contaminated_doc_ids(

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from distributed_vector_database_spark.functions.text import (
     tokens,
     word_shingles,
+    word_shingles_arrow,
     doc_fingerprint,
     minhash_value,
 )
@@ -68,17 +69,39 @@ def exact_dedup_groups(
     )
 
 
-def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingles) with tokenization forced to evaluate ONCE per row.
+def _shingled(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    method: str = "expr",
+) -> DataFrame:
+    """(id, shingles): distinct word n-grams per doc, empty docs dropped.
 
-    Catalyst does no subexpression elimination inside higher-order-function
-    lambdas, and ProjectCollapse re-inlines aliased projections — so naively
-    passing ``tokens(text)`` into ``word_shingles`` makes every per-position
-    ``element_at`` lambda re-tokenize the document: O(len²) per doc and a
-    ~60x slowdown observed at sf0.1. ``explode(array(expr))`` routes the
-    token array through a Generate operator (one evaluation per row, not
-    inlinable), so the shingle lambdas read a materialized array attribute.
+    ``method="expr"`` (default) evaluates shingles via Catalyst with the
+    Generate trick below. The dedup self-join plans REFERENCE this frame
+    3-4 times (prefix side a, side b, verify join-back), and Spark
+    re-evaluates an un-cached subtree per reference — the Arrow kernel
+    (``method="arrow"``, `functions.text.word_shingles_arrow`) pays a
+    Python round-trip per re-evaluation and measured SLOWER end-to-end
+    here (5.9 s vs 3.5 s, dedup_jaccard sf0.1), while single-evaluation
+    consumers (decontamination) are 5x FASTER on arrow. Pick per call
+    site; both are tested equal.
+
+    Expression-path note: Catalyst does no subexpression elimination inside
+    higher-order-function lambdas, and ProjectCollapse re-inlines aliased
+    projections — so naively passing ``tokens(text)`` into ``word_shingles``
+    makes every per-position ``element_at`` lambda re-tokenize the document:
+    O(len²) per doc and a ~60x slowdown observed at sf0.1.
+    ``explode(array(expr))`` routes the token array through a Generate
+    operator (one evaluation per row, not inlinable), so the shingle lambdas
+    read a materialized array attribute.
     """
+    if method == "arrow":
+        return docs.select(
+            F.col(id_col),
+            word_shingles_arrow(text_col, n=n).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
     with_toks = docs.select(
         F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
     )

@@ -36,7 +36,11 @@ def sessionize(
     order = [F.col(ts_col).asc(), F.col(id_col).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
-    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(prev_ts)
+    # cast: unix_timestamp is LTZ-strict and parquet ts may arrive NTZ
+    # under a default session; the gap DIFFERENCE cancels any fixed offset
+    gap = F.unix_timestamp(F.col(ts_col).cast("timestamp")) - F.unix_timestamp(
+        prev_ts.cast("timestamp")
+    )
     boundary = F.when(
         prev_ts.isNull() | (gap > gap_seconds), F.lit(1)
     ).otherwise(F.lit(0))

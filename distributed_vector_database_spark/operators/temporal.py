@@ -52,15 +52,22 @@ def range_join(
     Right columns come through prefixed ``r_``.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
-    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+    lb = F.floor(
+        F.unix_timestamp(F.col(left_ts).cast("timestamp")) / window_seconds
+    )
+    rb = F.floor(
+        F.unix_timestamp(F.col(right_ts).cast("timestamp")) / window_seconds
+    )
 
     l = left.withColumn("_bucket", F.explode(F.array(lb - 1, lb)))
     r = right.select(
         *[F.col(c).alias(c if c in keys else f"r_{c}") for c in right.columns]
     ).withColumn(
         "_bucket",
-        F.floor(F.unix_timestamp(F.col(f"r_{right_ts}")) / window_seconds),
+        F.floor(
+            F.unix_timestamp(F.col(f"r_{right_ts}").cast("timestamp"))
+            / window_seconds
+        ),
     )
     rts = F.col(f"r_{right_ts}")
     lts = F.col(left_ts)

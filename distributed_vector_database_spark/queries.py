@@ -2088,7 +2088,10 @@ def q_event_gaps(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # cast: unix_micros is LTZ-strict; parquet ts may arrive NTZ under a
+    # default session (NTZ->LTZ at UTC is wall-clock-preserving, and the
+    # lag DIFFERENCE cancels any fixed offset anyway)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.select(
         "user_id",
         "event_id",

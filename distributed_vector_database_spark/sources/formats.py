@@ -35,7 +35,10 @@ def _opts(fmt: str) -> dict[str, str]:
     if fmt == "orc":
         # binary columnar — types are self-describing, no text options
         return {}
-    o = {"timestampFormat": _TS_FMT}
+    # NTZ columns are formatted by the SEPARATE timestampNTZFormat option
+    # (default keeps only millis) — set both so the roundtrip is lossless
+    # whether the session read the source as TIMESTAMP or TIMESTAMP_NTZ.
+    o = {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT}
     if fmt == "csv":
         o["header"] = "true"
         # quoted embedded newlines are only parsed back correctly in

@@ -236,3 +236,35 @@ def test_oov_rates_invariants(spark, documents):
     # a giant vocab covers everything -> OOV 0 everywhere
     full = oov_rates(documents, vocab_size=10**6).collect()
     assert all(r["n_oov"] == 0 for r in full)
+
+
+def test_word_shingles_arrow_equals_expression(spark, docs_df=None):
+    """The Arrow shingle kernel is value- and order-identical to the
+    Catalyst expression form, including edge docs (empty / whitespace-only /
+    shorter than n / repeated grams)."""
+    from distributed_vector_database_spark.functions.text import (
+        word_shingles_arrow,
+    )
+
+    edge = _docs(
+        spark,
+        [
+            (1, ""),
+            (2, "   \t  "),
+            (3, "one two"),
+            (4, "a b c a b c a b c"),
+            (5, "x  y\tz   x y"),
+        ],
+    )
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    for df in (edge, corpus):
+        for n in (2, 3):
+            got = df.select(
+                "doc_id",
+                word_shingles(tokens("text"), n=n).alias("e"),
+                word_shingles_arrow("text", n=n).alias("a"),
+            ).collect()
+            for r in got:
+                assert r["e"] == r["a"], (n, r["doc_id"], r["e"], r["a"])
