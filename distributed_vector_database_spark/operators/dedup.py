@@ -45,6 +45,7 @@ __all__ = [
     "simhash_fingerprints",
     "embedding_neardup_pairs",
     "keep_best_per_cluster",
+    "semantic_dedup",
 ]
 
 HEX = "0123456789abcdef"
@@ -528,3 +529,68 @@ def keep_best_per_cluster(
         .filter(F.col("_rn") == 1)
         .select(id_col, cluster_col, quality_col)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023, public
+    arXiv 2303.09540): cluster the embedding space, then inside each
+    cluster greedily drop any row whose cosine to a LOWER-id kept-or-not
+    row meets ``threshold`` — keep-first-by-id, the deterministic variant
+    of "keep one per semantic duplicate group".
+
+    Returns (id, cluster_id, kept). Clustering reuses the IVF routing rule
+    (`ivf.assign_shards`, argmin Euclidean to injected/fitted centroids) so
+    index build and semantic dedup share one partitioning of the space.
+
+    Plan: narrow centroid assignment (no shuffle) -> ONE shuffle grouping
+    rows by cluster -> per-cluster Arrow kernel (normalize f64, one GEMM,
+    round 6dp, lower-triangle any()). At 100 TB the centroid count is
+    chosen so a cluster's matrix fits an executor (SemDeDup's own regime:
+    ~100k clusters over web-scale corpora); the O(m²) work is per-cluster,
+    never corpus-wide.
+    """
+    from distributed_vector_database_spark.operators.ivf import assign_shards
+
+    assigned = assign_shards(
+        emb.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vector_col).cast("array<double>").alias("_v"),
+        ),
+        centroids,
+        vector_col="_v",
+        out_col="_cid",
+    )
+
+    out_schema = f"{id_col} long, cluster_id long, kept boolean"
+
+    def flag(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        scores = np.round(mat @ mat.T, 6)
+        # kept[i] = no earlier (lower-id) row within threshold
+        tri = np.tril(scores >= threshold, k=-1)
+        kept = ~tri.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": int(pdf["_cid"].iloc[0]),
+                "kept": kept,
+            }
+        )
+
+    return assigned.groupBy("_cid").applyInPandas(flag, out_schema)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.operators.topk import batch_topk
 
-__all__ = ["hard_negatives"]
+__all__ = ["hard_negatives", "label_prototypes", "prototype_scores"]
 
 
 def hard_negatives(
@@ -66,4 +66,80 @@ def hard_negatives(
         metric=metric,
         allowed_shards=allowed,
         shard_col=label_col,
+    )
+
+
+def label_prototypes(
+    emb: DataFrame,
+    dim: int,
+    *,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, prototype): the per-class mean vector — class prototypes for
+    nearest-centroid classification, coreset pruning, and outlier scoring.
+
+    Means accumulate as exact integer micro-units before dividing (the
+    engine's standard order-independent mean: float addition order differs
+    between partial-aggregate trees, integer sums don't), so the prototype
+    is bit-identical across engines and cluster layouts. Components round
+    to 6dp.
+
+    Plan: one partial-aggregated groupBy(label) carrying ``dim`` sum
+    columns — no posexplode row multiplication, no shuffle wider than
+    |labels| x dim. ``dim`` must be the fixed vector width.
+    """
+    sums = [
+        F.sum(
+            F.round(F.col(vector_col)[i].cast("double") * 1e6).cast("long")
+        ).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    agg = emb.groupBy(label_col).agg(F.count("*").alias("_n"), *sums)
+    proto = F.array(
+        *[
+            F.round(F.col(f"_s{i}") / F.col("_n") / F.lit(1e6), 6)
+            for i in range(dim)
+        ]
+    )
+    return agg.select(F.col(label_col), proto.alias("prototype"))
+
+
+def prototype_scores(
+    emb: DataFrame,
+    dim: int,
+    *,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, label, proto_cos): each vector's cosine to ITS OWN class
+    prototype — low scores are intra-class outliers (mislabels, noise; the
+    rows a curation pass reviews or drops first).
+
+    The prototype table is |labels| rows — broadcast; the corpus side is a
+    narrow projection. One aggregation shuffle total (inside
+    ``label_prototypes``).
+    """
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+        round_score,
+    )
+
+    protos = label_prototypes(
+        emb, dim, vector_col=vector_col, label_col=label_col
+    )
+    return (
+        emb.join(F.broadcast(protos), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            round_score(
+                cosine_similarity(
+                    F.col(vector_col).cast("array<double>"),
+                    F.col("prototype"),
+                ),
+                6,
+            ).alias("proto_cos"),
+        )
     )

@@ -3619,6 +3619,205 @@ def q_hard_negative_mining(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# ===========================================================================
+# Document chunking (operators/chunking.py): fixed-token windows with
+# overlap — the RAG/embedding-index ingestion step upstream of embed/IVF.
+# ===========================================================================
+
+
+@register(
+    "doc_chunks",
+    f"""
+WITH {_TOKS_CTE},
+c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+s AS (SELECT doc_id, t, n, unnest(range(1, n + 1, 24)) AS st FROM c)
+SELECT doc_id,
+       ((st - 1) // 24)::BIGINT AS chunk_ix,
+       st::BIGINT AS start_token,
+       LEAST(32, n - st + 1)::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(t, st, LEAST(st + 31, n)), ' ')
+         AS chunk_text
+FROM s
+""",
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-window chunking: 32-token chunks, 8-token overlap (stride 24).
+    Narrow tokenize -> sequence -> posexplode plan; (doc_id, chunk_ix) is
+    the stable chunk key an idempotent re-ingest needs."""
+    from distributed_vector_database_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+# ===========================================================================
+# Semantic deduplication (operators/dedup.semantic_dedup): SemDeDup-style
+# cluster-then-in-cluster-cosine dedup over the embedding table.
+# ===========================================================================
+
+
+@register(
+    "semantic_dedup",
+    f"""
+WITH {_ASSIGN_CTE},
+v AS (SELECT e.vec_id, a.shard_id AS cluster_id, e.embedding::DOUBLE[] AS ev
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+d AS (SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE ROUND({_cos('a.ev', 'b.ev')}, 6) >= 0.9)
+SELECT v.vec_id AS vec_id, v.cluster_id::BIGINT AS cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM v LEFT JOIN d ON v.vec_id = d.vec_id
+""",
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (public arXiv 2303.09540): route every vector to its
+    nearest injected centroid (the IVF routing rule), then inside each
+    cluster drop any row with cosine >= 0.9 to a lower-id row. One narrow
+    assignment + one cluster shuffle + per-cluster Arrow GEMM."""
+    from distributed_vector_database_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    return semantic_dedup(emb, cents, threshold=0.9)
+
+
+# ===========================================================================
+# Class prototypes (operators/mining.py): per-label mean vector + each
+# row's cosine to its own prototype — intra-class outlier scoring.
+# ===========================================================================
+
+
+@register(
+    "label_prototype_cos",
+    f"""
+WITH x AS (SELECT e.label, t.pos,
+                  CAST(round((e.embedding::DOUBLE[])[t.pos] * 1e6) AS BIGINT)
+                    AS vmic
+           FROM embeddings e
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t),
+p AS (SELECT label, pos, ROUND(sum(vmic) / count(*) / 1e6, 6) AS m
+      FROM x GROUP BY label, pos),
+pr AS (SELECT label, list(m ORDER BY pos) AS proto FROM p GROUP BY label)
+SELECT e.vec_id AS vec_id, e.label AS label,
+       ROUND({_cos(E, 'pr.proto')}, 6) AS proto_cos
+FROM embeddings e JOIN pr USING (label)
+""",
+)
+def q_label_prototype_cos(spark, sf_dir):
+    """Every vector's cosine to its class prototype (exact integer-micro
+    means, order-independent across engines); low scores = likely
+    mislabels. Prototype table is |labels| rows -> broadcast join."""
+    from distributed_vector_database_spark.operators.mining import (
+        prototype_scores,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return prototype_scores(emb, 64)
+
+
+# ===========================================================================
+# TPC-H Q7/Q14 shapes: multi-dim snowflake join + conditional aggregation
+# over the fact table (analytics-engine completeness).
+# ===========================================================================
+
+
+@register(
+    "volume_shipping",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume by ship year. The only
+    fact-fact shuffle is lineitem-orders on orderkey; customer, supplier
+    and both nation roles broadcast. DECIMAL revenue sums are
+    partial-aggregation-order independent."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "promo_revenue_monthly",
+    """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+       CAST(ROUND(sum(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1.0 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue_monthly(spark, sf_dir):
+    """TPC-H Q14 shape: promo vs total revenue per ship month. part is the
+    broadcast dim; one hash-agg shuffle on the month key; the ratio is left
+    to the reader so both sums stay DECIMAL-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

@@ -1,0 +1,101 @@
+"""chunk_documents: window contract, stable keys, edge docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.chunking import (
+    chunk_documents,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_windows_and_tail(spark):
+    # 10 tokens, chunk 4, overlap 2 -> stride 2 -> starts 1,3,5,7,9
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap_tokens=2
+    ).orderBy("chunk_ix").collect()
+    assert [r["start_token"] for r in out] == [1, 3, 5, 7, 9]
+    assert [r["chunk_ix"] for r in out] == [0, 1, 2, 3, 4]
+    assert out[0]["chunk_text"] == "t1 t2 t3 t4"
+    assert out[-1]["chunk_text"] == "t9 t10"  # short tail kept
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 4, 2]
+
+
+def test_consecutive_chunks_overlap_exactly(spark):
+    text = " ".join(f"w{i}" for i in range(1, 31))
+    out = chunk_documents(
+        _docs(spark, [(7, text)]), chunk_tokens=8, overlap_tokens=3
+    ).orderBy("chunk_ix").collect()
+    for a, b in zip(out, out[1:]):
+        ta, tb = a["chunk_text"].split(), b["chunk_text"].split()
+        if len(ta) == 8:
+            assert ta[-3:] == tb[:3]  # the overlap region is shared
+
+
+def test_empty_and_short_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, ""), (2, "   "), (3, "only three tokens")]),
+        chunk_tokens=16,
+        overlap_tokens=4,
+    ).collect()
+    # empty/whitespace docs vanish; a short doc yields ONE short chunk
+    assert [(r["doc_id"], r["chunk_ix"]) for r in out] == [(3, 0)]
+    assert out[0]["chunk_text"] == "only three tokens"
+    assert out[0]["n_chunk_tokens"] == 3
+
+
+def test_rechunk_is_idempotent_key(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = chunk_documents(docs).select("doc_id", "chunk_ix", "chunk_text")
+    b = chunk_documents(docs).select("doc_id", "chunk_ix", "chunk_text")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    # (doc_id, chunk_ix) is unique
+    dup = (
+        a.groupBy("doc_id", "chunk_ix").count().filter(F.col("count") > 1)
+    )
+    assert dup.isEmpty()
+
+
+def test_bad_params_raise(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a b")]), chunk_tokens=4,
+                        overlap_tokens=4)
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "a b")]), chunk_tokens=4,
+                        overlap_tokens=-1)
+
+
+def test_chunks_cover_every_token(spark):
+    """Union of [start, start+len) windows covers 1..n with no gaps."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    rows = (
+        chunk_documents(docs, chunk_tokens=12, overlap_tokens=5)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("start_token") + F.col("n_chunk_tokens") - 1).alias(
+                "covered_to"
+            ),
+            F.min("start_token").alias("first_start"),
+            F.max(F.col("start_token")).alias("last_start"),
+        )
+        .collect()
+    )
+    from distributed_vector_database_spark.functions.text import tokens
+
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(tokens("text")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r["first_start"] == 1
+        assert r["covered_to"] == n_tok[r["doc_id"]]
+        # stride 7: last start within one stride of the end
+        assert r["last_start"] > n_tok[r["doc_id"]] - 7

@@ -65,3 +65,96 @@ def test_keep_best_per_cluster(spark):
     assert set(kept) == {2, 4, 5}
     assert kept[2]["cluster_id"] == 1
     assert kept[4]["cluster_id"] == 4  # singleton fallback = own id
+
+
+def test_label_prototypes_match_plain_mean(spark, embeddings):
+    """Prototype = per-label mean (within micro-unit quantization)."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.mining import (
+        label_prototypes,
+    )
+
+    dim = len(embeddings.select("embedding").head()[0])
+    got = {
+        r["label"]: np.array(r["prototype"])
+        for r in label_prototypes(embeddings, dim).collect()
+    }
+    rows = embeddings.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    for lab, vecs in by_label.items():
+        ref = np.mean(vecs, axis=0)
+        assert np.allclose(got[lab], ref, atol=2e-6), lab
+
+
+def test_prototype_scores_self_is_high(spark, embeddings):
+    """A label's OWN prototype scores ~1.0 against itself; every row gets
+    exactly one score; scores bounded to [-1, 1]."""
+    from distributed_vector_database_spark.operators.mining import (
+        label_prototypes,
+        prototype_scores,
+    )
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+        round_score,
+    )
+    from pyspark.sql import functions as F
+
+    dim = len(embeddings.select("embedding").head()[0])
+    out = prototype_scores(embeddings, dim)
+    assert out.count() == embeddings.count()
+    mm = out.agg(F.min("proto_cos"), F.max("proto_cos")).head()
+    assert -1.0 <= mm[0] and mm[1] <= 1.0
+    protos = label_prototypes(embeddings, dim)
+    self_cos = protos.select(
+        round_score(
+            cosine_similarity(F.col("prototype"), F.col("prototype")), 6
+        ).alias("c")
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-6 for r in self_cos)
+
+
+def test_semantic_dedup_invariants(spark, embeddings):
+    """Every row appears once with a cluster; kept[min id per cluster] is
+    always True; a dropped row has a lower-id in-cluster neighbor >= t."""
+    from distributed_vector_database_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = semantic_dedup(embeddings, cents, threshold=0.9)
+    rows = out.collect()
+    assert len(rows) == embeddings.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    import numpy as np
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb == 0:
+            return 0.0
+        return round(float(a @ b) / (na * nb), 6)
+
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda r: r["vec_id"])
+        assert members[0]["kept"] is True  # lowest id always kept
+        for i, r in enumerate(members):
+            has_lower = any(
+                cos(vecs[m["vec_id"]], vecs[r["vec_id"]]) >= 0.9
+                for m in members[:i]
+            )
+            assert r["kept"] == (not has_lower), (cid, r["vec_id"])
