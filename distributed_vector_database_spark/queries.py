@@ -3818,6 +3818,127 @@ def q_promo_revenue_monthly(spark, sf_dir):
     )
 
 
+@register(
+    "chunk_search_hashed",
+    f"""
+WITH {_TOKS_CTE},
+c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+s AS (SELECT doc_id, t, n, unnest(range(1, n + 1, 24)) AS st FROM c),
+ch AS (SELECT doc_id, ((st - 1) // 24)::BIGINT AS chunk_ix,
+              list_slice(t, st, LEAST(st + 31, n)) AS ct FROM s),
+tk AS (SELECT doc_id, chunk_ix, unnest(ct) AS tok FROM ch),
+sp AS (SELECT doc_id, chunk_ix, {_bucket_sql('tok')} AS bucket,
+              count(*) AS cnt
+       FROM tk GROUP BY 1, 2, 3),
+nrm AS (SELECT doc_id, chunk_ix, sqrt(sum(cnt * cnt)::DOUBLE) AS nn
+        FROM sp GROUP BY 1, 2),
+qd AS (SELECT {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+       FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id = 0)
+       GROUP BY 1),
+qn AS (SELECT sqrt(sum(cnt * cnt)::DOUBLE) AS qn FROM qd),
+dotp AS (SELECT sp.doc_id, sp.chunk_ix, sum(sp.cnt * qd.cnt)::DOUBLE AS dp
+         FROM sp JOIN qd USING (bucket) GROUP BY 1, 2)
+SELECT n2.doc_id AS doc_id, n2.chunk_ix AS chunk_ix,
+       ROUND(COALESCE(dotp.dp, 0.0) / (n2.nn * (SELECT qn FROM qn)), 6)
+         AS score
+FROM nrm n2 LEFT JOIN dotp USING (doc_id, chunk_ix)
+ORDER BY score DESC, doc_id ASC, chunk_ix ASC
+LIMIT 10
+""",
+)
+def q_chunk_search_hashed(spark, sf_dir):
+    """The full RAG read path at CHUNK granularity: chunk every document
+    (32-token windows, stride 24), hash-embed each chunk, top-10 cosine
+    for the doc_id=0 query document. Composes chunk_documents ->
+    hashing_embed -> topk in one declarative plan; the composite
+    (doc_id, chunk_ix) key rides a single packed long through the top-k
+    kernel (chunk_ix < 2^16 by construction: chunks per doc are bounded
+    by token count / stride)."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
+        (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
+        "chunk_text",
+    )
+    dense = hashing_embed(
+        ch, dim=64, normalize=False, text_col="chunk_text",
+        id_col="chunk_key",
+    )
+    qv = [
+        float(x)
+        for x in hashing_embed(
+            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
+        ).head()["embedding"]
+    ]
+    out = topk(dense, qv, k=10, vector_col="embedding", id_col="chunk_key")
+    return out.select(
+        (F.col("chunk_key") / 65536).cast("long").alias("doc_id"),
+        (F.col("chunk_key") % 65536).cast("long").alias("chunk_ix"),
+        "score",
+    )
+
+
+# ===========================================================================
+# Merge-on-read upsert layout (sources/mor.py): base + delta batches,
+# window-merged reads — the lakehouse MoR pattern on plain parquet.
+# ===========================================================================
+
+_MOR_CACHE: dict = {}
+
+
+@register(
+    "mor_upsert_read",
+    """
+SELECT vec_id,
+       (CASE WHEN vec_id % 21 = 0 THEN 3
+             WHEN vec_id % 7 = 0 THEN 2
+             ELSE 1 END)::BIGINT AS version,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * (CASE WHEN vec_id % 21 = 0 THEN 3
+                     WHEN vec_id % 7 = 0 THEN 2
+                     ELSE 1 END), 6) AS val
+FROM embeddings
+""",
+)
+def q_mor_upsert_read(spark, sf_dir):
+    """Merge-on-read REPLACE INTO: bootstrap a base from the embeddings
+    table (version 1), append two OVERLAPPING upsert batches (version 2 for
+    vec_id%7, version 3 for vec_id%21 — batch order must win, not batch
+    size), and return the merged view. Appends never shuffle the base
+    (O(|delta|) writes); the keep-latest window is paid once at read, and
+    not at all after `compact()` folds the deltas (tests/test_mor.py)."""
+    import tempfile
+
+    from distributed_vector_database_spark.functions.vector import l2_norm
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    emb = _read(spark, sf_dir, "embeddings")
+
+    def versioned(df, v):
+        return df.select(
+            "vec_id",
+            F.lit(v).cast("long").alias("version"),
+            round_score(l2_norm("embedding") * v).alias("val"),
+        )
+
+    store = _MOR_CACHE.get(sf_dir)
+    if store is None:
+        store = MorStore(
+            spark, tempfile.mkdtemp(prefix="dvdb_mor_"), id_col="vec_id"
+        )
+        store.write_base(versioned(emb, 1))
+        store.append(versioned(emb.filter(F.col("vec_id") % 7 == 0), 2))
+        store.append(versioned(emb.filter(F.col("vec_id") % 21 == 0), 3))
+        _MOR_CACHE[sf_dir] = store
+    return store.read()
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

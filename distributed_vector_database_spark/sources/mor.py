@@ -1,0 +1,222 @@
+"""Merge-on-read upsert layout: base + delta batches, window-merged reads.
+
+ROADMAP #2: ``vector_store.upsert_keep_latest`` rewrites the WHOLE store
+per upsert batch (one full shuffle of base+delta). Lakehouse formats avoid
+that with merge-on-read (public technique — Delta deletion vectors/CDF,
+Iceberg MoR, Hudi MOR): writes append small DELTA files, readers merge at
+scan time, and a periodic COMPACT folds deltas back into the base. This
+module is that pattern on plain parquet, behind the same keep-latest
+semantics the reference's REPLACE INTO has
+(`reference: src/storage_server.py:43-46`):
+
+  layout/
+    base/              full rows, stamped _batch (0 after bootstrap,
+                       the folded watermark after each compact)
+    delta/b00000001/   one dir per upsert batch, rows stamped _batch=N
+
+  - ``append(df)``   O(|delta|) write, NO shuffle of the base — the write
+                     path a 100 TB store needs for small upserts.
+  - ``read()``       base ∪ deltas, one row per id: highest _batch wins
+                     (ties impossible: batch ids are unique per append).
+                     The merge is one window shuffle by id over base+deltas
+                     — the same cost the eager merge paid on EVERY upsert,
+                     now paid only on read, and elided entirely after
+                     compaction (no deltas -> no window).
+  - ``compact()``    folds all deltas <= the watermark into a new base
+                     (read-merge-write + atomic-ish swap under dotted
+                     temp names, every rename checked — the
+                     sources/compaction.py crash-safety recipe), then
+                     deletes exactly the folded delta dirs. Deltas
+                     appended DURING compaction survive untouched.
+
+Reads prune like any parquet scan: an id-equality predicate pushes into
+both base and delta scans before the merge window (plan-asserted in
+tests). Readers skip dot-prefixed files, so staged compaction output is
+never double-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["MorStore"]
+
+_BATCH = "_batch"
+
+
+class MorStore:
+    """Merge-on-read keep-latest store over ``root`` (see module doc)."""
+
+    def __init__(self, spark: SparkSession, root: str, *, id_col: str = "id"):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.id_col = id_col
+
+    # -- paths/fs ----------------------------------------------------------
+    def _fs(self):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.root)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jvm
+
+    @property
+    def _base(self) -> str:
+        return f"{self.root}/base"
+
+    def _delta_dirs(self) -> list[tuple[int, str]]:
+        """Sorted (batch_id, path) of committed delta dirs."""
+        fs, jvm = self._fs()
+        droot = jvm.org.apache.hadoop.fs.Path(f"{self.root}/delta")
+        if not fs.exists(droot):
+            return []
+        out = []
+        for st in fs.listStatus(droot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("b") and name[1:].isdigit():
+                out.append((int(name[1:]), st.getPath().toString()))
+        return sorted(out)
+
+    # -- watermark meta ----------------------------------------------------
+    # Batch ids must stay monotonic ACROSS compactions (a post-compact
+    # append must outrank the folded base, whose rows carry the fold
+    # watermark), so the high-water mark lives in a tiny meta file instead
+    # of being inferred from the (deleted) delta dirs.
+    def _watermark_path(self):
+        return f"{self.root}/_watermark"
+
+    def _read_watermark(self) -> int:
+        fs, jvm = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path(self._watermark_path())
+        if not fs.exists(p):
+            return 0
+        stream = fs.open(p)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return int(txt.strip() or 0)
+
+    def _write_watermark(self, n: int) -> None:
+        fs, jvm = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path(self._watermark_path())
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(str(n).encode("utf-8")))
+        finally:
+            out.close()
+
+    # -- write path --------------------------------------------------------
+    def write_base(self, df: DataFrame) -> None:
+        """Bootstrap (or replace) the base with ``df``; batch watermark 0."""
+        df.withColumn(_BATCH, F.lit(0).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(self._base)
+        self._write_watermark(0)
+
+    def append(self, df: DataFrame) -> int:
+        """Append one upsert batch as a new delta dir; returns its batch id.
+
+        Written to a dot-temp dir first, then renamed in — a crashed append
+        leaves only an invisible temp, never a half-visible batch.
+        """
+        deltas = self._delta_dirs()
+        next_id = (
+            max(deltas[-1][0] if deltas else 0, self._read_watermark()) + 1
+        )
+        fs, jvm = self._fs()
+        hPath = jvm.org.apache.hadoop.fs.Path
+        tmp = f"{self.root}/delta/.b{next_id:08d}.writing"
+        dst = f"{self.root}/delta/b{next_id:08d}"
+        df.withColumn(_BATCH, F.lit(next_id).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if not fs.rename(hPath(tmp), hPath(dst)):
+            raise IOError(f"mor append: rename {tmp} -> {dst} failed")
+        return next_id
+
+    # -- read path ---------------------------------------------------------
+    def _scan(self) -> DataFrame:
+        base = self.spark.read.parquet(self._base)
+        deltas = self._delta_dirs()
+        if not deltas:
+            return base
+        delta = self.spark.read.parquet(*[p for _, p in deltas])
+        return base.unionByName(delta)
+
+    def read(self) -> DataFrame:
+        """The merged view: one row per id, highest batch wins; ``_batch``
+        dropped. With zero deltas this is a plain base scan — no window."""
+        deltas = self._delta_dirs()
+        scan = self._scan()
+        if not deltas:
+            return scan.drop(_BATCH)
+        w = Window.partitionBy(self.id_col).orderBy(F.desc(_BATCH))
+        return (
+            scan.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", _BATCH)
+        )
+
+    def point_get(self, id_value) -> DataFrame:
+        """Point lookup: the id predicate lands on BOTH scans before the
+        merge window, so parquet row-group stats prune base and deltas."""
+        deltas = self._delta_dirs()
+        scan = self._scan().filter(F.col(self.id_col) == F.lit(id_value))
+        if not deltas:
+            return scan.drop(_BATCH)
+        return (
+            scan.orderBy(F.desc(_BATCH))
+            .limit(1)
+            .drop(_BATCH)
+        )
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self) -> dict:
+        """Fold every delta visible NOW into a new base; concurrent appends
+        (higher batch ids than the watermark) are preserved.
+
+        Returns {folded_batches, watermark}. Swap protocol: merged rows are
+        written to a dot-temp dir, the old base is renamed to a trash dir,
+        the temp renamed to base, then trash + folded deltas are deleted.
+        Every rename is checked; a failure aborts before any delete.
+        """
+        deltas = self._delta_dirs()
+        if not deltas:
+            return {"folded_batches": 0, "watermark": 0}
+        watermark = deltas[-1][0]
+        fs, jvm = self._fs()
+        hPath = jvm.org.apache.hadoop.fs.Path
+
+        base = self.spark.read.parquet(self._base)
+        delta = self.spark.read.parquet(*[p for _, p in deltas])
+        merged = base.unionByName(delta)
+        w = Window.partitionBy(self.id_col).orderBy(F.desc(_BATCH))
+        folded = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn(_BATCH, F.lit(watermark).cast("long"))
+        )
+        tmp = f"{self.root}/.base.compacting"
+        trash = f"{self.root}/.base.trash"
+        folded.write.mode("overwrite").parquet(tmp)
+        if fs.exists(hPath(trash)) and not fs.delete(hPath(trash), True):
+            raise IOError("mor compact: stale trash dir undeletable")
+        if not fs.rename(hPath(self._base), hPath(trash)):
+            raise IOError("mor compact: base -> trash rename failed")
+        if not fs.rename(hPath(tmp), hPath(self._base)):
+            # roll back: restore the old base, leave tmp for inspection
+            fs.rename(hPath(trash), hPath(self._base))
+            raise IOError("mor compact: tmp -> base rename failed")
+        fs.delete(hPath(trash), True)
+        for bid, p in deltas:
+            if bid <= watermark:
+                fs.delete(hPath(p), True)
+        # advance the id high-water mark so later appends outrank the
+        # folded base (its rows now carry _batch = watermark)
+        if watermark > self._read_watermark():
+            self._write_watermark(watermark)
+        return {"folded_batches": len(deltas), "watermark": watermark}

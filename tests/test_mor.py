@@ -1,0 +1,114 @@
+"""MorStore: merge-on-read upsert layout (base + delta batches)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.plans.inspect import (
+    assert_filter_pushdown,
+)
+from distributed_vector_database_spark.sources.mor import MorStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = MorStore(spark, str(tmp_path / "mor"), id_col="id")
+    base = spark.createDataFrame(
+        [(i, f"v0_{i}") for i in range(20)], "id long, payload string"
+    )
+    st.write_base(base)
+    return st
+
+
+def _as_dict(df):
+    return {r["id"]: r["payload"] for r in df.collect()}
+
+
+def test_read_without_deltas_is_base(store):
+    got = _as_dict(store.read())
+    assert got == {i: f"v0_{i}" for i in range(20)}
+    assert store.read().columns == ["id", "payload"]
+
+
+def test_latest_batch_wins_across_overlapping_deltas(store, spark):
+    store.append(
+        spark.createDataFrame(
+            [(i, f"v1_{i}") for i in (1, 5, 9, 21)], "id long, payload string"
+        )
+    )
+    store.append(
+        spark.createDataFrame(
+            [(i, f"v2_{i}") for i in (5, 9)], "id long, payload string"
+        )
+    )
+    got = _as_dict(store.read())
+    assert got[5] == "v2_5" and got[9] == "v2_9"  # batch 2 beats batch 1
+    assert got[1] == "v1_1"  # batch 1 beats base
+    assert got[0] == "v0_0"  # untouched base survives
+    assert got[21] == "v1_21"  # pure insert appears
+    assert len(got) == 21
+
+
+def test_append_is_crash_invisible(store, spark, tmp_path):
+    """A half-written (dot-temp) batch never changes the read."""
+    before = _as_dict(store.read())
+    # simulate a crashed append: the temp dir exists, the rename never ran
+    crashed = spark.createDataFrame([(3, "SHOULD_NOT_APPEAR")],
+                                    "id long, payload string")
+    crashed.withColumn("_batch", F.lit(99).cast("long")).write.parquet(
+        str(tmp_path / "mor" / "delta" / ".b00000099.writing")
+    )
+    assert _as_dict(store.read()) == before
+
+
+def test_compact_folds_and_preserves_merge(store, spark):
+    store.append(
+        spark.createDataFrame(
+            [(i, f"v1_{i}") for i in (0, 7)], "id long, payload string"
+        )
+    )
+    store.append(
+        spark.createDataFrame([(7, "v2_7")], "id long, payload string")
+    )
+    before = _as_dict(store.read())
+    summary = store.compact()
+    assert summary["folded_batches"] == 2 and summary["watermark"] == 2
+    assert store._delta_dirs() == []  # folded deltas removed
+    assert _as_dict(store.read()) == before  # merge result unchanged
+    # appends after compaction still win over the folded base
+    store.append(
+        spark.createDataFrame([(7, "v3_7")], "id long, payload string")
+    )
+    assert _as_dict(store.read())[7] == "v3_7"
+
+
+def test_point_get_pushes_id_predicate(store, spark):
+    store.append(
+        spark.createDataFrame([(4, "v1_4")], "id long, payload string")
+    )
+    df = store.point_get(4)
+    assert_filter_pushdown(df, "id")
+    rows = df.collect()
+    assert [(r["id"], r["payload"]) for r in rows] == [(4, "v1_4")]
+    # base-version id: the lookup returns the base row
+    assert store.point_get(2).head()["payload"] == "v0_2"
+
+
+def test_read_matches_eager_upsert(store, spark):
+    """MoR read == the eager upsert_keep_latest result, batch by batch."""
+    from distributed_vector_database_spark.sources.vector_store import (
+        upsert_keep_latest,
+    )
+
+    b1 = spark.createDataFrame(
+        [(i, f"v1_{i}") for i in (2, 4, 30)], "id long, payload string"
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"v2_{i}") for i in (4, 31)], "id long, payload string"
+    )
+    base = spark.createDataFrame(
+        [(i, f"v0_{i}") for i in range(20)], "id long, payload string"
+    )
+    eager = upsert_keep_latest(upsert_keep_latest(base, b1), b2)
+    store.append(b1)
+    store.append(b2)
+    assert _as_dict(store.read()) == _as_dict(eager)
