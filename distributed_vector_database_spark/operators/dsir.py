@@ -1,0 +1,163 @@
+"""DSIR-style importance weighting for data selection.
+
+Data Selection via Importance Resampling (Xie et al., public arXiv
+2302.03169): score every raw-corpus document by how much more likely its
+hashed n-gram bag is under a TARGET distribution (the domain you want more
+of — curated text, a benchmark-adjacent corpus) than under the RAW source
+distribution, then resample by that weight. The standard tractable model is
+a unigram bag over hashed n-gram features:
+
+    log w(x) = sum over feature occurrences f in x of
+               [ ln p_target(f) - ln p_source(f) ]
+
+with Laplace-smoothed feature probabilities p(f) = (count_f + 1) /
+(total + dim). High log-w docs look like the target; selection keeps the
+top slice (or Gumbel-samples proportionally — the deterministic top-k
+variant is what ships here).
+
+Engine mapping (one pass, no corpus self-join):
+  - features: word n-grams WITH multiplicity, hashed to ``dim`` buckets by
+    the same md5 bucket as the hashing embedder (portable to the oracle);
+  - the per-bucket log-ratio table is ``dim`` rows — built from two
+    partial-aggregated counts, quantized to integer MICRO-NATS
+    (round(ln_ratio * 1e6)) so per-doc sums are exact integers: the sum is
+    order-independent across partial-aggregation trees and engines, the
+    one place a float sum would be nondeterministic;
+  - per-doc score: explode features -> broadcast-join the ratio table ->
+    integer sum per doc. One shuffle (the per-doc aggregation).
+
+The only cross-engine float risk is ln() itself (libm vs JVM may differ in
+the last ulp before micro-quantization) — in practice identical on every
+bucket tested; sqrt-style IEEE correct rounding is not guaranteed for ln.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.embed import token_bucket
+from distributed_vector_database_spark.functions.text import (
+    tokens,
+    word_shingles,
+)
+
+__all__ = ["ngram_bucket_counts", "importance_log_weights", "dsir_select"]
+
+
+def _features(
+    docs: DataFrame, *, ngram: int, dim: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, bucket) — one row PER FEATURE OCCURRENCE (bag, not set)."""
+    toked = docs.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col("_toks"), n=ngram, distinct=False)
+        ).alias("_g"),
+    )
+    return grams.select(
+        F.col(id_col), token_bucket(F.col("_g"), dim).alias("bucket")
+    )
+
+
+def ngram_bucket_counts(
+    docs: DataFrame,
+    *,
+    ngram: int = 2,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, cnt) over the whole corpus — the unigram feature model."""
+    return (
+        _features(docs, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def importance_log_weights(
+    source: DataFrame,
+    target: DataFrame,
+    *,
+    ngram: int = 2,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, log_w) for every source doc with >= 1 feature.
+
+    ``log_w`` is the Laplace-smoothed target/source log-likelihood ratio of
+    the doc's hashed feature bag, accumulated in exact micro-nats and
+    rounded to 6dp. Docs shorter than ``ngram`` tokens have no features and
+    are absent (callers decide their fate; DSIR has no evidence either way).
+    """
+    spark = source.sparkSession
+    tc = ngram_bucket_counts(
+        target, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    )
+    sc = ngram_bucket_counts(
+        source, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    )
+    # two scalar totals on the driver — O(1) rows, like query vectors
+    t_total = tc.agg(F.sum("cnt")).head()[0] or 0
+    s_total = sc.agg(F.sum("cnt")).head()[0] or 0
+
+    universe = spark.range(dim).select(F.col("id").cast("long").alias("bucket"))
+    lr = (
+        universe.join(tc, "bucket", "left")
+        .withColumnRenamed("cnt", "ct")
+        .join(sc, "bucket", "left")
+        .withColumnRenamed("cnt", "cs")
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(t_total + dim))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
+                        / F.lit(float(s_total + dim))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    feats = _features(
+        source, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    )
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr_micro") / F.lit(1e6), 6).alias("log_w"),
+        )
+    )
+
+
+def dsir_select(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    ngram: int = 2,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The deterministic top-k selection: the k source docs most
+    target-like by ``log_w`` (ties -> lowest id). TakeOrdered plan — no
+    global sort materialization."""
+    w = importance_log_weights(
+        source, target, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    )
+    return w.orderBy(F.desc("log_w"), F.asc(id_col)).limit(k)

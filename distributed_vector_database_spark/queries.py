@@ -3939,6 +3939,58 @@ def q_mor_upsert_read(spark, sf_dir):
     return store.read()
 
 
+# ===========================================================================
+# DSIR importance weighting (operators/dsir.py): hashed-ngram importance
+# log-weights of every raw doc against a target slice — data selection.
+# ===========================================================================
+
+
+@register(
+    "dsir_log_weights",
+    f"""
+WITH {_TOKS_CTE},
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gm
+      FROM toks WHERE len(t) >= 2),
+f AS (SELECT doc_id, {_bucket_sql('gm', 256)} AS bucket FROM g),
+tc AS (SELECT bucket, count(*) AS ct FROM f WHERE {_EVAL_PRED}
+       GROUP BY bucket),
+tt AS (SELECT count(*) AS t FROM f WHERE {_EVAL_PRED}),
+sc AS (SELECT bucket, count(*) AS cs FROM f WHERE NOT ({_EVAL_PRED})
+       GROUP BY bucket),
+ss AS (SELECT count(*) AS s FROM f WHERE NOT ({_EVAL_PRED})),
+u AS (SELECT unnest(range(0, 256)) AS bucket),
+lr AS (SELECT u.bucket,
+              CAST(round((ln((COALESCE(ct, 0) + 1)::DOUBLE / (tt.t + 256))
+                        - ln((COALESCE(cs, 0) + 1)::DOUBLE / (ss.s + 256)))
+                         * 1e6) AS BIGINT) AS lr_micro
+       FROM u LEFT JOIN tc ON u.bucket = tc.bucket
+              LEFT JOIN sc ON u.bucket = sc.bucket, tt, ss)
+SELECT f.doc_id AS doc_id, count(*)::BIGINT AS n_feats,
+       ROUND(sum(lr_micro) / 1e6, 6) AS log_w
+FROM f JOIN lr ON f.bucket = lr.bucket
+WHERE NOT (f.doc_id % 50 = 0)
+GROUP BY f.doc_id
+""",
+)
+def q_dsir_log_weights(spark, sf_dir):
+    """DSIR data selection (public arXiv 2302.03169): importance log-weight
+    of every raw doc = log-likelihood ratio of its hashed-bigram bag under
+    the eval-slice target model vs the raw-source model (Laplace-smoothed,
+    256 buckets). Log-ratios quantize to integer micro-nats so per-doc
+    sums are exact and order-independent; the ratio table is 256 rows ->
+    broadcast; one per-doc aggregation shuffle total."""
+    from distributed_vector_database_spark.operators.dsir import (
+        importance_log_weights,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    target = docs.filter(F.expr(_EVAL_PRED))
+    source = docs.filter(~F.expr(_EVAL_PRED))
+    return importance_log_weights(source, target, ngram=2, dim=256)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
