@@ -46,6 +46,8 @@ __all__ = [
     "embedding_neardup_pairs",
     "keep_best_per_cluster",
     "semantic_dedup",
+    "repeated_spans",
+    "doc_repeated_span_stats",
 ]
 
 HEX = "0123456789abcdef"
@@ -594,3 +596,95 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("_cid").applyInPandas(flag, out_schema)
+
+
+def repeated_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token spans of ``span_tokens`` words appearing in at least
+    ``min_docs`` DISTINCT documents: (span_hash, n_docs, n_occurrences,
+    rep_doc_id = lowest containing doc).
+
+    The Spark-shaped core of substring-level dedup (Lee et al., public
+    arXiv 2107.06499, "Deduplicating Training Data Makes Language Models
+    Better"): that work builds a corpus suffix array to find repeated
+    byte spans; a relational engine gets the same cross-document repeated
+    -span signal from fixed-width token windows — explode every span
+    occurrence (NOT distinct: multiplicity matters for n_occurrences),
+    hash to md5, and run ONE partial-aggregated groupBy. No joins, no
+    suffix sort; shuffle width is one hash + counts per span occurrence.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col("_toks"), n=span_tokens, distinct=False)
+        ).alias("_g"),
+    )
+    return (
+        ex.select(F.col(id_col), F.md5("_g").alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_repeated_span_stats(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_spans, n_shared, shared_frac): how much of each doc is
+    covered by spans that ALSO occur in another document — the per-doc
+    decision signal of substring dedup (drop/trim docs whose text is
+    mostly recycled boilerplate).
+
+    ``n_spans`` counts the doc's span positions (len - span + 1);
+    ``n_shared`` those positions whose span occurs in >= 2 distinct docs.
+    Docs shorter than ``span_tokens`` have no spans and are absent.
+
+    Plan: the occurrence explode feeds BOTH the span-frequency aggregate
+    and a join back on span_hash — two shuffles on the same key; at scale
+    the frequency side is heavily reduced by partial aggregation before
+    the join.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col("_toks"), n=span_tokens, distinct=False)
+        ).alias("_g"),
+    ).select(F.col(id_col), F.md5("_g").alias("span_hash"))
+    freq = ex.groupBy("span_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    return (
+        ex.join(freq, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+            round_score(
+                F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )

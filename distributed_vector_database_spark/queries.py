@@ -3991,6 +3991,71 @@ def q_dsir_log_weights(spark, sf_dir):
     return importance_log_weights(source, target, ngram=2, dim=256)
 
 
+# ===========================================================================
+# Substring-level dedup signal (dedup.repeated_spans): exact cross-document
+# repeated token spans — the relational form of suffix-array substring dedup.
+# ===========================================================================
+
+_SPAN8 = " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+
+
+@register(
+    "repeated_span_report",
+    f"""
+WITH {_TOKS_CTE},
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                                   i -> {_SPAN8})) AS gm
+      FROM toks WHERE len(t) >= 8)
+SELECT md5(gm) AS span_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences,
+       min(doc_id) AS rep_doc_id
+FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def q_repeated_span_report(spark, sf_dir):
+    """Cross-document exact 8-token spans (dedup.repeated_spans): the
+    repeated-substring signal of Lee et al. substring dedup, as one
+    partial-aggregated groupBy over exploded span occurrences."""
+    from distributed_vector_database_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return repeated_spans(docs, span_tokens=8, min_docs=2)
+
+
+@register(
+    "doc_repeated_span_stats",
+    f"""
+WITH {_TOKS_CTE},
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                                   i -> {_SPAN8})) AS gm
+      FROM toks WHERE len(t) >= 8),
+h AS (SELECT doc_id, md5(gm) AS span_hash FROM g),
+fr AS (SELECT span_hash, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1)
+SELECT h.doc_id AS doc_id, count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN fr.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+       ROUND(sum(CASE WHEN fr.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS shared_frac
+FROM h JOIN fr USING (span_hash)
+GROUP BY h.doc_id
+""",
+)
+def q_doc_repeated_span_stats(spark, sf_dir):
+    """Per-document recycled-text fraction: the share of a doc's 8-token
+    span positions whose span also appears in another doc — the per-doc
+    drop/trim signal of substring dedup."""
+    from distributed_vector_database_spark.operators.dedup import (
+        doc_repeated_span_stats,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return doc_repeated_span_stats(docs, span_tokens=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

@@ -125,3 +125,31 @@ def test_hash_split_is_exhaustive_stable_and_validates(spark):
         assert s2[r["k"]] == r["split"]
     with _pt.raises(ValueError):
         hash_split(df, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_repeated_spans_multiplicity_and_short_docs(spark):
+    """Span stats count OCCURRENCES (not distinct per doc); sub-span-width
+    docs are absent; a span repeated only WITHIN one doc is not flagged."""
+    from distributed_vector_database_spark.operators.dedup import (
+        doc_repeated_span_stats,
+        repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "a b c d e f g h tail two"),       # shares the first span
+            (3, "x y z x y z x y z x y z x y z"),  # self-repeats only
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_spans(docs, span_tokens=8).collect()
+    assert all(r["n_docs"] >= 2 for r in spans)
+    assert {r["rep_doc_id"] for r in spans} == {1}  # only the 1-2 overlap
+    stats = {r["doc_id"]: r for r in
+             doc_repeated_span_stats(docs, span_tokens=8).collect()}
+    assert 4 not in stats            # shorter than the span width
+    assert stats[3]["n_shared"] == 0  # within-doc repeats don't count
+    assert stats[1]["n_shared"] >= 1 and stats[2]["n_shared"] >= 1
+    assert stats[1]["n_spans"] == 3  # 10 tokens -> 3 span positions
