@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 
 from distributed_vector_database_spark.operators.ivf import IVFIndex
 
-__all__ = ["stream_ingest"]
+__all__ = ["stream_ingest", "stream_upsert"]
 
 
 def stream_ingest(
@@ -46,6 +46,42 @@ def stream_ingest(
             .partitionBy("shard_id")
             .parquet(index.path)
         )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_upsert(
+    store,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+):
+    """Continuous UPSERT: append each micro-batch as one MoR delta batch.
+
+    ``store`` is a ``sources.mor.MorStore``. Every micro-batch becomes one
+    delta dir (O(|batch|) write, NO shuffle of the base), so the stream
+    sustains small-batch upserts that an eager keep-latest merge
+    (full base shuffle per batch) could not; ``store.read()`` serves the
+    merged view at any time and ``store.compact()`` folds the accumulated
+    deltas during maintenance windows — the streaming half of the
+    merge-on-read story.
+
+    Batch-id note: replayed micro-batches (checkpoint recovery) append a
+    NEW delta with a higher batch id containing the same rows — keep-latest
+    semantics make the replay idempotent for the merged view as long as a
+    batch's internal rows are unique per id (enforce upstream or dedup in
+    the batch function).
+
+    Returns the StreamingQuery.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.append(batch_df)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -222,3 +222,67 @@ def test_stream_stream_join_watermarked_runs(spark, events_dir):
         for r in streamed.collect()
     }
     assert got <= exact
+
+
+def test_stream_upsert_matches_eager_merge(spark, tmp_path):
+    """Micro-batch upserts streamed into a MorStore produce the same merged
+    view as eager batch-by-batch upsert_keep_latest; compaction afterwards
+    preserves it and clears the deltas."""
+    from distributed_vector_database_spark.sources.mor import MorStore
+    from distributed_vector_database_spark.sources.vector_store import (
+        upsert_keep_latest,
+    )
+    from distributed_vector_database_spark.streaming.ingest import (
+        stream_upsert,
+    )
+
+    base_rows = [(i, f"v0_{i}") for i in range(10)]
+    batches = [
+        [(2, "b0_2"), (11, "b0_11")],
+        [(2, "b1_2"), (5, "b1_5")],
+        [(11, "b2_11")],
+    ]
+    base = spark.createDataFrame(base_rows, "id long, payload string")
+
+    src_dir = str(tmp_path / "upsert_src")
+    # one file per micro-batch, in order (file mtime ordering drives the
+    # maxFilesPerTrigger=1 replay; write sequentially)
+    import time as _t
+
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, "id long, payload string").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+        _t.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    store = MorStore(spark, str(tmp_path / "mor"), id_col="id")
+    store.write_base(base)
+    stream = (
+        spark.readStream.schema("id long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_upsert(store, stream, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    eager = base
+    for b in batches:
+        eager = upsert_keep_latest(
+            eager, spark.createDataFrame(b, "id long, payload string")
+        )
+    want = {r["id"]: r["payload"] for r in eager.collect()}
+    got = {r["id"]: r["payload"] for r in store.read().collect()}
+    # batch ORDER between overlapping upserts is what matters: ids touched
+    # once must match; ids touched twice must reflect the later batch
+    assert got.keys() == want.keys()
+    assert got[5] == "b1_5" and got[2] == "b1_2" and got[11] == "b2_11"
+    assert all(got[i] == f"v0_{i}" for i in range(10) if i not in (2, 5))
+
+    before = dict(got)
+    store.compact()
+    assert store._delta_dirs() == []
+    after = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert after == before
