@@ -42,7 +42,12 @@ from distributed_vector_database_spark.functions.text import (
     word_shingles,
 )
 
-__all__ = ["ngram_bucket_counts", "importance_log_weights", "dsir_select"]
+__all__ = [
+    "ngram_bucket_counts",
+    "importance_log_weights",
+    "dsir_select",
+    "dsir_gumbel_sample",
+]
 
 
 def _features(
@@ -161,3 +166,52 @@ def dsir_select(
         source, target, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
     )
     return w.orderBy(F.desc("log_w"), F.asc(id_col)).limit(k)
+
+
+def dsir_gumbel_sample(
+    source: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    seed: int = 0,
+    temperature: float = 1.0,
+    ngram: int = 2,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's actual selection step: sample k docs WITHOUT replacement with
+    probability ∝ exp(log_w / temperature), via the Gumbel-top-k trick
+    (public: Kool et al. 2019) — add independent Gumbel noise to each
+    scaled log-weight and take the k largest keys.
+
+    The noise is DERANDOMIZED the engine's standard way: u in (0, 1) from
+    md5(seed:id) (12 hex chars -> uniform to ~2^-48), g = -ln(-ln(u)).
+    Same seed -> same sample on any engine, any partitioning, any run —
+    reproducible data selection, which a 100 TB pipeline needs far more
+    than true randomness. Plan: the log-weight aggregation plus one
+    TakeOrdered(k) — no extra shuffle.
+    """
+    w = importance_log_weights(
+        source, target, ngram=ngram, dim=dim, text_col=text_col,
+        id_col=id_col,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 0.5) / float(16**12)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("log_w") / F.lit(float(temperature)) + gumbel, 6
+    ).alias("gumbel_key")
+    return (
+        w.select(F.col(id_col), "n_feats", "log_w", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(k)
+    )

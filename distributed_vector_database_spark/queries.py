@@ -3991,6 +3991,56 @@ def q_dsir_log_weights(spark, sf_dir):
     return importance_log_weights(source, target, ngram=2, dim=256)
 
 
+@register(
+    "dsir_gumbel_sample",
+    f"""
+WITH {_TOKS_CTE},
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gm
+      FROM toks WHERE len(t) >= 2),
+f AS (SELECT doc_id, {_bucket_sql('gm', 256)} AS bucket FROM g),
+tc AS (SELECT bucket, count(*) AS ct FROM f WHERE {_EVAL_PRED}
+       GROUP BY bucket),
+tt AS (SELECT count(*) AS t FROM f WHERE {_EVAL_PRED}),
+sc AS (SELECT bucket, count(*) AS cs FROM f WHERE NOT ({_EVAL_PRED})
+       GROUP BY bucket),
+ss AS (SELECT count(*) AS s FROM f WHERE NOT ({_EVAL_PRED})),
+u AS (SELECT unnest(range(0, 256)) AS bucket),
+lr AS (SELECT u.bucket,
+              CAST(round((ln((COALESCE(ct, 0) + 1)::DOUBLE / (tt.t + 256))
+                        - ln((COALESCE(cs, 0) + 1)::DOUBLE / (ss.s + 256)))
+                         * 1e6) AS BIGINT) AS lr_micro
+       FROM u LEFT JOIN tc ON u.bucket = tc.bucket
+              LEFT JOIN sc ON u.bucket = sc.bucket, tt, ss),
+w AS (SELECT f.doc_id AS doc_id, count(*)::BIGINT AS n_feats,
+             ROUND(sum(lr_micro) / 1e6, 6) AS log_w
+      FROM f JOIN lr ON f.bucket = lr.bucket
+      WHERE NOT (f.doc_id % 50 = 0)
+      GROUP BY f.doc_id)
+SELECT doc_id, n_feats, log_w,
+       ROUND(log_w + (-ln(-ln(
+           (('0x' || substr(md5('0:' || doc_id::VARCHAR), 1, 12))::BIGINT
+            + 0.5) / 281474976710656.0))), 6) AS gumbel_key
+FROM w
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 50
+""",
+)
+def q_dsir_gumbel_sample(spark, sf_dir):
+    """DSIR's resampling step: Gumbel-top-50 over the importance
+    log-weights with md5-derandomized noise (seed 0) — sampling ∝ exp(log_w)
+    without replacement, reproducible across engines/partitionings/runs."""
+    from distributed_vector_database_spark.operators.dsir import (
+        dsir_gumbel_sample,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    target = docs.filter(F.expr(_EVAL_PRED))
+    source = docs.filter(~F.expr(_EVAL_PRED))
+    return dsir_gumbel_sample(source, target, k=50, seed=0)
+
+
 # ===========================================================================
 # Substring-level dedup signal (dedup.repeated_spans): exact cross-document
 # repeated token spans — the relational form of suffix-array substring dedup.

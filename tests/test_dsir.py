@@ -62,3 +62,22 @@ def test_weights_deterministic_across_partitionings(spark):
         src.repartition(13), tgt.repartition(3)
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_gumbel_sample_reproducible_and_seed_sensitive(spark):
+    from distributed_vector_database_spark.operators.dsir import (
+        dsir_gumbel_sample,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    tgt = docs.filter(F.col("doc_id") % 10 == 0)
+    src = docs.filter(F.col("doc_id") % 10 != 0)
+    a = [tuple(r) for r in dsir_gumbel_sample(src, tgt, 10, seed=1).collect()]
+    b = [tuple(r) for r in dsir_gumbel_sample(
+        src.repartition(7), tgt, 10, seed=1
+    ).collect()]
+    assert a == b  # same seed -> identical sample, any partitioning
+    c = [tuple(r) for r in dsir_gumbel_sample(src, tgt, 10, seed=2).collect()]
+    assert {r[0] for r in c} != {r[0] for r in a}  # seed changes the draw
