@@ -47,6 +47,7 @@ __all__ = [
     "importance_log_weights",
     "dsir_select",
     "dsir_gumbel_sample",
+    "target_cross_entropy",
 ]
 
 
@@ -214,4 +215,60 @@ def dsir_gumbel_sample(
         w.select(F.col(id_col), "n_feats", "log_w", key)
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def target_cross_entropy(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    ngram: int = 2,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feats, xent): per-doc cross-entropy (mean negative log-prob,
+    nats/feature) of each doc's hashed n-gram bag under the Laplace-smoothed
+    TARGET feature model — the perplexity-filter signal (CCNet-style
+    pipelines score raw text under a clean-corpus LM and drop the
+    high-perplexity tail; public reference: arXiv 1911.00359). This is that
+    stage with the engine's hashed-feature unigram model instead of an
+    external KenLM binary: exp(xent) is the doc's feature perplexity.
+
+    Same exactness contract as the importance weights: per-bucket
+    -ln p_target quantizes to integer micro-nats, per-doc sums are exact,
+    the mean divides two exact integers. One broadcast join + one shuffle.
+    """
+    spark = docs.sparkSession
+    tc = ngram_bucket_counts(
+        target, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    )
+    t_total = tc.agg(F.sum("cnt")).head()[0] or 0
+    universe = spark.range(dim).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    nlp = universe.join(tc, "bucket", "left").select(
+        "bucket",
+        F.round(
+            -F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / F.lit(float(t_total + dim))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("nlp_micro"),
+    )
+    feats = _features(
+        docs, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    )
+    return (
+        feats.join(F.broadcast(nlp), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("nlp_micro") / F.count("*") / F.lit(1e6), 6).alias(
+                "xent"
+            ),
+        )
     )

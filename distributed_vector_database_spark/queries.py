@@ -4041,6 +4041,45 @@ def q_dsir_gumbel_sample(spark, sf_dir):
     return dsir_gumbel_sample(source, target, k=50, seed=0)
 
 
+@register(
+    "doc_perplexity_filter",
+    f"""
+WITH {_TOKS_CTE},
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gm
+      FROM toks WHERE len(t) >= 2),
+f AS (SELECT doc_id, {_bucket_sql('gm', 256)} AS bucket FROM g),
+tc AS (SELECT bucket, count(*) AS ct FROM f WHERE {_EVAL_PRED}
+       GROUP BY bucket),
+tt AS (SELECT count(*) AS t FROM f WHERE {_EVAL_PRED}),
+u AS (SELECT unnest(range(0, 256)) AS bucket),
+nlp AS (SELECT u.bucket,
+               CAST(round(-ln((COALESCE(ct, 0) + 1)::DOUBLE / (tt.t + 256))
+                          * 1e6) AS BIGINT) AS nlp_micro
+        FROM u LEFT JOIN tc ON u.bucket = tc.bucket, tt)
+SELECT f.doc_id AS doc_id, count(*)::BIGINT AS n_feats,
+       ROUND(sum(nlp_micro) / count(*) / 1e6, 6) AS xent
+FROM f JOIN nlp ON f.bucket = nlp.bucket
+WHERE NOT (f.doc_id % 50 = 0)
+GROUP BY f.doc_id
+""",
+)
+def q_doc_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity filtering (public arXiv 1911.00359) with the
+    engine's hashed-feature model: each raw doc's cross-entropy under the
+    eval-slice target model — drop the high-xent tail. Exact micro-nat
+    accumulation; 256-row model broadcast; one per-doc shuffle."""
+    from distributed_vector_database_spark.operators.dsir import (
+        target_cross_entropy,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    target = docs.filter(F.expr(_EVAL_PRED))
+    source = docs.filter(~F.expr(_EVAL_PRED))
+    return target_cross_entropy(source, target, ngram=2, dim=256)
+
+
 # ===========================================================================
 # Substring-level dedup signal (dedup.repeated_spans): exact cross-document
 # repeated token spans — the relational form of suffix-array substring dedup.

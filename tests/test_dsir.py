@@ -81,3 +81,26 @@ def test_gumbel_sample_reproducible_and_seed_sensitive(spark):
     assert a == b  # same seed -> identical sample, any partitioning
     c = [tuple(r) for r in dsir_gumbel_sample(src, tgt, 10, seed=2).collect()]
     assert {r[0] for r in c} != {r[0] for r in a}  # seed changes the draw
+
+
+def test_cross_entropy_orders_by_target_likeness(spark):
+    from distributed_vector_database_spark.operators.dsir import (
+        target_cross_entropy,
+    )
+
+    target = _docs(
+        spark,
+        [(100 + i, "physics energy quantum field theory lecture notes")
+         for i in range(5)],
+    )
+    docs = _docs(
+        spark,
+        [
+            (1, "physics energy quantum field theory overview"),
+            (2, "buy cheap shoes online free shipping today now"),
+        ],
+    )
+    x = {r["doc_id"]: r["xent"] for r in
+         target_cross_entropy(docs, target).collect()}
+    assert x[1] < x[2]  # target-like text has LOWER cross-entropy
+    assert all(v > 0 for v in x.values())
