@@ -158,6 +158,10 @@ def main() -> None:
         "dedup_minhash_lsh",
         "lineitem_pricing_summary",
         "sessionization",
+        "chunk_search_hashed",
+        "semantic_dedup",
+        "dsir_log_weights",
+        "mor_upsert_read",
     ]
     compact = dict(full)
     compact["queries"] = {

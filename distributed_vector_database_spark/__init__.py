@@ -100,6 +100,24 @@ from distributed_vector_database_spark.functions.quantize import (
     int8_dequantize,
     int8_quantize,
 )
+from distributed_vector_database_spark.operators.chunking import chunk_documents
+from distributed_vector_database_spark.operators.dedup import (
+    doc_repeated_span_stats,
+    repeated_spans,
+    semantic_dedup,
+)
+from distributed_vector_database_spark.operators.dsir import (
+    dsir_gumbel_sample,
+    dsir_select,
+    importance_log_weights,
+    target_cross_entropy,
+)
+from distributed_vector_database_spark.operators.mining import (
+    hard_negatives,
+    label_prototypes,
+    prototype_scores,
+)
+from distributed_vector_database_spark.sources.mor import MorStore
 
 __all__ = [
     "get_session",
@@ -128,6 +146,18 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "stratified_hash_sample",
+    "chunk_documents",
+    "semantic_dedup",
+    "repeated_spans",
+    "doc_repeated_span_stats",
+    "importance_log_weights",
+    "dsir_select",
+    "dsir_gumbel_sample",
+    "target_cross_entropy",
+    "hard_negatives",
+    "label_prototypes",
+    "prototype_scores",
+    "MorStore",
     "kmv_distinct",
     "recall_at_k",
     "connected_components",
