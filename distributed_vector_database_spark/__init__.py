@@ -89,12 +89,16 @@ from distributed_vector_database_spark.streaming.events import (
     tumbling_counts,
 )
 from distributed_vector_database_spark.operators.pq import (
+    fit_opq_rotation,
     fit_pq_codebooks,
+    ivfpq_residual_topk,
     pq_adc_batch_topk,
     pq_adc_topk,
     pq_decode,
     pq_encode,
     pq_encode_arrow,
+    residual_col,
+    rotate_col,
 )
 from distributed_vector_database_spark.functions.quantize import (
     int8_dequantize,
@@ -103,6 +107,8 @@ from distributed_vector_database_spark.functions.quantize import (
 from distributed_vector_database_spark.operators.chunking import chunk_documents
 from distributed_vector_database_spark.operators.dedup import (
     doc_repeated_span_stats,
+    duplicate_paragraphs,
+    paragraph_dedup_stats,
     repeated_spans,
     semantic_dedup,
 )
@@ -188,6 +194,12 @@ __all__ = [
     "pq_decode",
     "pq_adc_topk",
     "pq_adc_batch_topk",
+    "residual_col",
+    "ivfpq_residual_topk",
+    "fit_opq_rotation",
+    "rotate_col",
+    "paragraph_dedup_stats",
+    "duplicate_paragraphs",
     "int8_quantize",
     "int8_dequantize",
 ]

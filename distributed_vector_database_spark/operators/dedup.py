@@ -48,6 +48,9 @@ __all__ = [
     "semantic_dedup",
     "repeated_spans",
     "doc_repeated_span_stats",
+    "paragraph_blocks",
+    "paragraph_dedup_stats",
+    "duplicate_paragraphs",
 ]
 
 HEX = "0123456789abcdef"
@@ -687,4 +690,96 @@ def doc_repeated_span_stats(
                 6,
             ).alias("shared_frac"),
         )
+    )
+
+
+def paragraph_blocks(
+    text_col, block_tokens: int = 16
+):
+    """Non-overlapping ``block_tokens``-token blocks of a document — the
+    relational stand-in for paragraphs when the corpus carries no
+    structural delimiters (the trailing partial block is kept). Returns an
+    ``array<string>`` column; empty-token docs get an empty array.
+
+    DuckDB mirror: ``list_transform(range(0, (len(t)+B-1)//B),
+    i -> array_to_string(list_slice(t, i*B+1, i*B+B), ' '))``.
+    """
+    toks = tokens(text_col)
+    b = block_tokens
+    nblocks = F.ceil(F.size(toks) / F.lit(b)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nblocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i * b + 1).cast("int"), b)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    block_tokens: int = 16,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_blocks, n_recycled, recycled_frac): per-doc fraction of
+    paragraph blocks whose content ALSO appears (as a block) in at least
+    one other document — the paragraph-granularity complement to the
+    overlapping 8-token :func:`doc_repeated_span_stats` signal.
+    Paragraph-level dedup drops/trims documents assembled from recycled
+    boilerplate even when whole-document hashes differ.
+
+    Plan shape: explode blocks → md5 → frequency aggregate (partial-agg
+    combinable) → join back on block hash → per-doc aggregate. Two
+    shuffles on the block hash; block hashes are uniform md5 so no hot
+    keys at 100 TB.
+    """
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(paragraph_blocks(text_col, block_tokens)).alias("_b"),
+    ).select(F.col(id_col), F.md5("_b").alias("block_hash"))
+    freq = ex.groupBy("block_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    rec = F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+    return (
+        ex.join(freq, "block_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_blocks"),
+            rec.alias("n_recycled"),
+            round_score(
+                rec.cast("double") / F.count("*"), 6
+            ).alias("recycled_frac"),
+        )
+    )
+
+
+def duplicate_paragraphs(
+    docs: DataFrame,
+    block_tokens: int = 16,
+    *,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph blocks shared by ≥ ``min_docs`` distinct documents:
+    (block_hash, n_docs, n_occurrences, rep_doc_id). The corpus-level
+    boilerplate inventory (license headers, navigation chrome, templated
+    intros) — one partial-aggregated groupBy on uniform md5 keys."""
+    ex = docs.select(
+        F.col(id_col),
+        F.explode(paragraph_blocks(text_col, block_tokens)).alias("_b"),
+    ).select(F.col(id_col), F.md5("_b").alias("block_hash"))
+    return (
+        ex.groupBy("block_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
     )

@@ -51,6 +51,13 @@ __all__ = [
     "codebooks_from_rows",
     "save_codebooks",
     "load_codebooks",
+    "residual_col",
+    "ivfpq_residual_luts",
+    "pq_adc_score_by_shard",
+    "ivfpq_residual_topk",
+    "fit_opq_rotation",
+    "rotate_col",
+    "householder_rotation",
 ]
 
 Codebooks = Sequence[Sequence[Sequence[float]]]  # [m][k][dim/m]
@@ -424,6 +431,218 @@ def pq_adc_batch_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adc_dist", "rank")
     )
+
+
+def residual_col(
+    vector_col: str | Column,
+    shard_col: str | Column,
+    centroids: Sequence[Sequence[float]],
+) -> Column:
+    """``array<double>`` residual ``vector - centroids[shard_id]`` — the
+    IVFADC transform (Jégou et al. 2011 §IV): PQ-encoding residuals against
+    the routing centroid concentrates the quantizer's dynamic range on the
+    within-cell displacement, improving recall at equal code bits.
+
+    Pure Catalyst: centroid matrix as a plan literal, one ``element_at`` by
+    shard id, one ``zip_with`` subtract — narrow projection, no shuffle.
+    """
+    cents = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    cent = F.element_at(cents, _c(shard_col).cast("int") + 1)
+    return F.zip_with(
+        _c(vector_col).cast("array<double>"), cent, lambda x, c: x - c
+    )
+
+
+def ivfpq_residual_luts(
+    query_vector: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+) -> list[list[list[float]]]:
+    """Per-shard ADC lookup tables for residual IVF-PQ:
+    ``luts[s][j][c] = ||(q - centroid_s)_j - cb[j][c]||²``.
+
+    Because codes are residuals against their own shard's centroid, the
+    query must be re-expressed per probed shard — the classic IVFADC
+    per-cell LUT. Tiny (n_shards × m × k float64) — travels as a literal.
+    """
+    q = [float(x) for x in query_vector]
+    return [
+        pq_adc_lut([a - float(b) for a, b in zip(q, cent)], codebooks)
+        for cent in centroids
+    ]
+
+
+def pq_adc_score_by_shard(
+    codes_col: str | Column,
+    shard_col: str | Column,
+    luts: Sequence[Sequence[Sequence[float]]],
+) -> Column:
+    """ADC distance where each row's LUT is selected by its shard id —
+    the scoring half of residual IVF-PQ. Still O(m) lookups + sum per
+    row, JVM-side; the 3-level LUT tensor is a plan literal."""
+    luts_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in row]).cast(
+                        "array<double>"
+                    )
+                    for row in lut
+                ]
+            )
+            for lut in luts
+        ]
+    )
+    lut_for_row = F.element_at(luts_lit, _c(shard_col).cast("int") + 1)
+    return F.aggregate(
+        F.zip_with(
+            _c(codes_col),
+            lut_for_row,
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfpq_residual_topk(
+    encoded: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    query_vector: Sequence[float],
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Residual IVF-PQ search (IVFADC proper): probe the ``nprobe``
+    nearest cells, ADC-score each cell's residual codes against that
+    cell's own query LUT, global top-k by (adc_dist ASC, id ASC).
+
+    ``encoded`` must carry (id, shard_id, codes) where codes encode the
+    RESIDUAL ``vector - centroid[shard_id]`` (see :func:`residual_col`).
+    At scale the shard filter is partition pruning over a
+    ``partitionBy(shard_id)`` layout — only probed cells' code files are
+    read, and only the code column is scanned.
+    """
+    from .ivf import nearest_shards
+
+    probed = nearest_shards(query_vector, centroids, nprobe=nprobe)
+    luts = ivfpq_residual_luts(query_vector, centroids, codebooks)
+    return (
+        encoded.filter(_c(shard_col).isin(probed))
+        .select(
+            id_col,
+            F.round(
+                pq_adc_score_by_shard(codes_col, shard_col, luts), 6
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def fit_opq_rotation(
+    df: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    m: int = 8,
+    sample_n: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """OPQ-style rotation (Ge et al., "Optimized Product Quantization",
+    CVPR 2013 — the non-parametric init): PCA on a deterministic sample,
+    then EIGENVALUE ALLOCATION — assign principal dimensions, in
+    descending-variance order, to the subspace with the smallest variance
+    product — so every subquantizer carries comparable energy.
+
+    Index-build step: driver-side numpy on ≤ ``sample_n`` rows (the same
+    sample-then-fit shape as centroid fitting,
+    `reference: src/cluster.py:28-33`). Returns an orthogonal row-matrix
+    ``R`` (dim × dim, ``y = R @ x``); deterministic — eigenvector signs
+    are fixed so each row's largest-|component| is positive.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(_c(vector_col).cast("array<double>").alias("v"), id_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    Xc = X - X.mean(0)
+    cov = (Xc.T @ Xc) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # deterministic sign: largest-|component| of each eigenvector positive
+    for i in range(dim):
+        j = np.abs(evecs[:, i]).argmax()
+        if evecs[j, i] < 0:
+            evecs[:, i] = -evecs[:, i]
+    # eigenvalue allocation: greedy round-robin into m buckets by smallest
+    # log-variance product, keeping each bucket at dim/m dimensions
+    sub = dim // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logs = np.log(np.maximum(evals, 1e-12))
+    prods = np.zeros(m)
+    for i in range(dim):
+        open_b = [b for b in range(m) if len(buckets[b]) < sub]
+        b = min(open_b, key=lambda b: (prods[b], b))
+        buckets[b].append(i)
+        prods[b] += logs[i]
+    perm = [i for b in buckets for i in b]
+    R = evecs[:, perm].T  # rows = principal axes in allocated order
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_col(
+    vector_col: str | Column, rotation: Sequence[Sequence[float]]
+) -> Column:
+    """``y = R @ x`` as a pure Catalyst expression: the rotation matrix is
+    a plan literal; each output element is a sequential zip_with dot
+    product. Narrow projection — no shuffle; pairs with :func:`pq_encode`
+    for OPQ (rotate → PQ in the rotated basis)."""
+    R_lit = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in row]).cast("array<double>")
+            for row in rotation
+        ]
+    )
+    v = _c(vector_col).cast("array<double>")
+    return F.transform(
+        R_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+
+
+def householder_rotation(dim: int) -> list[list[float]]:
+    """The Householder reflection ``H = I - (2/dim)·11ᵀ`` — a fixed,
+    data-independent orthogonal matrix whose action collapses to
+    ``H·x = x - (2/dim)·sum(x)`` — exactly reproducible in ANSI SQL, so
+    oracle queries can verify the rotate→encode→ADC pipeline end to end
+    (the PCA rotation itself is verified against numpy in unit tests)."""
+    f = 2.0 / dim
+    return [
+        [(1.0 if i == j else 0.0) - f for j in range(dim)]
+        for i in range(dim)
+    ]
 
 
 def save_codebooks(

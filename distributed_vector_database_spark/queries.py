@@ -2182,6 +2182,157 @@ def q_ivfpq_search(spark, sf_dir):
     return _pq.pq_adc_topk(enc, books, qv, k=10)
 
 
+def _residual_books(spark, sf_dir, cents, n: int = 16, m: int = 8):
+    """Codebooks from the residuals of the first ``n`` vectors against
+    their assigned centroid — the residual analogue of ``_pq_books``,
+    reproducible row-for-row by the oracle's CTE."""
+    rows = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    res = []
+    for r in rows:
+        v = [float(x) for x in r[0]]
+        # same routing rule as assign_shards: squared-L2 argmin, lowest
+        # shard wins ties (reference: src/compute_server.py:41-49)
+        best, best_d = 0, None
+        for sid, c in enumerate(cents):
+            d = sum((a - float(b)) ** 2 for a, b in zip(v, c))
+            if best_d is None or d < best_d:
+                best, best_d = sid, d
+        res.append([a - float(b) for a, b in zip(v, cents[best])])
+    return _pq.codebooks_from_rows(res, m)
+
+
+@register(
+    "ivfpq_residual_search",
+    f"""
+WITH {_ASSIGN_CTE},
+res AS (SELECT e.vec_id, a.shard_id,
+        list_transform(list_zip(e.embedding::DOUBLE[], c.cv), z -> z[1]-z[2]) AS r
+        FROM embeddings e JOIN assign a USING (vec_id)
+        JOIN c ON a.shard_id = c.shard_id),
+cbrows AS (SELECT vec_id AS cid, r FROM res WHERE vec_id < 16),
+js AS (SELECT j::INT AS j FROM range(8) t(j)),
+cb AS (SELECT j, list(list_slice(r, j*8+1, j*8+8) ORDER BY cid) AS book
+       FROM cbrows, js GROUP BY j),
+enc AS (SELECT res.vec_id, res.shard_id, cb.j, cb.book,
+        list_transform(cb.book,
+          cc -> list_reduce(list_transform(list_zip(list_slice(res.r, cb.j*8+1, cb.j*8+8), cc),
+                 z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS dists
+        FROM res, cb),
+codes AS (SELECT vec_id, shard_id, j, book, dists,
+          (list_position(dists, list_min(dists)) - 1)::INT AS code FROM enc),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+probe AS (SELECT c.shard_id FROM c, q
+          ORDER BY list_distance(c.cv, q.qv) ASC, c.shard_id ASC LIMIT 2),
+qres AS (SELECT c.shard_id,
+         list_transform(list_zip(q.qv, c.cv), z -> z[1]-z[2]) AS qr FROM c, q),
+adc AS (SELECT codes.vec_id,
+        SUM(list_reduce(list_transform(list_zip(list_slice(qres.qr, j*8+1, j*8+8), book[code+1]),
+              z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS d
+        FROM codes JOIN qres ON codes.shard_id = qres.shard_id
+        WHERE codes.shard_id IN (SELECT shard_id FROM probe)
+        GROUP BY codes.vec_id)
+SELECT vec_id, ROUND(d, 6) AS adc_dist FROM adc
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+""",
+)
+def q_ivfpq_residual_search(spark, sf_dir):
+    """Residual IVF-PQ (IVFADC proper, Jégou et al. TPAMI 2011 §IV):
+    vectors are PQ-encoded as residuals against their routing centroid,
+    and the query is re-expressed per probed cell via per-shard LUTs —
+    better recall than plain IVF-PQ at identical code bits (delta
+    published in RECALL.md). Beyond-reference surface: the reference's
+    report cites IVF (p.2) but stores raw float JSON
+    (`reference: src/storage_server.py:43-46`)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    books = _residual_books(spark, sf_dir, cents)
+    qv = _query_vec(spark, sf_dir, 100)
+    assigned = assign_shards(
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ),
+        cents,
+    )
+    enc = assigned.select(
+        "vec_id",
+        "shard_id",
+        _pq.pq_encode(
+            _pq.residual_col("embedding", "shard_id", cents), books
+        ).alias("codes"),
+    )
+    return _pq.ivfpq_residual_topk(enc, cents, books, qv, k=10, nprobe=2)
+
+
+@register(
+    "opq_rotated_adc_topk",
+    """
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+rot AS (SELECT vec_id,
+        list_transform(e, x -> x - (2.0/64.0) * list_reduce(e, (a,b) -> a+b)) AS re
+        FROM vecs),
+cbrows AS (SELECT vec_id AS c, re FROM rot WHERE vec_id < 16),
+js AS (SELECT j::INT AS j FROM range(8) t(j)),
+cb AS (SELECT j, list(list_slice(re, j*8+1, j*8+8) ORDER BY c) AS book
+       FROM cbrows, js GROUP BY j),
+enc AS (SELECT r.vec_id, cb.j, cb.book,
+        list_transform(cb.book,
+          cc -> list_reduce(list_transform(list_zip(list_slice(r.re, cb.j*8+1, cb.j*8+8), cc),
+                 z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS dists
+        FROM rot r, cb),
+codes AS (SELECT vec_id, j, book, dists,
+          (list_position(dists, list_min(dists)) - 1)::INT AS code FROM enc),
+q AS (SELECT re AS qv FROM rot WHERE vec_id = 100),
+adc AS (SELECT vec_id,
+        SUM(list_reduce(list_transform(list_zip(list_slice(q.qv, j*8+1, j*8+8), book[code+1]),
+              z -> (z[1]-z[2])*(z[1]-z[2])), (a,b) -> a+b)) AS d
+        FROM codes, q GROUP BY vec_id)
+SELECT vec_id, ROUND(d, 6) AS adc_dist FROM adc
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+""",
+)
+def q_opq_rotated_adc_topk(spark, sf_dir):
+    """OPQ pipeline shape (Ge et al. CVPR 2013): rotate → PQ-encode in the
+    rotated basis → ADC search with the rotated query. The registered
+    rotation is the fixed Householder ``H = I - (2/dim)·11ᵀ`` so the
+    oracle reproduces the arithmetic exactly (``H·x = x - (2/dim)·Σx``);
+    the data-dependent PCA rotation (``fit_opq_rotation``, eigenvalue
+    allocation) runs through the SAME rotate→encode→ADC path and is
+    verified against numpy in tests/test_pq.py. Rotation is a narrow
+    Catalyst projection — no shuffle; orthogonality preserves L2, so ADC
+    distances in the rotated basis estimate original distances."""
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    s = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    f = 2.0 / 64.0
+    rot = emb.select(
+        "vec_id", F.transform(v, lambda x: x - F.lit(f) * s).alias("re")
+    )
+
+    def _hrot(vec):
+        t = 0.0
+        for x in vec:
+            t += float(x)
+        return [float(x) - f * t for x in vec]
+
+    rows = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    books = _pq.codebooks_from_rows([_hrot(r[0]) for r in rows], 8)
+    qv = _hrot(_query_vec(spark, sf_dir, 100))
+    enc = rot.select("vec_id", _pq.pq_encode("re", books).alias("codes"))
+    return _pq.pq_adc_topk(enc, books, qv, k=10)
+
+
 # ===========================================================================
 # Corpus dictionary + keyword extraction (operators/text_analysis.py):
 # global term frequencies and per-doc smoothed TF-IDF top terms.
@@ -4143,6 +4294,68 @@ def q_doc_repeated_span_stats(spark, sf_dir):
 
     docs = _spread(_read(spark, sf_dir, "documents"))
     return doc_repeated_span_stats(docs, span_tokens=8)
+
+
+# ===========================================================================
+# Paragraph-level dedup (dedup.paragraph_*): non-overlapping token blocks as
+# the paragraph unit (the sf corpora carry no structural delimiters), exact
+# block-hash sharing across documents.
+# ===========================================================================
+
+_PARA_CTE = f"""
+{_TOKS_CTE},
+pb AS (SELECT doc_id,
+              unnest(list_transform(range(0, (len(t)+15)//16),
+                     i -> md5(array_to_string(list_slice(t, i*16+1, i*16+16), ' ')))) AS bh
+       FROM toks WHERE len(t) > 0)
+"""
+
+
+@register(
+    "paragraph_dedup_stats",
+    f"""
+WITH {_PARA_CTE},
+fr AS (SELECT bh, count(DISTINCT doc_id) AS nd FROM pb GROUP BY 1)
+SELECT pb.doc_id AS doc_id, count(*)::BIGINT AS n_blocks,
+       sum(CASE WHEN fr.nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_recycled,
+       ROUND(sum(CASE WHEN fr.nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recycled_frac
+FROM pb JOIN fr USING (bh)
+GROUP BY pb.doc_id
+""",
+)
+def q_paragraph_dedup_stats(spark, sf_dir):
+    """Per-document recycled-paragraph fraction: share of a doc's
+    non-overlapping 16-token blocks whose content also appears as a block
+    in another document — paragraph-granularity dedup signal
+    (complements the overlapping 8-token span stats)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        paragraph_dedup_stats,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return paragraph_dedup_stats(docs, block_tokens=16)
+
+
+@register(
+    "duplicate_paragraph_report",
+    f"""
+WITH {_PARA_CTE}
+SELECT bh AS block_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences, min(doc_id) AS rep_doc_id
+FROM pb GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def q_duplicate_paragraph_report(spark, sf_dir):
+    """Corpus-level boilerplate inventory: 16-token paragraph blocks shared
+    by >= 2 distinct documents, with occurrence counts and the lowest
+    containing doc as representative."""
+    from distributed_vector_database_spark.operators.dedup import (
+        duplicate_paragraphs,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return duplicate_paragraphs(docs, block_tokens=16, min_docs=2)
 
 
 # ---------------------------------------------------------------------------

@@ -153,3 +153,47 @@ def test_repeated_spans_multiplicity_and_short_docs(spark):
     assert stats[3]["n_shared"] == 0  # within-doc repeats don't count
     assert stats[1]["n_shared"] >= 1 and stats[2]["n_shared"] >= 1
     assert stats[1]["n_spans"] == 3  # 10 tokens -> 3 span positions
+
+
+def test_paragraph_blocks_partial_tail_and_empty(spark):
+    """Blocks are non-overlapping with the trailing partial kept; empty
+    docs yield no blocks; within-doc repeats are not 'recycled'."""
+    from distributed_vector_database_spark.operators.dedup import (
+        duplicate_paragraphs,
+        paragraph_blocks,
+        paragraph_dedup_stats,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # blocks(2): "a b","c d","e"
+            (2, "a b c d x"),          # shares "a b","c d"
+            (3, "p q p q"),            # self-repeat only -> not recycled
+            (4, ""),                   # no tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    blocks = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", paragraph_blocks("text", 2).alias("b")
+        ).collect()
+    }
+    assert blocks[1] == ["a b", "c d", "e"]
+    assert blocks[3] == ["p q", "p q"]
+    assert blocks[4] == []
+
+    stats = {
+        r["doc_id"]: r
+        for r in paragraph_dedup_stats(docs, block_tokens=2).collect()
+    }
+    assert 4 not in stats
+    assert stats[1]["n_recycled"] == 2 and stats[1]["n_blocks"] == 3
+    assert stats[2]["n_recycled"] == 2
+    assert stats[3]["n_recycled"] == 0  # within-doc repeat, 1 distinct doc
+    assert abs(stats[1]["recycled_frac"] - round(2 / 3, 6)) < 1e-9
+
+    dup = duplicate_paragraphs(docs, block_tokens=2).collect()
+    assert {r["rep_doc_id"] for r in dup} == {1}
+    assert all(r["n_docs"] == 2 for r in dup)

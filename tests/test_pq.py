@@ -245,3 +245,211 @@ def test_adc_gather_method_equals_expr(spark, embeddings, books):
     assert expr == gather
     with pytest.raises(ValueError):
         pq_adc_topk(enc, books, qv, method="nope")
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (IVFADC proper): codes quantize vector - routing centroid;
+# search re-expresses the query per probed cell (per-shard LUTs).
+# ---------------------------------------------------------------------------
+
+from distributed_vector_database_spark.operators.ivf import (  # noqa: E402
+    assign_shards,
+    fit_centroids,
+)
+from distributed_vector_database_spark.operators.pq import (  # noqa: E402
+    ivfpq_residual_luts,
+    ivfpq_residual_topk,
+    residual_col,
+)
+
+
+@pytest.fixture(scope="module")
+def cents(embeddings):
+    rows = (
+        embeddings.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def test_residual_col_matches_numpy(spark, embeddings, cents):
+    got = (
+        assign_shards(embeddings, cents)
+        .select("vec_id", "shard_id", "embedding",
+                residual_col("embedding", "shard_id", cents).alias("r"))
+        .orderBy("vec_id")
+        .limit(50)
+        .collect()
+    )
+    C = np.asarray(cents)
+    for row in got:
+        x = np.asarray([float(v) for v in row["embedding"]])
+        exp = x - C[row["shard_id"]]
+        np.testing.assert_allclose(np.asarray(row["r"]), exp, rtol=0, atol=0)
+
+
+def test_residual_full_probe_matches_numpy_adc(spark, embeddings, cents, books):
+    # nprobe = num_shards -> every cell scored; cross-check distances + order
+    # against a pure-numpy IVFADC implementation
+    assigned = assign_shards(embeddings, cents)
+    enc = assigned.select(
+        "vec_id", "shard_id",
+        pq_encode(residual_col("embedding", "shard_id", cents), books)
+        .alias("codes"),
+    ).cache()
+    qv = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 7)
+        .select("embedding").head()[0]
+    ]
+    got = ivfpq_residual_topk(
+        enc, cents, books, qv, k=10, nprobe=len(cents)
+    ).collect()
+
+    rows = assigned.select("vec_id", "shard_id", "embedding").collect()
+    C = np.asarray(cents)
+    luts = np.asarray(ivfpq_residual_luts(qv, cents, books))  # S x m x k
+    m, sub = len(books), len(books[0][0])
+    exp = []
+    for r in rows:
+        x = np.asarray([float(v) for v in r["embedding"]])
+        res = x - C[r["shard_id"]]
+        codes = _np_encode(res[None, :], books)[0]
+        d = sum(luts[r["shard_id"], j, codes[j]] for j in range(m))
+        exp.append((round(d, 6), r["vec_id"]))
+    exp.sort()
+    assert [(g["adc_dist"], g["vec_id"]) for g in got] == exp[:10]
+    enc.unpersist()
+
+
+def test_residual_beats_plain_pq_reconstruction(spark, embeddings):
+    # At identical code bits (m=8, k=16), quantizing residuals against
+    # fitted centroids must reconstruct better than quantizing raw vectors
+    # (the IVFADC rationale): compare mean ||x - x_hat||.
+    cents = fit_centroids(embeddings, 8, seed=7)
+    assigned = assign_shards(embeddings, cents).select(
+        "vec_id",
+        "shard_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        residual_col("embedding", "shard_id", cents).alias("r"),
+    ).cache()
+
+    plain_books = fit_pq_codebooks(
+        assigned.select("vec_id", F.col("e").alias("embedding")),
+        m=8, k=16, sample_n=512, iters=8,
+    )
+    res_books = fit_pq_codebooks(
+        assigned.select("vec_id", F.col("r").alias("embedding")),
+        m=8, k=16, sample_n=512, iters=8,
+    )
+
+    plain_err = (
+        assigned.select(
+            euclidean_distance(
+                "e", pq_decode(pq_encode("e", plain_books), plain_books)
+            ).alias("err")
+        ).agg(F.avg("err")).head()[0]
+    )
+    # residual reconstruction: centroid + decoded residual
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+        for c in cents
+    ])
+    recon = F.zip_with(
+        F.element_at(cents_lit, F.col("shard_id").cast("int") + 1),
+        pq_decode(pq_encode("r", res_books), res_books),
+        lambda c, d: c + d,
+    )
+    res_err = (
+        assigned.select(euclidean_distance("e", recon).alias("err"))
+        .agg(F.avg("err")).head()[0]
+    )
+    assigned.unpersist()
+    assert res_err < plain_err, (res_err, plain_err)
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style rotation: PCA + eigenvalue allocation fit, Catalyst matrix
+# multiply, Householder fast path.
+# ---------------------------------------------------------------------------
+
+from distributed_vector_database_spark.operators.pq import (  # noqa: E402
+    fit_opq_rotation,
+    householder_rotation,
+    rotate_col,
+)
+
+
+def test_opq_rotation_is_orthogonal_and_deterministic(spark, embeddings):
+    R1 = fit_opq_rotation(embeddings, m=8, sample_n=512)
+    R2 = fit_opq_rotation(embeddings, m=8, sample_n=512)
+    assert R1 == R2
+    R = np.asarray(R1)
+    np.testing.assert_allclose(R @ R.T, np.eye(64), atol=1e-9)
+
+
+def test_rotate_col_matches_numpy(spark, embeddings):
+    R = fit_opq_rotation(embeddings, m=8, sample_n=256)
+    got = (
+        embeddings.orderBy("vec_id")
+        .limit(20)
+        .select("vec_id", "embedding", rotate_col("embedding", R).alias("y"))
+        .collect()
+    )
+    Rm = np.asarray(R)
+    for r in got:
+        x = np.asarray([float(v) for v in r["embedding"]])
+        np.testing.assert_allclose(
+            np.asarray(r["y"]), Rm @ x, rtol=1e-12, atol=1e-12
+        )
+        # orthogonal rotation preserves the norm
+        assert abs(np.linalg.norm(r["y"]) - np.linalg.norm(x)) < 1e-9
+
+
+def test_householder_matrix_equals_fast_path(spark, embeddings):
+    H = householder_rotation(64)
+    Hm = np.asarray(H)
+    np.testing.assert_allclose(Hm @ Hm.T, np.eye(64), atol=1e-12)
+    got = (
+        embeddings.orderBy("vec_id")
+        .limit(10)
+        .select("embedding", rotate_col("embedding", H).alias("y"))
+        .collect()
+    )
+    for r in got:
+        x = np.asarray([float(v) for v in r["embedding"]])
+        exp = x - (2.0 / 64.0) * x.sum()
+        np.testing.assert_allclose(np.asarray(r["y"]), exp, atol=1e-10)
+
+
+def test_opq_rotation_improves_reconstruction(spark, embeddings):
+    # PQ in the OPQ-rotated basis must reconstruct at least as well as PQ
+    # in the raw basis at identical bits (the OPQ objective).
+    R = fit_opq_rotation(embeddings, m=8, sample_n=512)
+    rotated = embeddings.select(
+        "vec_id", rotate_col("embedding", R).alias("embedding")
+    ).cache()
+
+    def mean_err(df):
+        bk = fit_pq_codebooks(df, m=8, k=16, sample_n=512, iters=8)
+        return (
+            df.select(
+                euclidean_distance(
+                    F.col("embedding").cast("array<double>"),
+                    pq_decode(pq_encode("embedding", bk), bk),
+                ).alias("err")
+            ).agg(F.avg("err")).head()[0]
+        )
+
+    raw = mean_err(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    opq = mean_err(rotated)
+    rotated.unpersist()
+    # rotation cannot hurt much and usually helps; assert no regression
+    # beyond noise and record the typical improvement
+    assert opq <= raw * 1.02, (opq, raw)
