@@ -124,6 +124,7 @@ from distributed_vector_database_spark.operators.mining import (
     prototype_scores,
 )
 from distributed_vector_database_spark.sources.mor import MorStore
+from distributed_vector_database_spark.operators.fusion import ranked, rrf_fuse
 
 __all__ = [
     "get_session",
@@ -200,6 +201,8 @@ __all__ = [
     "rotate_col",
     "paragraph_dedup_stats",
     "duplicate_paragraphs",
+    "rrf_fuse",
+    "ranked",
     "int8_quantize",
     "int8_dequantize",
 ]

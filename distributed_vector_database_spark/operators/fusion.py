@@ -1,0 +1,98 @@
+"""Hybrid-retrieval rank fusion.
+
+Modern retrieval stacks run SEVERAL arms per query — lexical (BM25/TF
+cosine), dense-vector ANN, sometimes structured filters — and fuse the
+ranked lists. Reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+"Reciprocal Rank Fusion outperforms Condorcet and individual Rank
+Learning Methods", SIGIR 2009) is the standard score-free fuser:
+
+    rrf(d) = Σ_arms  w_arm / (k + rank_arm(d))
+
+Score-free matters operationally: cosine and Jaccard live on different
+scales, and RRF needs only each arm's RANKS, so arms can be added or
+swapped without calibration.
+
+Beyond-reference surface: the reference is single-arm (vector cosine
+only, `reference: src/compute_server.py:107-138`); a training-data
+curation stack needs the lexical arm for exact-term recall and the
+fusion step to combine them.
+
+Spark shape: each arm is already a tiny top-N DataFrame (k·arms rows
+total — post-top-k, NOT corpus-sized), so fusion is a unionByName of
+slivers + one groupBy on the id: negligible cost at any corpus scale,
+and the expensive parts (the arms) keep their own optimal plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.vector import round_score
+
+__all__ = ["rrf_fuse", "ranked"]
+
+
+def ranked(
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    ascending: bool = False,
+    top_n: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Attach a deterministic dense rank: order by (score, id) — score
+    descending by default (similarities), ascending for distances — and
+    keep ``top_n`` if given. Rank ties are impossible because the id
+    tie-break totalizes the order; rank the ROUNDED score upstream so the
+    order is reproducible across engines."""
+    from pyspark.sql import Window
+
+    sc = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.orderBy(sc, F.asc(id_col))
+    out = scored.withColumn(rank_col, F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col(rank_col) <= top_n)
+    return out
+
+
+def rrf_fuse(
+    arms: Sequence[DataFrame],
+    k: int = 60,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    weights: Sequence[float] | None = None,
+    out_col: str = "rrf_score",
+) -> DataFrame:
+    """Fuse ranked lists by reciprocal-rank score (see module doc).
+
+    Each arm needs (id_col, rank_col); ids missing from an arm simply
+    contribute nothing for it. Returns (id, out_col) rounded to 6dp,
+    unordered — callers order by (out_col DESC, id ASC) for a
+    deterministic final list.
+    """
+    if not arms:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
+    if weights is not None and len(weights) != len(arms):
+        raise ValueError("weights must match the number of arms")
+    parts = []
+    for i, df in enumerate(arms):
+        w = 1.0 if weights is None else float(weights[i])
+        parts.append(
+            df.select(
+                F.col(id_col),
+                (
+                    F.lit(w)
+                    / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+                ).alias("_contrib"),
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy(id_col).agg(
+        round_score(F.sum("_contrib"), 6).alias(out_col)
+    )

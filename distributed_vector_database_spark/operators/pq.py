@@ -58,6 +58,7 @@ __all__ = [
     "fit_opq_rotation",
     "rotate_col",
     "householder_rotation",
+    "ivfpq_residual_batch_topk",
 ]
 
 Codebooks = Sequence[Sequence[Sequence[float]]]  # [m][k][dim/m]
@@ -521,10 +522,18 @@ def ivfpq_residual_topk(
     codes_col: str = "codes",
     id_col: str = "vec_id",
     shard_col: str = "shard_id",
+    method: str = "expr",
 ) -> DataFrame:
     """Residual IVF-PQ search (IVFADC proper): probe the ``nprobe``
     nearest cells, ADC-score each cell's residual codes against that
     cell's own query LUT, global top-k by (adc_dist ASC, id ASC).
+
+    ``method='expr'``: pure Catalyst — the S × m × k LUT tensor enters
+    the plan as a literal and each row does m lookups + a sum. Zero
+    Python, but the literal tree grows with S·m·k; best for small
+    tensors. ``method='gather'``: numpy-gather batch kernel
+    (:func:`ivfpq_residual_batch_topk` with one query) — same results,
+    ~10× faster once S·m·k reaches thousands of entries.
 
     ``encoded`` must carry (id, shard_id, codes) where codes encode the
     RESIDUAL ``vector - centroid[shard_id]`` (see :func:`residual_col`).
@@ -534,6 +543,23 @@ def ivfpq_residual_topk(
     """
     from .ivf import nearest_shards
 
+    if method == "gather":
+        out = ivfpq_residual_batch_topk(
+            encoded,
+            centroids,
+            codebooks,
+            [(0, query_vector)],
+            k,
+            nprobe=nprobe,
+            codes_col=codes_col,
+            id_col=id_col,
+            shard_col=shard_col,
+        )
+        return out.select(id_col, "adc_dist").orderBy(
+            F.asc("adc_dist"), F.asc(id_col)
+        )
+    if method != "expr":
+        raise ValueError(f"method must be 'expr' or 'gather', got {method!r}")
     probed = nearest_shards(query_vector, centroids, nprobe=nprobe)
     luts = ivfpq_residual_luts(query_vector, centroids, codebooks)
     return (
@@ -546,6 +572,89 @@ def ivfpq_residual_topk(
         )
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ivfpq_residual_batch_topk(
+    encoded: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    codebooks: Codebooks,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    k: int = 5,
+    *,
+    nprobe: int = 2,
+    codes_col: str = "codes",
+    id_col: str = "vec_id",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Residual IVF-PQ ADC for a BATCH of queries in one job — the scale
+    path (same physical shape as :func:`pq_adc_batch_topk`): the per-query
+    per-cell LUT tensor (|Q| × S × m × k, tiny) and per-query probe masks
+    ship in the task closure; each partition numpy-gathers
+    ``lut[q, shard_of_row, j, code_j]`` for its probed rows, keeps k per
+    query, and one window ranks the ``partitions × k × |Q|`` survivors.
+    Identical j-sequential accumulation to the expression path (tested
+    equal). Returns (query_id, id, adc_dist, rank), rank 1..k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from .ivf import nearest_shards
+
+    m, kc, sub = _check(codebooks)
+    S = len(centroids)
+    q_ids = [int(q[0]) for q in queries]
+    nq = len(q_ids)
+    luts = np.asarray(
+        [ivfpq_residual_luts(vec, centroids, codebooks) for _, vec in queries],
+        dtype=np.float64,
+    )  # nq x S x m x kc
+    probe = np.zeros((nq, S), dtype=bool)
+    for qi, (_, vec) in enumerate(queries):
+        probe[qi, nearest_shards(vec, centroids, nprobe=nprobe)] = True
+    schema = f"query_id long, {id_col} long, adc_dist double"
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf[codes_col]]
+            )  # n x m
+            shards = pdf[shard_col].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qi in range(nq):
+                rows = np.nonzero(probe[qi, shards])[0]
+                if rows.size == 0:
+                    continue
+                rs, rc = shards[rows], codes[rows]
+                total = np.zeros(rows.size, dtype=np.float64)
+                for j in range(m):
+                    total += luts[qi, rs, j, rc[:, j]]
+                top = min(k, rows.size)
+                part = np.argpartition(total, top - 1)[:top]
+                out_q.extend([q_ids[qi]] * top)
+                out_i.extend(ids[rows[part]])
+                out_d.extend(total[part])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, id_col: out_i, "adc_dist": out_d}
+                )
+
+    reduced = (
+        encoded.select(id_col, shard_col, codes_col)
+        .mapInPandas(part_topk, schema)
+        .withColumn("adc_dist", F.round("adc_dist", 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
     )
 
 

@@ -2920,6 +2920,114 @@ def q_large_volume_customers(spark, sf_dir):
 
 
 @register(
+    "sole_failing_suppliers",
+    """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+""",
+)
+def q_sole_failing_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    synthetic schema: the return flag stands in for the missing
+    receipt>commit lag. Plan: correlated EXISTS -> LEFT SEMI join with a
+    two-column non-equi condition; correlated NOT EXISTS -> LEFT ANTI
+    join; both shuffle on orderkey only, carrying (orderkey, suppkey)
+    pairs — no payload columns cross either exchange. The final count is
+    a small partial-agg groupBy, ordered totally for a deterministic
+    LIMIT."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"),
+        "l_returnflag",
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("ok", "sk")
+    l2 = li.select(F.col("ok").alias("ok2"), F.col("sk").alias("sk2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3"))
+    )
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cand = l1.join(o, l1.ok == o.o_orderkey).join(s, l1.sk == s.s_suppkey)
+    multi = cand.join(
+        l2,
+        (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    )
+    sole = multi.join(
+        l3,
+        (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        sole.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "supplier_diversity_by_part",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20
+""",
+)
+def q_supplier_diversity_by_part(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): NOT IN subquery
+    becomes a broadcast LEFT ANTI join against the (tiny) excluded
+    supplier set; distinct-count per part attributes. The anti join is
+    broadcast (6 rows), so the only shuffle is the final distinct-agg on
+    the grouping keys; the p_size filter is pushed to the part scan."""
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = li.join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return (
+        kept.join(p, kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(20)
+    )
+
+
+@register(
     "ivf_centroid_update",
     f"""
 WITH {_ASSIGN_CTE},
@@ -4041,6 +4149,7 @@ def q_chunk_search_hashed(spark, sf_dir):
 # ===========================================================================
 
 _MOR_CACHE: dict = {}
+_MOR_DEL_CACHE: dict = {}
 
 
 @register(
@@ -4087,6 +4196,56 @@ def q_mor_upsert_read(spark, sf_dir):
         store.append(versioned(emb.filter(F.col("vec_id") % 7 == 0), 2))
         store.append(versioned(emb.filter(F.col("vec_id") % 21 == 0), 3))
         _MOR_CACHE[sf_dir] = store
+    return store.read()
+
+
+@register(
+    "mor_delete_read",
+    """
+SELECT vec_id,
+       (CASE WHEN vec_id % 35 = 0 THEN 4
+             WHEN vec_id % 7 = 0 THEN 2
+             ELSE 1 END)::BIGINT AS version,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * (CASE WHEN vec_id % 35 = 0 THEN 4
+                     WHEN vec_id % 7 = 0 THEN 2
+                     ELSE 1 END), 6) AS val
+FROM embeddings
+WHERE vec_id % 5 <> 0 OR vec_id % 35 = 0
+""",
+)
+def q_mor_delete_read(spark, sf_dir):
+    """Merge-on-read TOMBSTONE deletes: bootstrap (version 1), upsert
+    vec_id%7 (version 2), DELETE vec_id%5 (tombstone batch — O(|ids|)
+    write, value columns never touched), then re-insert vec_id%35
+    (version 4) — the re-insert must resurrect ids its tombstone had
+    deleted, and every other %5 id must vanish from the merged view.
+    After ``compact()`` the tombstoned rows leave the base files
+    physically (GDPR erasure, tests/test_mor.py)."""
+    import tempfile
+
+    from distributed_vector_database_spark.functions.vector import l2_norm
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    emb = _read(spark, sf_dir, "embeddings")
+
+    def versioned(df, v):
+        return df.select(
+            "vec_id",
+            F.lit(v).cast("long").alias("version"),
+            round_score(l2_norm("embedding") * v).alias("val"),
+        )
+
+    store = _MOR_DEL_CACHE.get(sf_dir)
+    if store is None:
+        store = MorStore(
+            spark, tempfile.mkdtemp(prefix="dvdb_mordel_"), id_col="vec_id"
+        )
+        store.write_base(versioned(emb, 1))
+        store.append(versioned(emb.filter(F.col("vec_id") % 7 == 0), 2))
+        store.delete(emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"))
+        store.append(versioned(emb.filter(F.col("vec_id") % 35 == 0), 4))
+        _MOR_DEL_CACHE[sf_dir] = store
     return store.read()
 
 
@@ -4294,6 +4453,104 @@ def q_doc_repeated_span_stats(spark, sf_dir):
 
     docs = _spread(_read(spark, sf_dir, "documents"))
     return doc_repeated_span_stats(docs, span_tokens=8)
+
+
+# ===========================================================================
+# Hybrid retrieval with reciprocal-rank fusion (operators/fusion.py): a
+# dense arm (hashed-embedding cosine) and a lexical arm (3-gram Jaccard)
+# fused score-free by RRF — the two-arm search stack the reference's
+# single-arm cosine flow lacks.
+# ===========================================================================
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH {_TOKS_CTE},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+sp AS (SELECT doc_id, {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+       FROM tk GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)::DOUBLE) AS n FROM sp GROUP BY doc_id),
+qd AS (SELECT bucket, cnt FROM sp WHERE doc_id = 0),
+dotp AS (SELECT sp.doc_id, sum(sp.cnt * qd.cnt)::DOUBLE AS dp
+         FROM sp JOIN qd ON sp.bucket = qd.bucket GROUP BY sp.doc_id),
+cosr AS (SELECT n2.doc_id AS doc_id,
+         ROUND(COALESCE(dotp.dp, 0.0)
+               / (n2.n * (SELECT n FROM nrm WHERE doc_id = 0)), 6) AS score
+         FROM nrm n2 LEFT JOIN dotp ON n2.doc_id = dotp.doc_id),
+arma AS (SELECT doc_id, rnk FROM (
+           SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM cosr) t WHERE rnk <= 20),
+sh0 AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+sh AS (SELECT * FROM sh0 WHERE len(s) > 0),
+q AS (SELECT s AS qs FROM sh WHERE doc_id = 0),
+jac AS (SELECT sh.doc_id AS doc_id,
+        ROUND(len(list_intersect(sh.s, q.qs))::DOUBLE
+              / (len(sh.s) + len(q.qs) - len(list_intersect(sh.s, q.qs))), 6)
+          AS score
+        FROM sh, q WHERE len(list_intersect(sh.s, q.qs)) > 0),
+armb AS (SELECT doc_id, rnk FROM (
+           SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM jac) t WHERE rnk <= 20),
+fused AS (SELECT doc_id, sum(1.0 / (60 + rnk)) AS s
+          FROM (SELECT * FROM arma UNION ALL SELECT * FROM armb) u
+          GROUP BY doc_id)
+SELECT doc_id, ROUND(s, 6) AS rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Two-arm hybrid search for the doc_id=0 query document: dense arm =
+    hashed-embedding cosine top-20, lexical arm = 3-gram Jaccard top-20,
+    fused by reciprocal-rank (k=60, Cormack et al. SIGIR'09). Both arms
+    rank on ROUNDED scores with id tie-breaks so ranks reproduce across
+    engines; fusion itself touches only k·arms rows — free at any corpus
+    scale."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.fusion import (
+        ranked,
+        rrf_fuse,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    dense = hashing_embed(docs, dim=64, normalize=False)
+    qv = [
+        float(x)
+        for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]
+    ]
+    arm_a = ranked(
+        topk(dense, qv, k=20, vector_col="embedding", id_col="doc_id"),
+        id_col="doc_id",
+        top_n=20,
+    )
+
+    sh = _dd._shingled(docs, "text", "doc_id", 3)
+    q_sh = sh.filter(F.col("doc_id") == 0).select(
+        F.col("shingles").alias("qs")
+    )
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("qs")))
+    jac = (
+        sh.join(F.broadcast(q_sh))
+        .filter(inter > 0)
+        .select(
+            "doc_id",
+            round_score(
+                inter.cast("double")
+                / (F.size("shingles") + F.size("qs") - inter),
+                6,
+            ).alias("score"),
+        )
+    )
+    arm_b = ranked(jac, id_col="doc_id", top_n=20)
+    fused = rrf_fuse([arm_a, arm_b], k=60, id_col="doc_id")
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
 
 
 # ===========================================================================

@@ -22,6 +22,13 @@ semantics the reference's REPLACE INTO has
                      — the same cost the eager merge paid on EVERY upsert,
                      now paid only on read, and elided entirely after
                      compaction (no deltas -> no window).
+  - ``delete(ids)``  appends a TOMBSTONE delta (id + ``_deleted`` marker,
+                     value columns null): O(|ids|) write, no base touch.
+                     Readers drop ids whose winning row is a tombstone; a
+                     later re-insert (higher batch) resurrects the id.
+                     ``compact()`` applies tombstones PHYSICALLY — deleted
+                     rows leave the folded base entirely (the GDPR-erasure
+                     path: after compaction the bytes are gone).
   - ``compact()``    folds all deltas <= the watermark into a new base
                      (read-merge-write + atomic-ish swap under dotted
                      temp names, every rename checked — the
@@ -43,6 +50,7 @@ from pyspark.sql import functions as F
 __all__ = ["MorStore"]
 
 _BATCH = "_batch"
+_DELETED = "_deleted"
 
 
 class MorStore:
@@ -111,6 +119,8 @@ class MorStore:
     # -- write path --------------------------------------------------------
     def write_base(self, df: DataFrame) -> None:
         """Bootstrap (or replace) the base with ``df``; batch watermark 0."""
+        if _DELETED not in df.columns:
+            df = df.withColumn(_DELETED, F.lit(False))
         df.withColumn(_BATCH, F.lit(0).cast("long")).write.mode(
             "overwrite"
         ).parquet(self._base)
@@ -130,6 +140,8 @@ class MorStore:
         hPath = jvm.org.apache.hadoop.fs.Path
         tmp = f"{self.root}/delta/.b{next_id:08d}.writing"
         dst = f"{self.root}/delta/b{next_id:08d}"
+        if _DELETED not in df.columns:
+            df = df.withColumn(_DELETED, F.lit(False))
         df.withColumn(_BATCH, F.lit(next_id).cast("long")).write.mode(
             "overwrite"
         ).parquet(tmp)
@@ -137,14 +149,42 @@ class MorStore:
             raise IOError(f"mor append: rename {tmp} -> {dst} failed")
         return next_id
 
+    def delete(self, ids) -> int:
+        """Append a tombstone batch for ``ids`` (a DataFrame with the id
+        column, or a Python sequence of id values); returns its batch id.
+
+        The tombstone rows carry ONLY (id, ``_deleted=true``) — value
+        columns are absent from the delta file and null-filled at scan
+        time, so a delete batch costs O(|ids|) bytes regardless of row
+        width. Logical until the next ``compact()``, physical after it.
+        """
+        if isinstance(ids, DataFrame):
+            keys = ids.select(self.id_col).distinct()
+        else:
+            keys = self.spark.createDataFrame(
+                [(v,) for v in ids], [self.id_col]
+            ).distinct()
+        return self.append(keys.withColumn(_DELETED, F.lit(True)))
+
     # -- read path ---------------------------------------------------------
     def _scan(self) -> DataFrame:
+        """base ∪ deltas with schema reconciliation: tombstone deltas carry
+        only (id, _deleted, _batch), so deltas merge via mergeSchema and
+        union with ``allowMissingColumns`` null-fills both directions;
+        ``_deleted`` coalesces to false for pre-tombstone layouts."""
         base = self.spark.read.parquet(self._base)
         deltas = self._delta_dirs()
-        if not deltas:
-            return base
-        delta = self.spark.read.parquet(*[p for _, p in deltas])
-        return base.unionByName(delta)
+        if deltas:
+            delta = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[p for _, p in deltas])
+            )
+            base = base.unionByName(delta, allowMissingColumns=True)
+        if _DELETED not in base.columns:
+            base = base.withColumn(_DELETED, F.lit(False))
+        return base.withColumn(
+            _DELETED, F.coalesce(F.col(_DELETED), F.lit(False))
+        )
 
     def read(self) -> DataFrame:
         """The merged view: one row per id, highest batch wins; ``_batch``
@@ -152,12 +192,12 @@ class MorStore:
         deltas = self._delta_dirs()
         scan = self._scan()
         if not deltas:
-            return scan.drop(_BATCH)
+            return scan.filter(~F.col(_DELETED)).drop(_BATCH, _DELETED)
         w = Window.partitionBy(self.id_col).orderBy(F.desc(_BATCH))
         return (
             scan.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", _BATCH)
+            .filter((F.col("_rn") == 1) & ~F.col(_DELETED))
+            .drop("_rn", _BATCH, _DELETED)
         )
 
     def point_get(self, id_value) -> DataFrame:
@@ -166,11 +206,12 @@ class MorStore:
         deltas = self._delta_dirs()
         scan = self._scan().filter(F.col(self.id_col) == F.lit(id_value))
         if not deltas:
-            return scan.drop(_BATCH)
+            return scan.filter(~F.col(_DELETED)).drop(_BATCH, _DELETED)
         return (
             scan.orderBy(F.desc(_BATCH))
             .limit(1)
-            .drop(_BATCH)
+            .filter(~F.col(_DELETED))
+            .drop(_BATCH, _DELETED)
         )
 
     # -- maintenance -------------------------------------------------------
@@ -191,12 +232,23 @@ class MorStore:
         hPath = jvm.org.apache.hadoop.fs.Path
 
         base = self.spark.read.parquet(self._base)
-        delta = self.spark.read.parquet(*[p for _, p in deltas])
-        merged = base.unionByName(delta)
+        delta = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[p for _, p in deltas])
+        )
+        merged = base.unionByName(delta, allowMissingColumns=True)
+        if _DELETED not in merged.columns:
+            merged = merged.withColumn(_DELETED, F.lit(False))
+        merged = merged.withColumn(
+            _DELETED, F.coalesce(F.col(_DELETED), F.lit(False))
+        )
         w = Window.partitionBy(self.id_col).orderBy(F.desc(_BATCH))
+        # tombstone winners leave the base PHYSICALLY (GDPR erasure); any
+        # delta appended during compaction has a higher batch id and still
+        # outranks the folded rows on later reads
         folded = (
             merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .filter((F.col("_rn") == 1) & ~F.col(_DELETED))
             .drop("_rn")
             .withColumn(_BATCH, F.lit(watermark).cast("long"))
         )

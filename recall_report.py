@@ -125,6 +125,64 @@ def main() -> None:
         )
         enc.unpersist()
 
+    # residual IVF-PQ (IVFADC): PQ on centroid residuals, per-cell LUTs.
+    # Same bits as PQ-ADC m=16 above; the residual basis concentrates the
+    # quantizer on within-cell displacement -> better codes, and nprobe
+    # composes pruning with the compressed scan.
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+        fit_centroids,
+    )
+    from distributed_vector_database_spark.operators.pq import (
+        ivfpq_residual_topk,
+        pq_encode,
+        residual_col,
+    )
+
+    cents16 = fit_centroids(emb, 16, sample_fraction=0.5)
+    assigned = assign_shards(emb, cents16)
+    res_books = fit_pq_codebooks(
+        assigned.select(
+            "vec_id",
+            residual_col("embedding", "shard_id", cents16).alias("embedding"),
+        ),
+        m=16,
+        k=16,
+        sample_n=2048,
+        iters=8,
+    )
+    renc = assigned.select(
+        "vec_id",
+        "shard_id",
+        pq_encode(
+            residual_col("embedding", "shard_id", cents16), res_books
+        ).alias("codes"),
+    ).cache()
+    renc.count()
+    for nprobe in (2, 4, 16):
+        recs = []
+        for q, t in zip(qs, truth):
+            got = {
+                r["vec_id"]
+                for r in ivfpq_residual_topk(
+                    renc, cents16, res_books, q, k=K, nprobe=nprobe,
+                    method="gather",
+                ).collect()
+            }
+            recs.append(len(got & t) / len(t))
+        sec = timed(
+            lambda: ivfpq_residual_topk(
+                renc, cents16, res_books, qs[0], k=K, nprobe=nprobe,
+                method="gather",
+            ).collect()
+        )
+        print(
+            f"| residual IVF-PQ | m=16,k=16, nprobe={nprobe}/16 | "
+            f"{statistics.mean(recs):.3f} | {sec:.3f} "
+            f"| ~{nprobe / 16:.0%} of 6% bytes (codes) |"
+        )
+    renc.unpersist()
+
     # sign-LSH
     for bits, multiprobe in ((8, False), (8, True)):
         planes = random_hyperplanes(64, n_planes=bits, seed=42)
@@ -159,7 +217,11 @@ def main() -> None:
         "most of the quantization loss); LSH reads the least but pays the\n"
         "most recall. At 100 TB the strategies compose: IVF prune -> PQ\n"
         "ADC shortlist -> exact re-rank of R rows (queries `ivfpq_search`,\n"
-        "`pq_rerank_topk`)."
+        "`pq_rerank_topk`). Residual IVF-PQ (IVFADC) reconstructs strictly\n"
+        "better than plain PQ at equal bits (tested invariant) but ties it\n"
+        "on recall@10 for THIS corpus — the synthetic embeddings have weak\n"
+        "cluster structure, so centroid residuals shrink little variance;\n"
+        "on clustered real corpora the residual basis is the right default."
     )
     spark.stop()
 

@@ -197,3 +197,41 @@ def test_paragraph_blocks_partial_tail_and_empty(spark):
     dup = duplicate_paragraphs(docs, block_tokens=2).collect()
     assert {r["rep_doc_id"] for r in dup} == {1}
     assert all(r["n_docs"] == 2 for r in dup)
+
+
+def test_rrf_fuse_weights_and_missing_ids(spark):
+    """RRF: ids missing from an arm contribute nothing for it; weights
+    scale per arm; single-arm fusion reproduces 1/(k+rank)."""
+    from distributed_vector_database_spark.operators.fusion import (
+        ranked,
+        rrf_fuse,
+    )
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    got = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([a, b], k=60).collect()
+    }
+    assert abs(got[2] - round(1 / 62 + 1 / 61, 6)) < 1e-9  # both arms
+    assert abs(got[1] - round(1 / 61, 6)) < 1e-9           # arm a only
+    assert abs(got[4] - round(1 / 62, 6)) < 1e-9           # arm b only
+    w = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse([a, b], k=60, weights=[2.0, 0.5]).collect()
+    }
+    assert abs(w[2] - round(2 / 62 + 0.5 / 61, 6)) < 1e-9
+
+    scored = spark.createDataFrame(
+        [(10, 0.9), (11, 0.9), (12, 0.5)], "doc_id long, score double"
+    )
+    rk = {r["doc_id"]: r["rank"] for r in ranked(scored).collect()}
+    assert rk == {10: 1, 11: 2, 12: 3}  # tie broken by id
+    asc = {
+        r["doc_id"]: r["rank"]
+        for r in ranked(scored, ascending=True, top_n=2).collect()
+    }
+    assert asc == {12: 1, 10: 2}  # distances: smaller is better

@@ -112,3 +112,45 @@ def test_read_matches_eager_upsert(store, spark):
     store.append(b1)
     store.append(b2)
     assert _as_dict(store.read()) == _as_dict(eager)
+
+
+def test_delete_tombstones_hide_rows_and_rebirth_wins(store, spark):
+    """Deleted ids vanish from read() and point_get(); a later re-insert
+    (higher batch) resurrects the id; delete of an updated id wins over
+    the earlier update."""
+    store.append(
+        spark.createDataFrame(
+            [(5, "v1_5")], "id long, payload string"
+        )
+    )
+    store.delete([3, 5, 19])
+    got = _as_dict(store.read())
+    assert 3 not in got and 5 not in got and 19 not in got
+    assert len(got) == 17
+    assert store.point_get(5).count() == 0
+    assert store.point_get(4).count() == 1
+    # re-insert id 5 after the delete: the higher batch wins
+    store.append(
+        spark.createDataFrame([(5, "reborn")], "id long, payload string")
+    )
+    assert _as_dict(store.read())[5] == "reborn"
+    assert store.read().columns == ["id", "payload"]
+
+
+def test_compact_applies_tombstones_physically(store, spark):
+    store.delete([0, 1, 2])
+    store.append(
+        spark.createDataFrame([(1, "back")], "id long, payload string")
+    )
+    info = store.compact()
+    assert info["folded_batches"] == 2
+    # deleted ids are gone from the BASE FILES themselves (GDPR erasure),
+    # except id 1 which was re-inserted after its tombstone
+    raw = spark.read.parquet(f"{store.root}/base")
+    ids = {r["id"] for r in raw.select("id").collect()}
+    assert 0 not in ids and 2 not in ids and 1 in ids
+    got = _as_dict(store.read())
+    assert got[1] == "back" and 0 not in got and 2 not in got
+    # post-compact append still outranks the folded base
+    store.delete([1])
+    assert 1 not in _as_dict(store.read())

@@ -453,3 +453,51 @@ def test_opq_rotation_improves_reconstruction(spark, embeddings):
     # rotation cannot hurt much and usually helps; assert no regression
     # beyond noise and record the typical improvement
     assert opq <= raw * 1.02, (opq, raw)
+
+
+def test_residual_gather_method_equals_expr(spark, embeddings, cents, books):
+    from distributed_vector_database_spark.operators.pq import (
+        ivfpq_residual_batch_topk,
+    )
+
+    assigned = assign_shards(embeddings, cents)
+    enc = assigned.select(
+        "vec_id", "shard_id",
+        pq_encode(residual_col("embedding", "shard_id", cents), books)
+        .alias("codes"),
+    ).cache()
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.filter(F.col("vec_id").isin(3, 7)).collect()
+    ]
+    for _, qv in qs:
+        expr = [
+            (r["vec_id"], r["adc_dist"])
+            for r in ivfpq_residual_topk(
+                enc, cents, books, qv, k=10, nprobe=2, method="expr"
+            ).collect()
+        ]
+        gather = [
+            (r["vec_id"], r["adc_dist"])
+            for r in ivfpq_residual_topk(
+                enc, cents, books, qv, k=10, nprobe=2, method="gather"
+            ).collect()
+        ]
+        assert expr == gather
+    # batch form: one job, both queries, same per-query results
+    batch = ivfpq_residual_batch_topk(
+        enc, cents, books, qs, k=10, nprobe=2
+    ).collect()
+    for qid, qv in qs:
+        single = [
+            r["vec_id"]
+            for r in ivfpq_residual_topk(
+                enc, cents, books, qv, k=10, nprobe=2
+            ).collect()
+        ]
+        got = [r["vec_id"] for r in sorted(
+            (r for r in batch if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )]
+        assert got == single
+    enc.unpersist()
