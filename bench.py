@@ -162,6 +162,10 @@ def main() -> None:
         "semantic_dedup",
         "dsir_log_weights",
         "mor_upsert_read",
+        "mor_delete_read",
+        "ivfpq_residual_search",
+        "hybrid_search_rrf",
+        "paragraph_dedup_stats",
     ]
     compact = dict(full)
     compact["queries"] = {

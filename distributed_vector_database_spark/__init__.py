@@ -32,6 +32,7 @@ from distributed_vector_database_spark.operators.topk import (
     radius_search,
 )
 from distributed_vector_database_spark.operators.ivf import IVFIndex, assign_shards
+from distributed_vector_database_spark.operators.ivfpq import IVFPQIndex
 from distributed_vector_database_spark.operators.ann import (
     lsh_index,
     lsh_search,
@@ -137,6 +138,7 @@ __all__ = [
     "batch_topk",
     "radius_search",
     "IVFIndex",
+    "IVFPQIndex",
     "assign_shards",
     "lsh_index",
     "lsh_search",

@@ -1,0 +1,283 @@
+"""IVFPQIndex — the composed IVF + residual-PQ index, persisted.
+
+The production 100 TB read path, assembled from the oracle-checked
+pieces (`operators/ivf.py`, `operators/pq.py`):
+
+  build:   fit centroids (MLlib on a sample) → assign shards → fit PQ
+           codebooks on the CENTROID RESIDUALS → Arrow-GEMM encode →
+           write ``partitionBy(shard_id)`` parquet carrying
+           (id, vector, codes); centroids + codebooks persist INSIDE the
+           layout under ``_``-prefixed subdirs (hidden to readers, same
+           convention as ``IVFIndex.save_centroids``).
+  search:  probe nprobe cells (directory-level partition pruning — the
+           unprobed shards' files are never opened), numpy-gather ADC
+           over the probed CODES column only (column pruning: the float
+           vectors aren't read), optional exact re-rank of the top-R
+           shortlist against the true vectors.
+
+Why this shape at 100 TB: raw float32 768-d vectors are ~3 KB/row; m=96
+codes are 96 B. A search reads nprobe/N of the corpus × 1/32 of the
+bytes, then touches ≤ R true vectors. The reference's architecture
+(`reference: src/compute_server.py:107-138`) does the first half
+(IVF prune) but scans raw JSON floats inside each shard; its report
+cites IVF [2] without the PQ half (report p.2).
+
+Accuracy contract: with ``nprobe == num_shards`` and ``rerank >=
+corpus``, search degrades to EXACT top-k (tested) — the same §5.3
+invariant the IVF index keeps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ivf import assign_shards, fit_centroids, nearest_shards
+from .pq import (
+    fit_pq_codebooks,
+    ivfpq_residual_batch_topk,
+    load_codebooks,
+    pq_encode_arrow,
+    residual_col,
+    save_codebooks,
+)
+from .topk import topk
+
+__all__ = ["IVFPQIndex"]
+
+
+class IVFPQIndex:
+    """Persisted IVF + residual-PQ index (see module doc)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        centroids: Sequence[Sequence[float]],
+        codebooks: Sequence[Sequence[Sequence[float]]],
+        *,
+        path: str | None = None,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
+        self.spark = spark
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.codebooks = codebooks
+        self.path = path
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self._df: DataFrame | None = None
+
+    # ---- build ------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        num_shards: int,
+        *,
+        m: int = 8,
+        k: int = 16,
+        path: str | None = None,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_fraction: float = 0.1,
+        sample_n: int = 4096,
+        iters: int = 10,
+        seed: int = 42,
+    ) -> "IVFPQIndex":
+        """Fit centroids + residual codebooks and index ``df`` in one shot.
+
+        Both fits are sample-based (the index-build pattern of
+        `reference: src/cluster.py:28-33`); the corpus-wide work is one
+        narrow assign+encode projection and one ``partitionBy`` write —
+        no extra shuffles beyond the layout write itself.
+        """
+        spark = df.sparkSession
+        cents = fit_centroids(
+            df,
+            num_shards,
+            vector_col=vector_col,
+            sample_fraction=sample_fraction,
+            seed=seed,
+        )
+        assigned = assign_shards(df, cents, vector_col=vector_col)
+        books = fit_pq_codebooks(
+            assigned.select(
+                id_col,
+                residual_col(vector_col, "shard_id", cents).alias(vector_col),
+            ),
+            vector_col=vector_col,
+            m=m,
+            k=k,
+            sample_n=sample_n,
+            iters=iters,
+            seed=seed,
+            id_col=id_col,
+        )
+        idx = cls(
+            spark, cents, books, path=path, vector_col=vector_col, id_col=id_col
+        )
+        idx.write(df)
+        return idx
+
+    def _encode(self, df: DataFrame) -> DataFrame:
+        """(id, vector, shard_id, codes): assign + residual-encode — one
+        Arrow pass, partition layout preserved."""
+        assigned = assign_shards(df, self.centroids, vector_col=self.vector_col)
+        with_res = assigned.withColumn(
+            "_res", residual_col(self.vector_col, "shard_id", self.centroids)
+        )
+        enc = pq_encode_arrow(
+            with_res,
+            self.codebooks,
+            vector_col="_res",
+            id_col=self.id_col,
+            keep_cols=(self.vector_col, "shard_id"),
+        )
+        return enc.drop("_res")
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Encode and persist partitioned by shard_id (or cache when
+        path-less); centroids + codebooks ride inside the layout."""
+        enc = self._encode(df)
+        if self.path is None:
+            self._df = enc.repartition("shard_id").cache()
+            self._df.count()
+            return
+        (
+            enc.repartition("shard_id")
+            .write.mode(mode)
+            .partitionBy("shard_id")
+            .parquet(self.path)
+        )
+        cent = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "shard_id int, centroid array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").json(
+            f"{self.path}/_centroids"
+        )
+        save_codebooks(self.spark, self.codebooks, self.path)
+        self._df = None
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFPQIndex":
+        """Open a persisted index: layout + centroids + codebooks."""
+        rows = (
+            spark.read.schema("shard_id int, centroid array<double>")
+            .json(f"{path}/_centroids")
+            .orderBy("shard_id")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"no centroids found under {path}/_centroids")
+        cents = [list(map(float, r["centroid"])) for r in rows]
+        books = load_codebooks(spark, path)
+        return cls(
+            spark, cents, books, path=path, vector_col=vector_col, id_col=id_col
+        )
+
+    # ---- read -------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is not None:
+            return self._df
+        if self.path is None:
+            raise ValueError("index has no data: call write() or build()")
+        return self.spark.read.parquet(self.path)
+
+    def num_shards(self) -> int:
+        return len(self.centroids)
+
+    def search(
+        self,
+        query_vector: Sequence[float],
+        k: int = 5,
+        *,
+        nprobe: int = 2,
+        rerank: int | None = None,
+        where=None,
+    ) -> DataFrame:
+        """ADC top-k over the probed cells' codes; with ``rerank=R`` the
+        top-R ADC shortlist is re-scored EXACTLY (cosine) against the true
+        vectors — the two-stage retrieval that recovers most quantization
+        loss for the cost of R float rows. ``where`` (a Column predicate)
+        makes it a FILTERED ANN search: the predicate is applied before
+        ADC scoring (pushed into the scan), so top-k is over matching
+        rows only — pre-filtering, not post-filter truncation.
+
+        Returns (id, adc_dist) — or (id, score) after re-rank — in
+        deterministic order. Only the probed partitions' files are opened
+        (PartitionFilters), and the no-rerank path reads only the codes
+        column.
+        """
+        probed = nearest_shards(query_vector, self.centroids, nprobe=nprobe)
+        pruned = self.df.filter(F.col("shard_id").isin(probed))
+        if where is not None:
+            # filtered ANN: the predicate lands BEFORE the ADC scan, so it
+            # pushes into the parquet read alongside the partition filter
+            pruned = pruned.filter(where)
+        shortlist_k = max(k, rerank or 0)
+        adc = ivfpq_residual_batch_topk(
+            pruned,
+            self.centroids,
+            self.codebooks,
+            [(0, query_vector)],
+            shortlist_k,
+            nprobe=self.num_shards(),  # pruning already applied to the scan
+            codes_col="codes",
+            id_col=self.id_col,
+            shard_col="shard_id",
+        ).select(self.id_col, "adc_dist")
+        if rerank is None:
+            return adc.orderBy(F.asc("adc_dist"), F.asc(self.id_col)).limit(k)
+        short_ids = adc.select(self.id_col)
+        cand = pruned.join(F.broadcast(short_ids), self.id_col)
+        return topk(
+            cand,
+            query_vector,
+            k,
+            vector_col=self.vector_col,
+            id_col=self.id_col,
+            metric="cosine",
+        )
+
+    def search_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[float]]],
+        k: int = 5,
+        *,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """Batched ADC search: ONE job for all queries — per-query probe
+        masks inside the gather kernel, scan pruned to the UNION of probed
+        cells. Returns (query_id, id, adc_dist, rank)."""
+        union_probe: set[int] = set()
+        for _, vec in queries:
+            union_probe.update(
+                nearest_shards(vec, self.centroids, nprobe=nprobe)
+            )
+        pruned = self.df.filter(
+            F.col("shard_id").isin(sorted(union_probe))
+        )
+        return ivfpq_residual_batch_topk(
+            pruned,
+            self.centroids,
+            self.codebooks,
+            queries,
+            k,
+            nprobe=nprobe,
+            codes_col="codes",
+            id_col=self.id_col,
+            shard_col="shard_id",
+        )

@@ -212,6 +212,7 @@ def pq_encode_arrow(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     codes_col: str = "codes",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Arrow-batched GEMM encode: same semantics as :func:`pq_encode`
     (squared-L2 argmin, lowest index on ties), vectorized per batch.
@@ -219,6 +220,8 @@ def pq_encode_arrow(
     The scale path for high dims / large k: one ``(batch × k)`` matmul per
     subspace instead of an m·k-term expression tree. Narrow map — partition
     layout is preserved; codebooks ship once per task via closure.
+    ``keep_cols`` pass through untouched (e.g. ``shard_id`` when encoding
+    an IVF-assigned frame).
     """
     import numpy as np
     import pandas as pd
@@ -226,9 +229,10 @@ def pq_encode_arrow(
     m, k, sub = _check(codebooks)
     C = [np.asarray(book, dtype=np.float64) for book in codebooks]
     cn2 = [(c * c).sum(1) for c in C]
+    cols = [id_col, vector_col, *keep_cols]
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in df.select(id_col, vector_col).schema.fields
+        for f in df.select(*cols).schema.fields
     )
     schema = f"{out_fields}, {codes_col} array<int>"
     id_c, vec_c = id_col, vector_col
@@ -246,15 +250,13 @@ def pq_encode_arrow(
                 S = X[:, j * sub : (j + 1) * sub]
                 d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C[j].T) + cn2[j][None, :]
                 codes[:, j] = d2.argmin(1)  # numpy argmin: first min index
-            yield pd.DataFrame(
-                {
-                    id_c: pdf[id_c],
-                    vec_c: pdf[vec_c],
-                    codes_col: list(codes),
-                }
-            )
+            out = {id_c: pdf[id_c], vec_c: pdf[vec_c]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out[codes_col] = list(codes)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vector_col).mapInPandas(encode, schema)
+    return df.select(*cols).mapInPandas(encode, schema)
 
 
 def pq_decode(codes_col: str | Column, codebooks: Codebooks) -> Column:

@@ -2259,14 +2259,25 @@ def q_ivfpq_residual_search(spark, sf_dir):
         ),
         cents,
     )
-    enc = assigned.select(
+    # materialize the residual through a Generate: pq_encode references its
+    # input once per (subspace × codeword) distance term, and Catalyst
+    # would re-inline the zip_with subtraction into every one of them
+    res = assigned.select(
         "vec_id",
         "shard_id",
-        _pq.pq_encode(
-            _pq.residual_col("embedding", "shard_id", cents), books
-        ).alias("codes"),
+        F.explode(
+            F.array(_pq.residual_col("embedding", "shard_id", cents))
+        ).alias("_res"),
     )
-    return _pq.ivfpq_residual_topk(enc, cents, books, qv, k=10, nprobe=2)
+    # Arrow GEMM encode + numpy-gather ADC: proven element-identical to
+    # the pure-expression paths (tests/test_pq.py), ~4x faster here since
+    # the S*m*k LUT literals never enter the plan
+    enc = _pq.pq_encode_arrow(
+        res, books, vector_col="_res", keep_cols=("shard_id",)
+    ).select("vec_id", "shard_id", "codes")
+    return _pq.ivfpq_residual_topk(
+        enc, cents, books, qv, k=10, nprobe=2, method="gather"
+    )
 
 
 @register(
@@ -2310,8 +2321,16 @@ def q_opq_rotated_adc_topk(spark, sf_dir):
     v = F.col("embedding").cast("array<double>")
     s = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
     f = 2.0 / 64.0
+    # route the element sum through a Generate so the transform lambda
+    # reads a materialized attribute instead of re-evaluating the
+    # aggregate per element (the _shingled O(len²) re-inline pitfall)
     rot = emb.select(
-        "vec_id", F.transform(v, lambda x: x - F.lit(f) * s).alias("re")
+        "vec_id", v.alias("_v"), F.explode(F.array(s)).alias("_s")
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("_v"), lambda x: x - F.lit(f) * F.col("_s")
+        ).alias("re"),
     )
 
     def _hrot(vec):
@@ -2329,8 +2348,10 @@ def q_opq_rotated_adc_topk(spark, sf_dir):
     )
     books = _pq.codebooks_from_rows([_hrot(r[0]) for r in rows], 8)
     qv = _hrot(_query_vec(spark, sf_dir, 100))
-    enc = rot.select("vec_id", _pq.pq_encode("re", books).alias("codes"))
-    return _pq.pq_adc_topk(enc, books, qv, k=10)
+    enc = _pq.pq_encode_arrow(rot, books, vector_col="re").select(
+        "vec_id", "codes"
+    )
+    return _pq.pq_adc_topk(enc, books, qv, k=10, method="gather")
 
 
 # ===========================================================================
@@ -4247,6 +4268,42 @@ def q_mor_delete_read(spark, sf_dir):
         store.append(versioned(emb.filter(F.col("vec_id") % 35 == 0), 4))
         _MOR_DEL_CACHE[sf_dir] = store
     return store.read()
+
+
+@register(
+    "mor_changes_feed",
+    """
+SELECT vec_id,
+       (CASE WHEN vec_id % 35 = 0 THEN 4
+             WHEN vec_id % 5 = 0 THEN NULL
+             ELSE 2 END)::BIGINT AS version,
+       CASE WHEN vec_id % 35 = 0
+              THEN ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])) * 4, 6)
+            WHEN vec_id % 5 = 0 THEN NULL
+            ELSE ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) * 2, 6)
+       END AS val,
+       CASE WHEN vec_id % 5 = 0 AND vec_id % 35 <> 0 THEN 'delete'
+            ELSE 'upsert' END AS change_type,
+       (CASE WHEN vec_id % 35 = 0 THEN 3
+             WHEN vec_id % 5 = 0 THEN 2
+             ELSE 1 END)::BIGINT AS _batch
+FROM embeddings
+WHERE vec_id % 7 = 0 OR vec_id % 5 = 0
+""",
+)
+def q_mor_changes_feed(spark, sf_dir):
+    """CDC incremental read over the tombstone store: ``changes(0)`` nets
+    the three delta batches (upsert %7 @1, delete %5 @2, re-insert %35
+    @3) to one typed change per id — the poll-with-watermark feed an
+    index-maintenance or replication consumer reads instead of the base.
+    Reads ONLY delta slivers; at 100 TB the feed cost is O(|changes|)."""
+    q_mor_delete_read(spark, sf_dir)  # ensure the cached store exists
+    store = _MOR_DEL_CACHE[sf_dir]
+    return store.changes(0).select(
+        "vec_id", "version", "val", "change_type", "_batch"
+    )
 
 
 # ===========================================================================

@@ -214,6 +214,51 @@ class MorStore:
             .drop(_BATCH, _DELETED)
         )
 
+    def changes(self, since_batch: int = 0) -> DataFrame:
+        """CDC-style incremental feed: the NET change per id across delta
+        batches with ``_batch > since_batch`` — (row columns...,
+        change_type, _batch), where change_type is 'upsert' or 'delete'
+        and ``_batch`` is the id's winning batch. Downstream consumers
+        (index maintenance, replication, cache invalidation) poll with
+        their last-seen watermark instead of re-reading the base — at
+        100 TB the feed reads only the delta slivers.
+
+        Note compaction folds deltas into the base and deletes them, so
+        consumers must poll faster than the compaction cadence (the same
+        retention contract lakehouse CDC feeds have).
+        """
+        deltas = [
+            (bid, p) for bid, p in self._delta_dirs() if bid > since_batch
+        ]
+        if not deltas:
+            scan = self._scan().filter(F.lit(False))
+            return (
+                scan.withColumn(
+                    "change_type",
+                    F.when(F.col(_DELETED), "delete").otherwise("upsert"),
+                )
+                .drop(_DELETED)
+            )
+        delta = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[p for _, p in deltas])
+        )
+        if _DELETED not in delta.columns:
+            delta = delta.withColumn(_DELETED, F.lit(False))
+        delta = delta.withColumn(
+            _DELETED, F.coalesce(F.col(_DELETED), F.lit(False))
+        )
+        w = Window.partitionBy(self.id_col).orderBy(F.desc(_BATCH))
+        return (
+            delta.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .withColumn(
+                "change_type",
+                F.when(F.col(_DELETED), "delete").otherwise("upsert"),
+            )
+            .drop("_rn", _DELETED)
+        )
+
     # -- maintenance -------------------------------------------------------
     def compact(self) -> dict:
         """Fold every delta visible NOW into a new base; concurrent appends

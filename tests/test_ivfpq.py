@@ -1,0 +1,129 @@
+"""IVFPQIndex: the composed, persisted IVF + residual-PQ index."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.ivfpq import IVFPQIndex
+from distributed_vector_database_spark.operators.topk import topk
+from distributed_vector_database_spark.plans.inspect import (
+    assert_partition_pruned,
+    read_schema_columns,
+)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, embeddings, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    return IVFPQIndex.build(
+        embeddings, 8, m=8, k=16, path=path, sample_fraction=0.5
+    )
+
+
+def _qv(embeddings, vid):
+    return [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == vid)
+        .select("embedding")
+        .head()[0]
+    ]
+
+
+def test_full_probe_full_rerank_is_exact(spark, embeddings, idx):
+    """§5.3 invariant, composed: nprobe=all + rerank=corpus == exact."""
+    qv = _qv(embeddings, 42)
+    n = embeddings.count()
+    got = [
+        (r["vec_id"], r["score"])
+        for r in idx.search(
+            qv, 10, nprobe=idx.num_shards(), rerank=n
+        ).collect()
+    ]
+    exp = [
+        (r["vec_id"], r["score"])
+        for r in topk(embeddings, qv, 10, metric="cosine").collect()
+    ]
+    assert got == exp
+
+
+def test_load_roundtrip_same_results(spark, embeddings, idx):
+    loaded = IVFPQIndex.load(spark, idx.path)
+    assert loaded.centroids == idx.centroids
+    assert loaded.codebooks == idx.codebooks
+    qv = _qv(embeddings, 3)
+    a = [(r["vec_id"], r["adc_dist"]) for r in idx.search(qv, 10).collect()]
+    b = [(r["vec_id"], r["adc_dist"]) for r in loaded.search(qv, 10).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_search_batch_consistent_with_single(spark, embeddings, idx):
+    qs = [(7, _qv(embeddings, 7)), (9, _qv(embeddings, 9))]
+    batch = idx.search_batch(qs, 10, nprobe=2).collect()
+    for qid, qv in qs:
+        single = [
+            r["vec_id"]
+            for r in idx.search(qv, 10, nprobe=2).collect()
+        ]
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == single
+
+
+def test_probe_prunes_partitions_and_rerank_improves(
+    spark, embeddings, idx
+):
+    qv = _qv(embeddings, 11)
+    pruned = idx.df.filter(
+        F.col("shard_id").isin(
+            __import__(
+                "distributed_vector_database_spark.operators.ivf",
+                fromlist=["nearest_shards"],
+            ).nearest_shards(qv, idx.centroids, nprobe=2)
+        )
+    )
+    assert_partition_pruned(pruned, "shard_id")
+    # ADC-only search must not need the float vector column
+    adc = idx.search(qv, 10, nprobe=2)
+    cols = {c for scan in read_schema_columns(adc) for c in scan}
+    assert "codes" in cols
+    # recall with exact re-rank >= ADC-only recall (both vs exact truth)
+    truth = {
+        r["vec_id"] for r in topk(embeddings, qv, 10, metric="cosine").collect()
+    }
+    adc_ids = {r["vec_id"] for r in idx.search(qv, 10, nprobe=8).collect()}
+    rr_ids = {
+        r["vec_id"]
+        for r in idx.search(qv, 10, nprobe=8, rerank=50).collect()
+    }
+    assert len(rr_ids & truth) >= len(adc_ids & truth)
+
+
+def test_codes_smaller_than_vectors(spark, embeddings, idx):
+    """The compression argument: m int8-range codes vs dim doubles. The
+    layout stores codes as array<int> for portability; the information
+    content is m log2(k) bits = 8*4 = 4 bytes/row vs 512 bytes of float64."""
+    row = idx.df.select("codes").head()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_filtered_search_prefilters_not_truncates(spark, embeddings, idx):
+    """where= must restrict the CANDIDATE set (pre-filter): top-k over
+    even ids only == brute-force ADC over even ids only; k results even
+    when the unfiltered top-k would be dominated by odd ids."""
+    qv = _qv(embeddings, 5)
+    got = idx.search(
+        qv, 10, nprobe=idx.num_shards(),
+        where=F.col("vec_id") % 2 == 0,
+    ).collect()
+    assert len(got) == 10
+    assert all(r["vec_id"] % 2 == 0 for r in got)
+    unfiltered = idx.search(qv, 10, nprobe=idx.num_shards()).collect()
+    # subset relation: every filtered hit scores no better than the
+    # unfiltered winner at the same rank
+    assert got[0]["adc_dist"] >= unfiltered[0]["adc_dist"]

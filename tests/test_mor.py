@@ -154,3 +154,31 @@ def test_compact_applies_tombstones_physically(store, spark):
     # post-compact append still outranks the folded base
     store.delete([1])
     assert 1 not in _as_dict(store.read())
+
+
+def test_changes_feed_nets_per_id_and_respects_watermark(store, spark):
+    """changes(since) returns the NET change per id from deltas newer than
+    the watermark: upsert/delete typed, latest batch wins, base excluded."""
+    b1 = store.append(
+        spark.createDataFrame(
+            [(1, "v1_1"), (2, "v1_2")], "id long, payload string"
+        )
+    )
+    b2 = store.delete([2, 7])
+    b3 = store.append(
+        spark.createDataFrame([(7, "back")], "id long, payload string")
+    )
+    feed = {r["id"]: r for r in store.changes().collect()}
+    assert set(feed) == {1, 2, 7}
+    assert feed[1]["change_type"] == "upsert" and feed[1]["payload"] == "v1_1"
+    assert feed[2]["change_type"] == "delete"
+    assert feed[7]["change_type"] == "upsert" and feed[7]["payload"] == "back"
+    assert feed[7]["_batch"] == b3
+    # incremental poll: only batches after b1
+    late = {r["id"]: r["change_type"] for r in store.changes(b1).collect()}
+    assert late == {2: "delete", 7: "upsert"}
+    # nothing new after the last batch -> empty frame, stable schema
+    empty = store.changes(b3)
+    assert empty.count() == 0
+    assert "change_type" in empty.columns
+    assert b2 > b1
