@@ -3049,6 +3049,150 @@ def q_supplier_diversity_by_part(spark, sf_dir):
 
 
 @register(
+    "priority_shipping_split",
+    """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1995-01-01'
+  AND l_shipdate < DATE '1996-01-01'
+GROUP BY l_returnflag
+""",
+)
+def q_priority_shipping_split(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority split), adapted: conditional
+    CASE sums over a joined fact, one year-window filter pushed to the
+    lineitem scan. The join carries only (orderkey, priority flag) wide;
+    the CASE pair collapses in the partial aggregate so the exchange
+    moves 3 rows per flag, not per line."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    """
+SELECT ROUND(sum(round(l_extendedprice * (1 - l_discount) * 100))
+             / 100.0, 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def q_disjunctive_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under disjunctive bracketed
+    predicates): an OR-of-ANDs across BOTH join sides. Catalyst pushes
+    the per-side residuals (brand/size to the part scan, quantity to the
+    lineitem scan as a range union) and evaluates the cross-side
+    conjunctions post-join. Revenue accumulates as exact integer cents
+    so the float sum order can't straddle the rounding boundary."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return j.filter(cond).agg(
+        F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+SELECT substr(c_name, length(c_name), 1) AS cust_bucket,
+       count(*)::BIGINT AS n_custs,
+       ROUND(sum(round(c_acctbal * 100)) / 100.0, 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1
+""",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global-customer-opportunity): above-average-
+    balance customers with NO RECENT order — scalar AVG subquery in the
+    filter + NOT EXISTS anti join (with a pushed date predicate on the
+    anti side) + substring grouping. The scalar lands as a plan literal
+    (one tiny pre-job); only custkeys cross the anti join."""
+    c = _read(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal"))
+        .head()[0]
+    )
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    rich = c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        idle.groupBy(
+            F.expr("substring(c_name, length(c_name), 1)").alias(
+                "cust_bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
     "ivf_centroid_update",
     f"""
 WITH {_ASSIGN_CTE},

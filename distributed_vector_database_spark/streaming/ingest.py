@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 
 from distributed_vector_database_spark.operators.ivf import IVFIndex
 
-__all__ = ["stream_ingest", "stream_upsert"]
+__all__ = ["stream_ingest", "stream_upsert", "stream_ingest_ivfpq"]
 
 
 def stream_ingest(
@@ -42,6 +42,43 @@ def stream_ingest(
         assigned = index.assign(batch_df)
         (
             assigned.repartition("shard_id")
+            .write.mode("append")
+            .partitionBy("shard_id")
+            .parquet(index.path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def stream_ingest_ivfpq(
+    index,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+):
+    """Continuous ingest into a persisted ``IVFPQIndex`` layout: each
+    micro-batch is shard-assigned AND residual-PQ-encoded with the
+    index's broadcast centroids/codebooks, then appended partition-wise —
+    so ADC search over the layout stays current as data streams in.
+
+    The codebooks are fixed at index build (the standard ANN-index
+    contract: re-train + re-encode during maintenance windows if the data
+    distribution drifts); encode is the same Arrow GEMM pass as the batch
+    ``IVFPQIndex.write``, narrow per batch. The index must be
+    path-backed. Returns the StreamingQuery.
+    """
+    if index.path is None:
+        raise ValueError("stream_ingest_ivfpq requires a path-backed index")
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enc = index._encode(batch_df)
+        (
+            enc.repartition("shard_id")
             .write.mode("append")
             .partitionBy("shard_id")
             .parquet(index.path)

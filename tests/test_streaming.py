@@ -286,3 +286,77 @@ def test_stream_upsert_matches_eager_merge(spark, tmp_path):
     assert store._delta_dirs() == []
     after = {r["id"]: r["payload"] for r in store.read().collect()}
     assert after == before
+
+
+def test_stream_ingest_ivfpq_matches_batch_build(spark, tmp_path):
+    """Vectors streamed through the residual-PQ encode path answer ADC
+    searches identically to a one-shot batch IVFPQIndex over the same
+    data (fixed centroids + codebooks)."""
+    from distributed_vector_database_spark.operators.ivfpq import IVFPQIndex
+    from distributed_vector_database_spark.operators.pq import (
+        codebooks_from_rows,
+    )
+    from distributed_vector_database_spark.operators.pq import residual_col
+    from distributed_vector_database_spark.operators.ivf import assign_shards
+    from distributed_vector_database_spark.streaming.ingest import (
+        stream_ingest_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    res_rows = (
+        assign_shards(emb.filter(F.col("vec_id") < 16), cents)
+        .select(
+            "vec_id",
+            residual_col("embedding", "shard_id", cents).alias("r"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    books = codebooks_from_rows(
+        [[float(x) for x in r["r"]] for r in res_rows], m=8
+    )
+
+    src_dir = str(tmp_path / "pq_stream_src")
+    emb.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    stream_path = str(tmp_path / "ivfpq_streamed")
+    idx = IVFPQIndex(spark, cents, books, path=stream_path)
+    # persist metadata first so load() works on the streamed layout
+    idx.write(emb.limit(0))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_ingest_ivfpq(idx, stream, str(tmp_path / "ckpt_pq"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = IVFPQIndex(
+        spark, cents, books, path=str(tmp_path / "ivfpq_batch")
+    )
+    batch.write(emb)
+    assert idx.df.count() == batch.df.count() == emb.count()
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 9).head()["embedding"]
+    ]
+    a = [
+        (r["vec_id"], r["adc_dist"])
+        for r in IVFPQIndex.load(spark, stream_path)
+        .search(qv, 5, nprobe=2)
+        .collect()
+    ]
+    b = [
+        (r["vec_id"], r["adc_dist"])
+        for r in batch.search(qv, 5, nprobe=2).collect()
+    ]
+    assert a == b and len(a) == 5
