@@ -4450,6 +4450,29 @@ def q_mor_changes_feed(spark, sf_dir):
     )
 
 
+@register(
+    "mor_time_travel",
+    """
+SELECT vec_id,
+       (CASE WHEN vec_id % 7 = 0 THEN 2 ELSE 1 END)::BIGINT AS version,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * (CASE WHEN vec_id % 7 = 0 THEN 2 ELSE 1 END), 6) AS val
+FROM embeddings
+WHERE vec_id % 5 <> 0
+""",
+)
+def q_mor_time_travel(spark, sf_dir):
+    """Time-travel read: the tombstone store AS OF batch 2 — after the
+    %5 delete but BEFORE the %35 re-insert — so every %5 id is absent
+    (including the ones batch 3 later resurrects) and %7 ids still show
+    version 2. The as-of predicate prunes higher delta dirs at the scan;
+    history ≤ the compaction watermark folds away (vacuum-style
+    retention)."""
+    q_mor_delete_read(spark, sf_dir)  # ensure the cached store exists
+    store = _MOR_DEL_CACHE[sf_dir]
+    return store.read(as_of_batch=2)
+
+
 # ===========================================================================
 # DSIR importance weighting (operators/dsir.py): hashed-ngram importance
 # log-weights of every raw doc against a target slice — data selection.

@@ -186,11 +186,22 @@ class MorStore:
             _DELETED, F.coalesce(F.col(_DELETED), F.lit(False))
         )
 
-    def read(self) -> DataFrame:
+    def read(self, as_of_batch: int | None = None) -> DataFrame:
         """The merged view: one row per id, highest batch wins; ``_batch``
-        dropped. With zero deltas this is a plain base scan — no window."""
+        dropped. With zero deltas this is a plain base scan — no window.
+
+        ``as_of_batch=N`` is a TIME-TRAVEL read: the store as it stood
+        after batch N — deltas with higher ids are filtered out BEFORE
+        the keep-latest window (the predicate prunes whole delta dirs at
+        the scan). History older than the last ``compact()`` watermark is
+        folded into the base and no longer addressable — the same
+        retention contract as a vacuumed lakehouse table.
+        """
         deltas = self._delta_dirs()
         scan = self._scan()
+        if as_of_batch is not None:
+            scan = scan.filter(F.col(_BATCH) <= int(as_of_batch))
+            deltas = [d for d in deltas if d[0] <= int(as_of_batch)]
         if not deltas:
             return scan.filter(~F.col(_DELETED)).drop(_BATCH, _DELETED)
         w = Window.partitionBy(self.id_col).orderBy(F.desc(_BATCH))

@@ -182,3 +182,26 @@ def test_changes_feed_nets_per_id_and_respects_watermark(store, spark):
     assert empty.count() == 0
     assert "change_type" in empty.columns
     assert b2 > b1
+
+
+def test_time_travel_read_reconstructs_each_batch_state(store, spark):
+    b1 = store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    b2 = store.delete([1, 2])
+    b3 = store.append(
+        spark.createDataFrame([(2, "v3_2")], "id long, payload string")
+    )
+    # as of b1: update visible, nothing deleted
+    s1 = _as_dict(store.read(as_of_batch=b1))
+    assert s1[1] == "v1_1" and s1[2] == "v0_2" and len(s1) == 20
+    # as of b2: ids 1,2 gone
+    s2 = _as_dict(store.read(as_of_batch=b2))
+    assert 1 not in s2 and 2 not in s2 and len(s2) == 18
+    # as of b3 == current: id 2 reborn
+    s3 = _as_dict(store.read(as_of_batch=b3))
+    assert s3 == _as_dict(store.read())
+    assert s3[2] == "v3_2" and 1 not in s3
+    # as of batch 0: the pristine base
+    s0 = _as_dict(store.read(as_of_batch=0))
+    assert s0 == {i: f"v0_{i}" for i in range(20)}
