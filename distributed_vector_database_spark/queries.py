@@ -2102,6 +2102,92 @@ def q_event_gaps(spark, sf_dir):
     )
 
 
+@register(
+    "value_range_window",
+    """
+SELECT event_id, user_id,
+       CAST(sum(round(value * 100)::BIGINT) OVER w AS BIGINT) AS hour_cents,
+       CAST(count(*) OVER w AS BIGINT) AS hour_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_value_range_window(spark, sf_dir):
+    """VALUE-based window frame (RANGE, not ROWS): each event's trailing
+    one-hour sum/count for its user — frames sized by TIME, so ties and
+    bursts are handled by value, not row position. Ordered by epoch
+    micros (a numeric key both engines frame identically); values sum as
+    exact integer cents. One shuffle by user_id. The DuckDB ``sum`` over
+    BIGINT returns HUGEINT, hence the explicit BIGINT casts (the r1
+    ``sessionization`` lesson)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("hour_cents"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
+@register(
+    "hourly_gap_fill",
+    """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1 FROM events),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM b),
+agg AS (SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS n_events,
+               CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS value_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT spine.hour AS hour,
+       COALESCE(agg.n_events, 0)::BIGINT AS n_events,
+       COALESCE(agg.value_cents, 0)::BIGINT AS value_cents
+FROM spine LEFT JOIN agg ON spine.hour = agg.hour
+""",
+)
+def q_hourly_gap_fill(spark, sf_dir):
+    """Date-spine gap filling: a generated hour spine (``sequence`` +
+    explode, the Spark idiom for generate_series) LEFT-joined to the
+    hourly purchase rollup, absent hours filled with zero — the standard
+    time-series densification step reporting layers need (46 of ~720
+    hours have no purchase at sf0.01). The spine is tiny and
+    broadcast; the rollup is one partial-agg shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_cents"),
+        )
+    )
+    return spine.join(agg, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_cents", F.lit(0)).alias("value_cents"),
+    )
+
+
 # ===========================================================================
 # Skew-safe equi-join (operators/skew.py salted_join): big-side salt +
 # buckets-fold dim replication. Semantically a plain equi-join — the oracle
