@@ -1428,6 +1428,80 @@ def q_event_cohort_cube(spark, sf_dir):
 
 
 @register(
+    "event_grouping_sets",
+    """
+SELECT event_type, user_id % 10 AS cohort,
+       CAST(grouping(event_type) * 2 + grouping(cohort) AS BIGINT) AS gid,
+       count(*) AS n
+FROM events
+GROUP BY GROUPING SETS ((event_type), (cohort), ())
+""",
+)
+def q_event_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither ROLLUP nor CUBE): per-type totals,
+    per-cohort totals, and the grand total in ONE pass, disambiguated by
+    grouping_id — the exact multi-marginal shape reporting layers ask
+    for. One Expand + one partial-agg shuffle; no re-reads of the fact."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 10
+    )
+    return ev.groupingSets(
+        [["event_type"], ["cohort"], []], "event_type", "cohort"
+    ).agg(
+        (
+            F.grouping("event_type") * 2 + F.grouping("cohort")
+        ).cast("long").alias("gid"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "click_purchase_reconcile",
+    """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, count(*)::BIGINT AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_clicks, 0)::BIGINT AS n_clicks,
+       COALESCE(n_purchases, 0)::BIGINT AS n_purchases,
+       (COALESCE(n_clicks, 0) - COALESCE(n_purchases, 0))::BIGINT AS diff
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""",
+)
+def q_click_purchase_reconcile(spark, sf_dir):
+    """FULL OUTER reconciliation of two independent rollups (clicks vs
+    purchases per user): users present on either side survive with
+    zero-filled counts — the audit-join shape used to reconcile two
+    pipelines' outputs. Both inputs pre-aggregate before the join, so
+    the full-outer shuffle moves one row per user per side."""
+    ev = _read(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    j = c.withColumnRenamed("user_id", "cu").join(
+        p.withColumnRenamed("user_id", "pu"),
+        F.col("cu") == F.col("pu"),
+        "full_outer",
+    )
+    nc = F.coalesce("n_clicks", F.lit(0))
+    np_ = F.coalesce("n_purchases", F.lit(0))
+    return j.select(
+        F.coalesce("cu", "pu").alias("user_id"),
+        nc.alias("n_clicks"),
+        np_.alias("n_purchases"),
+        (nc - np_).alias("diff"),
+    )
+
+
+@register(
     "sql_topk_cosine",
     f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
@@ -3275,6 +3349,58 @@ def q_idle_rich_customers(spark, sf_dir):
             F.count("*").alias("n_custs"),
             F.round(F.sum(cents) / 100.0, 2).alias("total_bal"),
         )
+    )
+
+
+_STATS_CACHE: dict = {}
+
+
+@register(
+    "stats_pruned_range_scan",
+    """
+SELECT count(*)::BIGINT AS n_orders,
+       sum(round(o_totalprice * 100))::BIGINT AS total_cents,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 1500
+""",
+)
+def q_stats_pruned_range_scan(spark, sf_dir):
+    """File-level stats skipping end to end (sources/stats.py): orders
+    rewritten range-partitioned by key, per-file min/max collected and
+    persisted inside the layout, then a range scan that OPENS only the
+    1-2 files whose interval intersects the predicate — the Delta/
+    Iceberg-style metadata skip on plain parquet. The oracle scans the
+    original table, so any row lost or duplicated by the pruning fails
+    the gate."""
+    import tempfile
+
+    from distributed_vector_database_spark.sources.stats import (
+        collect_file_stats,
+        load_stats,
+        read_pruned,
+        save_stats,
+    )
+
+    layout = _STATS_CACHE.get(sf_dir)
+    if layout is None:
+        layout = tempfile.mkdtemp(prefix="dvdb_stats_") + "/orders_ranged"
+        o = _read(spark, sf_dir, "orders")
+        o.repartitionByRange(8, "o_orderkey").write.mode(
+            "overwrite"
+        ).parquet(layout)
+        save_stats(
+            collect_file_stats(spark, layout, ["o_orderkey"]), layout
+        )
+        _STATS_CACHE[sf_dir] = layout
+    stats = load_stats(spark, layout)
+    pruned = read_pruned(spark, stats, "o_orderkey", 1000, 1500)
+    return pruned.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
     )
 
 

@@ -1,0 +1,79 @@
+"""File-level min/max stats skipping (sources/stats.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.sources.stats import (
+    collect_file_stats,
+    load_stats,
+    prune_files,
+    read_pruned,
+    save_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def ranged_layout(spark, tmp_path_factory):
+    """Orders written range-partitioned by o_orderkey → disjoint file
+    ranges, the layout stats skipping rewards."""
+    path = str(tmp_path_factory.mktemp("stats") / "orders_ranged")
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    o.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stats_cover_layout_and_roundtrip(spark, ranged_layout):
+    stats = collect_file_stats(spark, ranged_layout, ["o_orderkey"])
+    rows = stats.collect()
+    assert len(rows) == 8  # one row per file
+    total = sum(r["n_rows"] for r in rows)
+    assert total == spark.read.parquet(ranged_layout).count()
+    save_stats(stats, ranged_layout)
+    loaded = load_stats(spark, ranged_layout)
+    assert {r["file"] for r in loaded.collect()} == {r["file"] for r in rows}
+    # hidden subdir: plain readers of the layout are unaffected
+    assert spark.read.parquet(ranged_layout).count() == total
+
+
+def test_point_and_range_pruning_skips_files(spark, ranged_layout):
+    stats = collect_file_stats(spark, ranged_layout, ["o_orderkey"])
+    full = spark.read.parquet(ranged_layout)
+    lo, hi = 100, 120
+    pruned_files = prune_files(stats, "o_orderkey", lo, hi)
+    # disjoint ranges -> a 21-key range touches 1-2 of 8 files
+    assert 1 <= len(pruned_files) <= 2
+    got = sorted(
+        r["o_orderkey"]
+        for r in read_pruned(spark, stats, "o_orderkey", lo, hi).collect()
+    )
+    exp = sorted(
+        r["o_orderkey"]
+        for r in full.filter(F.col("o_orderkey").between(lo, hi)).collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_out_of_range_prunes_everything(spark, ranged_layout):
+    stats = collect_file_stats(spark, ranged_layout, ["o_orderkey"])
+    assert prune_files(stats, "o_orderkey", -100, -1) == []
+    empty = read_pruned(spark, stats, "o_orderkey", -100, -1)
+    assert empty.count() == 0
+    assert "o_orderkey" in empty.columns
+
+
+def test_pruning_is_superset_on_random_layout(spark, tmp_path):
+    """A randomly laid-out table skips nothing but stays CORRECT — the
+    superset guarantee."""
+    path = str(tmp_path / "orders_random")
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    o.repartition(8).write.mode("overwrite").parquet(path)
+    stats = collect_file_stats(spark, path, ["o_orderkey"])
+    files = prune_files(stats, "o_orderkey", 100, 120)
+    assert len(files) == 8  # full-range stats: nothing skippable
+    got = read_pruned(spark, stats, "o_orderkey", 100, 120).count()
+    exp = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderkey").between(100, 120))
+        .count()
+    )
+    assert got == exp
