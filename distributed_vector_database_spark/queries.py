@@ -3352,6 +3352,90 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+@register(
+    "nation_market_share",
+    """
+WITH base AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS cents,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region    ON nc.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_brand = 'Brand#15')
+SELECT o_year,
+       ROUND(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN cents
+                           ELSE 0 END) AS DOUBLE)
+             / sum(cents), 6) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): eight-table join, year
+    extraction, then a conditional-share ratio per year — NATION_2's
+    slice of Brand#15 revenue consumed in ASIA. Every dimension
+    broadcasts; the single wide shuffle joins the two facts on orderkey;
+    revenue accumulates as exact integer cents so the share ratio is
+    reproducible bit-for-bit."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#15")
+        .select("p_partkey")
+    )
+    cust_dim = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            c.c_nationkey == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_dim = s.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("cents"))
+                .otherwise(0)
+            ).cast("double")
+            / F.sum("cents"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
 _STATS_CACHE: dict = {}
 
 
