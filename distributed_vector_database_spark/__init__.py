@@ -112,6 +112,7 @@ from distributed_vector_database_spark.operators.dedup import (
     paragraph_dedup_stats,
     repeated_spans,
     semantic_dedup,
+    simhash_neardup_pairs,
 )
 from distributed_vector_database_spark.operators.dsir import (
     dsir_gumbel_sample,
@@ -177,6 +178,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash_fingerprints",
+    "simhash_neardup_pairs",
     "embedding_neardup_pairs",
     "token_stats",
     "quality_scores",

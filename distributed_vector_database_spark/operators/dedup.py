@@ -51,6 +51,7 @@ __all__ = [
     "paragraph_blocks",
     "paragraph_dedup_stats",
     "duplicate_paragraphs",
+    "simhash_neardup_pairs",
 ]
 
 HEX = "0123456789abcdef"
@@ -782,4 +783,84 @@ def duplicate_paragraphs(
             F.min(id_col).alias("rep_doc_id"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    *,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance with band
+    blocking (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007): split the 64-bit fingerprint into ``bands``
+    chunks — any pair within ``max_hamming <= bands - 1`` bit flips must
+    agree on at least one whole chunk (pigeonhole), so candidates come
+    from an EQUI-join on (band index, band value) instead of all pairs.
+    Verification is the exact nibble-wise popcount of the XOR.
+
+    Returns (doc_id_a, doc_id_b, hamming), hamming <= max_hamming.
+
+    Scale: fingerprinting is one aggregation pass; the band join's keys
+    are 16-bit chunks of an avalanche hash — uniform, bounded fan-out;
+    verify is O(1) per candidate. The whole-corpus pair discovery the
+    quadratic embedding join can't do at 100 TB.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"band blocking is only exact for max_hamming <= bands - 1 "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if 16 % bands:
+        raise ValueError(f"bands must divide 16, got {bands}")
+    fp = simhash_fingerprints(docs, text_col=text_col, id_col=id_col)
+    chunk = 16 // bands
+    banded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.substring("simhash", b * chunk + 1, chunk),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+
+    def _nib(col, j):
+        return F.conv(F.substring(col, j + 1, 1), 16, 10).cast("int")
+
+    ham = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(_nib("_sa", j).bitwiseXOR(_nib("_sb", j)))
+            for j in range(16)
+        ],
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
     )

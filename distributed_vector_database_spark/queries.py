@@ -622,6 +622,42 @@ def q_dedup_simhash(spark, sf_dir):
     return _dd.simhash_fingerprints(_spread(_read(spark, sf_dir, "documents")))
 
 
+def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
+    hexs = "0123456789abcdef"
+    chunk = 16 // bands
+    fp_select = _simhash_sql().strip()
+    band_items = ", ".join(
+        f"'{b}:' || substr(simhash, {b * chunk + 1}, {chunk})"
+        for b in range(bands)
+    )
+    nib = lambda col, j: f"(strpos('{hexs}', substr({col}, {j + 1}, 1)) - 1)"
+    ham = " + ".join(
+        f"bit_count(xor({nib('sa', j)}, {nib('sb', j)}))" for j in range(16)
+    )
+    return f"""
+WITH fp AS ({fp_select}),
+bands AS (SELECT doc_id, simhash, unnest([{band_items}]) AS band FROM fp),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b, ({ham})::BIGINT AS hamming
+FROM cand WHERE ({ham}) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_sql())
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (Manku et al. WWW'07 band blocking): the
+    fingerprint table self-joins on 16-bit chunks — pigeonhole guarantees
+    no pair within 3 bit flips is missed with 4 bands — then exact
+    XOR-popcount verification. Completes the simhash family from
+    fingerprints to discovered pairs."""
+    return _dd.simhash_neardup_pairs(
+        _spread(_read(spark, sf_dir, "documents")), max_hamming=3, bands=4
+    )
+
+
 _EA = "(a.embedding::DOUBLE[])"
 _EB = "(b.embedding::DOUBLE[])"
 

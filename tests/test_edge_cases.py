@@ -235,3 +235,47 @@ def test_rrf_fuse_weights_and_missing_ids(spark):
         for r in ranked(scored, ascending=True, top_n=2).collect()
     }
     assert asc == {12: 1, 10: 2}  # distances: smaller is better
+
+
+def test_simhash_pairs_pigeonhole_and_exactness(spark):
+    """Band blocking must find every pair within max_hamming (pigeonhole:
+    4 bands cover <= 3 flips) and the reported hamming must equal the
+    true bit distance of the fingerprints."""
+    from distributed_vector_database_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+    import pytest as _pytest
+
+    # identical docs -> hamming 0; near-identical (one token swapped)
+    # -> small hamming; unrelated -> large
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                  # exact dup
+            (3, base.replace("zeta", "zetaX", 1)),      # near dup
+            (4, "totally different words entirely here" * 5),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    # verify reported hamming against fingerprints directly
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).collect()
+    }
+
+    def true_ham(a, b):
+        return bin(int(fps[a], 16) ^ int(fps[b], 16)).count("1")
+
+    for (a, b), h in pairs.items():
+        assert h == true_ham(a, b)
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # blocking exactness precondition is enforced
+    with _pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, max_hamming=5, bands=4)
