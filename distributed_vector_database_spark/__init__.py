@@ -127,6 +127,7 @@ from distributed_vector_database_spark.operators.mining import (
 )
 from distributed_vector_database_spark.sources.mor import MorStore
 from distributed_vector_database_spark.operators.fusion import ranked, rrf_fuse
+from distributed_vector_database_spark.operators.merge import merge_into
 
 __all__ = [
     "get_session",
@@ -207,6 +208,7 @@ __all__ = [
     "duplicate_paragraphs",
     "rrf_fuse",
     "ranked",
+    "merge_into",
     "int8_quantize",
     "int8_dequantize",
 ]

@@ -3472,6 +3472,71 @@ def q_nation_market_share(spark, sf_dir):
     )
 
 
+@register(
+    "merge_into_orders",
+    """
+SELECT o_orderkey, o_orderstatus, total_cents FROM (
+  SELECT o_orderkey, o_orderstatus,
+         round(o_totalprice * 100)::BIGINT AS total_cents
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         round(o_totalprice * 110)::BIGINT AS total_cents
+  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 100 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000, 'N' AS o_orderstatus,
+         round(o_totalprice * 100)::BIGINT AS total_cents
+  FROM orders WHERE o_orderkey % 1000 = 0
+) t
+""",
+)
+def q_merge_into_orders(spark, sf_dir):
+    """SQL MERGE INTO semantics (operators/merge.py) end to end: the
+    source UPDATEs every %10 order (status 'X', price +10%), DELETEs the
+    %100 subset of those, and INSERTs a new +1000000-key order for every
+    %1000 key — one full-outer join + conditional projection, no
+    iterative logic. The oracle reconstructs the final state with plain
+    CASE/UNION algebra, so every branch (update/delete/insert/pass-
+    through) is value-checked."""
+    from distributed_vector_database_spark.operators.merge import merge_into
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    upd = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 110)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    ins = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    src = upd.unionByName(ins)
+    return merge_into(
+        o,
+        src,
+        on="o_orderkey",
+        delete_condition=(F.col("o_orderkey") % 100 == 0)
+        & (F.col("o_orderstatus") == "X"),
+    )
+
+
 _STATS_CACHE: dict = {}
 
 

@@ -279,3 +279,50 @@ def test_simhash_pairs_pigeonhole_and_exactness(spark):
     # blocking exactness precondition is enforced
     with _pytest.raises(ValueError):
         simhash_neardup_pairs(docs, max_hamming=5, bands=4)
+
+
+def test_merge_into_three_way_semantics(spark):
+    """MERGE: matched+delete drops, matched updates listed cols only,
+    unmatched-source inserts, unmatched-base passes through; duplicate
+    source keys raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.merge import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, tag string, val long",
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 99), (3, "DEL", 0), (4, "d", 40)],
+        "id long, tag string, val long",
+    )
+    got = {
+        r["id"]: (r["tag"], r["val"])
+        for r in merge_into(
+            base,
+            src,
+            on="id",
+            update_cols=["tag"],  # val NOT updated on match
+            delete_condition=F.col("tag") == "DEL",
+        ).collect()
+    }
+    assert got == {
+        1: ("a", 10),    # base-only: untouched
+        2: ("B", 20),    # matched: tag updated, val kept
+        4: ("d", 40),    # source-only: inserted
+    }                    # 3: matched + delete -> gone
+    # insert=False drops source-only rows
+    no_ins = merge_into(base, src, on="id", insert=False)
+    assert {r["id"] for r in no_ins.collect()} == {1, 2, 3}
+    with _pytest.raises(ValueError):
+        merge_into(
+            base,
+            spark.createDataFrame(
+                [(2, "x", 1), (2, "y", 2)], "id long, tag string, val long"
+            ),
+            on="id",
+        )
+    with _pytest.raises(ValueError):
+        merge_into(base, src.drop("val"), on="id")
