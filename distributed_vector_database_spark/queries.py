@@ -3389,6 +3389,76 @@ def q_idle_rich_customers(spark, sf_dir):
 
 
 @register(
+    "vector_dim_stats",
+    """
+SELECT vec_id,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT)
+         AS n_pos,
+       CASE WHEN len(list_filter(embedding::DOUBLE[], x -> abs(x) > 2.5)) > 0
+            THEN TRUE ELSE FALSE END AS has_outlier,
+       CASE WHEN len(list_filter(embedding::DOUBLE[], x -> abs(x) <= 4.0))
+                 = len(embedding) THEN TRUE ELSE FALSE END AS all_bounded,
+       ROUND(list_reduce(list_slice(list_reverse_sort(
+               list_transform(embedding::DOUBLE[], x -> abs(x))), 1, 3),
+             (a, b) -> a + b), 6) AS top3_abs_mass
+FROM embeddings
+""",
+)
+def q_vector_dim_stats(spark, sf_dir):
+    """Higher-order array functions as a user-facing query: per vector,
+    the positive-dim count (``filter``), an any-dim predicate
+    (``exists``), an all-dims predicate (``forall``), and the mass of
+    the 3 largest |dims| (``transform`` → ``array_sort`` → ``slice`` →
+    ``aggregate``). All whole-stage-codegen expressions — a narrow
+    projection, no shuffle, no Python."""
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    absd = F.transform(v, lambda x: F.abs(x))
+    top3 = F.slice(F.array_sort(absd, lambda a, b: F.when(a < b, 1).otherwise(F.when(a > b, -1).otherwise(0))), 1, 3)
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(v, lambda x: F.abs(x) > 2.5).alias("has_outlier"),
+        F.forall(v, lambda x: F.abs(x) <= 4.0).alias("all_bounded"),
+        F.round(
+            F.aggregate(top3, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("top3_abs_mass"),
+    )
+
+
+@register(
+    "value_quartiles_by_type",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS q25,
+       ROUND(quantile_cont(value, 0.50), 6) AS q50,
+       ROUND(quantile_cont(value, 0.75), 6) AS q75,
+       ROUND(quantile_cont(value, 0.95), 6) AS q95
+FROM events GROUP BY event_type
+""",
+)
+def q_value_quartiles_by_type(spark, sf_dir):
+    """Grouped multi-quantile profile (the array form of ``percentile``):
+    four continuous quantiles per event type in ONE aggregation pass —
+    the distribution-profile query monitoring layers run per batch. At
+    scale swap in ``approx_percentile`` for one-pass sketching; the
+    exact form here is what the oracle can reproduce."""
+    ev = _read(spark, sf_dir, "events")
+    q = F.percentile("value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("_q"))
+        .select(
+            "event_type",
+            F.round(F.col("_q")[0], 6).alias("q25"),
+            F.round(F.col("_q")[1], 6).alias("q50"),
+            F.round(F.col("_q")[2], 6).alias("q75"),
+            F.round(F.col("_q")[3], 6).alias("q95"),
+        )
+    )
+
+
+@register(
     "nation_market_share",
     """
 WITH base AS (
