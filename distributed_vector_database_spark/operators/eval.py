@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k", "ivf_recall_curve"]
+__all__ = ["recall_at_k", "ndcg_at_k", "ivf_recall_curve"]
 
 
 def recall_at_k(
@@ -53,6 +53,56 @@ def recall_at_k(
         ).alias("recall"),
         "n_hit",
         "n_exact",
+    )
+
+
+def ndcg_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    query_col: str | None = None,
+) -> DataFrame:
+    """Rank-aware quality: NDCG@k of the approximate list against the
+    exact list (binary relevance — an item is relevant iff it appears in
+    the exact top-k; gain discounted by 1/log2(rank+1)).
+
+    recall@k treats position 1 and position k the same; NDCG penalizes
+    the approximate list for burying true neighbors. Both frames carry
+    ``id_col`` and a 1-based ``rank_col`` (and ``query_col`` when
+    batched). IDCG is the all-relevant ideal over min(k, |exact|)
+    positions, so a perfect-prefix list scores 1.0.
+    """
+    keys = [query_col, id_col] if query_col else [id_col]
+    group = [query_col] if query_col else []
+    gain = 1.0 / F.log2(F.col(rank_col).cast("double") + 1.0)
+    hits = (
+        approx.filter(F.col(rank_col) <= k)
+        .join(exact.select(*keys), keys, "left_semi")
+        .select(*group, gain.alias("_g"))
+    )
+    dcg = (
+        hits.groupBy(*group).agg(F.sum("_g").alias("dcg"))
+        if group
+        else hits.agg(F.sum("_g").alias("dcg"))
+    )
+    ideal = (
+        exact.filter(F.col(rank_col) <= k)
+        .select(*group, gain.alias("_g"))
+    )
+    idcg = (
+        ideal.groupBy(*group).agg(F.sum("_g").alias("idcg"))
+        if group
+        else ideal.agg(F.sum("_g").alias("idcg"))
+    )
+    joined = dcg.join(idcg, group, "right") if group else idcg.crossJoin(dcg)
+    return joined.select(
+        *group,
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+        ).alias("ndcg"),
     )
 
 

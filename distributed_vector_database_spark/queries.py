@@ -995,6 +995,54 @@ def q_ann_lsh_search(spark, sf_dir):
     return _ann.lsh_search(indexed, planes, _query_vec(spark, sf_dir, 100), k=5)
 
 
+@register(
+    "ann_lsh_ndcg",
+    f"""
+WITH {_LSH_CTE},
+q AS (SELECT b.bucket AS qb, (e2.embedding::DOUBLE[]) AS qv
+      FROM embeddings e2 JOIN b ON b.vec_id = e2.vec_id
+      WHERE e2.vec_id = 100),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN b ON e.vec_id = b.vec_id
+         JOIN q ON b.bucket = q.qb),
+approx AS (SELECT vec_id, rnk FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_cos(E, 'q.qv')}, 6) DESC,
+                            e.vec_id ASC) AS rnk
+  FROM cand e, q) t WHERE rnk <= 10),
+exact AS (SELECT vec_id, rnk FROM (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND({_cos(E, 'q.qv')}, 6) DESC,
+                            e.vec_id ASC) AS rnk
+  FROM embeddings e, q) t WHERE rnk <= 10),
+dcg AS (SELECT COALESCE(sum(1.0 / log2(a.rnk + 1.0)), 0.0) AS dcg
+        FROM approx a JOIN exact x ON a.vec_id = x.vec_id),
+idcg AS (SELECT sum(1.0 / log2(rnk + 1.0)) AS idcg FROM exact)
+SELECT ROUND(dcg.dcg / idcg.idcg, 6) AS ndcg FROM dcg, idcg
+""",
+)
+def q_ann_lsh_ndcg(spark, sf_dir):
+    """Rank-aware search-quality as a driver row: NDCG@10 of the LSH
+    single-bucket search against exact cosine top-10 (operators/
+    eval.ndcg_at_k) — the IR metric that penalizes burying true
+    neighbors, not just missing them. Measures quality of the SAME
+    pruned path ann_lsh_search verifies for values."""
+    from distributed_vector_database_spark.operators.eval import ndcg_at_k
+    from distributed_vector_database_spark.operators.fusion import ranked
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _fixed_centroids(spark, sf_dir, 8)
+    qv = _query_vec(spark, sf_dir, 100)
+    indexed = _ann.lsh_index(emb, planes)
+    approx = ranked(
+        _ann.lsh_search(indexed, planes, qv, k=10),
+        id_col="vec_id",
+        top_n=10,
+    )
+    exact = ranked(topk(emb, qv, k=10), id_col="vec_id", top_n=10)
+    return ndcg_at_k(approx, exact, 10)
+
+
 def _bucket_sql(tok_expr: str, dim: int = 64) -> str:
     hexs = "0123456789abcdef"
     terms = " + ".join(

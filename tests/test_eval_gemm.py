@@ -101,3 +101,48 @@ def test_ivf_recall_curve_monotone(spark):
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
     assert all(p["n_queries"] == 2 for p in curve)
+
+
+def test_ndcg_at_k_rank_awareness(spark):
+    """NDCG: perfect prefix scores 1.0; a relevant item buried at the
+    bottom scores lower than the same set found at the top; disjoint
+    lists score 0."""
+    from distributed_vector_database_spark.operators.eval import ndcg_at_k
+
+    exact = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "vec_id long, rank int"
+    )
+    perfect = ndcg_at_k(exact, exact, 5).head()["ndcg"]
+    assert perfect == 1.0
+
+    # same 5 relevant ids, worst order (reversed) -> still 1.0 with
+    # binary relevance IF all k are relevant... so test partial overlap:
+    # only id 1 found, at rank 5 vs at rank 1
+    at_top = spark.createDataFrame(
+        [(1, 1), (10, 2), (11, 3), (12, 4), (13, 5)], "vec_id long, rank int"
+    )
+    at_bottom = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, 4), (1, 5)], "vec_id long, rank int"
+    )
+    top_score = ndcg_at_k(at_top, exact, 5).head()["ndcg"]
+    bottom_score = ndcg_at_k(at_bottom, exact, 5).head()["ndcg"]
+    assert top_score > bottom_score > 0
+    disjoint = spark.createDataFrame(
+        [(10, 1), (11, 2)], "vec_id long, rank int"
+    )
+    assert ndcg_at_k(disjoint, exact, 5).head()["ndcg"] == 0.0
+
+    # batched: per-query rows, missing-query dcg coalesces to 0
+    b_exact = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (7, 1, 1)], "query_id long, vec_id long, rank int"
+    )
+    b_approx = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, vec_id long, rank int"
+    )
+    got = {
+        r["query_id"]: r["ndcg"]
+        for r in ndcg_at_k(
+            b_approx, b_exact, 2, query_col="query_id"
+        ).collect()
+    }
+    assert got[0] == 1.0 and got[7] == 0.0

@@ -77,3 +77,37 @@ def test_pruning_is_superset_on_random_layout(spark, tmp_path):
         .count()
     )
     assert got == exp
+
+
+def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
+    """Composition: file stats over a Z-ORDERED layout prune on BOTH
+    z-columns; a linear sort layout only prunes on its leading column.
+    This is the scale argument for Z-order + stats skipping together."""
+    from distributed_vector_database_spark.sources.layout import (
+        save_zordered,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("event_id", "user_id", "value")
+        .withColumn("value_bucket", (F.col("value") * 10).cast("long"))
+    )
+    zpath = str(tmp_path / "z")
+    save_zordered(ev, ("user_id", "value_bucket"), zpath, n_files=16)
+    lpath = str(tmp_path / "linear")
+    ev.repartitionByRange(16, "user_id").write.mode("overwrite").parquet(
+        lpath
+    )
+
+    zstats = collect_file_stats(spark, zpath, ["user_id", "value_bucket"])
+    lstats = collect_file_stats(spark, lpath, ["user_id", "value_bucket"])
+    # narrow range on the SECOND z-column: z-order skips, linear can't
+    z_files = prune_files(zstats, "value_bucket", 0, 0)
+    l_files = prune_files(lstats, "value_bucket", 0, 0)
+    # the z layout clusters the SECOND column too, so it must skip
+    # strictly more files than the user_id-sorted linear layout
+    assert len(z_files) < len(l_files)
+    # and the pruned read stays correct
+    got = read_pruned(spark, zstats, "value_bucket", 0, 0).count()
+    exp = ev.filter(F.col("value_bucket") == 0).count()
+    assert got == exp > 0
