@@ -101,5 +101,10 @@ def read_pruned(
     pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     if not files:
         any_file = [r["file"] for r in stats.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError(
+                "stats table is empty — collect_file_stats over a layout "
+                "with at least one file first"
+            )
         return spark.read.parquet(*any_file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(pred)
