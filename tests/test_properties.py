@@ -65,3 +65,53 @@ def test_self_similarity(run_pairs, v):
     else:
         # zero (or denormal-tiny) vectors take the guard path
         assert r["cos"] == pytest.approx(r["cos"], abs=2.0)
+
+
+_mrow = st.tuples(
+    st.integers(min_value=0, max_value=15),          # key
+    st.sampled_from(["a", "b", "DEL"]),              # tag
+    st.integers(min_value=-100, max_value=100),      # val
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_mrow, min_size=0, max_size=12, unique_by=lambda r: r[0]),
+    st.lists(_mrow, min_size=0, max_size=12, unique_by=lambda r: r[0]),
+)
+def test_merge_into_matches_reference_model(spark, base_rows, src_rows):
+    """merge_into == a dict-based reference merge for arbitrary unique-key
+    base/source tables: matched+DEL deletes, matched updates tag only,
+    unmatched source inserts, unmatched base passes through."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.merge import merge_into
+
+    schema = "id long, tag string, val long"
+    base = spark.createDataFrame(base_rows, schema) if base_rows else (
+        spark.createDataFrame([], schema)
+    )
+    src = spark.createDataFrame(src_rows, schema) if src_rows else (
+        spark.createDataFrame([], schema)
+    )
+    got = {
+        r["id"]: (r["tag"], r["val"])
+        for r in merge_into(
+            base,
+            src,
+            on="id",
+            update_cols=["tag"],
+            delete_condition=F.col("tag") == "DEL",
+        ).collect()
+    }
+
+    model = {k: (t, v) for k, t, v in base_rows}
+    for k, t, v in src_rows:
+        if k in model:
+            if t == "DEL":
+                del model[k]
+            else:
+                model[k] = (t, model[k][1])  # tag updated, val kept
+        else:
+            model[k] = (t, v)                # insert (even tag == DEL)
+    assert got == model
