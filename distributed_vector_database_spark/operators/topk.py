@@ -79,9 +79,14 @@ def topk(
 
     Returns (id_col, score) ordered by (score best-first, id ASC).
 
-    ``method='auto'`` (default): pick by dimensionality — the measured
-    crossover is ~128 dims (BENCH: 768-d expr 3.29 s vs arrow 2.09 s;
-    low-dim the expression path wins on zero Python/Arrow overhead).
+    ``method='auto'`` (default): pick by dimensionality. Round-2
+    remeasure (10k rows × 768-d, 3×3 trials): expr 0.67-0.89 s vs arrow
+    1.01-1.05 s — whole-stage codegen now carries the dot product past
+    the Arrow round-trip at every tested dim, so auto stays on the
+    expression path through 1024 dims and reserves the Arrow kernel for
+    ultra-high dims, where the m·k expression tree itself becomes the
+    bottleneck. (Batched multi-query search always uses the Arrow
+    kernel — ``batch_topk`` — where one GEMM serves all queries.)
     ``method='expr'``: column-pruned scan -> Catalyst expression score ->
     TakeOrderedAndProject (per-partition heap + driver merge). Zero Python;
     right up to ~10^2 dims where expression evaluation of the dot product
@@ -91,7 +96,7 @@ def topk(
     vectors or wide scans, same results by construction.
     """
     if method == "auto":
-        method = "arrow" if len(query_vector) >= 128 else "expr"
+        method = "arrow" if len(query_vector) > 1024 else "expr"
     if method == "arrow":
         spark = df.sparkSession
         qdf = spark.createDataFrame(
