@@ -60,6 +60,7 @@ from distributed_vector_database_spark.operators.eval import recall_at_k
 from distributed_vector_database_spark.operators.graph import (
     connected_components,
     connected_components_star,
+    pagerank_micro,
 )
 from distributed_vector_database_spark.operators.dedup import (
     embedding_neardup_pairs,
@@ -173,6 +174,7 @@ __all__ = [
     "recall_at_k",
     "connected_components",
     "connected_components_star",
+    "pagerank_micro",
     "exact_dedup_groups",
     "jaccard_pairs",
     "jaccard_pairs_prefix",

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star"]
+__all__ = ["connected_components", "connected_components_star", "pagerank_micro"]
 
 
 def connected_components(
@@ -186,3 +186,66 @@ def connected_components_star(
     return nodes.join(star, "node", "left").select(
         "node", F.coalesce(F.col("c"), F.col("node")).alias("component")
     )
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank with EXACT integer arithmetic — every node starts with
+    1,000,000 micro-units of mass and each round computes
+
+        mass'(v) = (100 - d)% · 10⁶  +  Σ_{u→v} (mass(u) · d) div (100 · outdeg(u))
+
+    entirely in int64 (``div`` = truncating integer division, all
+    operands positive). Floating-point PageRank is NOT reproducible
+    across engines (neighbor-sum order changes the low bits every
+    round and the drift compounds through iterations); the micro-unit
+    form makes every iteration bit-exact, so a SQL oracle can verify an
+    ITERATIVE algorithm value-for-value — same trick as the engine's
+    integer-cents money sums.
+
+    The unnormalized "mass" formulation (constant per-node teleport, no
+    dangling redistribution — sinks absorb) keeps the recurrence local:
+    each round is ONE edge join + ONE partial-agg shuffle over |E| rows,
+    the same per-round plan MLlib's PageRank runs; ``iters`` is fixed
+    (PageRank convergence is geometric; ranking stabilizes in a handful
+    of rounds).
+
+    Returns (node, mass) for every node after ``iters`` rounds.
+    """
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    base = (100 - damping_pct) * 1_000_000 // 100
+    pr = nodes.withColumn("mass", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e._s == pr.node)
+            .join(outdeg, "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.expr(f"(mass * {damping_pct}) div (100 * _deg)").alias(
+                    "_c"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("_in"), F.lit(0)))
+            .cast("long")
+            .alias("mass"),
+        )
+    return pr

@@ -3506,6 +3506,59 @@ def q_value_quartiles_by_type(spark, sf_dir):
     )
 
 
+def _pagerank_sql(iters: int = 5) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+pr{i} AS (
+  SELECT n.node,
+         150000 + COALESCE((
+           SELECT sum((p.mass * 85) // (100 * od._deg))
+           FROM edges e JOIN {prev} p ON e.src = p.node
+           JOIN outdeg od ON e.src = od.src
+           WHERE e.dst = n.node), 0) AS mass
+  FROM nodes n)""")
+        prev = f"pr{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+outdeg AS (SELECT src, count(*) AS _deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1000000::BIGINT AS mass FROM nodes),{','.join(steps)}
+SELECT node, mass::BIGINT AS mass FROM {prev}
+ORDER BY mass DESC, node ASC LIMIT 20
+"""
+
+
+@register("supplier_customer_pagerank", _pagerank_sql())
+def q_supplier_customer_pagerank(spark, sf_dir):
+    """Iterative PageRank as a driver-verified row: 5 exact integer-micro
+    rounds (graph.pagerank_micro) over the supplier→customer supply
+    graph, top-20 by final mass. Floating PageRank can't be
+    oracle-compared (neighbor-sum order drifts the low bits each round);
+    the integer-micro recurrence is bit-exact in both engines — the
+    iterative-algorithm counterpart of the integer-cents money sums."""
+    from distributed_vector_database_spark.operators.graph import (
+        pagerank_micro,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank_micro(edges, iters=5)
+    return pr.orderBy(F.desc("mass"), F.asc("node")).limit(20)
+
+
 @register(
     "nation_market_share",
     """

@@ -75,3 +75,35 @@ def test_star_cc_matches_label_propagation_random(spark):
 def test_star_cc_self_loop_and_direction(spark):
     got = _cc_star(spark, [(5, 5), (9, 3), (3, 7)])
     assert got == {5: 5, 3: 3, 7: 3, 9: 3}
+
+
+def test_pagerank_micro_matches_python_reference(spark):
+    """Integer-micro PageRank == a pure-Python reference on a small
+    directed graph (sink absorbs mass; truncating division)."""
+    from distributed_vector_database_spark.operators.graph import (
+        pagerank_micro,
+    )
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {
+        r["node"]: r["mass"]
+        for r in pagerank_micro(edges, iters=5).collect()
+    }
+
+    nodes = sorted({n for e in edge_list for n in e})
+    out = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    pr = {n: 1_000_000 for n in nodes}
+    base = 15 * 1_000_000 // 100
+    for _ in range(5):
+        nxt = {n: base for n in nodes}
+        for s, d in edge_list:
+            nxt[d] += (pr[s] * 85) // (100 * out[s])
+        pr = nxt
+    assert got == pr
+    # d has no in-edges: exactly the teleport base every round
+    assert min(got, key=got.get) == "d" and got["d"] == base
