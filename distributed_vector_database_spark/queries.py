@@ -3506,6 +3506,76 @@ def q_value_quartiles_by_type(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_drift",
+    """
+WITH x AS (
+  SELECT vec_id % 2 AS grp, t.pos,
+         CAST(round((embedding::DOUBLE[])[t.pos] * 1e6) AS BIGINT) AS vmic
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t),
+m AS (SELECT grp, pos, sum(vmic) // count(*) AS mean_mic
+      FROM x GROUP BY grp, pos),
+d AS (SELECT a.pos, (a.mean_mic - b.mean_mic) AS diff_mic
+      FROM m a JOIN m b ON a.pos = b.pos AND a.grp = 0 AND b.grp = 1)
+SELECT ROUND(sqrt(sum((diff_mic / 1e6) * (diff_mic / 1e6))), 6)
+         AS mean_shift_l2,
+       ROUND(max(abs(diff_mic)) / 1e6, 6) AS max_dim_shift,
+       CAST((SELECT pos FROM d ORDER BY abs(diff_mic) DESC, pos ASC LIMIT 1)
+            AS BIGINT) AS worst_dim
+FROM d
+""",
+)
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: the L2 distance between two
+    slices' mean vectors (even vs odd ids as stand-ins for
+    yesterday/today), the largest per-dimension shift, and which
+    dimension moved most. Means accumulate as exact integer micros (the
+    ``ivf_centroid_update`` trick) so the drift score is bit-exact
+    cross-engine — the per-batch health check a production embedding
+    pipeline alerts on. One explode + one partial-agg shuffle."""
+    emb = _read(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select(
+        "grp",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v") * 1e6).cast("long").alias("vmic"),
+    )
+    m = x.groupBy("grp", "pos").agg(
+        F.expr("sum(vmic) div count(*)").alias("mean_mic")
+    )
+    a = m.filter(F.col("grp") == 0).select(
+        "pos", F.col("mean_mic").alias("ma")
+    )
+    b = m.filter(F.col("grp") == 1).select(
+        F.col("pos").alias("posb"), F.col("mean_mic").alias("mb")
+    )
+    d = a.join(b, a.pos == b.posb).select(
+        "pos", (F.col("ma") - F.col("mb")).alias("diff_mic")
+    )
+    worst = (
+        d.orderBy(F.desc(F.abs("diff_mic")), F.asc("pos"))
+        .limit(1)
+        .select(F.col("pos").cast("long").alias("worst_dim"))
+    )
+    agg = d.agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("diff_mic") / 1e6) * (F.col("diff_mic") / 1e6)
+                )
+            ),
+            6,
+        ).alias("mean_shift_l2"),
+        F.round(F.max(F.abs("diff_mic")) / 1e6, 6).alias("max_dim_shift"),
+    )
+    return agg.crossJoin(worst)
+
+
 def _pagerank_sql(iters: int = 5) -> str:
     steps = []
     prev = "pr0"
