@@ -90,9 +90,13 @@ def asof_join(
     right_ts: str = "ts",
     right_tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same key with
-    ``right_ts <= left_ts`` (inclusive).
+    ``right_ts <= left_ts`` (inclusive) — or, with
+    ``direction='forward'``, the EARLIEST right row with
+    ``right_ts >= left_ts`` (the look-ahead form: next shipment after an
+    order, next error after a deploy).
 
     ``right`` must share no column names with ``left`` except the ``on``
     keys; its non-key, non-ts columns come through prefixed ``asof_``
@@ -103,6 +107,10 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
 
     payload_cols = [c for c in right.columns if c not in keys]
@@ -135,10 +143,13 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
 
     # Right rows sort BEFORE left rows at equal ts (side desc) => inclusive
-    # <=; among equal-ts right rows the tiebreak puts the winner last.
+    # match; among equal-ts right rows the tiebreak puts the winner last.
+    # Forward = the same running last-non-null, over time DESCENDING —
+    # the nearest right at-or-after each left row.
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_side").desc(), *order_tail)
+        .orderBy(t_order, F.col("_side").desc(), *order_tail)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w)).filter(

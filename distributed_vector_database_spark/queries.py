@@ -1244,6 +1244,55 @@ def q_asof_last_click(spark, sf_dir):
 
 
 @register(
+    "asof_next_purchase_after_click",
+    """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.event_id, c.user_id,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             p.value AS purchase_value,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts ASC, p.event_id DESC) AS rn
+      FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT event_id, user_id, purchase_id, purchase_ts, purchase_value
+FROM j WHERE rn = 1
+""",
+)
+def q_asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join (click → next purchase conversion): each click
+    gets the user's earliest purchase at-or-after it — the look-ahead
+    twin of last-click attribution, same union-merge single-shuffle plan
+    over time DESCENDING. Ties at equal ts: highest event_id wins (the
+    engine's highest-tiebreak contract), mirrored in the oracle's
+    ``p.event_id DESC``."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_tiebreak="event_id",
+        how="inner",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("purchase_id"),
+        F.col("asof_ts").alias("purchase_ts"),
+        F.col("asof_value").alias("purchase_value"),
+    )
+
+
+
+@register(
     "quantize_int8_recon",
     """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -183,3 +183,34 @@ def test_asof_matches_quadratic_reference(spark, lefts, rights):
         cands = [(rt, rid) for (rk, rt, rid) in rights if rk == k and rt <= t]
         exp = max(cands, key=lambda c: (c[0], c[1]))[1] if cands else None
         assert got[i] == exp, (i, k, t, cands)
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: each left row gets the EARLIEST right row at or
+    after its timestamp; inclusive at equality; unmatched tail rows drop
+    (inner) or null-fill (left)."""
+    from distributed_vector_database_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 25, "l25"), (1, 99, "l99")],
+        "k long, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 20, "r20"), (1, 30, "r30")],
+        "k long, ts long, rv string",
+    )
+    got = {
+        r["lv"]: r["asof_rv"]
+        for r in asof_join(
+            left, right, on="k", direction="forward", how="left"
+        ).collect()
+    }
+    assert got == {"l10": "r10", "l25": "r30", "l99": None}
+    inner = asof_join(left, right, on="k", direction="forward").collect()
+    assert {r["lv"] for r in inner} == {"l10", "l25"}
+    # backward unchanged: l25 -> r20
+    back = {
+        r["lv"]: r["asof_rv"]
+        for r in asof_join(left, right, on="k", how="left").collect()
+    }
+    assert back == {"l10": "r10", "l25": "r20", "l99": "r30"}
