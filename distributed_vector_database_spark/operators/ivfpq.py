@@ -14,6 +14,12 @@ pieces (`operators/ivf.py`, `operators/pq.py`):
            over the probed CODES column only (column pruning: the float
            vectors aren't read), optional exact re-rank of the top-R
            shortlist against the true vectors.
+  delete:  immutable parquet segments can't be edited in place, so
+           deletes follow the segment-store convention (public
+           technique — Lucene liveDocs, Milvus/Delta delete bitmaps):
+           deleted ids append to a ``_deletes`` sidecar inside the
+           layout and every search anti-joins the (tiny, broadcast)
+           delete set; ``rewrite()`` applies them physically.
 
 Why this shape at 100 TB: raw float32 768-d vectors are ~3 KB/row; m=96
 codes are 96 B. A search reads nprobe/N of the corpus × 1/32 of the
@@ -199,6 +205,72 @@ class IVFPQIndex:
     def num_shards(self) -> int:
         return len(self.centroids)
 
+    # ---- deletes (segment-store delete bitmap) ----------------------------
+
+    def delete_ids(self, ids) -> None:
+        """Mark ids deleted: append them to the ``_deletes`` sidecar
+        (O(|ids|) write, no segment touched). Searches exclude them
+        immediately; ``rewrite()`` removes the rows physically."""
+        if self.path is None:
+            raise ValueError("delete_ids requires a path-backed index")
+        if isinstance(ids, DataFrame):
+            keys = ids.select(self.id_col).distinct()
+        else:
+            keys = self.spark.createDataFrame(
+                [(v,) for v in ids], [self.id_col]
+            ).distinct()
+        keys.write.mode("append").json(f"{self.path}/_deletes")
+
+    def deleted_ids(self) -> DataFrame | None:
+        """The delete sidecar as a DataFrame, or None when empty/absent."""
+        if self.path is None:
+            return None
+        try:
+            df = self.spark.read.schema(f"{self.id_col} long").json(
+                f"{self.path}/_deletes"
+            )
+            return df if df.limit(1).count() > 0 else None
+        except Exception:
+            return None
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        dels = self.deleted_ids()
+        if dels is None:
+            return df
+        return df.join(
+            F.broadcast(dels), self.id_col, "left_anti"
+        )
+
+    def rewrite(self) -> int:
+        """Apply the delete sidecar physically: rewrite the layout without
+        deleted rows (staging dir + swap) and clear the sidecar. Returns
+        the number of ids applied. The maintenance-window companion of
+        ``delete_ids`` — after it, the bytes are gone (erasure)."""
+        if self.path is None:
+            raise ValueError("rewrite requires a path-backed index")
+        dels = self.deleted_ids()
+        if dels is None:
+            return 0
+        n = dels.count()
+        live = self._live(
+            self.spark.read.parquet(self.path).drop("shard_id")
+        )
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        fs = Path(self.path).getFileSystem(hconf)
+        staging = f"{self.path}__rewriting"
+        saved, self.path = self.path, staging
+        try:
+            self.write(live.select(self.id_col, self.vector_col))
+        finally:
+            self.path = saved
+        if not fs.delete(Path(self.path), True):
+            raise IOError("ivfpq rewrite: old layout delete failed")
+        if not fs.rename(Path(staging), Path(self.path)):
+            raise IOError("ivfpq rewrite: staging rename failed")
+        return n
+
     def search(
         self,
         query_vector: Sequence[float],
@@ -222,7 +294,7 @@ class IVFPQIndex:
         column.
         """
         probed = nearest_shards(query_vector, self.centroids, nprobe=nprobe)
-        pruned = self.df.filter(F.col("shard_id").isin(probed))
+        pruned = self._live(self.df.filter(F.col("shard_id").isin(probed)))
         if where is not None:
             # filtered ANN: the predicate lands BEFORE the ADC scan, so it
             # pushes into the parquet read alongside the partition filter
@@ -267,8 +339,8 @@ class IVFPQIndex:
             union_probe.update(
                 nearest_shards(vec, self.centroids, nprobe=nprobe)
             )
-        pruned = self.df.filter(
-            F.col("shard_id").isin(sorted(union_probe))
+        pruned = self._live(
+            self.df.filter(F.col("shard_id").isin(sorted(union_probe)))
         )
         return ivfpq_residual_batch_topk(
             pruned,

@@ -127,3 +127,32 @@ def test_filtered_search_prefilters_not_truncates(spark, embeddings, idx):
     # subset relation: every filtered hit scores no better than the
     # unfiltered winner at the same rank
     assert got[0]["adc_dist"] >= unfiltered[0]["adc_dist"]
+
+
+def test_delete_ids_hides_rows_and_rewrite_erases(
+    spark, embeddings, tmp_path
+):
+    """Segment-store deletes: marked ids vanish from searches at once;
+    rewrite() removes them physically and clears the sidecar; results
+    equal an index built WITHOUT the deleted rows."""
+    path = str(tmp_path / "del_idx")
+    idx = IVFPQIndex.build(
+        embeddings, 8, m=8, k=16, path=path, sample_fraction=0.5
+    )
+    qv = _qv(embeddings, 3)
+    before = [r["vec_id"] for r in idx.search(qv, 10, nprobe=8).collect()]
+    victims = before[:3]
+    idx.delete_ids(victims)
+    after = [r["vec_id"] for r in idx.search(qv, 10, nprobe=8).collect()]
+    assert not (set(victims) & set(after)) and len(after) == 10
+    # batch search excludes them too
+    batch = idx.search_batch([(0, qv)], 10, nprobe=8).collect()
+    assert not (set(victims) & {r["vec_id"] for r in batch})
+    # physical rewrite erases the rows and clears the sidecar
+    n = idx.rewrite()
+    assert n == 3
+    assert idx.deleted_ids() is None
+    raw_ids = {r["vec_id"] for r in idx.df.select("vec_id").collect()}
+    assert not (set(victims) & raw_ids)
+    post = [r["vec_id"] for r in idx.search(qv, 10, nprobe=8).collect()]
+    assert post == after
