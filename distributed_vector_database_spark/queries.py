@@ -3556,6 +3556,77 @@ def q_value_quartiles_by_type(spark, sf_dir):
 
 
 @register(
+    "customer_order_distribution",
+    """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): LEFT join so zero-order
+    customers keep c_count=0, then a second aggregation over the first's
+    output — the histogram-of-group-sizes double aggregate. The join
+    predicate's status filter lives IN the join condition (not a WHERE),
+    which is what preserves the never-ordered customers."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "F"
+    ).select("o_custkey", "o_orderkey")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+WITH t AS (
+  SELECT l_partkey, 0.4 * avg(l_quantity) AS thresh
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(ROUND(sum(round(l_extendedprice * 100)) / 7.0) AS BIGINT)
+         AS avg_yearly_cents,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN t ON lineitem.l_partkey = t.l_partkey
+WHERE l_quantity < t.thresh
+""",
+)
+def q_small_quantity_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): each part's own
+    average quantity becomes its filter threshold — the per-group scalar
+    produced by a self-aggregation and joined back (Catalyst's
+    decorrelation of the correlated AVG subquery). Revenue sums as exact
+    integer cents before the final division."""
+    li = _read(spark, sf_dir, "lineitem")
+    t = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.4).alias("thresh")
+    )
+    j = li.join(
+        t.withColumnRenamed("l_partkey", "pk"),
+        li.l_partkey == F.col("pk"),
+    ).filter(F.col("l_quantity") < F.col("thresh"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return j.agg(
+        F.round(F.sum(cents) / 7.0)
+        .cast("long")
+        .alias("avg_yearly_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
     "embedding_drift",
     """
 WITH x AS (
