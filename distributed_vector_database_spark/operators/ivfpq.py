@@ -20,6 +20,13 @@ pieces (`operators/ivf.py`, `operators/pq.py`):
            deleted ids append to a ``_deletes`` sidecar inside the
            layout and every search anti-joins the (tiny, broadcast)
            delete set; ``rewrite()`` applies them physically.
+  update:  delete entries are GENERATION-scoped — rows carry ``_gen``
+           (0 at build, incremented per ``append_batch``) and a delete
+           entry ``(id, gen)`` hides only rows with ``_gen <= gen`` —
+           so an upsert is the classic segment-store two-step
+           (scope-delete the old row, append the new one into a fresh
+           generation) and ``apply_changes`` can replay a MoR CDC feed
+           (``MorStore.changes``) straight into the index.
 
 Why this shape at 100 TB: raw float32 768-d vectors are ~3 KB/row; m=96
 codes are 96 B. A search reads nprobe/N of the corpus × 1/32 of the
@@ -146,8 +153,10 @@ class IVFPQIndex:
 
     def write(self, df: DataFrame, mode: str = "overwrite") -> None:
         """Encode and persist partitioned by shard_id (or cache when
-        path-less); centroids + codebooks ride inside the layout."""
-        enc = self._encode(df)
+        path-less); centroids + codebooks ride inside the layout. Rows
+        are stamped generation 0; ``append_batch`` adds later
+        generations."""
+        enc = self._encode(df).withColumn("_gen", F.lit(0).cast("long"))
         if self.path is None:
             self._df = enc.repartition("shard_id").cache()
             self._df.count()
@@ -158,6 +167,7 @@ class IVFPQIndex:
             .partitionBy("shard_id")
             .parquet(self.path)
         )
+        self._write_gen(0)
         cent = self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(self.centroids)],
             "shard_id int, centroid array<double>",
@@ -205,30 +215,77 @@ class IVFPQIndex:
     def num_shards(self) -> int:
         return len(self.centroids)
 
-    # ---- deletes (segment-store delete bitmap) ----------------------------
+    # ---- generations + deletes (segment-store delete bitmap) --------------
 
-    def delete_ids(self, ids) -> None:
-        """Mark ids deleted: append them to the ``_deletes`` sidecar
-        (O(|ids|) write, no segment touched). Searches exclude them
-        immediately; ``rewrite()`` removes the rows physically."""
+    def _gen_path(self):
+        return f"{self.path}/_gen_watermark"
+
+    def _read_gen(self) -> int:
+        jvm = self.spark._jvm
+        pth = jvm.org.apache.hadoop.fs.Path(self._gen_path())
+        fs = pth.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(pth):
+            return 0
+        stream = fs.open(pth)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return int(txt.strip() or 0)
+
+    def _write_gen(self, n: int) -> None:
+        jvm = self.spark._jvm
+        pth = jvm.org.apache.hadoop.fs.Path(self._gen_path())
+        fs = pth.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        out = fs.create(pth, True)
+        try:
+            out.write(bytearray(str(n).encode("utf-8")))
+        finally:
+            out.close()
+
+    def append_batch(self, df: DataFrame) -> int:
+        """Encode and append ``df`` as a NEW generation; returns its
+        generation number. Pair with a same-watermark ``delete_ids`` for
+        upsert semantics (see ``apply_changes``)."""
+        if self.path is None:
+            raise ValueError("append_batch requires a path-backed index")
+        gen = self._read_gen() + 1
+        enc = self._encode(df).withColumn("_gen", F.lit(gen).cast("long"))
+        (
+            enc.repartition("shard_id")
+            .write.mode("append")
+            .partitionBy("shard_id")
+            .parquet(self.path)
+        )
+        self._write_gen(gen)
+        return gen
+
+    def delete_ids(self, ids, *, before_gen: int | None = None) -> None:
+        """Mark ids deleted for every row with ``_gen <= before_gen``
+        (default: the current watermark — i.e. everything so far).
+        O(|ids|) sidecar write, no segment touched; searches exclude
+        matching rows immediately, ``rewrite()`` erases physically."""
         if self.path is None:
             raise ValueError("delete_ids requires a path-backed index")
+        gen = self._read_gen() if before_gen is None else int(before_gen)
         if isinstance(ids, DataFrame):
             keys = ids.select(self.id_col).distinct()
         else:
             keys = self.spark.createDataFrame(
                 [(v,) for v in ids], [self.id_col]
             ).distinct()
-        keys.write.mode("append").json(f"{self.path}/_deletes")
+        keys.withColumn("_dgen", F.lit(gen).cast("long")).write.mode(
+            "append"
+        ).json(f"{self.path}/_deletes")
 
     def deleted_ids(self) -> DataFrame | None:
-        """The delete sidecar as a DataFrame, or None when empty/absent."""
+        """(id, _dgen) delete entries, or None when empty/absent."""
         if self.path is None:
             return None
         try:
-            df = self.spark.read.schema(f"{self.id_col} long").json(
-                f"{self.path}/_deletes"
-            )
+            df = self.spark.read.schema(
+                f"{self.id_col} long, _dgen long"
+            ).json(f"{self.path}/_deletes")
             return df if df.limit(1).count() > 0 else None
         except Exception:
             return None
@@ -237,9 +294,40 @@ class IVFPQIndex:
         dels = self.deleted_ids()
         if dels is None:
             return df
-        return df.join(
-            F.broadcast(dels), self.id_col, "left_anti"
+        dmax = dels.groupBy(self.id_col).agg(F.max("_dgen").alias("_dmax"))
+        gen_col = (
+            F.col("_gen") if "_gen" in df.columns else F.lit(0).cast("long")
         )
+        return (
+            df.withColumn("_rowgen", gen_col)
+            .join(F.broadcast(dmax), self.id_col, "left")
+            .filter(F.col("_dmax").isNull() | (F.col("_rowgen") > F.col("_dmax")))
+            .drop("_dmax", "_rowgen")
+        )
+
+    def apply_changes(self, changes: DataFrame) -> dict:
+        """Replay a CDC batch (``MorStore.changes`` shape: row columns +
+        ``change_type``) into the index: every changed id is
+        scope-deleted at the CURRENT watermark, then upserted rows append
+        as a new generation — so the new version survives its own
+        tombstone and searches see exactly the post-change corpus.
+        Returns {deleted, upserted, generation}."""
+        ch = changes.cache()
+        try:
+            up = ch.filter(F.col("change_type") == "upsert").select(
+                self.id_col, self.vector_col
+            )
+            keys = ch.select(self.id_col).distinct()
+            self.delete_ids(keys)  # scoped at the pre-append watermark
+            n_up = up.count()
+            gen = self.append_batch(up) if n_up else self._read_gen()
+            return {
+                "deleted": keys.count(),
+                "upserted": n_up,
+                "generation": gen,
+            }
+        finally:
+            ch.unpersist()
 
     def rewrite(self) -> int:
         """Apply the delete sidecar physically: rewrite the layout without
@@ -254,7 +342,7 @@ class IVFPQIndex:
         n = dels.count()
         live = self._live(
             self.spark.read.parquet(self.path).drop("shard_id")
-        )
+        ).drop("_gen")
         jvm = self.spark.sparkContext._jvm
         hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
         Path = jvm.org.apache.hadoop.fs.Path

@@ -76,13 +76,10 @@ def stream_ingest_ivfpq(
         raise ValueError("stream_df must be a streaming DataFrame")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        enc = index._encode(batch_df)
-        (
-            enc.repartition("shard_id")
-            .write.mode("append")
-            .partitionBy("shard_id")
-            .parquet(index.path)
-        )
+        # route through append_batch so every micro-batch gets its own
+        # generation — streamed rows then compose with the index's
+        # generation-scoped delete bitmap (delete_ids/apply_changes)
+        index.append_batch(batch_df)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -156,3 +156,50 @@ def test_delete_ids_hides_rows_and_rewrite_erases(
     assert not (set(victims) & raw_ids)
     post = [r["vec_id"] for r in idx.search(qv, 10, nprobe=8).collect()]
     assert post == after
+
+
+def test_apply_changes_replays_mor_cdc_into_index(
+    spark, embeddings, tmp_path
+):
+    """End-to-end derived-index maintenance: a MoR store takes upserts +
+    deletes; its CDC feed replayed into the index makes every search
+    equal one from an index built fresh on the store's merged view."""
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    store = MorStore(spark, str(tmp_path / "mor"), id_col="vec_id")
+    store.write_base(emb)
+
+    idx = IVFPQIndex.build(
+        emb, 8, m=8, k=16, path=str(tmp_path / "idx"), sample_fraction=0.5
+    )
+
+    # upsert: scale 20 vectors; delete: 10 others
+    upd = emb.filter(F.col("vec_id") < 20).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    b1 = store.append(upd)
+    store.delete([r["vec_id"] for r in
+                  emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 50))
+                  .select("vec_id").collect()])
+    info = idx.apply_changes(store.changes(0))
+    assert info["upserted"] == 20 and info["deleted"] == 30
+    assert b1 >= 1
+
+    fresh = IVFPQIndex(
+        spark, idx.centroids, idx.codebooks, path=str(tmp_path / "fresh")
+    )
+    fresh.write(store.read())
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5)
+          .head()["embedding"]]
+    a = [(r["vec_id"], r["adc_dist"])
+         for r in idx.search(qv, 10, nprobe=8).collect()]
+    b = [(r["vec_id"], r["adc_dist"])
+         for r in fresh.search(qv, 10, nprobe=8).collect()]
+    assert a == b and len(a) == 10
+    # deleted ids absent, updated vectors present under their new codes
+    assert not any(40 <= v < 50 for v, _ in a)
