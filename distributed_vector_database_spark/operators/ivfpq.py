@@ -329,6 +329,20 @@ class IVFPQIndex:
         finally:
             ch.unpersist()
 
+    def compact(self, *, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Coalesce the small files streaming ingest accumulates — codes,
+        generations and sidecars all preserved (no re-encode; pure
+        file-level rewrite via ``sources.compaction.compact_layout``).
+        Use ``rewrite()`` instead when deletes should be applied
+        physically."""
+        if self.path is None:
+            raise ValueError("compact requires a path-backed index")
+        from ..sources.compaction import compact_layout
+
+        return compact_layout(
+            self.spark, self.path, target_file_bytes=target_file_bytes
+        )
+
     def rewrite(self) -> int:
         """Apply the delete sidecar physically: rewrite the layout without
         deleted rows (staging dir + swap) and clear the sidecar. Returns

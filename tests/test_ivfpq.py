@@ -203,3 +203,38 @@ def test_apply_changes_replays_mor_cdc_into_index(
     assert a == b and len(a) == 10
     # deleted ids absent, updated vectors present under their new codes
     assert not any(40 <= v < 50 for v, _ in a)
+
+
+def test_compact_shrinks_streamed_files_and_preserves_search(
+    spark, embeddings, tmp_path
+):
+    import glob
+
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = IVFPQIndex.build(
+        emb.filter(F.col("vec_id") < 50), 4, m=8, k=16,
+        path=str(tmp_path / "cidx"), sample_fraction=1.0,
+    )
+    for lo in range(50, 250, 50):  # 4 small append generations
+        idx.append_batch(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50))
+        )
+    files_before = len(
+        glob.glob(f"{idx.path}/shard_id=*/*.parquet")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7)
+          .head()["embedding"]]
+    before = [(r["vec_id"], r["adc_dist"])
+              for r in idx.search(qv, 10, nprobe=4).collect()]
+    info = idx.compact()
+    files_after = len(glob.glob(f"{idx.path}/shard_id=*/*.parquet"))
+    assert files_after < files_before and info["files_after"] < info["files_before"]
+    after = [(r["vec_id"], r["adc_dist"])
+             for r in idx.search(qv, 10, nprobe=4).collect()]
+    assert after == before
+    # generations survive compaction -> scoped deletes still correct
+    idx.delete_ids([before[0][0]])
+    post = [r["vec_id"] for r in idx.search(qv, 10, nprobe=4).collect()]
+    assert before[0][0] not in post
