@@ -56,7 +56,7 @@ from distributed_vector_database_spark.operators.sketch import (
     stratified_hash_sample,
     kmv_distinct,
 )
-from distributed_vector_database_spark.operators.eval import recall_at_k
+from distributed_vector_database_spark.operators.eval import ndcg_at_k, recall_at_k
 from distributed_vector_database_spark.operators.graph import (
     connected_components,
     connected_components_star,
@@ -129,6 +129,11 @@ from distributed_vector_database_spark.operators.mining import (
 from distributed_vector_database_spark.sources.mor import MorStore
 from distributed_vector_database_spark.operators.fusion import ranked, rrf_fuse
 from distributed_vector_database_spark.operators.merge import merge_into
+from distributed_vector_database_spark.sources.stats import (
+    collect_file_stats,
+    prune_files,
+    read_pruned,
+)
 
 __all__ = [
     "get_session",
@@ -172,6 +177,7 @@ __all__ = [
     "MorStore",
     "kmv_distinct",
     "recall_at_k",
+    "ndcg_at_k",
     "connected_components",
     "connected_components_star",
     "pagerank_micro",
@@ -211,6 +217,9 @@ __all__ = [
     "rrf_fuse",
     "ranked",
     "merge_into",
+    "collect_file_stats",
+    "prune_files",
+    "read_pruned",
     "int8_quantize",
     "int8_dequantize",
 ]
