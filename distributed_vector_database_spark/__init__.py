@@ -34,8 +34,12 @@ from distributed_vector_database_spark.operators.topk import (
 from distributed_vector_database_spark.operators.ivf import IVFIndex, assign_shards
 from distributed_vector_database_spark.operators.ivfpq import IVFPQIndex
 from distributed_vector_database_spark.operators.ann import (
+    binary_rerank_topk,
+    binary_topk,
+    knn_graph,
     lsh_index,
     lsh_search,
+    matryoshka_rerank_topk,
     random_hyperplanes,
 )
 from distributed_vector_database_spark.sources.vector_store import VectorStore
@@ -103,8 +107,11 @@ from distributed_vector_database_spark.operators.pq import (
     rotate_col,
 )
 from distributed_vector_database_spark.functions.quantize import (
+    hamming_distance,
     int8_dequantize,
     int8_quantize,
+    sign_pack,
+    sign_pack_vector,
 )
 from distributed_vector_database_spark.operators.chunking import chunk_documents
 from distributed_vector_database_spark.operators.dedup import (
@@ -222,6 +229,13 @@ __all__ = [
     "read_pruned",
     "int8_quantize",
     "int8_dequantize",
+    "sign_pack",
+    "sign_pack_vector",
+    "hamming_distance",
+    "binary_topk",
+    "binary_rerank_topk",
+    "matryoshka_rerank_topk",
+    "knn_graph",
 ]
 
 __version__ = "0.1.0"

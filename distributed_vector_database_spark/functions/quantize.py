@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["int8_quantize", "int8_dequantize", "quantize_stats"]
+__all__ = [
+    "int8_quantize",
+    "int8_dequantize",
+    "quantize_stats",
+    "sign_pack",
+    "sign_pack_vector",
+    "hamming_distance",
+]
 
 
 def _c(col: str | Column) -> Column:
@@ -57,6 +64,73 @@ def int8_dequantize(q: str | Column) -> Column:
         q["codes"],
         lambda c: mn + c.cast("double") * ((mx - mn) / F.lit(255.0)),
     )
+
+
+def sign_pack(vec: str | Column, dim: int, *, word_bits: int = 32) -> Column:
+    """Binary (1-bit) quantization: pack the sign bits of a ``dim``-wide
+    vector into ``ceil(dim / word_bits)`` BIGINT words (big-endian within
+    each word; trailing bits of a ragged last word are zero).
+
+    32 bits per word (not 64) keeps every intermediate below 2^32 so the
+    Horner accumulation ``acc*2 + bit`` never overflows a signed 64-bit
+    integer — Spark would silently wrap while the DuckDB oracle would
+    raise, and an overflow-free formula is also what a SQL engine without
+    unsigned types can evaluate verbatim. 1 bit/dim is a 32x compression
+    over float32: the coarsest rung of the quantization ladder
+    (float32 -> int8 -> PQ -> binary), and the only one whose distance
+    (Hamming) needs no codebook at all.
+    """
+    v = _c(vec).cast("array<double>")
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        bits = F.slice(v, w * word_bits + 1, word_bits)
+        word = F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * F.lit(2).cast("long")
+            + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        # ragged last word: left-shift the short run so bit positions are
+        # stable regardless of dim (slice returns only the available tail)
+        short = dim - w * word_bits
+        if short < word_bits:
+            word = word * F.lit(2 ** (word_bits - short)).cast("long")
+        words.append(word)
+    return F.array(*words)
+
+
+def sign_pack_vector(
+    vector, *, word_bits: int = 32
+) -> list[int]:
+    """Driver-side twin of :func:`sign_pack` for packing a query literal."""
+    dim = len(vector)
+    n_words = (dim + word_bits - 1) // word_bits
+    out = []
+    for w in range(n_words):
+        acc = 0
+        chunk = vector[w * word_bits : (w + 1) * word_bits]
+        for x in chunk:
+            acc = acc * 2 + (1 if float(x) >= 0 else 0)
+        acc <<= word_bits - len(chunk)
+        out.append(acc)
+    return out
+
+
+def hamming_distance(a: str | Column, b: str | Column) -> Column:
+    """Bit-level Hamming distance between two packed sign arrays
+    (:func:`sign_pack` output): ``sum(bit_count(a[i] XOR b[i]))``.
+
+    Pure Catalyst (zip_with + bit_count + aggregate) — whole-stage
+    codegen'd, no shuffle, no Python. For sign-packed vectors this equals
+    the number of dimensions where the two vectors disagree in sign,
+    which is the binary estimate of angular distance (Charikar's SimHash
+    bound: P[bit differs] = angle / pi).
+    """
+    xor = F.zip_with(
+        _c(a), _c(b), lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+    )
+    return F.aggregate(xor, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def quantize_stats(vec: str | Column) -> Column:

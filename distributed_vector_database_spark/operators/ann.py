@@ -33,6 +33,10 @@ __all__ = [
     "lsh_bucket",
     "lsh_index",
     "lsh_search",
+    "binary_topk",
+    "binary_rerank_topk",
+    "matryoshka_rerank_topk",
+    "knn_graph",
 ]
 
 
@@ -108,4 +112,200 @@ def lsh_search(
     cand = indexed.filter(F.col(bucket_col).isin(buckets))
     return topk(
         cand, query_vector, k, vector_col=vector_col, id_col=id_col, metric=metric
+    )
+
+
+def binary_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by bit-packed sign (binary) quantization: rank the corpus by
+    Hamming distance between 1-bit sign codes — the cheapest rung of the
+    quantization ladder (32x smaller than float32, distance = XOR +
+    popcount, no codebook).
+
+    Returns (id_col, hamming) ordered by (hamming ASC, id ASC). The plan
+    is a pruned scan + codegen'd bit ops + TakeOrderedAndProject: at
+    100 TB, persist the packed codes as their own skinny column (2 BIGINTs
+    for 64-d) and this runs at column-scan speed with no shuffle. Exact
+    ties (hamming is integral) make the cut deterministic with the id
+    tie-break.
+    """
+    from distributed_vector_database_spark.functions.quantize import (
+        hamming_distance,
+        sign_pack,
+        sign_pack_vector,
+    )
+
+    dim = len(query_vector)
+    q = F.array(
+        *[F.lit(int(w)).cast("long") for w in sign_pack_vector(query_vector)]
+    )
+    scored = df.select(
+        F.col(id_col),
+        hamming_distance(sign_pack(F.col(vector_col), dim), q).alias(
+            "hamming"
+        ),
+    )
+    return scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(k)
+
+
+def binary_rerank_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    *,
+    shortlist: int = 50,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Two-stage binary search: Hamming shortlist over sign codes, then
+    exact re-rank of the ``shortlist`` survivors in full precision — the
+    standard compressed-domain recall recovery (same shape as PQ's ADC +
+    re-rank, with an even cheaper first stage).
+
+    Returns (id_col, score, rank). Stage 1 never touches the float
+    vectors; stage 2 rescores only ``shortlist`` rows via a semi-join on
+    id, so the full-precision column is read for O(shortlist) rows.
+    """
+    from distributed_vector_database_spark.functions.vector import round_score
+    from distributed_vector_database_spark.operators.topk import (
+        _order,
+        score_column,
+    )
+    from pyspark.sql import Window
+
+    short = binary_topk(
+        df, query_vector, shortlist, vector_col=vector_col, id_col=id_col
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast(
+        "array<double>"
+    )
+    cand = df.join(
+        F.broadcast(short.select(id_col)), on=id_col, how="left_semi"
+    )
+    score = round_score(score_column(metric, F.col(vector_col), qv), 6)
+    scored = cand.select(F.col(id_col), score.alias("score"))
+    w = Window.orderBy(*_order(metric, F.col("score"), F.col(id_col)))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def matryoshka_rerank_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    *,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka (truncated-dimension) two-stage search: shortlist by
+    cosine over the first ``prefix_dim`` dimensions, then re-rank the
+    survivors in full precision — the MRL serving pattern (Kusupati et
+    al. 2022): embeddings trained front-loaded let the coarse stage read
+    a prefix_dim/dim fraction of the vector bytes.
+
+    Returns (id_col, score, rank), rank 1..k by full-precision cosine.
+    Stage 1 is the same pruned-scan + TakeOrdered plan as ``topk`` but on
+    ``slice(vec, 1, prefix_dim)``; at 100 TB, store the prefix as its own
+    column (or leading PQ subspaces) so the scan reads prefix bytes only.
+    Both stages' cuts order by (rounded score, id) — deterministic.
+    """
+    from distributed_vector_database_spark.functions.vector import round_score
+    from distributed_vector_database_spark.operators.topk import (
+        _order,
+        score_column,
+        topk,
+    )
+    from pyspark.sql import Window
+
+    prefixed = df.select(
+        F.col(id_col),
+        F.col(vector_col),
+        F.slice(F.col(vector_col).cast("array<double>"), 1, prefix_dim).alias(
+            "_prefix"
+        ),
+    )
+    short = topk(
+        prefixed,
+        [float(x) for x in query_vector[:prefix_dim]],
+        shortlist,
+        vector_col="_prefix",
+        id_col=id_col,
+        metric="cosine",
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast(
+        "array<double>"
+    )
+    cand = df.join(
+        F.broadcast(short.select(id_col)), on=id_col, how="left_semi"
+    )
+    score = round_score(score_column("cosine", F.col(vector_col), qv), 6)
+    scored = cand.select(F.col(id_col), score.alias("score"))
+    w = Window.orderBy(*_order("cosine", F.col("score"), F.col(id_col)))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph over the corpus: for every vector,
+    its k most similar OTHER vectors — the substrate for SemDeDup-style
+    cluster dedup, graph-based label propagation, and kNN classifiers.
+
+    Runs as one ``batch_topk`` job with the corpus itself as the query
+    batch: per-partition Arrow GEMM top-(k+1), then a window merge over
+    the O(partitions*k*|V|) survivors — never an unreduced |V|^2 shuffle.
+    The +1 over-fetch absorbs the self-match, which is then dropped and
+    ranks recomputed.
+
+    Exact all-pairs is O(|V|^2) compute by definition; at 100 TB scope the
+    query side to the slice you need neighbors for, or generate candidate
+    pairs with the LSH buckets / IVF cells in this package and use this
+    kernel per-bucket.
+    """
+    from distributed_vector_database_spark.operators.topk import (
+        _order,
+        batch_topk,
+    )
+    from pyspark.sql import Window
+
+    queries = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vector_col).cast("array<double>").alias("query_vector"),
+    )
+    res = batch_topk(
+        df,
+        queries,
+        k + 1,
+        vector_col=vector_col,
+        id_col=id_col,
+        metric=metric,
+    ).filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        *_order(metric, F.col("score"), F.col(id_col))
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
     )

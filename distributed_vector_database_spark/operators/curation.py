@@ -45,6 +45,7 @@ __all__ = [
     "pack_sequences",
     "quality_weighted_sample",
     "budget_mix",
+    "temperature_mix",
     "PII_PATTERNS",
     "pii_scrub",
 ]
@@ -268,3 +269,62 @@ def budget_mix(
         .filter(F.col("_cum") <= F.col("_budget"))
         .select(id_col, source_col, "n_tokens")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total: int,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: draw ~``total`` docs with
+    per-source allocations proportional to ``count(source) ** alpha`` —
+    the standard multinomial temperature trick (alpha < 1 up-weights
+    small domains, alpha = 1 is natural sampling; mT5/XLM-R style).
+
+    Within each source the allocation is filled by md5-hash order, so the
+    draw is reproducible, engine-portable, and stable under reruns.
+    Output: (id, source, rank) of the selected docs, rank 1..target
+    within source. Floor division under-allocates by < n_sources docs —
+    by design (no cross-source remainder pass, which would serialize).
+
+    Determinism note: the source weights are rounded to integer MICROS
+    before the target split (``round(n^alpha * 1e6)``) so the division is
+    exact integer math cross-engine. ``alpha=0.5`` routes through
+    ``sqrt`` (IEEE correctly-rounded everywhere); arbitrary alphas use
+    ``pow``, whose last-ulp may differ between libm builds — fine for
+    production, but pin alpha to sqrt-expressible values when an oracle
+    must reproduce the split bit-for-bit.
+
+    Plan shape: one tiny counts agg (broadcast back), one window
+    rank per source — the same per-source parallel chain as
+    :func:`budget_mix`; nothing global, scales with the corpus.
+    """
+    n_alpha = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(float(alpha)))
+    )
+    w_mic = F.round(n_alpha * 1e6).cast("long").alias("w_mic")
+    weights = (
+        docs.groupBy(source_col)
+        .agg(F.count("*").alias("n_docs"))
+        .select(source_col, w_mic)
+    )
+    targets = weights.join(
+        F.broadcast(weights.agg(F.sum("w_mic").alias("_tot")))
+    ).select(
+        source_col,
+        F.expr(f"({int(total)} * w_mic) div _tot").alias("_target"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(
+            F.md5(F.col(id_col).cast("string")), id_col
+        )
+    )
+    ranked = docs.select(F.col(id_col), F.col(source_col), rk.alias("rank"))
+    return ranked.join(F.broadcast(targets), on=source_col).filter(
+        F.col("rank") <= F.col("_target")
+    ).select(id_col, source_col, "rank")

@@ -5597,6 +5597,523 @@ def q_duplicate_paragraph_report(spark, sf_dir):
     return duplicate_paragraphs(docs, block_tokens=16, min_docs=2)
 
 
+# ===========================================================================
+# TPC-H sweep completion — the six query shapes (Q2 Q9 Q10 Q11 Q15 Q20) not
+# yet covered, adapted to the testdata schema (no partsupp table: supply
+# relationships and unit costs derive from lineitem). With these, all 22
+# TPC-H query archetypes have a registered, oracle-checked representative.
+# ===========================================================================
+
+
+@register(
+    "min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100.0 / l_quantity) AS BIGINT))
+           AS unit_cents
+  FROM lineitem GROUP BY 1, 2),
+rc AS (
+  SELECT cost.l_partkey, cost.unit_cents, s_name, s_acctbal, n_name
+  FROM cost
+  JOIN supplier ON cost.l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA')
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, rc.unit_cents
+FROM rc JOIN part ON rc.l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 20
+  AND rc.unit_cents = (SELECT min(r2.unit_cents) FROM rc r2
+                       WHERE r2.l_partkey = rc.l_partkey)
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for mid-size parts, the
+    cheapest ASIA supplier, where unit cost is the best observed
+    price-per-unit in lineitem (testdata has no partsupp, reference's
+    relational sweep has no analogue either). The correlated min-cost
+    subquery decorrelates into a window MIN over the region-restricted
+    offers — one shuffle on partkey; supplier/nation/region broadcast.
+    All costs are exact integer cents so the min-equality join is
+    bit-stable cross-engine."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_size")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") * 100.0 / F.col("l_quantity"))
+            .cast("long")
+        ).alias("unit_cents")
+    )
+    rc = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("l_partkey", "unit_cents", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = rc.withColumn("_min_cents", F.min("unit_cents").over(w)).filter(
+        F.col("unit_cents") == F.col("_min_cents")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .filter(F.col("p_size").between(10, 20))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "unit_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "nation", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "nation_profit_by_year",
+    """
+SELECT n_name AS nation, year(l_shipdate)::BIGINT AS o_year,
+       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+""",
+)
+def q_nation_profit_by_year(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): profit on 'gear' parts by
+    supplier nation and ship year. The LIKE filter reaches the part scan
+    before the broadcast join, so only matching partkeys probe the fact;
+    supplier and nation broadcast too — lineitem is never shuffled until
+    the final small (nation, year) aggregation. DECIMAL sums keep the
+    cents exact under any partial-agg order."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1.0 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): customers who returned
+    the most revenue in 1996H1. The returnflag filter is pushed to the
+    lineitem scan and the date filter to the orders scan; the only
+    fact-fact shuffle is lineitem-orders on orderkey, then customer and
+    nation broadcast onto the aggregated custkeys. Top-20 runs as
+    TakeOrderedAndProject — no global sort. Cents are exact DECIMAL, so
+    the revenue tie-break (custkey) cuts deterministically."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "important_part_values",
+    """
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey,
+       ROUND(value_cents / 100.0, 2) AS part_value
+FROM pv
+WHERE value_cents > (SELECT sum(value_cents) FROM pv) * 0.001
+ORDER BY value_cents DESC, p_partkey
+""",
+)
+def q_important_part_values(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): parts whose
+    EUROPE-supplied line value exceeds 0.1% of the total. The global
+    threshold is a one-row aggregate broadcast against the per-part
+    values (Spark plans the scalar subquery as an independent job reused
+    as a literal); supplier/nation/region broadcast onto the fact scan.
+    Values accumulate as exact integer cents so the threshold comparison
+    is deterministic cross-engine."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _read(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = pv.agg(
+        (F.sum("value_cents") * 0.001).alias("_thresh")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("_thresh"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+            "value_cents",
+        )
+        .orderBy(F.desc("value_cents"), "p_partkey")
+        .drop("value_cents")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, ROUND(total_cents / 100.0, 2) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    1996Q1 ship revenue — the view-plus-max pattern. Spark computes the
+    quarter's per-supplier revenue once, takes the one-row max as a
+    broadcast literal, and keeps every supplier tied at the max (exact
+    integer cents make ties well-defined). Date filter pushed to the
+    lineitem scan; supplier broadcast."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("total_cents"))
+    mx = rev.agg(F.max("total_cents").alias("_max_cents"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("_max_cents"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_cents") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "promotion_part_suppliers",
+    """
+WITH avail AS (
+  SELECT l_suppkey, l_partkey,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2),
+need AS (
+  SELECT l_partkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+JOIN avail ON s_suppkey = avail.l_suppkey
+JOIN need  ON avail.l_partkey = need.l_partkey
+JOIN part  ON avail.l_partkey = p_partkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_name LIKE 'red%' AND r_name = 'AMERICA'
+  AND avail.qty > 0.5 * need.total_qty
+ORDER BY s_suppkey
+""",
+)
+def q_promotion_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): AMERICA suppliers whose
+    cumulative supply of a 'red' part exceeds half of that part's 1997
+    shipped quantity (availqty stands in for the missing partsupp). Two
+    partial-agg shuffles on (supp, part) / part, then part/supplier/
+    nation/region all broadcast and a DISTINCT projection of the
+    surviving suppliers. Quantities are exact integers, so the
+    half-threshold comparison is bit-stable."""
+    li = _read(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    avail = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(qty).alias("qty")
+    )
+    need = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("npk"))
+        .agg(F.sum(qty).alias("total_qty"))
+    )
+    p = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    s = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        avail.join(need, avail.l_partkey == F.col("npk"))
+        .filter(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(p), avail.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), avail.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+# ===========================================================================
+# Binary (1-bit) quantization search, Matryoshka truncated-dim search, exact
+# kNN graph, temperature mixture sampling — round-2 session-3 additions.
+# ===========================================================================
+
+_HAMMING64 = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "i -> CASE WHEN ((e.embedding::DOUBLE[])[i] >= 0) <> (q.qv[i] >= 0) "
+    "THEN 1 ELSE 0 END)) AS BIGINT)"
+)
+
+
+@register(
+    "binary_hamming_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id AS vec_id, {_HAMMING64} AS hamming
+FROM embeddings e, q
+ORDER BY hamming ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_binary_hamming_topk(spark, sf_dir):
+    """1-bit (sign) quantized search: corpus packed to 2 BIGINT words per
+    64-d vector (32x smaller than float32), ranked by XOR+popcount
+    Hamming distance — all Catalyst bit ops inside whole-stage codegen,
+    TakeOrderedAndProject for the cut. The oracle ranks by
+    sign-disagreement count, which packed Hamming equals by
+    construction."""
+    from distributed_vector_database_spark.operators.ann import binary_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return binary_topk(emb, _query_vec(spark, sf_dir, 3), k=10)
+
+
+@register(
+    "binary_rerank_search",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3),
+h AS (SELECT e.vec_id, {_HAMMING64} AS hamming FROM embeddings e, q),
+s AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 50),
+sc AS (SELECT e.vec_id, ROUND({_cos(E, 'q.qv')}, 6) AS score
+       FROM embeddings e, q
+       WHERE e.vec_id IN (SELECT vec_id FROM s)),
+r AS (SELECT vec_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM sc)
+SELECT vec_id, score, "rank" FROM r WHERE "rank" <= 10
+""",
+)
+def q_binary_rerank_search(spark, sf_dir):
+    """Two-stage binary search: Hamming-shortlist 50 candidates over sign
+    codes (never touching the float column), then exact cosine re-rank of
+    the survivors — the compressed-domain recall-recovery pattern (PQ's
+    ADC+re-rank with an even cheaper stage 1)."""
+    from distributed_vector_database_spark.operators.ann import (
+        binary_rerank_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return binary_rerank_topk(
+        emb, _query_vec(spark, sf_dir, 3), k=10, shortlist=50
+    )
+
+
+_E16 = "(list_slice((e.embedding::DOUBLE[]), 1, 16))"
+_Q16 = "(list_slice(q.qv, 1, 16))"
+
+
+@register(
+    "matryoshka_rerank_search",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 4),
+p AS (SELECT e.vec_id, ROUND({_cos(_E16, _Q16)}, 6) AS pscore
+      FROM embeddings e, q),
+s AS (SELECT vec_id FROM p ORDER BY pscore DESC, vec_id ASC LIMIT 50),
+sc AS (SELECT e.vec_id, ROUND({_cos(E, 'q.qv')}, 6) AS score
+       FROM embeddings e, q
+       WHERE e.vec_id IN (SELECT vec_id FROM s)),
+r AS (SELECT vec_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM sc)
+SELECT vec_id, score, "rank" FROM r WHERE "rank" <= 10
+""",
+)
+def q_matryoshka_rerank_search(spark, sf_dir):
+    """Matryoshka truncated-dimension search: cosine shortlist over the
+    first 16 of 64 dims (a quarter of the vector bytes), exact full-dim
+    re-rank of 50 survivors — the MRL serving pattern; at scale the
+    prefix persists as its own skinny column."""
+    from distributed_vector_database_spark.operators.ann import (
+        matryoshka_rerank_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return matryoshka_rerank_topk(
+        emb, _query_vec(spark, sf_dir, 4), k=10, prefix_dim=16, shortlist=50
+    )
+
+
+_A = "(a.embedding::DOUBLE[])"
+
+
+@register(
+    "knn_graph_exact",
+    f"""
+WITH s AS (SELECT a.vec_id AS query_id, e.vec_id AS vec_id,
+                  ROUND({_cos(_A, E)}, 6) AS score
+           FROM embeddings a JOIN embeddings e ON a.vec_id <> e.vec_id),
+r AS (SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT query_id, vec_id, score, "rank" FROM r WHERE "rank" <= 3
+""",
+)
+def q_knn_graph_exact(spark, sf_dir):
+    """Exact 3-NN graph over the whole corpus in ONE batched job: the
+    corpus doubles as the query batch through the Arrow per-partition
+    GEMM top-k kernel, so the window merge sees O(partitions*k) rows per
+    vertex — never the |V|^2 cross product (plan-asserted). Substrate
+    for SemDeDup clustering, kNN classification, and graph-based label
+    propagation; at 100 TB generate candidates per LSH bucket / IVF cell
+    and run this kernel within each."""
+    from distributed_vector_database_spark.operators.ann import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3)
+
+
+@register(
+    "temperature_lang_mix",
+    """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT lang, CAST(round(sqrt(n_docs) * 1e6) AS BIGINT) AS w_mic FROM c),
+t AS (SELECT lang, (200 * w_mic) // (SELECT sum(w_mic) FROM w) AS target
+      FROM w),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS "rank"
+      FROM documents)
+SELECT r.doc_id, r.lang, r."rank"
+FROM r JOIN t USING (lang) WHERE r."rank" <= t.target
+""",
+)
+def q_temperature_lang_mix(spark, sf_dir):
+    """Temperature-scaled mixture sampling (alpha = 0.5) of ~200 docs
+    across languages: allocations proportional to sqrt(count) up-weight
+    low-resource languages (the mT5/XLM-R temperature trick), filled in
+    deterministic md5-hash order. Weights round to integer micros before
+    the split so the allocation is exact integer math cross-engine."""
+    from distributed_vector_database_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mix(docs, total=200, alpha=0.5, source_col="lang")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

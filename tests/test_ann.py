@@ -60,3 +60,152 @@ def test_bucketing_is_narrow(spark, embeddings):
     planes = random_hyperplanes(64, n_planes=4, seed=7)
     df = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     assert "Exchange" not in plan_text(df)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization search
+# ---------------------------------------------------------------------------
+
+
+def test_sign_pack_matches_numpy(spark, embeddings):
+    import numpy as np
+
+    from distributed_vector_database_spark.functions.quantize import (
+        sign_pack,
+        sign_pack_vector,
+    )
+
+    rows = (
+        embeddings.select(
+            "vec_id", "embedding", sign_pack("embedding", 64).alias("packed")
+        )
+        .limit(20)
+        .collect()
+    )
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert list(r["packed"]) == sign_pack_vector(v)
+        # each 32-bit word's bits are the sign bits, big-endian
+        bits = "".join(
+            format(w, "032b") for w in r["packed"]
+        )
+        expected = "".join("1" if x >= 0 else "0" for x in v)
+        assert bits == expected
+
+
+def test_sign_pack_ragged_dim(spark):
+    from distributed_vector_database_spark.functions.quantize import (
+        sign_pack,
+        sign_pack_vector,
+    )
+
+    vec = [1.0, -2.0, 3.0, -4.0, 5.0]  # dim 5 -> one ragged word
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(sign_pack("v", 5).alias("p")).head()["p"]
+    assert list(got) == sign_pack_vector(vec)
+    assert format(got[0], "032b")[:5] == "10101"
+    assert format(got[0], "032b")[5:] == "0" * 27
+
+
+def test_hamming_distance_matches_bit_disagreements(spark, embeddings):
+    import numpy as np
+
+    from distributed_vector_database_spark.functions.quantize import (
+        hamming_distance,
+        sign_pack,
+        sign_pack_vector,
+    )
+
+    q = embeddings.filter(F.col("vec_id") == 3).head()
+    qv = np.asarray(q["embedding"], dtype=np.float64)
+    qp = F.array(
+        *[F.lit(int(w)).cast("long") for w in sign_pack_vector(qv)]
+    )
+    rows = embeddings.select(
+        "vec_id",
+        "embedding",
+        hamming_distance(sign_pack("embedding", 64), qp).alias("h"),
+    ).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert r["h"] == int(((v >= 0) != (qv >= 0)).sum())
+
+
+def test_binary_topk_no_shuffle(spark, embeddings):
+    from distributed_vector_database_spark.operators.ann import binary_topk
+    from distributed_vector_database_spark.plans.inspect import plan_text
+
+    q = embeddings.filter(F.col("vec_id") == 3).head()
+    df = binary_topk(embeddings, list(q["embedding"]), k=10)
+    txt = plan_text(df)
+    assert "TakeOrderedAndProject" in txt
+    assert "Exchange" not in txt  # scan -> score -> heap, no shuffle
+
+
+def test_binary_rerank_subset_of_shortlist(spark, embeddings):
+    from distributed_vector_database_spark.operators.ann import (
+        binary_rerank_topk,
+        binary_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") == 7).head()
+    qv = list(q["embedding"])
+    short = {r["vec_id"] for r in binary_topk(embeddings, qv, 50).collect()}
+    res = binary_rerank_topk(embeddings, qv, k=10, shortlist=50).collect()
+    assert len(res) == 10
+    assert {r["vec_id"] for r in res} <= short
+    assert [r["rank"] for r in res] == list(range(1, 11))
+    # self-match survives both stages (hamming 0, cosine 1.0)
+    assert res[0]["vec_id"] == 7 and res[0]["score"] == 1.0
+
+
+def test_matryoshka_full_prefix_equals_exact(spark, embeddings):
+    """prefix_dim = full dim and shortlist >= corpus degrade to exact."""
+    from distributed_vector_database_spark.operators.ann import (
+        matryoshka_rerank_topk,
+    )
+    from distributed_vector_database_spark.operators.topk import topk
+
+    q = embeddings.filter(F.col("vec_id") == 9).head()
+    qv = list(q["embedding"])
+    n = embeddings.count()
+    got = matryoshka_rerank_topk(
+        embeddings, qv, k=10, prefix_dim=64, shortlist=n
+    ).collect()
+    exp = topk(embeddings, qv, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in exp
+    ]
+
+
+def test_knn_graph_matches_bruteforce(spark, embeddings):
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import knn_graph
+
+    sub = embeddings.filter(F.col("vec_id") < 40).cache()
+    got = knn_graph(sub, k=3).collect()
+    rows = sub.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    denom = np.outer(norms, norms)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0, 0.0, (mat @ mat.T) / denom)
+    cos = np.round(cos, 6)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(int(i) for i in ids)
+    order = np.argsort(ids)
+    for qi, qid in enumerate(ids):
+        sims = [
+            (-cos[qi, j], ids[j])
+            for j in range(len(ids))
+            if ids[j] != qid
+        ]
+        sims.sort()
+        exp = [(int(i), float(-s)) for s, i in sims[:3]]
+        mine = sorted(by_q[int(qid)], key=lambda r: r["rank"])
+        assert [(r["vec_id"], r["score"]) for r in mine] == exp
+    sub.unpersist()

@@ -268,3 +268,61 @@ def test_word_shingles_arrow_equals_expression(spark, docs_df=None):
             ).collect()
             for r in got:
                 assert r["e"] == r["a"], (n, r["doc_id"], r["e"], r["a"])
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_allocations(spark, documents):
+    import math
+
+    from distributed_vector_database_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    total = 100
+    res = temperature_mix(
+        documents, total=total, alpha=0.5, source_col="lang"
+    ).collect()
+    counts = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    w_mic = {s: round(math.sqrt(n) * 1e6) for s, n in counts.items()}
+    tot = sum(w_mic.values())
+    expected = {s: (total * w) // tot for s, w in w_mic.items()}
+    got = {}
+    for r in res:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    assert got == {s: t for s, t in expected.items() if t > 0}
+    # floor division: under-allocates by strictly less than n_sources
+    assert total - len(res) < len(counts)
+    # ranks are 1..target within each source
+    for s, t in expected.items():
+        ranks = sorted(r["rank"] for r in res if r["lang"] == s)
+        assert ranks == list(range(1, t + 1))
+
+
+def test_temperature_mix_deterministic_and_flattening(spark, documents):
+    from distributed_vector_database_spark.operators.curation import (
+        temperature_mix,
+    )
+
+    a = temperature_mix(documents, total=80, source_col="lang").collect()
+    b = temperature_mix(documents, total=80, source_col="lang").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # alpha=0.5 up-weights rare sources vs natural (alpha=1) sampling
+    counts = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rare = min(counts, key=counts.get)
+    head = max(counts, key=counts.get)
+    sel = {}
+    for r in a:
+        sel[r["lang"]] = sel.get(r["lang"], 0) + 1
+    # share of the head language shrinks, share of the rarest grows
+    assert sel[head] / len(a) < counts[head] / sum(counts.values())
+    assert sel[rare] / len(a) > counts[rare] / sum(counts.values()) - 0.01
