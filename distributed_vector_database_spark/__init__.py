@@ -137,8 +137,11 @@ from distributed_vector_database_spark.sources.mor import MorStore
 from distributed_vector_database_spark.operators.fusion import ranked, rrf_fuse
 from distributed_vector_database_spark.operators.merge import merge_into
 from distributed_vector_database_spark.sources.stats import (
+    collect_file_blooms,
     collect_file_stats,
     prune_files,
+    prune_files_bloom,
+    read_bloom_pruned,
     read_pruned,
 )
 
@@ -227,6 +230,9 @@ __all__ = [
     "collect_file_stats",
     "prune_files",
     "read_pruned",
+    "collect_file_blooms",
+    "prune_files_bloom",
+    "read_bloom_pruned",
     "int8_quantize",
     "int8_dequantize",
     "sign_pack",

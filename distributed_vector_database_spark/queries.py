@@ -3950,6 +3950,58 @@ def q_stats_pruned_range_scan(spark, sf_dir):
     )
 
 
+_BLOOM_CACHE: dict = {}
+
+
+@register(
+    "bloom_pruned_point_lookup",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_orderkey = 1234
+""",
+)
+def q_bloom_pruned_point_lookup(spark, sf_dir):
+    """Bloom-filter file skipping (sources/stats.py): orders rewritten
+    HASH-distributed across 8 files — the layout where min/max stats
+    prune NOTHING (every file spans the full key range) — then a point
+    lookup that opens only the files whose per-file Bloom bitset
+    contains all probe bits of the key. The content-addressed complement
+    to `stats_pruned_range_scan`'s range skipping; the oracle scans the
+    original table, so a false-negative (lost row) fails the gate."""
+    import tempfile
+
+    from distributed_vector_database_spark.sources.stats import (
+        collect_file_blooms,
+        load_stats,
+        read_bloom_pruned,
+        save_stats,
+    )
+
+    layout = _BLOOM_CACHE.get(sf_dir)
+    if layout is None:
+        layout = tempfile.mkdtemp(prefix="dvdb_bloom_") + "/orders_hashed"
+        o = _read(spark, sf_dir, "orders")
+        o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(
+            layout
+        )
+        save_stats(
+            collect_file_blooms(spark, layout, "o_orderkey"),
+            layout,
+            subdir="_bloom",
+        )
+        _BLOOM_CACHE[sf_dir] = layout
+    blooms = load_stats(spark, layout, subdir="_bloom")
+    return read_bloom_pruned(spark, blooms, "o_orderkey", 1234).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
 @register(
     "ivf_centroid_update",
     f"""

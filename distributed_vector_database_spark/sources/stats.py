@@ -40,7 +40,16 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["collect_file_stats", "prune_files", "read_pruned", "save_stats", "load_stats"]
+__all__ = [
+    "collect_file_stats",
+    "prune_files",
+    "read_pruned",
+    "save_stats",
+    "load_stats",
+    "collect_file_blooms",
+    "prune_files_bloom",
+    "read_bloom_pruned",
+]
 
 
 def collect_file_stats(
@@ -108,3 +117,96 @@ def read_pruned(
             )
         return spark.read.parquet(*any_file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(pred)
+
+
+# ---------------------------------------------------------------------------
+# File-level Bloom filters: point-lookup skipping where min/max can't help.
+#
+# Min/max stats only skip when the LAYOUT clusters the column (range /
+# Z-order); on a hash-distributed or append-ordered layout every file spans
+# the full key range and min/max prunes nothing. A per-file Bloom filter
+# skips by CONTENT instead: k hash-bit positions per value, OR-ed into a
+# per-file bitset; a point lookup opens only files whose bitset has all k
+# bits of the probe key (public technique — Parquet bloom_filter column
+# option, Delta/Hudi bloom indexes). False positives cost an extra file
+# open; false negatives are impossible, so the residual filter keeps
+# results exact.
+# ---------------------------------------------------------------------------
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    m_bits: int = 32768,
+    k: int = 5,
+) -> DataFrame:
+    """Per-file Bloom bitsets for ``col``, stored SPARSE as the sorted
+    array of set bit positions (bounded by ``m_bits`` entries).
+
+    SIZE ``m_bits`` TO THE LAYOUT: false-positive rate is
+    ``(1 - e^(-k*n/m))^k`` for n distinct keys per file — aim for
+    ~10 bits per key (the default 32768 holds ~3k keys per file at
+    <0.1% FP; a saturated filter silently keeps every file). At 100 TB
+    file sizes (10^6+ keys), pass m_bits in the tens of millions — the
+    sparse array then approaches dense-bitset size, which is still only
+    ~1-10 MB per file row.
+
+    One pass: k xxhash64 bit positions per row (JVM-side, codegen'd),
+    explode, map-side-deduped collect_set per file — shuffle width is at
+    most files x m_bits rows, independent of table size.
+    """
+    df = spark.read.parquet(path)
+    # hash the STRING form: xxhash64 output depends on the input's physical
+    # type (int32 vs int64 hash differently), and the probe side builds its
+    # key from a Python literal whose Spark type need not match the column's.
+    # Casting both sides to string makes build and probe agree by canon.
+    key = F.col(col).cast("string")
+    pos = F.array_distinct(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+                for i in range(k)
+            ]
+        )
+    )
+    return (
+        df.select(F.input_file_name().alias("file"), F.explode(pos).alias("bit"))
+        .groupBy("file")
+        .agg(F.array_sort(F.collect_set("bit")).alias("bits"))
+        .withColumn("m_bits", F.lit(m_bits))
+        .withColumn("k", F.lit(k))
+    )
+
+
+def prune_files_bloom(blooms: DataFrame, value) -> list[str]:
+    """Files that MAY contain ``value``: all k probe bits set in the
+    file's bitset. Hash params come from the bloom table itself so probe
+    and build always agree. Driver-side over the tiny metadata table."""
+    head = blooms.select("m_bits", "k").head()
+    if head is None:
+        raise ValueError(
+            "bloom table is empty — collect_file_blooms over a layout "
+            "with at least one file first"
+        )
+    m_bits, k = int(head["m_bits"]), int(head["k"])
+    cond = F.lit(True)
+    probe = F.lit(value).cast("string")  # canon type, mirrors the build side
+    for i in range(k):
+        bit = F.pmod(F.xxhash64(probe, F.lit(i)), F.lit(m_bits))
+        cond = cond & F.array_contains(F.col("bits"), bit)
+    return [r["file"] for r in blooms.filter(cond).select("file").collect()]
+
+
+def read_bloom_pruned(
+    spark: SparkSession, blooms: DataFrame, col: str, value
+) -> DataFrame:
+    """Point lookup over ONLY the bloom-surviving files, with the
+    equality predicate re-applied (false positives open a file and then
+    filter to nothing — never a wrong row)."""
+    files = prune_files_bloom(blooms, value)
+    if not files:
+        any_file = [r["file"] for r in blooms.select("file").limit(1).collect()]
+        return spark.read.parquet(*any_file).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))

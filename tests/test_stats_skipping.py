@@ -111,3 +111,81 @@ def test_zorder_layout_skips_on_both_columns(spark, tmp_path):
     got = read_pruned(spark, zstats, "value_bucket", 0, 0).count()
     exp = ev.filter(F.col("value_bucket") == 0).count()
     assert got == exp > 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping (content-addressed; hash layouts)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hashed_layout(spark, tmp_path_factory):
+    """Orders HASH-distributed by o_orderkey: every file spans the full
+    key range, so min/max stats prune nothing — bloom territory."""
+    path = str(tmp_path_factory.mktemp("bloom") / "orders_hashed")
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_minmax_useless_on_hash_layout_bloom_prunes(spark, hashed_layout):
+    from distributed_vector_database_spark.sources.stats import (
+        collect_file_blooms,
+        prune_files_bloom,
+    )
+
+    full = spark.read.parquet(hashed_layout)
+    lo, hi = full.agg(F.min("o_orderkey"), F.max("o_orderkey")).head()
+    mid_lo, mid_hi = lo + (hi - lo) // 4, hi - (hi - lo) // 4
+    keys = [
+        r["o_orderkey"]
+        for r in full.filter(
+            F.col("o_orderkey").between(mid_lo, mid_hi)
+        )
+        .select("o_orderkey")
+        .limit(20)
+        .collect()
+    ]
+    stats = collect_file_stats(spark, hashed_layout, ["o_orderkey"])
+    blooms = collect_file_blooms(spark, hashed_layout, "o_orderkey").cache()
+    n_files = blooms.count()
+    assert n_files == 8
+    # min/max keeps every file for a mid-range point probe (hash layout:
+    # every file's [min, max] covers the middle of the key range)
+    assert (
+        len(prune_files(stats, "o_orderkey", keys[0], keys[0])) == n_files
+    )
+    # bloom keeps the owning file (+ rare false positives), never all
+    kept = [len(prune_files_bloom(blooms, k)) for k in keys]
+    assert all(1 <= n for n in kept)
+    # ~1875 keys/file at 32768 bits -> FP well under 10%: on average
+    # barely more than the single owning file survives
+    assert sum(kept) <= len(keys) * 2
+    blooms.unpersist()
+
+
+def test_bloom_pruned_lookup_exact_for_present_and_absent(
+    spark, hashed_layout
+):
+    from distributed_vector_database_spark.sources.stats import (
+        collect_file_blooms,
+        load_stats,
+        read_bloom_pruned,
+        save_stats,
+    )
+
+    blooms = collect_file_blooms(spark, hashed_layout, "o_orderkey")
+    save_stats(blooms, hashed_layout, subdir="_bloom")
+    loaded = load_stats(spark, hashed_layout, subdir="_bloom")
+    full = spark.read.parquet(hashed_layout)
+    present = full.select("o_orderkey").head()["o_orderkey"]
+    got = read_bloom_pruned(
+        spark, loaded, "o_orderkey", present
+    ).collect()
+    exp = full.filter(F.col("o_orderkey") == present).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    # absent key: zero rows, regardless of bloom false positives
+    absent = full.agg(F.max("o_orderkey")).head()[0] + 10_000
+    assert (
+        read_bloom_pruned(spark, loaded, "o_orderkey", absent).count() == 0
+    )
