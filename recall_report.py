@@ -210,7 +210,68 @@ def main() -> None:
         )
         indexed.unpersist()
 
+    # binary (1-bit sign) quantization: Hamming-only, and with exact re-rank
+    from distributed_vector_database_spark.operators.ann import (
+        binary_rerank_topk,
+        binary_topk,
+    )
+
+    recs, rr_recs = [], []
+    for q, t in zip(qs, truth):
+        got = {r["vec_id"] for r in binary_topk(emb, q, K).collect()}
+        recs.append(len(got & t) / len(t))
+        rr = {
+            r["vec_id"]
+            for r in binary_rerank_topk(emb, q, k=K, shortlist=50).collect()
+        }
+        rr_recs.append(len(rr & t) / len(t))
+    sec = timed(lambda: binary_topk(emb, qs[0], K).collect())
+    rr_sec = timed(
+        lambda: binary_rerank_topk(emb, qs[0], k=K, shortlist=50).collect()
+    )
+    print(
+        f"| binary (sign) Hamming | 1 bit/dim | {statistics.mean(recs):.3f} "
+        f"| {sec:.3f} | 3% bytes (signs) |"
+    )
+    print(
+        f"| binary → exact re-rank | R=50 | {statistics.mean(rr_recs):.3f} "
+        f"| {rr_sec:.3f} | signs + 50 floats |"
+    )
+
+    # Matryoshka truncated-dim shortlist + full re-rank
+    from distributed_vector_database_spark.operators.ann import (
+        matryoshka_rerank_topk,
+    )
+
+    for pdim in (8, 16, 32):
+        recs = []
+        for q, t in zip(qs, truth):
+            got = {
+                r["vec_id"]
+                for r in matryoshka_rerank_topk(
+                    emb, q, k=K, prefix_dim=pdim, shortlist=50
+                ).collect()
+            }
+            recs.append(len(got & t) / len(t))
+        sec = timed(
+            lambda: matryoshka_rerank_topk(
+                emb, qs[0], k=K, prefix_dim=pdim, shortlist=50
+            ).collect()
+        )
+        print(
+            f"| matryoshka → re-rank | prefix={pdim}/64, R=50 "
+            f"| {statistics.mean(recs):.3f} | {sec:.3f} "
+            f"| {pdim / 64:.0%} floats + 50 full |"
+        )
+
     print()
+    print(
+        "Note on binary/matryoshka recall HERE: the synthetic embeddings are\n"
+        "~zero-mean i.i.d., the regime sign bits and dim prefixes like least\n"
+        "(every projection carries equal variance). Trained embeddings are\n"
+        "anisotropic (and MRL-trained ones front-loaded), where these two\n"
+        "sit near PQ's recall at a fraction of its compute.\n"
+    )
     print(
         "Reading: IVF trades recall linearly in probed fraction; PQ keeps\n"
         "whole-corpus coverage at 1/16-1/8 of the bytes (re-rank recovers\n"
