@@ -26,6 +26,7 @@ __all__ = [
     "term_frequencies",
     "tfidf_top_terms",
     "oov_rates",
+    "bm25_search",
     "LANG_MARKERS",
 ]
 
@@ -332,3 +333,77 @@ def oov_rates(
             ).alias("oov_rate"),
         )
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k docs for a bag of query terms,
+    ``score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+    the Lucene-smoothed ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    The classic sparse arm of a hybrid retrieval stack (pair with dense
+    cosine via ``fusion.rrf_fuse``). Plan shape: explode -> filter to the
+    query terms BEFORE any shuffle (the per-doc tf agg carries only
+    |docs x |q|| rows), df from the tiny tf frame, corpus stats (N,
+    avgdl) enter as literals from a one-row index-build agg. Nothing
+    touches docs without a query term — at 100 TB an inverted-index
+    layout (partitionBy(term)) makes the explode a pruned scan.
+
+    Determinism: per-term scores round to integer MICROS and sum as
+    exact longs, so the cross-engine float-sum-order hazard (3 doubles
+    per doc) vanishes; the final score divides once at the end.
+    """
+    terms = [str(t) for t in query_terms]
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    st = base.agg(
+        F.sum(F.size("_t")).alias("s"), F.count("*").alias("n")
+    ).head()
+    n_docs = int(st["n"])
+    avgdl = float(st["s"]) / n_docs
+    tf = (
+        base.select(
+            F.col(id_col),
+            F.size("_t").cast("long").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfd = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    term_score = (
+        idf
+        * (tfd * F.lit(k1 + 1.0))
+        / (
+            tfd
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * dld / F.lit(avgdl))
+        )
+    )
+    mic = F.round(term_score * F.lit(1e6)).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(F.col(id_col), mic.alias("_mic"))
+        .groupBy(id_col)
+        .agg(F.sum("_mic").alias("_m"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_m") / F.lit(1e6), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

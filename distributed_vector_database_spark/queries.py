@@ -6166,6 +6166,46 @@ def q_temperature_lang_mix(spark, sf_dir):
     return temperature_mix(docs, total=200, alpha=0.5, source_col="lang")
 
 
+@register(
+    "bm25_topk",
+    f"""
+WITH {_TOKS_CTE},
+d AS (SELECT doc_id, len(t)::BIGINT AS dl, t FROM toks),
+st AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+              count(*)::BIGINT AS n FROM d),
+e AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       FROM e WHERE term IN ('scan', 'join', 'filter')
+       GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              CAST(round(
+                ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)
+                         / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))
+                * 1e6) AS BIGINT) AS mic
+      FROM tf JOIN dfreq USING (term)),
+agg AS (SELECT doc_id, sum(mic) AS m FROM sc GROUP BY 1)
+SELECT doc_id, ROUND(m / 1e6, 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for the query bag {scan, join, filter} — the
+    sparse lexical arm of hybrid retrieval (k1=1.2, b=0.75,
+    Lucene-smoothed idf). Per-term scores round to integer micros and
+    sum as exact longs, so the 3-addend float sum cannot diverge
+    cross-engine. The explode filters to query terms before the only
+    shuffle; corpus stats enter the plan as index-build literals."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        bm25_search,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return bm25_search(docs, ["scan", "join", "filter"], k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

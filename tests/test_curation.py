@@ -326,3 +326,51 @@ def test_temperature_mix_deterministic_and_flattening(spark, documents):
     # share of the head language shrinks, share of the rarest grows
     assert sel[head] / len(a) < counts[head] / sum(counts.values())
     assert sel[rare] / len(a) > counts[rare] / sum(counts.values()) - 0.01
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_properties(spark):
+    import math
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        bm25_search,
+    )
+
+    rows = [
+        (0, "scan scan scan join"),          # high tf, short
+        (1, "scan join " + "pad " * 30),     # hits diluted by length
+        (2, "filter"),                        # rare-ish single hit
+        (3, "pad pad pad"),                   # no query terms
+        (4, "scan join filter"),              # all three terms
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = bm25_search(docs, ["scan", "join", "filter"], k=10).collect()
+    ids = [r["doc_id"] for r in res]
+    scores = {r["doc_id"]: r["score"] for r in res}
+    assert 3 not in ids  # no query term -> never retrieved
+    # covering all three terms beats the long diluted doc
+    assert scores[4] > scores[1]
+    # length normalization: same hits, shorter doc scores higher
+    assert scores[0] > scores[1]
+    # python reference model (same formula, micro-rounded)
+    n, avgdl = 5, sum(len(t.split()) for _, t in rows) / 5
+    toks = {i: t.split() for i, t in rows}
+    df = {
+        q: sum(1 for t in toks.values() if q in t)
+        for q in ("scan", "join", "filter")
+    }
+    for i, t in toks.items():
+        mics = 0
+        for q in ("scan", "join", "filter"):
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+            mics += round(s * 1e6)
+        if mics:
+            assert scores[i] == round(mics / 1e6, 6)
