@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.vector import round_score
 
-__all__ = ["rrf_fuse", "ranked"]
+__all__ = ["rrf_fuse", "ranked", "late_interaction_topk"]
 
 
 def ranked(
@@ -95,4 +95,58 @@ def rrf_fuse(
     u = reduce(lambda a, b: a.unionByName(b), parts)
     return u.groupBy(id_col).agg(
         round_score(F.sum("_contrib"), 6).alias(out_col)
+    )
+
+
+def late_interaction_topk(
+    units: DataFrame,
+    query_vectors: Sequence[Sequence[float]],
+    k: int = 10,
+    *,
+    doc_col: str = "doc_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) retrieval: score each
+    document as the sum over query vectors of the MAX cosine any of the
+    document's scoring units (chunks / passages / token groups) achieves
+    against that query vector:
+
+        score(d) = Σ_q  max_{u ∈ units(d)}  cos(q, u)
+
+    (Khattab & Zaharia, "ColBERT", SIGIR 2020 — MaxSim over token
+    embeddings; here the unit granularity is whatever ``units`` carries,
+    typically `chunking.chunk_documents` output under `hashing_embed`.)
+
+    Plan shape: the |Q| query vectors enter as plan literals, every unit
+    row is scored against all of them in ONE codegen'd projection, and
+    the per-doc max/sum is a single partial-aggregable groupBy — shuffle
+    width |docs| x |Q| maxes, never the unit table. Determinism: each
+    per-unit cosine rounds to 6dp BEFORE the max (exact comparisons),
+    and the final sum is a fixed-order expression over the |Q| max
+    columns, not a float aggregation — bit-identical cross-engine.
+    """
+    from distributed_vector_database_spark.operators.topk import score_column
+
+    score_cols = []
+    for i, q in enumerate(query_vectors):
+        qv = F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+        score_cols.append(
+            round_score(
+                score_column("cosine", F.col(vector_col), qv), 6
+            ).alias(f"_s{i}")
+        )
+    scored = units.select(F.col(doc_col), *score_cols)
+    agg = scored.groupBy(doc_col).agg(
+        *[
+            F.max(f"_s{i}").alias(f"_m{i}")
+            for i in range(len(query_vectors))
+        ]
+    )
+    total = F.col("_m0")
+    for i in range(1, len(query_vectors)):
+        total = total + F.col(f"_m{i}")
+    return (
+        agg.select(F.col(doc_col), F.round(total, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(doc_col))
+        .limit(k)
     )

@@ -6206,6 +6206,90 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_search(docs, ["scan", "join", "filter"], k=10)
 
 
+def _li_q_cte(name: str, toks: list[str]) -> str:
+    """Bucket-count CTE for one literal query phrase (late interaction)."""
+    lst = ", ".join(f"'{t}'" for t in toks)
+    return (
+        f"{name} AS (SELECT {_bucket_sql('tok')} AS bucket, count(*) AS cnt "
+        f"FROM (SELECT unnest([{lst}]) AS tok) GROUP BY 1)"
+    )
+
+
+_LI_PHRASES = [["scan", "join"], ["filter", "merge"], ["hash", "table"]]
+
+
+@register(
+    "late_interaction_search",
+    f"""
+WITH {_TOKS_CTE},
+c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+s AS (SELECT doc_id, t, n, unnest(range(1, n + 1, 24)) AS st FROM c),
+ch AS (SELECT doc_id, ((st - 1) // 24)::BIGINT AS chunk_ix,
+              list_slice(t, st, LEAST(st + 31, n)) AS ct FROM s),
+tk AS (SELECT doc_id, chunk_ix, unnest(ct) AS tok FROM ch),
+sp AS (SELECT doc_id, chunk_ix, {_bucket_sql('tok')} AS bucket,
+              count(*) AS cnt
+       FROM tk GROUP BY 1, 2, 3),
+nrm AS (SELECT doc_id, chunk_ix, sqrt(sum(cnt * cnt)::DOUBLE) AS nn
+        FROM sp GROUP BY 1, 2),
+{", ".join(_li_q_cte(f"q{i}", p) for i, p in enumerate(_LI_PHRASES))},
+{", ".join(
+    f"d{i} AS (SELECT sp.doc_id, sp.chunk_ix, "
+    f"sum(sp.cnt * q{i}.cnt)::DOUBLE AS dp "
+    f"FROM sp JOIN q{i} USING (bucket) GROUP BY 1, 2), "
+    f"m{i} AS (SELECT nrm.doc_id, "
+    f"max(ROUND(COALESCE(d{i}.dp, 0.0) / (nrm.nn * "
+    f"(SELECT sqrt(sum(cnt * cnt)::DOUBLE) FROM q{i})), 6)) AS m "
+    f"FROM nrm LEFT JOIN d{i} USING (doc_id, chunk_ix) GROUP BY 1)"
+    for i in range(len(_LI_PHRASES))
+)}
+SELECT m0.doc_id AS doc_id, ROUND(m0.m + m1.m + m2.m, 6) AS score
+FROM m0 JOIN m1 USING (doc_id) JOIN m2 USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def q_late_interaction_search(spark, sf_dir):
+    """ColBERT-style MaxSim late interaction at chunk granularity: three
+    hashed query phrases, each scored against every 32-token chunk in
+    one codegen'd projection; score(doc) = sum of per-phrase maxima.
+    All dot products are exact small-integer sums (hashed counts), so
+    the rounded cosines are bit-identical cross-engine; the final sum is
+    a fixed-order 3-term expression, not a float aggregation."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from distributed_vector_database_spark.operators.fusion import (
+        late_interaction_topk,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
+        (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
+        "chunk_text",
+    )
+    units = hashing_embed(
+        ch, dim=64, normalize=False, text_col="chunk_text",
+        id_col="chunk_key",
+    ).select(
+        F.expr("chunk_key div 65536").alias("doc_id"), "embedding"
+    )
+    qdf = spark.createDataFrame(
+        [(i, " ".join(p)) for i, p in enumerate(_LI_PHRASES)],
+        "qid long, text string",
+    )
+    qvecs = [
+        [float(x) for x in r["embedding"]]
+        for r in hashing_embed(qdf, dim=64, normalize=False, id_col="qid")
+        .orderBy("qid")
+        .collect()
+    ]
+    return late_interaction_topk(units, qvecs, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

@@ -326,3 +326,56 @@ def test_merge_into_three_way_semantics(spark):
         )
     with _pytest.raises(ValueError):
         merge_into(base, src.drop("val"), on="id")
+
+
+# ---------------------------------------------------------------------------
+# Late interaction (MaxSim)
+# ---------------------------------------------------------------------------
+
+
+def test_late_interaction_maxsim_semantics(spark):
+    from distributed_vector_database_spark.operators.fusion import (
+        late_interaction_topk,
+    )
+
+    # doc 1: one chunk perfectly matching q0, one orthogonal
+    # doc 2: two chunks weakly matching q0 (max, not sum, must win)
+    # doc 3: matches q1 only
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0]),
+        (2, [1.0, 1.0, 0.0]),
+        (2, [1.0, 2.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    units = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+    q0, q1 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    res = late_interaction_topk(units, [q0, q1], k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in res}
+    # doc1: max cos vs q0 = 1.0; vs q1 = 0.0 -> 1.0
+    assert scores[1] == 1.0
+    # doc2: max over chunks, NOT sum: cos([1,1],q0)=.707107, cos([1,2],q0)=.447214
+    # vs q0 -> 0.707107 ; vs q1 -> max(.707107, .894427) = .894427
+    assert scores[2] == round(0.707107 + 0.894427, 6)
+    # doc3: 0 + 1.0
+    assert scores[3] == 1.0
+    # ordering: score desc then doc_id asc (docs 1 and 3 tie at 1.0)
+    assert [r["doc_id"] for r in res] == [2, 1, 3]
+
+
+def test_late_interaction_groups_before_topk(spark, embeddings):
+    """Every doc appears at most once, and k bounds the output."""
+    from distributed_vector_database_spark.operators.fusion import (
+        late_interaction_topk,
+    )
+
+    units = embeddings.select(
+        (F.col("vec_id") % 7).alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    q = [float(x) for x in embeddings.head()["embedding"]]
+    res = late_interaction_topk(units, [q, q], k=5).collect()
+    ids = [r["doc_id"] for r in res]
+    assert len(ids) == len(set(ids)) == 5
