@@ -136,6 +136,20 @@ from distributed_vector_database_spark.operators.mining import (
 from distributed_vector_database_spark.sources.mor import MorStore
 from distributed_vector_database_spark.operators.fusion import ranked, rrf_fuse
 from distributed_vector_database_spark.operators.merge import merge_into
+from distributed_vector_database_spark.operators.lm import (
+    bigram_counts,
+    doc_bigram_cross_entropy,
+    source_unigram_kl,
+)
+from distributed_vector_database_spark.operators.tokenizer import (
+    bpe_pair_counts,
+    bpe_token_counts,
+    train_bpe,
+)
+from distributed_vector_database_spark.operators.curation import (
+    boilerplate_shingles,
+    doc_boilerplate_frac,
+)
 from distributed_vector_database_spark.sources.stats import (
     collect_file_blooms,
     collect_file_stats,
@@ -242,6 +256,14 @@ __all__ = [
     "binary_rerank_topk",
     "matryoshka_rerank_topk",
     "knn_graph",
+    "bigram_counts",
+    "doc_bigram_cross_entropy",
+    "source_unigram_kl",
+    "bpe_pair_counts",
+    "bpe_token_counts",
+    "train_bpe",
+    "boilerplate_shingles",
+    "doc_boilerplate_frac",
 ]
 
 __version__ = "0.1.0"

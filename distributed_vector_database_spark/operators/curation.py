@@ -48,6 +48,8 @@ __all__ = [
     "temperature_mix",
     "PII_PATTERNS",
     "pii_scrub",
+    "boilerplate_shingles",
+    "doc_boilerplate_frac",
 ]
 
 
@@ -328,3 +330,83 @@ def temperature_mix(
     return ranked.join(F.broadcast(targets), on=source_col).filter(
         F.col("rank") <= F.col("_target")
     ).select(id_col, source_col, "rank")
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    *,
+    ngram: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-scoped boilerplate dictionary: word ``ngram``s that recur in
+    at least ``min_docs`` DISTINCT documents of the SAME source —
+    navigation chrome, license footers, templated headers.
+
+    This is the per-site form of boilerplate removal (C4 drops lines
+    repeated across pages of a domain; jusText/trafilatura classify by
+    site-level repetition): global repetition (`dedup.repeated_spans`)
+    catches corpus-wide quotes, while THIS operator keys the frequency
+    count by source so a phrase common to one crawl template surfaces
+    even if the corpus is huge.
+
+    Output: ``(source, shingle, n_docs)``. Plan: distinct (source,
+    shingle, id) projection -> one partial-aggregated groupBy on
+    (source, shingle); shuffle carries per-partition partials only.
+    """
+    sh = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.explode(_shingles(text_col, ngram)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("source", "shingle")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def doc_boilerplate_frac(
+    docs: DataFrame,
+    *,
+    ngram: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_frac): how much of each doc's
+    distinct ``ngram`` inventory is source-level boilerplate (per
+    `boilerplate_shingles`). High-fraction docs are template chrome to
+    trim or drop.
+
+    Plan: the shingle explode feeds BOTH the (source, shingle) frequency
+    aggregate and a join back on (source, shingle) — the frequency side
+    is |source·shingle|-sized after partial agg, and the join key
+    includes source, so one crawl's hot template lines never fan out
+    across sources. Docs with zero shingles (< ngram tokens) are absent.
+    """
+    sh = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.explode(_shingles(text_col, ngram)).alias("shingle"),
+    )
+    freq = sh.groupBy("source", "shingle").agg(
+        F.count_distinct(F.col(id_col)).alias("_nd")
+    )
+    boiler = F.sum(
+        F.when(F.col("_nd") >= min_docs, 1).otherwise(0)
+    )
+    return (
+        sh.join(freq, ["source", "shingle"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            boiler.alias("n_boiler"),
+            F.round(
+                boiler.cast("double") / F.count("*"), 6
+            ).alias("boiler_frac"),
+        )
+    )

