@@ -71,9 +71,14 @@ from distributed_vector_database_spark.operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     jaccard_pairs_prefix,
+    minhash_band_buckets,
+    minhash_bucket_dup_flags,
     minhash_candidate_pairs,
     minhash_signatures,
     simhash_fingerprints,
+)
+from distributed_vector_database_spark.streaming.docs import (
+    stream_minhash_dedup,
 )
 from distributed_vector_database_spark.operators.text_analysis import (
     language_id,
@@ -209,7 +214,10 @@ __all__ = [
     "jaccard_pairs",
     "jaccard_pairs_prefix",
     "minhash_signatures",
+    "minhash_band_buckets",
+    "minhash_bucket_dup_flags",
     "minhash_candidate_pairs",
+    "stream_minhash_dedup",
     "simhash_fingerprints",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",

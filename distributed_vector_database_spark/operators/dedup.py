@@ -41,6 +41,8 @@ __all__ = [
     "jaccard_pairs",
     "jaccard_pairs_prefix",
     "minhash_signatures",
+    "minhash_band_buckets",
+    "minhash_bucket_dup_flags",
     "minhash_candidate_pairs",
     "simhash_fingerprints",
     "embedding_neardup_pairs",
@@ -288,6 +290,91 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band bucket membership: ``(id, band_ix, bv)`` where ``bv`` is
+    md5 of the band's signature rows — one row per (doc, band). The
+    shared front half of pair mining (`minhash_candidate_pairs`), bucket
+    dup-flagging (`minhash_bucket_dup_flags`), and the streaming index
+    (`streaming.docs.stream_minhash_dedup`)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        docs, num_hashes, n=n, text_col=text_col, id_col=id_col
+    )
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_ix"), F.col(f"band{b}").alias("bv")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band_ix"), F.col("bb.bv"))
+
+
+def minhash_bucket_dup_flags(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass bucket-owner dedup decision: every LSH band bucket is
+    owned by the LOWEST doc id it contains; a doc is flagged duplicate if
+    ANY of its bands lands in a bucket owned by a smaller id.
+
+    ``(id, n_bands, n_dup_bands, is_dup)``. This is the greedy keep-
+    lowest-id LSH dedup rule, made ORDER-FREE (ownership is a min over
+    the whole bucket, not an arrival race) — so the same contract is
+    computable incrementally by a stream (`streaming.docs.
+    stream_minhash_dedup` maintains owner-so-far state and matches this
+    batch form exactly for id-ordered arrival) and by a SQL oracle.
+
+    Scale: one groupBy on the uniform band key (map-side-combinable min)
+    plus a join back on that same key — no pair fan-out at all, which is
+    why production pipelines flag via bucket owners first and reserve
+    pair verification for the survivors. Docs with zero shingles are
+    absent (no bands).
+    """
+    st = minhash_band_buckets(
+        docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
+    )
+    own = st.groupBy("band_ix", "bv").agg(F.min(id_col).alias("_owner"))
+    lost = F.sum(
+        F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+    )
+    return (
+        st.join(own, ["band_ix", "bv"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bands"),
+            lost.cast("long").alias("n_dup_bands"),
+            (lost > 0).alias("is_dup"),
+        )
+    )
+
+
 def minhash_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -306,29 +393,9 @@ def minhash_candidate_pairs(
     shuffle is balanced; pair fan-out is bounded by bucket sizes (tunable
     via bands/rows), never |docs|².
     """
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n=n, text_col=text_col, id_col=id_col)
-    band_cols = [
-        F.md5(
-            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_ix"), F.col(f"band{b}").alias("bv")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band_ix"), F.col("bb.bv"))
+    stacked = minhash_band_buckets(
+        docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(

@@ -6521,6 +6521,106 @@ def q_ivf_shard_rebalance(spark, sf_dir):
     return split_hot_shards(assigned, plan)
 
 
+# ===========================================================================
+# Bucket-owner LSH dedup, batch + streaming (dedup.minhash_bucket_dup_flags,
+# streaming/docs.stream_minhash_dedup): the order-free greedy keep-lowest-id
+# rule, decidable incrementally against an append-only owner index.
+# ===========================================================================
+
+
+def _minhash_flags_sql(num_hashes: int = 8, bands: int = 2) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_ix, band{b} AS bv FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+st AS ({stacked}),
+own AS (SELECT band_ix, bv, min(doc_id) AS owner FROM st GROUP BY 1, 2)
+SELECT st.doc_id, count(*)::BIGINT AS n_bands,
+       sum(CASE WHEN own.owner < st.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_bands,
+       (sum(CASE WHEN own.owner < st.doc_id THEN 1 ELSE 0 END) > 0)
+         AS is_dup
+FROM st JOIN own USING (band_ix, bv)
+GROUP BY st.doc_id
+"""
+
+
+@register("minhash_dedup_flags", _minhash_flags_sql())
+def q_minhash_dedup_flags(spark, sf_dir):
+    """Per-doc LSH dedup decision without pair mining: every band bucket
+    is owned by its lowest doc id; any band owned elsewhere flags the
+    doc. One min-agg + one join on the uniform band key — no pair
+    fan-out."""
+    return _dd.minhash_bucket_dup_flags(
+        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+    )
+
+
+_MINHASH_STREAM_CACHE: dict[str, str] = {}
+
+
+@register("stream_minhash_dedup_flags", _minhash_flags_sql())
+def q_stream_minhash_dedup_flags(spark, sf_dir):
+    """The SAME dedup contract computed incrementally: documents arrive
+    id-ordered in two micro-batches; each batch is flagged against the
+    append-only bucket-owner index built from prior batches. The replay's
+    accumulated decisions must equal the batch/SQL form on the full
+    corpus — cross-batch near-dup state proven, not just exact-key dedup
+    (`stream_dedup_counts`)."""
+    import os
+    import tempfile
+    import time
+
+    from distributed_vector_database_spark.streaming.docs import (
+        read_document_stream,
+        stream_minhash_dedup,
+    )
+
+    d = _MINHASH_STREAM_CACHE.get(sf_dir)
+    if d is None:
+        docs = _read(spark, sf_dir, "documents")
+        mid = docs.agg(F.max("doc_id")).head()[0] // 2
+        d = tempfile.mkdtemp(prefix="dvdb_mhstream_")
+        docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        first = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        # file-source replay order is by modification time: pin chunk 2
+        # strictly after chunk 1 so arrival is doc_id-ordered
+        now = time.time()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                ts = now if f in first else now + 10
+                os.utime(os.path.join(d, f), (ts, ts))
+        _MINHASH_STREAM_CACHE[sf_dir] = d
+    state = tempfile.mkdtemp(prefix="dvdb_mhstate_")
+    out = stream_minhash_dedup(
+        read_document_stream(spark, d, max_files_per_trigger=1),
+        state,
+        num_hashes=8,
+        bands=2,
+    )
+    return out.select("doc_id", "n_bands", "n_dup_bands", "is_dup")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

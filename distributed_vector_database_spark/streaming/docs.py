@@ -1,0 +1,160 @@
+"""Streaming near-duplicate document dedup: an incrementally-maintained
+MinHash-LSH bucket index over a document stream.
+
+The batch operators (`operators/dedup.py`) answer "which docs in THIS
+corpus are near-dups"; a live ingestion pipeline needs the incremental
+question — "is this NEW doc a near-dup of anything already ingested" —
+without re-scanning the corpus. The index that answers it is tiny
+relative to the corpus: one ``(band_ix, bv) -> owner_id`` entry per band
+bucket, exactly the LSH state a production dedup service keeps.
+
+Contract: a doc is a duplicate iff any of its band buckets is owned by a
+smaller doc id (`dedup.minhash_bucket_dup_flags` — the order-free form of
+greedy keep-first LSH dedup). For id-ordered arrival the incremental
+decision equals the batch decision on the full corpus, proven in tests
+(replay ≡ batch, any chunking).
+
+Scale shape (100 TB/day ingest):
+  - per micro-batch work is batch-local banding (explode + min-agg, no
+    corpus access) plus ONE join against the owner index on the uniform
+    band-hash key;
+  - the owner index is append-only (crash-safe, no read-modify-write):
+    each batch appends its per-bucket minima and readers take
+    ``min(owner)`` per bucket — merge-on-read, the same pattern as
+    `sources/mor.py`; periodic compaction folds the appends (
+    `sources/compaction.compact_layout`);
+  - nothing is driver-side; state lives in parquet, so the stream can
+    restart anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.dedup import (
+    minhash_band_buckets,
+)
+
+__all__ = [
+    "read_document_stream",
+    "stream_minhash_dedup",
+    "read_bucket_owners",
+]
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def read_document_stream(
+    spark: SparkSession,
+    directory: str,
+    *,
+    max_files_per_trigger: int | None = 1,
+    schema: str = DOC_SCHEMA,
+) -> DataFrame:
+    """File-source document stream: new parquet files become micro-batches
+    (oldest file first, so a chunked replay arrives in write order)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(directory)
+
+
+def read_bucket_owners(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current bucket-owner index: min doc id per (band_ix, bv) over every
+    appended batch — the merge-on-read view of the append-only state."""
+    owners_path = os.path.join(state_dir, "owners")
+    try:
+        raw = spark.read.parquet(owners_path)
+    except Exception:
+        return spark.createDataFrame(
+            [], "band_ix int, bv string, owner long"
+        )
+    return raw.groupBy("band_ix", "bv").agg(F.min("owner").alias("owner"))
+
+
+def stream_minhash_dedup(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run a document stream through the incremental LSH dedup index and
+    return the accumulated per-doc decisions as a batch frame
+    ``(doc_id, n_bands, n_dup_bands, is_dup)``.
+
+    Per micro-batch (foreachBatch — every step a plain batch plan):
+      1. band the batch's docs (`dedup.minhash_band_buckets`);
+      2. owner per bucket = min(persisted owner, this batch's min id);
+      3. flag each batch doc whose bucket owner is a smaller id;
+      4. append the decisions to ``<state_dir>/flags`` and the batch
+         minima to the append-only ``<state_dir>/owners`` index.
+
+    For doc-id-ordered arrival the result equals
+    `dedup.minhash_bucket_dup_flags` on the full corpus regardless of
+    how the stream is chunked (a bucket's final owner is the globally
+    smallest id, which under ordered arrival is also the first — so no
+    later batch can invalidate an earlier decision).
+    """
+    spark = doc_stream.sparkSession
+    owners_path = os.path.join(state_dir, "owners")
+    flags_path = os.path.join(state_dir, "flags")
+    ckpt_path = os.path.join(state_dir, "_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        st = minhash_band_buckets(
+            batch_df,
+            num_hashes,
+            bands,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+        ).cache()
+        batch_min = st.groupBy("band_ix", "bv").agg(
+            F.min(id_col).alias("owner")
+        )
+        prior = read_bucket_owners(spark, state_dir)
+        owner = (
+            batch_min.withColumnRenamed("owner", "_bmin")
+            .join(prior.withColumnRenamed("owner", "_prior"),
+                  ["band_ix", "bv"], "left")
+            .select(
+                "band_ix",
+                "bv",
+                F.least(
+                    F.col("_bmin"), F.coalesce(F.col("_prior"), F.col("_bmin"))
+                ).alias("_owner"),
+            )
+        )
+        lost = F.sum(
+            F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+        )
+        flags = (
+            st.join(owner, ["band_ix", "bv"])
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_bands"),
+                lost.cast("long").alias("n_dup_bands"),
+                (lost > 0).alias("is_dup"),
+            )
+        )
+        flags.write.mode("append").parquet(flags_path)
+        batch_min.write.mode("append").parquet(owners_path)
+        st.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(flags_path)

@@ -1,0 +1,120 @@
+"""Streaming MinHash-LSH dedup (streaming/docs.py): the incremental
+bucket-owner index must reproduce the batch decision exactly for
+id-ordered arrival, regardless of chunking."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.dedup import (
+    minhash_band_buckets,
+    minhash_bucket_dup_flags,
+)
+from distributed_vector_database_spark.streaming.docs import (
+    read_bucket_owners,
+    read_document_stream,
+    stream_minhash_dedup,
+)
+
+
+def _write_chunks(docs, n_chunks, directory, id_col="doc_id"):
+    """Write docs as n_chunks parquet files whose mtimes force id order."""
+    ids = sorted(r[0] for r in docs.select(id_col).collect())
+    bounds = [
+        ids[min(len(ids) - 1, (i + 1) * len(ids) // n_chunks - 1)]
+        for i in range(n_chunks)
+    ]
+    now = time.time()
+    written: set[str] = set()
+    lo = None
+    for i, hi in enumerate(bounds):
+        chunk = docs.filter(F.col(id_col) <= hi)
+        if lo is not None:
+            chunk = chunk.filter(F.col(id_col) > lo)
+        chunk.coalesce(1).write.mode("append").parquet(directory)
+        newly = {
+            f
+            for f in os.listdir(directory)
+            if f.endswith(".parquet") and f not in written
+        }
+        for f in newly:
+            os.utime(
+                os.path.join(directory, f), (now + 10 * i, now + 10 * i)
+            )
+        written |= newly
+        lo = hi
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stream_equals_batch_flags(documents, tmp_path, n_chunks):
+    docs = documents.limit(200)
+    d = str(tmp_path / f"replay{n_chunks}")
+    os.makedirs(d)
+    _write_chunks(docs, n_chunks, d)
+    out = stream_minhash_dedup(
+        read_document_stream(
+            docs.sparkSession, d, max_files_per_trigger=1
+        ),
+        str(tmp_path / f"state{n_chunks}"),
+        num_hashes=8,
+        bands=2,
+    )
+    batch = minhash_bucket_dup_flags(docs, num_hashes=8, bands=2)
+    got = sorted(map(tuple, out.collect()))
+    exp = sorted(map(tuple, batch.collect()))
+    assert got == exp
+
+
+def test_owner_index_is_bucket_min(documents, tmp_path):
+    docs = documents.limit(100)
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    _write_chunks(docs, 2, d)
+    state = str(tmp_path / "state")
+    stream_minhash_dedup(
+        read_document_stream(docs.sparkSession, d, max_files_per_trigger=1),
+        state,
+        num_hashes=8,
+        bands=2,
+    )
+    owners = read_bucket_owners(docs.sparkSession, state)
+    exp = (
+        minhash_band_buckets(docs, 8, 2)
+        .groupBy("band_ix", "bv")
+        .agg(F.min("doc_id").alias("owner"))
+    )
+    assert sorted(map(tuple, owners.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_flags_semantics_tiny(spark, tmp_path):
+    # doc 2 is a near-copy of doc 1 -> same bands -> flagged; doc 3 distinct
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, base + " iota", "en", "s", 1),
+        (3, "one two three four five six seven eight nine", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    flags = {
+        r["doc_id"]: r["is_dup"]
+        for r in minhash_bucket_dup_flags(docs, 8, 2).collect()
+    }
+    assert flags[1] is False
+    assert flags[3] is False
+    # doc 2 shares most shingles with doc 1; at least check the contract:
+    # is_dup true iff some band owned by a smaller id
+    st = minhash_band_buckets(docs, 8, 2)
+    own = st.groupBy("band_ix", "bv").agg(F.min("doc_id").alias("o"))
+    shared = (
+        st.filter(F.col("doc_id") == 2)
+        .join(own, ["band_ix", "bv"])
+        .filter(F.col("o") < 2)
+        .count()
+    )
+    assert flags[2] == (shared > 0)
