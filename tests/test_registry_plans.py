@@ -22,6 +22,7 @@ _EXECUTES_ON_BUILD = {
     "stream_tumbling_counts",
     "stream_click_purchase_join",
     "stateful_running_totals",
+    "stream_minhash_dedup_flags",
 }
 
 _REG = registry()
