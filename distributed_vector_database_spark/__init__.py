@@ -139,7 +139,11 @@ from distributed_vector_database_spark.operators.mining import (
     prototype_scores,
 )
 from distributed_vector_database_spark.sources.mor import MorStore
-from distributed_vector_database_spark.operators.fusion import ranked, rrf_fuse
+from distributed_vector_database_spark.operators.fusion import (
+    mmr_rerank,
+    ranked,
+    rrf_fuse,
+)
 from distributed_vector_database_spark.operators.merge import merge_into
 from distributed_vector_database_spark.operators.lm import (
     bigram_counts,
@@ -248,6 +252,7 @@ __all__ = [
     "duplicate_paragraphs",
     "rrf_fuse",
     "ranked",
+    "mmr_rerank",
     "merge_into",
     "collect_file_stats",
     "prune_files",

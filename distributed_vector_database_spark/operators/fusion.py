@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.vector import round_score
 
-__all__ = ["rrf_fuse", "ranked", "late_interaction_topk"]
+__all__ = ["rrf_fuse", "ranked", "late_interaction_topk", "mmr_rerank"]
 
 
 def ranked(
@@ -149,4 +149,71 @@ def late_interaction_topk(
         agg.select(F.col(doc_col), F.round(total, 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(doc_col))
         .limit(k)
+    )
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    lambda_: float = 0.5,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) of a retrieval SHORTLIST: greedily pick
+
+        argmax_d  lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s)
+
+    where rel and sim are cosine (6-dp rounded, ties by lowest id — the
+    engine-wide determinism contract). ``lambda_=1`` is plain relevance
+    order; lower values trade relevance for novelty.
+
+    Stage placement: MMR is inherently sequential (each pick changes the
+    next argmax), so it runs on the COLLECTED shortlist — tens to
+    hundreds of rows produced by a distributed first stage (`topk`,
+    `IVFPQIndex.search` + re-rank), the same small-model-on-driver
+    pattern as the PQ codebooks. The corpus-scale work stays in the
+    first stage; this is O(k·|shortlist|) driver arithmetic.
+
+    Returns ``(rank, id, relevance, mmr_score)`` — ``mmr_score`` of the
+    first pick is its relevance (no selected set yet).
+    """
+    import numpy as np
+
+    rows = shortlist.select(id_col, vector_col).collect()
+    ids = [r[0] for r in rows]
+    mat = np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+
+    def _cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return float((a @ b) / (na * nb))
+
+    rel = {i: round(_cos(mat[j], q), 6) for j, i in enumerate(ids)}
+    vec = {i: mat[j] for j, i in enumerate(ids)}
+    selected: list[tuple[int, float]] = []
+    remaining = set(ids)
+    while remaining and len(selected) < k:
+        best = None
+        for i in sorted(remaining):
+            if selected:
+                red = max(round(_cos(vec[i], vec[s]), 6) for s, _ in selected)
+                sc = round(lambda_ * rel[i] - (1.0 - lambda_) * red, 6)
+            else:
+                sc = round(lambda_ * rel[i], 6) if lambda_ != 1.0 else rel[i]
+            if best is None or sc > best[1]:
+                best = (i, sc)
+        selected.append(best)
+        remaining.discard(best[0])
+    spark = shortlist.sparkSession
+    return spark.createDataFrame(
+        [
+            (r + 1, i, rel[i], sc)
+            for r, (i, sc) in enumerate(selected)
+        ],
+        f"rank int, {id_col} long, relevance double, mmr_score double",
     )

@@ -6621,6 +6621,166 @@ def q_stream_minhash_dedup_flags(spark, sf_dir):
     return out.select("doc_id", "n_bands", "n_dup_bands", "is_dup")
 
 
+# ===========================================================================
+# Diversified retrieval, sliding windows, corpus card: per-group result
+# caps on a global top-k, overlapping time windows (the streaming-window
+# shape in batch form), and the one-row dataset audit.
+# ===========================================================================
+
+
+@register(
+    "diversified_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, e.label,
+             ROUND({_cos(E, 'q.qv')}, 6) AS score,
+             row_number() OVER (PARTITION BY e.label
+                                ORDER BY ROUND({_cos(E, 'q.qv')}, 6) DESC,
+                                         e.vec_id ASC) AS rnk
+      FROM embeddings e, q)
+SELECT vec_id, label, score
+FROM s WHERE rnk <= 2
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
+)
+def q_diversified_topk(spark, sf_dir):
+    """Diversified search: global top-10 subject to AT MOST 2 results per
+    label — the per-source result cap every production retrieval API
+    exposes. One scored scan; the label cap is a rank window over the
+    scored rows; the global cut is TakeOrderedAndProject. No re-scan per
+    label, no post-hoc driver filtering."""
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        round_score(
+            cosine_similarity(F.col("embedding"), F.lit(qv)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= 2)
+        .drop("_rnk")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+       event_type, count(*)::BIGINT AS n_events,
+       sum(round(value * 100))::BIGINT AS value_cents
+FROM w GROUP BY 1, 2, 3
+""",
+)
+def q_sliding_window_counts(spark, sf_dir):
+    """Overlapping 2-hour windows sliding by 1 hour: every event lands in
+    two windows (Spark's window(size, slide) generates both copies
+    JVM-side). The same definition is streaming-capable — this is the
+    batch form of the classic sliding-window aggregation. Money sums in
+    exact integer cents."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "corpus_card",
+    f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT sum(len(t))::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_docs FROM toks),
+voc AS (SELECT count(DISTINCT x)::BIGINT AS vocab
+        FROM (SELECT unnest(t) AS x FROM toks)),
+dup AS (SELECT (count(*) - count(DISTINCT
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ))::BIGINT AS n_exact_dups
+        FROM documents),
+lng AS (SELECT lang AS top_lang FROM documents
+        GROUP BY lang ORDER BY count(*) DESC, lang ASC LIMIT 1)
+SELECT tok.n_docs, tok.n_tokens, voc.vocab, dup.n_exact_dups, lng.top_lang,
+       ROUND(tok.n_tokens / tok.n_docs::DOUBLE, 6) AS mean_doc_tokens
+FROM tok, voc, dup, lng
+""",
+)
+def q_corpus_card(spark, sf_dir):
+    """One-row dataset card: corpus size, token count, vocabulary size,
+    exact-duplicate count, dominant language, mean doc length — the
+    audit header of a dataset datasheet. Four independent aggregates
+    cross-joined as single-row literals (each a one-pass partial agg; at
+    100 TB these four jobs share the same cached scan)."""
+    from distributed_vector_database_spark.functions.text import (
+        doc_fingerprint,
+        tokens,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.agg(
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    voc = docs.select(F.explode(tokens("text")).alias("x")).agg(
+        F.countDistinct("x").alias("vocab")
+    )
+    dup = docs.agg(
+        (F.count("*") - F.countDistinct(doc_fingerprint("text"))).alias(
+            "n_exact_dups"
+        )
+    )
+    lng = (
+        docs.groupBy("lang")
+        .count()
+        .orderBy(F.desc("count"), F.asc("lang"))
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    return (
+        tok.crossJoin(voc)
+        .crossJoin(dup)
+        .crossJoin(lng)
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            "n_exact_dups",
+            "top_lang",
+            F.round(
+                F.col("n_tokens") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_doc_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

@@ -1,0 +1,65 @@
+"""MMR re-rank (fusion.mmr_rerank): greedy relevance/novelty trade on a
+collected shortlist."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.fusion import mmr_rerank
+from distributed_vector_database_spark.operators.topk import topk
+
+
+def _shortlist(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_lambda_one_is_relevance_order(spark):
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.5, 0.5]]
+    out = mmr_rerank(_shortlist(spark, vecs), [1.0, 0.0], k=4, lambda_=1.0)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    # pure cosine order to [1,0]
+    sims = [
+        (round(float(np.dot(v, [1, 0]) / np.linalg.norm(v)), 6), i)
+        for i, v in enumerate(vecs)
+    ]
+    exp = [i for s, i in sorted(sims, key=lambda t: (-t[0], t[1]))]
+    assert got == exp
+
+
+def test_mmr_skips_near_duplicate_second_pick(spark):
+    # 0 and 1 identical and most relevant; 2 less relevant but diverse
+    vecs = [[0.9, 0.1], [0.9, 0.1], [0.8, -0.6]]
+    out = mmr_rerank(_shortlist(spark, vecs), [1.0, 0.0], k=2, lambda_=0.5)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert got[0] == 0  # most relevant first (tie -> lowest id)
+    assert got[1] == 2  # exact duplicate penalized below the diverse doc
+
+
+def test_first_pick_score_is_relevance(spark):
+    vecs = [[1.0, 0.0], [0.0, 1.0]]
+    out = mmr_rerank(_shortlist(spark, vecs), [1.0, 0.0], k=1, lambda_=1.0)
+    r = out.head()
+    assert r["rank"] == 1 and r["vec_id"] == 0
+    assert r["mmr_score"] == pytest.approx(r["relevance"])
+
+
+def test_mmr_over_real_shortlist_is_subset_and_sized(embeddings):
+    qv = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    short = topk(embeddings, qv, k=30).join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    out = mmr_rerank(short, qv, k=10, lambda_=0.7)
+    rows = out.collect()
+    assert len(rows) == 10
+    short_ids = {r["vec_id"] for r in short.collect()}
+    assert {r["vec_id"] for r in rows} <= short_ids
+    # ranks are 1..10 and mmr_score non-increasing is NOT guaranteed
+    # (classic MMR), but relevance of rank 1 is the max relevance
+    rel1 = [r for r in rows if r["rank"] == 1][0]["relevance"]
+    assert rel1 == max(r["relevance"] for r in rows)
