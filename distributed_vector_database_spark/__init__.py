@@ -43,6 +43,11 @@ from distributed_vector_database_spark.operators.ann import (
     random_hyperplanes,
 )
 from distributed_vector_database_spark.sources.vector_store import VectorStore
+from distributed_vector_database_spark.sources.sqlite_store import (
+    SqliteVectorShards,
+    read_shards,
+    write_shards,
+)
 from distributed_vector_database_spark.sources.bucketed import save_bucketed
 from distributed_vector_database_spark.sources.layout import save_zordered, zvalue
 from distributed_vector_database_spark.sources.formats import roundtrip as format_roundtrip
@@ -185,6 +190,9 @@ __all__ = [
     "lsh_search",
     "random_hyperplanes",
     "VectorStore",
+    "SqliteVectorShards",
+    "read_shards",
+    "write_shards",
     "save_bucketed",
     "save_zordered",
     "zvalue",

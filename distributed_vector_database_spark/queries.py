@@ -6781,6 +6781,102 @@ def q_corpus_card(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Reference-format SQLite shard store (sources/sqlite_store.py, Spark 4
+# Python DataSource): the migration connector — read the reference's
+# data/shard_{i}.sqlite3 files shard-parallel, with id-filter pushdown
+# into the SQLite primary-key B-tree. The store is built once per sf_dir
+# from embeddings.parquet (the same deterministic 8-shard assignment the
+# IVF queries use), so the oracle runs on the parquet ground truth.
+# ===========================================================================
+
+_SQLITE_STORE_CACHE: dict[str, str] = {}
+
+
+def _sqlite_store_dir(spark, sf_dir: str) -> str:
+    d = _SQLITE_STORE_CACHE.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        from distributed_vector_database_spark.sources.sqlite_store import (
+            write_shards,
+        )
+
+        emb = _read(spark, sf_dir, "embeddings")
+        cents = _fixed_centroids(spark, sf_dir)
+        assigned = assign_shards(emb, cents).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("shard_id").cast("int").alias("shard_id"),
+        )
+        d = tempfile.mkdtemp(prefix="dvdb_sqlitestore_")
+        write_shards(assigned, d)
+        _SQLITE_STORE_CACHE[sf_dir] = d
+    return d
+
+
+@register(
+    "sqlite_store_scan",
+    f"""
+WITH {_ASSIGN_CTE}
+SELECT a.vec_id, a.shard_id::BIGINT AS shard_id,
+       len(e.embedding)::BIGINT AS dim,
+       ROUND({_norm(E)}, 6) AS norm
+FROM assign a JOIN embeddings e USING (vec_id)
+""",
+)
+def q_sqlite_store_scan(spark, sf_dir):
+    """Full scan of a reference-format SQLite shard store (one input
+    partition per shard file): every vector back with its shard, dim and
+    norm. Proves a reference user's existing data/ directory is readable
+    in place, values intact."""
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        read_shards,
+    )
+    from distributed_vector_database_spark.functions.vector import l2_norm
+
+    d = _sqlite_store_dir(spark, sf_dir)
+    return read_shards(spark, d).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.size("embedding").cast("long").alias("dim"),
+        round_score(l2_norm("embedding")).alias("norm"),
+    )
+
+
+@register(
+    "sqlite_store_point_lookup",
+    f"""
+WITH {_ASSIGN_CTE}
+SELECT a.vec_id, a.shard_id::BIGINT AS shard_id,
+       ROUND({_norm(E)}, 6) AS norm
+FROM assign a JOIN embeddings e USING (vec_id)
+WHERE a.vec_id = 100
+""",
+)
+def q_sqlite_store_point_lookup(spark, sf_dir):
+    """GET /get against the SQLite store through Spark: the id equality
+    predicate is PUSHED into each shard's primary-key B-tree
+    (DataSourceReader.pushFilters -> WHERE id IN (...)), so no shard is
+    table-scanned — the reference's point-lookup path
+    (`reference: src/storage_server.py:53-60`), shard-parallel."""
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        read_shards,
+    )
+    from distributed_vector_database_spark.functions.vector import l2_norm
+
+    d = _sqlite_store_dir(spark, sf_dir)
+    return (
+        read_shards(spark, d)
+        .filter(F.col("id") == "100")
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.col("shard_id").cast("long").alias("shard_id"),
+            round_score(l2_norm("embedding")).alias("norm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

@@ -1,0 +1,235 @@
+"""Spark Python DataSource for the reference's on-disk storage format:
+a directory of ``shard_{i}.sqlite3`` files, each holding
+
+    CREATE TABLE vectors (id TEXT PRIMARY KEY, vector_json TEXT NOT NULL)
+
+(`reference: src/storage_server.py:10-22` — ids are TEXT, vectors are
+JSON-encoded float lists, one SQLite file per storage shard). This
+connector is the MIGRATION PATH: a user of the reference points Spark at
+their existing ``data/`` directory and every query in this engine runs
+over it unchanged — and can export any (id, embedding, shard_id) frame
+back into the same files.
+
+Spark-first shape (Spark 4 Python DataSource API):
+  - one input partition PER SHARD FILE, so shard-parallel reads mirror
+    the reference's shard-parallel fan-out (`src/compute_server.py:
+    107-138`) and a 256-shard store reads with 256-way parallelism;
+  - ``id`` equality/IN filters are PUSHED into SQLite as indexed WHERE
+    clauses (``id`` is the PRIMARY KEY, so a point lookup touches one
+    B-tree per shard instead of scanning — the exact GET /get semantics,
+    `src/storage_server.py:53-60`);
+  - writes go through tmp files renamed on driver-side commit (task
+    failures leave no partial shard; abort removes tmps). Callers
+    repartition by shard_id so each task owns whole shards.
+
+At 100 TB one would not STORE in SQLite — the parquet layouts elsewhere
+in `sources/` are the scale path — but reading a legacy store in place,
+shard-parallel, is exactly what a migration needs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    In,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+__all__ = [
+    "SqliteVectorShards",
+    "register",
+    "read_shards",
+    "write_shards",
+]
+
+SCHEMA = "id string, embedding array<double>, shard_id int"
+
+
+def _shard_files(path: str) -> list[tuple[int, str]]:
+    out = []
+    for f in sorted(os.listdir(path)):
+        if f.startswith("shard_") and f.endswith(".sqlite3"):
+            sid = int(f[len("shard_") : -len(".sqlite3")])
+            out.append((sid, os.path.join(path, f)))
+    return out
+
+
+class _ShardReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sqlite_vector_shards requires option 'path'")
+        self.id_values: list[str] | None = None
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("id",):
+                self.id_values = [f.value]
+            elif isinstance(f, In) and f.attribute == ("id",):
+                self.id_values = list(f.value)
+            else:
+                yield f  # unsupported -> Spark evaluates it post-scan
+
+    def partitions(self):
+        return [InputPartition(sf) for sf in _shard_files(self.path)]
+
+    def read(self, partition):
+        import json
+        import sqlite3
+
+        sid, file = partition.value
+        con = sqlite3.connect(file)
+        try:
+            if self.id_values is not None:
+                ph = ",".join("?" for _ in self.id_values)
+                cur = con.execute(
+                    f"SELECT id, vector_json FROM vectors WHERE id IN ({ph})",
+                    self.id_values,
+                )
+            else:
+                cur = con.execute("SELECT id, vector_json FROM vectors")
+            for id_, vj in cur:
+                yield (id_, [float(x) for x in json.loads(vj)], sid)
+        finally:
+            con.close()
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    renames: list = field(default_factory=list)  # [(tmp_path, final_path)]
+
+
+class _ShardWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sqlite_vector_shards requires option 'path'")
+        if not overwrite:
+            raise ValueError(
+                "sqlite_vector_shards writes whole shard files; use "
+                "mode('overwrite') (REPLACE-by-id appends belong to the "
+                "reference's live server, not a bulk export)"
+            )
+
+    def write(self, rows):
+        import json
+        import sqlite3
+        import uuid
+
+        by_shard: dict[int, list[tuple[str, str]]] = {}
+        for row in rows:
+            by_shard.setdefault(int(row["shard_id"]), []).append(
+                (str(row["id"]), json.dumps([float(x) for x in row["embedding"]]))
+            )
+        renames = []
+        for sid, items in by_shard.items():
+            final = os.path.join(self.path, f"shard_{sid}.sqlite3")
+            tmp = final + f".tmp-{uuid.uuid4().hex[:12]}"
+            con = sqlite3.connect(tmp)
+            try:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS vectors ("
+                    "id TEXT PRIMARY KEY, vector_json TEXT NOT NULL)"
+                )
+                con.executemany(
+                    "REPLACE INTO vectors (id, vector_json) VALUES (?, ?)",
+                    items,
+                )
+                con.commit()
+            finally:
+                con.close()
+            renames.append((tmp, final))
+        return _WriteMessage(renames=renames)
+
+    def commit(self, messages):
+        all_renames = [r for m in messages if m for r in m.renames]
+        finals = [f for _, f in all_renames]
+        dups = {f for f in finals if finals.count(f) > 1}
+        if dups:
+            for t, _ in all_renames:
+                os.remove(t)
+            raise ValueError(
+                f"multiple tasks wrote the same shard file(s) {sorted(dups)}; "
+                "repartition the frame by shard_id before writing "
+                "(write_shards does this)"
+            )
+        for tmp, final in all_renames:
+            os.replace(tmp, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m:
+                for tmp, _ in m.renames:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
+
+
+class SqliteVectorShards(DataSource):
+    """``spark.read.format("sqlite_vector_shards").option("path", dir)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite_vector_shards"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema):
+        return _ShardReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _ShardWriter(self.options, overwrite)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotently register the data source with this session (and turn
+    on Python-data-source filter pushdown, off by default in Spark 4.1,
+    so the id-filter reaches SQLite's primary-key B-tree)."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        # The reader/writer classes are cloudpickled to Python workers,
+        # which may not have this package on sys.path (e.g. a driver
+        # script run from elsewhere) — serialize the module BY VALUE so
+        # the pickle is self-contained.
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(SqliteVectorShards)
+        _REGISTERED.add(key)
+
+
+def read_shards(spark, path: str):
+    """DataFrame over a reference-format shard directory:
+    ``(id string, embedding array<double>, shard_id int)``."""
+    register(spark)
+    return (
+        spark.read.format("sqlite_vector_shards").option("path", path).load()
+    )
+
+
+def write_shards(df, path: str) -> None:
+    """Export ``(id, embedding, shard_id)`` to reference-format shard
+    files (one SQLite file per distinct shard_id, commit-renamed)."""
+    register(df.sparkSession)
+    os.makedirs(path, exist_ok=True)
+    (
+        df.select("id", "embedding", "shard_id")
+        .repartition("shard_id")
+        .write.format("sqlite_vector_shards")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )

@@ -1,0 +1,136 @@
+"""SQLite shard-store connector (sources/sqlite_store.py): reads and
+writes the reference's on-disk format (shard_{i}.sqlite3, table
+vectors(id TEXT PRIMARY KEY, vector_json TEXT))."""
+
+import json
+import os
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.sources.sqlite_store import (
+    _ShardReader,
+    read_shards,
+    write_shards,
+)
+
+
+def _mk_reference_store(path, shards):
+    """Build shard files exactly as the reference's storage server does."""
+    os.makedirs(path, exist_ok=True)
+    for sid, rows in shards.items():
+        con = sqlite3.connect(os.path.join(path, f"shard_{sid}.sqlite3"))
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS vectors ("
+            "id TEXT PRIMARY KEY, vector_json TEXT NOT NULL)"
+        )
+        con.executemany(
+            "REPLACE INTO vectors (id, vector_json) VALUES (?, ?)",
+            [(i, json.dumps(v)) for i, v in rows],
+        )
+        con.commit()
+        con.close()
+
+
+def test_reads_reference_format_store(spark, tmp_path):
+    d = str(tmp_path / "data")
+    _mk_reference_store(
+        d,
+        {
+            0: [("a", [1.0, 2.0]), ("b", [3.0, 4.0])],
+            2: [("c", [5.0, 6.0])],
+        },
+    )
+    got = sorted(map(tuple, read_shards(spark, d).collect()))
+    assert got == [
+        ("a", [1.0, 2.0], 0),
+        ("b", [3.0, 4.0], 0),
+        ("c", [5.0, 6.0], 2),
+    ]
+
+
+def test_point_lookup_pushdown_filters_in_sqlite(spark, tmp_path):
+    d = str(tmp_path / "data")
+    _mk_reference_store(
+        d, {0: [(str(i), [float(i)]) for i in range(50)]}
+    )
+    df = read_shards(spark, d)
+    assert [r["id"] for r in df.filter(F.col("id") == "7").collect()] == ["7"]
+    assert sorted(
+        r["id"] for r in df.filter(F.col("id").isin("3", "4")).collect()
+    ) == ["3", "4"]
+    # composite predicate: id filter pushed, the rest evaluated by Spark
+    assert df.filter(
+        (F.col("id") == "7") & (F.col("shard_id") == 3)
+    ).count() == 0
+
+
+def test_push_filters_unit():
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    r = _ShardReader({"path": "/nonexistent"})
+    eq = EqualTo(("id",), "x")
+    gt = GreaterThan(("shard_id",), 1)
+    rest = list(r.pushFilters([eq, gt]))
+    assert rest == [gt]  # id filter consumed, shard filter returned
+    assert r.id_values == ["x"]
+    r2 = _ShardReader({"path": "/nonexistent"})
+    inf = In(("id",), ("a", "b"))
+    assert list(r2.pushFilters([inf])) == []
+    assert r2.id_values == ["a", "b"]
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(str(i), [float(i), 0.5], i % 3) for i in range(20)],
+        "id string, embedding array<double>, shard_id int",
+    )
+    write_shards(df, d)
+    assert sorted(os.listdir(d)) == [
+        "shard_0.sqlite3",
+        "shard_1.sqlite3",
+        "shard_2.sqlite3",
+    ]
+    back = read_shards(spark, d)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # files are valid for the reference's own reader (plain sqlite3)
+    con = sqlite3.connect(os.path.join(d, "shard_1.sqlite3"))
+    rows = dict(con.execute("SELECT id, vector_json FROM vectors"))
+    con.close()
+    assert json.loads(rows["4"]) == [4.0, 0.5]
+
+
+def test_overwrite_replaces_whole_store(spark, tmp_path):
+    d = str(tmp_path / "out")
+    df1 = spark.createDataFrame(
+        [("a", [1.0], 0)], "id string, embedding array<double>, shard_id int"
+    )
+    df2 = spark.createDataFrame(
+        [("b", [2.0], 0)], "id string, embedding array<double>, shard_id int"
+    )
+    write_shards(df1, d)
+    write_shards(df2, d)
+    got = read_shards(spark, d).collect()
+    assert [r["id"] for r in got] == ["b"]
+
+
+def test_append_mode_rejected(spark, tmp_path):
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        register,
+    )
+
+    register(spark)
+    df = spark.createDataFrame(
+        [("a", [1.0], 0)], "id string, embedding array<double>, shard_id int"
+    )
+    with pytest.raises(Exception, match="overwrite"):
+        (
+            df.write.format("sqlite_vector_shards")
+            .option("path", str(tmp_path / "x"))
+            .mode("append")
+            .save()
+        )
