@@ -166,6 +166,11 @@ def main() -> None:
         "ivfpq_residual_search",
         "hybrid_search_rrf",
         "paragraph_dedup_stats",
+        "bigram_lm_ppl",
+        "minhash_dedup_flags",
+        "stream_minhash_dedup_flags",
+        "sqlite_store_scan",
+        "ivf_shard_rebalance",
     ]
     compact = dict(full)
     compact["queries"] = {

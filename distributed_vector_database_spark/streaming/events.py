@@ -23,6 +23,7 @@ __all__ = [
     "tumbling_counts",
     "session_window_stats",
     "stateful_user_totals",
+    "stateful_user_totals_tws",
     "join_event_streams",
     "run_stream_to_batch",
 ]
@@ -284,4 +285,80 @@ def session_window_stats(
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
         "n_events",
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to its state server;
+    the dependency is optional in this environment."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`stateful_user_totals` on Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` (typed state
+    handles, timers, TTL, state evolvable between runs). Same contract:
+    per-user running event count and exact integer-cents total,
+    re-emitted each micro-batch the user appears in.
+
+    State is ONE ValueState tuple per user held in the RocksDB state
+    store (the provider transformWithState requires — incremental
+    checkpointing, state far larger than executor memory; set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...RocksDBStateStoreProvider`` on the session).
+
+    Requires ``protobuf`` (the transformWithState worker protocol);
+    raises ImportError with guidance when absent — the
+    ``applyInPandasWithState`` twin above has no extra dependency and
+    computes the same result.
+    """
+    if not _tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package; "
+            "use stateful_user_totals (applyInPandasWithState) in "
+            "environments without it"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += int(len(pdf))
+                cents += int(
+                    (pdf["value"] * 100).round().astype("int64").sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
     )
