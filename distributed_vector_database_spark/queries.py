@@ -6877,6 +6877,100 @@ def q_sqlite_store_point_lookup(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Spark 4 semi-structured + iterative SQL surface: VariantType JSON
+# (parse once, binary-encoded, typed extraction — the modern
+# get_json_object replacement) and native WITH RECURSIVE (depth-bounded
+# graph walk entirely inside the SQL engine, no driver loop).
+# ===========================================================================
+
+
+@register(
+    "variant_props_rollup",
+    """
+WITH p AS (SELECT event_type,
+                  TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                           AS BIGINT) AS k
+           FROM events WHERE props IS NOT NULL)
+SELECT event_type, count(*)::BIGINT AS n_with_props,
+       sum(k)::BIGINT AS sum_k, max(k)::BIGINT AS max_k
+FROM p GROUP BY 1
+""",
+)
+def q_variant_props_rollup(spark, sf_dir):
+    """Typed rollup over the JSON props column through VariantType:
+    ``parse_json`` once into the binary variant encoding, then
+    ``try_variant_get`` typed paths — one parse per row regardless of
+    how many fields downstream extracts touch (``get_json_object``
+    re-parses per field). The oracle extracts the same values by regex,
+    so the variant path is value-verified."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").isNotNull())
+        .select(
+            "event_type",
+            F.try_variant_get(
+                F.parse_json("props"), "$.k", "long"
+            ).alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_props"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "knn_two_hop_reach",
+    f"""
+WITH RECURSIVE
+s AS (SELECT a.vec_id AS query_id, e.vec_id AS vec_id,
+             ROUND({_cos(_A, E)}, 6) AS score
+      FROM embeddings a JOIN embeddings e
+        ON a.vec_id <> e.vec_id AND a.vec_id < 200 AND e.vec_id < 200),
+knn AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id ASC) AS rnk
+          FROM s) t
+        WHERE rnk <= 3),
+reach(node, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.vec_id AS node, r.hops + 1 AS hops
+  FROM reach r JOIN knn e ON e.query_id = r.node
+  WHERE r.hops < 2)
+SELECT node, min(hops)::BIGINT AS hops FROM reach GROUP BY node
+""",
+)
+def q_knn_two_hop_reach(spark, sf_dir):
+    """Nodes within 2 hops of vector 0 in the exact 3-NN graph, with
+    their minimum hop count — a depth-bounded graph walk run by Spark's
+    NATIVE recursive CTE (WITH RECURSIVE ... UNION ALL, new in Spark 4),
+    not a driver loop: the fixpoint executes as a UnionLoop operator
+    inside the engine, same as the DuckDB oracle's recursion. The edge
+    frame underneath is the distributed Arrow-GEMM kNN kernel."""
+    from distributed_vector_database_spark.operators.ann import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    edges = knn_graph(_spread(emb), k=3).select("query_id", "vec_id")
+    edges.createOrReplaceTempView("knn_edges_2hop")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT e.vec_id AS node, r.hops + 1 AS hops
+          FROM reach r JOIN knn_edges_2hop e ON e.query_id = r.node
+          WHERE r.hops < 2)
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM reach GROUP BY node
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
