@@ -92,6 +92,12 @@ from distributed_vector_database_spark.operators.text_analysis import (
     tfidf_top_terms,
     token_stats,
 )
+from distributed_vector_database_spark.operators.analytics import (
+    conversion_funnel,
+    retention_cohorts,
+    user_value_ewma,
+    zscore_outliers,
+)
 from distributed_vector_database_spark.operators.sessions import (
     latest_event_per_user,
     running_totals,
@@ -239,6 +245,10 @@ __all__ = [
     "term_frequencies",
     "tfidf_top_terms",
     "sessionize",
+    "user_value_ewma",
+    "zscore_outliers",
+    "conversion_funnel",
+    "retention_cohorts",
     "running_totals",
     "latest_event_per_user",
     "dedup_stream",

@@ -6971,6 +6971,121 @@ def q_knn_two_hop_reach(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Product analytics (operators/analytics.py): EWMA, exact-variance
+# z-score outliers, strict-order conversion funnel, retention cohorts.
+# ===========================================================================
+
+
+@register(
+    "user_value_ewma",
+    """
+WITH o AS (SELECT user_id, list(value ORDER BY ts, event_id) AS v,
+                  count(*)::BIGINT AS n_events
+           FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       ROUND(list_reduce(v, (s, x) -> 0.5 * x + 0.5 * s), 6) AS ewma
+FROM o
+""",
+)
+def q_user_value_ewma(spark, sf_dir):
+    """Per-user EWMA (alpha=0.5) of event values in time order — a LEFT
+    FOLD seeded with the first element, the exact op sequence DuckDB's
+    list_reduce runs, so the compounding float is bit-equal cross-engine
+    with no per-step rounding."""
+    from distributed_vector_database_spark.operators.analytics import (
+        user_value_ewma,
+    )
+
+    return user_value_ewma(_read(spark, sf_dir, "events"), alpha=0.5)
+
+
+@register(
+    "event_zscore_outliers",
+    """
+WITH c AS (SELECT event_id, event_type, value,
+                  round(value * 100)::BIGINT AS c FROM events),
+st AS (SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s1,
+              sum(c * c)::BIGINT AS s2
+       FROM c GROUP BY 1),
+z AS (SELECT c.event_id, c.event_type, c.value,
+             ROUND((c.c - s1 / n::DOUBLE)
+                   / sqrt(s2 / n::DOUBLE
+                          - (s1 / n::DOUBLE) * (s1 / n::DOUBLE)), 6) AS z
+      FROM c JOIN st USING (event_type))
+SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 3.0
+""",
+)
+def q_event_zscore_outliers(spark, sf_dir):
+    """Events more than 3 sigma from their type's mean. Per-type stats
+    come from exact int64 cents sums (n, sum, sum-of-squares), so
+    float-agg order can never move a z across the cut; the |type|-row
+    stats frame broadcasts back onto the stream."""
+    from distributed_vector_database_spark.operators.analytics import (
+        zscore_outliers,
+    )
+
+    return zscore_outliers(_read(spark, sf_dir, "events"), threshold=3.0)
+
+
+@register(
+    "conversion_funnel",
+    """
+WITH a AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+b AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_stage1,
+       (SELECT count(*) FROM b)::BIGINT AS n_stage2,
+       (SELECT count(*) FROM c)::BIGINT AS n_stage3
+""",
+)
+def q_conversion_funnel(spark, sf_dir):
+    """Strict-order view -> click -> purchase funnel: users with a
+    click strictly after their first view, then a purchase strictly
+    after that first qualifying click. Three cascaded min-after
+    aggregations, each pre-filtered to one event type before any
+    shuffle."""
+    from distributed_vector_database_spark.operators.analytics import (
+        conversion_funnel,
+    )
+
+    return conversion_funnel(_read(spark, sf_dir, "events"))
+
+
+@register(
+    "retention_cohorts",
+    """
+WITH f AS (SELECT user_id, min(ts)::DATE AS cohort_day
+           FROM events GROUP BY 1),
+act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       date_diff('day', f.cohort_day, act.day)::BIGINT AS day_offset,
+       count(DISTINCT act.user_id)::BIGINT AS n_users
+FROM act JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention triangle: users bucketed by first-seen day, counted per
+    distinct activity-day offset — the cohort-retention table every
+    product dashboard draws."""
+    from distributed_vector_database_spark.operators.analytics import (
+        retention_cohorts,
+    )
+
+    out = retention_cohorts(_read(spark, sf_dir, "events"))
+    # dates serialize differently across engines (pandas Timestamp vs
+    # datetime.date) — emit the ISO string both sides
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

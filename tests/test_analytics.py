@@ -1,0 +1,118 @@
+"""Event-analytics operators (operators/analytics.py) — hand-computed
+cases; the oracle queries cover the full-corpus forms."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_vector_database_spark.operators.analytics import (
+    conversion_funnel,
+    retention_cohorts,
+    user_value_ewma,
+    zscore_outliers,
+)
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_ewma_hand_case(spark):
+    # user 1 values in time order: 1, 2, 4 -> s = 1; 0.5*2+0.5*1 = 1.5;
+    # 0.5*4 + 0.5*1.5 = 2.75
+    rows = [
+        (1, _ts(1), 1, "view", 1.0),
+        (2, _ts(2), 1, "view", 2.0),
+        (3, _ts(3), 1, "view", 4.0),
+        (4, _ts(1), 2, "view", 7.0),  # single event -> ewma = value
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = {r["user_id"]: r["ewma"] for r in user_value_ewma(df).collect()}
+    assert out == {1: 2.75, 2: 7.0}
+
+
+def test_ewma_tie_breaks_on_event_id(spark):
+    rows = [
+        (2, _ts(1), 1, "view", 10.0),  # same ts: event_id orders them
+        (1, _ts(1), 1, "view", 0.0),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    # order = (id 1: 0.0), (id 2: 10.0) -> 0.5*10 + 0.5*0 = 5.0
+    assert user_value_ewma(df).head()["ewma"] == 5.0
+
+
+def test_zscore_outliers_flags_only_the_spike(spark):
+    rows = [(i, _ts(1), 1, "view", 1.0) for i in range(20)]
+    rows.append((99, _ts(2), 1, "view", 100.0))
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = zscore_outliers(df, threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 4
+
+
+def test_zscore_no_outliers_in_uniform_data(spark):
+    rows = [(i, _ts(1), 1, "view", float(i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    assert zscore_outliers(df, threshold=3.0).count() == 0
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # user 1 completes the funnel in order
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(2), 1, "click", 0.0),
+        (3, _ts(3), 1, "purchase", 0.0),
+        # user 2 clicks BEFORE viewing -> stage 2 not reached
+        (4, _ts(2), 2, "view", 0.0),
+        (5, _ts(1), 2, "click", 0.0),
+        # user 3 views+clicks but purchase precedes the click
+        (6, _ts(1), 3, "view", 0.0),
+        (7, _ts(3), 3, "click", 0.0),
+        (8, _ts(2), 3, "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    r = conversion_funnel(df).head()
+    assert (r["n_stage1"], r["n_stage2"], r["n_stage3"]) == (3, 2, 1)
+
+
+def test_funnel_equal_timestamps_not_counted(spark):
+    rows = [
+        (1, _ts(1), 1, "view", 0.0),
+        (2, _ts(1), 1, "click", 0.0),  # same instant -> NOT after
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    r = conversion_funnel(df).head()
+    assert (r["n_stage1"], r["n_stage2"], r["n_stage3"]) == (1, 0, 0)
+
+
+def test_retention_cohorts_hand_case(spark):
+    d1, d2, d3 = (
+        datetime.datetime(2024, 1, 1, 5),
+        datetime.datetime(2024, 1, 2, 5),
+        datetime.datetime(2024, 1, 3, 5),
+    )
+    rows = [
+        (1, d1, 1, "view", 0.0),
+        (2, d2, 1, "view", 0.0),  # user 1: offsets 0, 1
+        (3, d2, 2, "view", 0.0),
+        (4, d3, 2, "view", 0.0),  # user 2 (cohort 1-2): offsets 0, 1
+        (5, d3, 1, "view", 0.0),  # user 1 offset 2
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+        ("2024-01-02", 1): 1,
+    }
