@@ -7086,6 +7086,45 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Parquet footer aggregates (sources/stats.footer_stats): MIN/MAX/COUNT
+# pushed into the V2 BatchScan — a metadata-only job, zero row groups
+# decoded (the engine-side twin of the manual stats-skipping surface).
+# ===========================================================================
+
+
+@register(
+    "footer_minmax_stats",
+    """
+SELECT min(l_orderkey)::BIGINT AS min_l_orderkey,
+       max(l_orderkey)::BIGINT AS max_l_orderkey,
+       ROUND(min(l_quantity), 6) AS min_l_quantity,
+       ROUND(max(l_quantity), 6) AS max_l_quantity,
+       count(*)::BIGINT AS cnt
+FROM lineitem
+""",
+)
+def q_footer_minmax_stats(spark, sf_dir):
+    """Dataset id-range / row-count audit answered from parquet FOOTERS:
+    the V2 scan's PushedAggregation evaluates MIN/MAX/COUNT from file
+    metadata without decoding a single row group (plan-asserted in
+    tests). The confs enabling the V2 path are scoped to this call."""
+    from distributed_vector_database_spark.sources.stats import footer_stats
+
+    row, _plan = footer_stats(
+        spark,
+        f"{sf_dir}/lineitem.parquet",
+        ["l_orderkey", "l_quantity"],
+    )
+    return spark.createDataFrame([row]).select(
+        F.col("min_l_orderkey").cast("long"),
+        F.col("max_l_orderkey").cast("long"),
+        F.round("min_l_quantity", 6).alias("min_l_quantity"),
+        F.round("max_l_quantity", 6).alias("max_l_quantity"),
+        F.col("cnt").cast("long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

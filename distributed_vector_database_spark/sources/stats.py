@@ -49,6 +49,7 @@ __all__ = [
     "collect_file_blooms",
     "prune_files_bloom",
     "read_bloom_pruned",
+    "footer_stats",
 ]
 
 
@@ -210,3 +211,54 @@ def read_bloom_pruned(
         any_file = [r["file"] for r in blooms.select("file").limit(1).collect()]
         return spark.read.parquet(*any_file).filter(F.lit(False))
     return spark.read.parquet(*files).filter(F.col(col) == F.lit(value))
+
+
+def footer_stats(spark, path: str, minmax_cols, *, count: bool = True):
+    """MIN/MAX/COUNT answered entirely from parquet FOOTERS — zero row
+    groups decoded. Uses the V2 parquet scan's aggregate pushdown
+    (`spark.sql.parquet.aggregatePushdown`; the plan's BatchScan carries
+    ``PushedAggregation: [MIN(..), MAX(..), COUNT(*)]``), the engine-side
+    twin of this module's manual min/max skipping.
+
+    The V2-source and pushdown confs are flipped only around this call
+    (execution is forced inside the scope — laziness would otherwise
+    plan the scan AFTER the confs are restored) and restored afterwards,
+    so surrounding queries keep their V1 plans. Returns the one-row
+    aggregate as a list of (column, value) with names
+    ``min_<c>/max_<c>/cnt``.
+
+    At 100 TB this is the difference between a metadata-only job (one
+    footer read per file) and a full-column scan for audit queries like
+    "what id range / how many rows does this dataset hold".
+    """
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.useV1SourceList",
+            "spark.sql.parquet.aggregatePushdown",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(path)
+        aggs = []
+        for c in minmax_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        if count:
+            aggs.append(F.count(F.lit(1)).alias("cnt"))
+        agg_df = df.agg(*aggs)
+        plan = agg_df._sc._jvm.PythonSQLUtils.explainString(
+            agg_df._jdf.queryExecution(), "formatted"
+        )
+        row = agg_df.head()  # force execution while the V2 confs hold
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return row, plan

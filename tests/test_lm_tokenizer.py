@@ -170,3 +170,31 @@ def test_bpe_token_counts_zero_merges_equals_chars(spark):
     df = _docs(spark, [(1, "ab cde")])
     n = bpe_token_counts(df, []).head()["n_bpe"]
     assert n == (2 + 1) + (3 + 1)
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(word=_WORD, pairs=st.lists(st.tuples(_WORD, _WORD), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_segment_word_always_reconstructs(word, pairs):
+    ranks = {p: i for i, p in enumerate(pairs)}
+    syms = segment_word(word, ranks)
+    assert "".join(syms).replace(END_TOKEN, "") == word
+    assert syms[-1].endswith(END_TOKEN) or END_TOKEN in "".join(syms)
+
+
+@given(word=_WORD)
+@settings(max_examples=100, deadline=None)
+def test_segment_word_no_merges_is_chars(word):
+    assert segment_word(word, {}) == list(word) + [END_TOKEN]
