@@ -6481,7 +6481,8 @@ def q_doc_boilerplate_frac(spark, sf_dir):
     f"""
 WITH {_ASSIGN_CTE},
 cnt AS (SELECT shard_id, count(*)::BIGINT AS n FROM assign GROUP BY 1),
-hot AS (SELECT shard_id FROM cnt WHERE n > 300),
+hot AS (SELECT shard_id FROM cnt
+        WHERE n > (SELECT 1.05 * avg(n) FROM cnt)),
 av AS (SELECT a.vec_id, a.shard_id, e.embedding::DOUBLE[] AS v
        FROM assign a JOIN embeddings e USING (vec_id)),
 ex AS (SELECT shard_id, i, round(v[i] * 1e6)::BIGINT AS mic
@@ -6505,10 +6506,12 @@ FROM av LEFT JOIN plan USING (shard_id)
 """,
 )
 def q_ivf_shard_rebalance(spark, sf_dir):
-    """Every vector's (old_shard, new_shard) after splitting shards with
-    > 300 members on their widest dimension's midpoint. Split arithmetic
-    is exact integer micros (min/max only — no float aggregation), so
-    the iterative-maintenance step is driver-verifiable value-for-value."""
+    """Every vector's (old_shard, new_shard) after splitting shards more
+    than 5% over the mean occupancy on their widest dimension's
+    midpoint (a relative cap, so real splits happen at every scale
+    factor). Split arithmetic is exact integer micros (min/max only —
+    no float aggregation), so the iterative-maintenance step is
+    driver-verifiable value-for-value."""
     from distributed_vector_database_spark.operators.ivf import (
         shard_split_plan,
         split_hot_shards,
@@ -6517,7 +6520,14 @@ def q_ivf_shard_rebalance(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     cents = _fixed_centroids(spark, sf_dir)
     assigned = assign_shards(emb, cents)
-    plan = shard_split_plan(assigned, cap=300, next_shard_id=len(cents))
+    counts = [
+        r["n"]
+        for r in assigned.groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    cap = 1.05 * (sum(counts) / len(counts))
+    plan = shard_split_plan(assigned, cap=cap, next_shard_id=len(cents))
     return split_hot_shards(assigned, plan)
 
 
@@ -7122,6 +7132,73 @@ def q_footer_minmax_stats(spark, sf_dir):
         F.round("min_l_quantity", 6).alias("min_l_quantity"),
         F.round("max_l_quantity", 6).alias("max_l_quantity"),
         F.col("cnt").cast("long"),
+    )
+
+
+# ===========================================================================
+# Dynamic partition pruning over the IVF layout: the probed-shard set is
+# decided by a FILTER ON ANOTHER TABLE at runtime, not a literal — the
+# optimizer injects a dynamicpruning subquery into the fact scan's
+# PartitionFilters, so only qualifying shard directories are read even
+# though no shard ids appear in the query text (plan-asserted in
+# tests/test_dpp.py). Static pruning (`ivf_search_pruned`) covers the
+# literal-IN case; THIS is the data-driven case.
+# ===========================================================================
+
+_DPP_CACHE: dict[str, str] = {}
+
+
+def _dpp_layout_dir(spark, sf_dir: str) -> str:
+    d = _DPP_CACHE.get(sf_dir)
+    if d is None:
+        import tempfile
+
+        emb = _read(spark, sf_dir, "embeddings")
+        cents = _fixed_centroids(spark, sf_dir)
+        assigned = assign_shards(emb, cents)
+        d = tempfile.mkdtemp(prefix="dvdb_dpp_")
+        assigned.write.partitionBy("shard_id").parquet(f"{d}/fact")
+        assigned.groupBy("shard_id").agg(
+            F.count("*").alias("n_vecs")
+        ).write.parquet(f"{d}/shard_stats")
+        _DPP_CACHE[sf_dir] = d
+    return d
+
+
+@register(
+    "dpp_hot_shard_scan",
+    f"""
+WITH {_ASSIGN_CTE},
+cnt AS (SELECT shard_id, count(*)::BIGINT AS n FROM assign GROUP BY 1),
+sel AS (SELECT shard_id FROM cnt WHERE n > (SELECT 1.05 * avg(n) FROM cnt))
+SELECT a.shard_id::BIGINT AS shard_id, count(*)::BIGINT AS n_vectors,
+       sum(round({_norm(E)} * 1e6))::BIGINT AS norm_mic_sum
+FROM assign a JOIN embeddings e USING (vec_id) JOIN sel USING (shard_id)
+GROUP BY 1
+""",
+)
+def q_dpp_hot_shard_scan(spark, sf_dir):
+    """Scan ONLY the overfull shards of the partitioned layout, where
+    'overfull' is read from a stats table at runtime: the join against
+    the filtered shard_stats side becomes a dynamicpruning subquery in
+    the fact scan's PartitionFilters — directory-level skipping with no
+    shard id literal anywhere. Norm mass sums in exact integer micros."""
+    from distributed_vector_database_spark.functions.vector import l2_norm
+
+    d = _dpp_layout_dir(spark, sf_dir)
+    fact = spark.read.parquet(f"{d}/fact")
+    stats = spark.read.parquet(f"{d}/shard_stats")
+    thr = 1.05 * stats.agg(F.avg("n_vecs")).head()[0]
+    hot = stats.filter(F.col("n_vecs") > thr).select("shard_id")
+    return (
+        fact.join(hot, "shard_id")
+        .groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.round(l2_norm("embedding") * F.lit(1e6)).cast("long")
+            ).alias("norm_mic_sum"),
+        )
     )
 
 
