@@ -7202,6 +7202,76 @@ def q_dpp_hot_shard_scan(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Runtime bloom-filter join: the non-partition-column twin of DPP — the
+# optimizer builds a bloom filter over the selective side's join keys
+# at runtime and injects might_contain(...) into the big side's scan
+# filter, shrinking the shuffle before the join. Plan-asserted in
+# tests/test_bloom_join.py.
+# ===========================================================================
+
+_BLOOM_CONFS = (
+    "spark.sql.optimizer.runtime.bloomFilter.enabled",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    "spark.sql.autoBroadcastJoinThreshold",
+)
+
+
+def _bloom_joined(spark, sf_dir):
+    """Urgent-order revenue by return flag with the runtime bloom filter
+    active: lineitem's scan carries might_contain(bloom(o_orderkey)), so
+    non-urgent orderkeys drop BEFORE the join shuffle."""
+    li = _read(spark, sf_dir, "lineitem")
+    urgent = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "runtime_bloom_join",
+    """
+SELECT l.l_returnflag, count(*)::BIGINT AS n_items,
+       sum(round(l.l_extendedprice * 100))::BIGINT AS price_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def q_runtime_bloom_join(spark, sf_dir):
+    """The bloom-filter confs are scoped to this call (execution is
+    forced inside the scope — plan decisions happen at run time); the
+    materialized 3-row aggregate is returned. The semijoin-reduction
+    value is measured against 100 TB shapes: the fact side sheds
+    non-matching keys at the scan instead of shuffling them."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        spark.conf.set(_BLOOM_CONFS[0], "true")
+        spark.conf.set(_BLOOM_CONFS[1], "0")
+        spark.conf.set(_BLOOM_CONFS[2], "-1")  # shuffle join -> filter applies
+        out = _bloom_joined(spark, sf_dir)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
