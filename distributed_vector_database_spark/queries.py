@@ -7272,6 +7272,55 @@ def q_runtime_bloom_join(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+# ===========================================================================
+# Streaming sliding windows: the overlapping-window aggregation replayed
+# through micro-batches must equal the batch form (`sliding_window_counts`
+# proves the batch values; THIS proves the streaming state handles an
+# event belonging to TWO windows across batch boundaries).
+# ===========================================================================
+
+
+@register(
+    "stream_sliding_counts",
+    """
+WITH w AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, event_type, count(*)::BIGINT AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def q_stream_sliding_counts(spark, sf_dir):
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        run_stream_to_batch,
+        tumbling_counts,
+    )
+
+    d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+    if d is None:
+        src = _read(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+        src.repartition(4).write.mode("overwrite").parquet(d)
+        _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+    stream = read_event_stream(spark, d, max_files_per_trigger=2)
+    out = run_stream_to_batch(
+        tumbling_counts(
+            stream, window="2 hours", slide="1 hour", watermark=None
+        ),
+        final_keys=["window_start", "window_end", "event_type"],
+        latest_by="n_events",
+        shuffle_partitions=8,
+    )
+    return out.select("window_start", "event_type", "n_events", "sum_value")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

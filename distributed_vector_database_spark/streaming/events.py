@@ -56,11 +56,17 @@ def tumbling_counts(
     window: str = "1 hour",
     watermark: str | None = "2 hours",
     *,
+    slide: str | None = None,
     ts_col: str = "ts",
     type_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
-    """Per (tumbling window, event_type): count + exact DECIMAL value sum.
+    """Per (time window, event_type): count + exact DECIMAL value sum.
+
+    ``slide=None`` gives tumbling windows; a slide shorter than the
+    window gives OVERLAPPING sliding windows (each event expands into
+    window/slide copies JVM-side — the same Expand the batch
+    `sliding_window_counts` query plans).
 
     Works on batch or streaming input; watermark applied only for streams.
     ``watermark=None`` keeps all window state forever — exact for replays
@@ -69,9 +75,12 @@ def tumbling_counts(
     """
     if events.isStreaming and watermark is not None:
         events = events.withWatermark(ts_col, watermark)
-    return events.groupBy(
-        F.window(ts_col, window).alias("w"), F.col(type_col)
-    ).agg(
+    win = (
+        F.window(ts_col, window, slide)
+        if slide is not None
+        else F.window(ts_col, window)
+    )
+    return events.groupBy(win.alias("w"), F.col(type_col)).agg(
         F.count("*").alias("n_events"),
         F.round(
             F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double"), 2

@@ -23,6 +23,7 @@ _EXECUTES_ON_BUILD = {
     "stream_click_purchase_join",
     "stateful_running_totals",
     "stream_minhash_dedup_flags",
+    "stream_sliding_counts",
 }
 
 _REG = registry()
