@@ -92,6 +92,10 @@ from distributed_vector_database_spark.operators.text_analysis import (
     tfidf_top_terms,
     token_stats,
 )
+from distributed_vector_database_spark.operators.er import (
+    fuzzy_dup_pairs,
+    sorted_neighborhood_pairs,
+)
 from distributed_vector_database_spark.operators.analytics import (
     conversion_funnel,
     retention_cohorts,
@@ -247,6 +251,8 @@ __all__ = [
     "sessionize",
     "user_value_ewma",
     "zscore_outliers",
+    "sorted_neighborhood_pairs",
+    "fuzzy_dup_pairs",
     "conversion_funnel",
     "retention_cohorts",
     "running_totals",

@@ -7321,6 +7321,80 @@ def q_stream_sliding_counts(spark, sf_dir):
     return out.select("window_start", "event_type", "n_events", "sum_value")
 
 
+# ===========================================================================
+# Entity resolution / record linkage (operators/er.py): sorted-
+# neighborhood blocking and edit-distance-verified fuzzy pairs — the
+# third blocking family next to hash and LSH blocking.
+# ===========================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "snm_candidate_pairs",
+    f"""
+WITH b AS (SELECT doc_id, substr({_NORM_SQL}, 1, 20) AS k FROM documents),
+s AS (SELECT doc_id, k,
+             lead(doc_id, 1) OVER (ORDER BY k, doc_id) AS id1,
+             lead(k, 1) OVER (ORDER BY k, doc_id) AS k1,
+             lead(doc_id, 2) OVER (ORDER BY k, doc_id) AS id2,
+             lead(k, 2) OVER (ORDER BY k, doc_id) AS k2
+      FROM b)
+SELECT doc_id AS id_a, id1 AS id_b, k AS key_a, k1 AS key_b
+FROM s WHERE id1 IS NOT NULL
+UNION ALL
+SELECT doc_id, id2, k, k2 FROM s WHERE id2 IS NOT NULL
+""",
+)
+def q_snm_candidate_pairs(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs (Hernandez & Stolfo, SIGMOD
+    1995): sort by the normalized 20-char text prefix, pair each record
+    with its next 2 neighbors — O(n·w) candidates from one sort + one
+    lead window, no pairwise join anywhere."""
+    from distributed_vector_database_spark.operators.er import (
+        sorted_neighborhood_pairs,
+    )
+    from distributed_vector_database_spark.functions.text import (
+        normalize_ws,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, F.substring(normalize_ws("text"), 1, 20), window=3
+    )
+
+
+@register(
+    "fuzzy_dup_pairs",
+    f"""
+WITH nb AS (SELECT doc_id, source AS blk,
+                   substr({_NORM_SQL}, 1, 40) AS p,
+                   floor(length({_NORM_SQL}) / 8)::BIGINT AS band
+            FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.p, b.p)::BIGINT AS edit_distance
+FROM nb a JOIN nb b
+  ON a.blk = b.blk AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 10
+""",
+)
+def q_fuzzy_dup_pairs(spark, sf_dir):
+    """Blocked fuzzy duplicates: same source + same length band, then
+    Levenshtein <= 10 on the normalized 40-char prefix — the classic
+    block-then-verify record-linkage topology with the edit-distance
+    verifier confined to in-block candidates."""
+    from distributed_vector_database_spark.operators.er import (
+        fuzzy_dup_pairs,
+    )
+
+    return fuzzy_dup_pairs(
+        _read(spark, sf_dir, "documents"),
+        prefix_chars=40,
+        max_edits=10,
+        length_band=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
