@@ -7395,6 +7395,53 @@ def q_fuzzy_dup_pairs(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# LATERAL correlated subquery: per-row top-N — the remaining relational
+# surface item next to INTERSECT/EXCEPT/scalar/EXISTS subqueries. Spark
+# plans the correlated limit as a partitioned rank, so it decorrelates
+# to the same window plan `top-k per group` uses — but the USER-FACING
+# form is the SQL-standard LATERAL.
+# ===========================================================================
+
+
+@register(
+    "lateral_top_orders",
+    """
+SELECT c.c_custkey, t.o_orderkey, t.price_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS price_cents
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY round(o_totalprice * 100)::BIGINT DESC, o_orderkey ASC
+  LIMIT 2
+) t
+WHERE c.c_custkey < 50
+""",
+)
+def q_lateral_top_orders(spark, sf_dir):
+    """Each of the first 50 customers' top-2 orders by price via a
+    LATERAL correlated subquery with ORDER BY + LIMIT — identical SQL
+    text on both engines (prices ordered in exact integer cents so the
+    LIMIT boundary ties identically)."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("lat_c")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("lat_o")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        FROM lat_c c, LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM lat_o o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                   o_orderkey ASC
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey < 50
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
