@@ -92,6 +92,11 @@ from distributed_vector_database_spark.operators.text_analysis import (
     tfidf_top_terms,
     token_stats,
 )
+from distributed_vector_database_spark.operators.quality import (
+    apply_expectations,
+    expectations_report,
+    write_observed,
+)
 from distributed_vector_database_spark.operators.er import (
     fuzzy_dup_pairs,
     sorted_neighborhood_pairs,
@@ -253,6 +258,9 @@ __all__ = [
     "zscore_outliers",
     "sorted_neighborhood_pairs",
     "fuzzy_dup_pairs",
+    "apply_expectations",
+    "expectations_report",
+    "write_observed",
     "conversion_funnel",
     "retention_cohorts",
     "running_totals",

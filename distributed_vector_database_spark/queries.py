@@ -7442,6 +7442,82 @@ def q_lateral_top_orders(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Data-quality expectations (operators/quality.py): rule-based checks
+# with quarantine — the per-batch guardrail of an ingestion pipeline.
+# Rules here: value <= 100 (business range), event_type != 'error'
+# (malformed records), props present.
+# ===========================================================================
+
+
+def _dq_rules():
+    return {
+        "value_le_100": F.col("value") <= 100.0,
+        "no_error_type": F.col("event_type") != "error",
+        "props_present": F.col("props").isNotNull(),
+    }
+
+
+@register(
+    "dq_violations_report",
+    """
+SELECT rule, n_violations, n_rows,
+       ROUND(n_violations / n_rows::DOUBLE, 6) AS violation_rate
+FROM (
+  SELECT unnest([
+    struct_pack(rule := 'value_le_100',
+                n_violations := count(*) FILTER (NOT coalesce(value <= 100.0, FALSE))::BIGINT),
+    struct_pack(rule := 'no_error_type',
+                n_violations := count(*) FILTER (NOT coalesce(event_type <> 'error', FALSE))::BIGINT),
+    struct_pack(rule := 'props_present',
+                n_violations := count(*) FILTER (props IS NULL)::BIGINT)
+  ], recursive := true) , count(*)::BIGINT AS n_rows
+  FROM events)
+""",
+)
+def q_dq_violations_report(spark, sf_dir):
+    """Per-rule violation counts in ONE pass (conditional aggregates, no
+    per-rule scans): the expectations summary a pipeline logs per
+    ingested batch. NULL rule results count as violations."""
+    from distributed_vector_database_spark.operators.quality import (
+        expectations_report,
+    )
+
+    return expectations_report(_read(spark, sf_dir, "events"), _dq_rules())
+
+
+@register(
+    "dq_quarantined_events",
+    """
+SELECT event_id,
+       list_filter([
+         CASE WHEN NOT coalesce(value <= 100.0, FALSE)
+              THEN 'value_le_100' END,
+         CASE WHEN NOT coalesce(event_type <> 'error', FALSE)
+              THEN 'no_error_type' END,
+         CASE WHEN props IS NULL THEN 'props_present' END
+       ], x -> x IS NOT NULL) AS violations
+FROM events
+WHERE NOT coalesce(value <= 100.0, FALSE)
+   OR NOT coalesce(event_type <> 'error', FALSE)
+   OR props IS NULL
+""",
+)
+def q_dq_quarantined_events(spark, sf_dir):
+    """The quarantine side of the expectations split: every failing
+    event with the ordered list of rules it violated — the reviewable
+    reject stream, while the valid side flows on with its original
+    schema."""
+    from distributed_vector_database_spark.operators.quality import (
+        apply_expectations,
+    )
+
+    _valid, bad = apply_expectations(
+        _read(spark, sf_dir, "events"), _dq_rules()
+    )
+    return bad.select("event_id", "violations")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #
