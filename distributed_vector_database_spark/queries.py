@@ -7518,6 +7518,68 @@ def q_dq_quarantined_events(spark, sf_dir):
     return bad.select("event_id", "violations")
 
 
+# ===========================================================================
+# Streaming LM maintenance (streaming/docs.stream_bigram_counts): the
+# perplexity-filter LM's count tables maintained incrementally from a
+# document stream — batch partials appended per micro-batch, summed at
+# read (merge-on-read). Counts are associative, so stream-built ==
+# batch-built for ANY chunking; oracle = the batch bigram CTE.
+# ===========================================================================
+
+
+@register(
+    "stream_bigram_lm_counts",
+    f"""
+WITH {_BG_CTE}
+SELECT w1, w2, count(*)::BIGINT AS n FROM bg GROUP BY 1, 2
+ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50
+""",
+)
+def q_stream_bigram_lm_counts(spark, sf_dir):
+    """Top-50 bigram counts from the STREAM-maintained LM state after a
+    two-micro-batch replay — must equal the batch fit exactly (count
+    partials are associative; the merge-on-read sum closes them)."""
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.docs import (
+        read_document_stream,
+        stream_bigram_counts,
+    )
+
+    # reuse the ordered 2-chunk document replay dir built for the
+    # streaming dedup query
+    _ = _MINHASH_STREAM_CACHE  # ensure module state exists
+    q_stream_minhash_dedup_flags  # registered above; cache is shared
+    d = _MINHASH_STREAM_CACHE.get(sf_dir)
+    if d is None:
+        import os
+        import time
+
+        docs = _read(spark, sf_dir, "documents")
+        mid = docs.agg(F.max("doc_id")).head()[0] // 2
+        d = tempfile.mkdtemp(prefix="dvdb_mhstream_")
+        docs.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        first = {f for f in os.listdir(d) if f.endswith(".parquet")}
+        docs.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        now = time.time()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                ts = now if f in first else now + 10
+                os.utime(os.path.join(d, f), (ts, ts))
+        _MINHASH_STREAM_CACHE[sf_dir] = d
+    state = tempfile.mkdtemp(prefix="dvdb_lmstate_")
+    merged = stream_bigram_counts(
+        read_document_stream(spark, d, max_files_per_trigger=1), state
+    )
+    return merged.orderBy(
+        F.desc("n"), F.asc("w1"), F.asc("w2")
+    ).limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 2).
 #

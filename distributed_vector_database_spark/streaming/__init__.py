@@ -8,6 +8,7 @@ from distributed_vector_database_spark.streaming.docs import (
     read_document_stream,
     stream_minhash_dedup,
     read_bucket_owners,
+    stream_bigram_counts,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "read_document_stream",
     "stream_minhash_dedup",
     "read_bucket_owners",
+    "stream_bigram_counts",
 ]

@@ -42,6 +42,7 @@ __all__ = [
     "read_document_stream",
     "stream_minhash_dedup",
     "read_bucket_owners",
+    "stream_bigram_counts",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -158,3 +159,55 @@ def stream_minhash_dedup(
     finally:
         q.stop()
     return spark.read.parquet(flags_path)
+
+
+def stream_bigram_counts(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally-maintained bigram LM counts over a document stream:
+    each micro-batch appends its batch-local ``(w1, w2, n)`` partial
+    counts (one plain batch aggregation — bigrams never cross documents,
+    so batch partials sum to the corpus truth for ANY chunking), and the
+    merged view sums partials per bigram at read time.
+
+    The same append-only merge-on-read state pattern as the LSH owner
+    index above and `sources/mor.py`: crash-safe (no read-modify-write),
+    restartable, compactable. This is how a live ingest keeps the
+    perplexity-filter LM (`operators/lm.py`) fresh without corpus
+    rescans — counts only ever ADD, so maintenance is exact, unlike
+    model families that need refitting.
+
+    Returns the merged ``(w1, w2, n)`` frame after running the stream to
+    completion.
+    """
+    from distributed_vector_database_spark.operators.lm import (
+        bigram_counts,
+    )
+
+    spark = doc_stream.sparkSession
+    counts_path = os.path.join(state_dir, "bigram_counts")
+    ckpt_path = os.path.join(state_dir, "_lm_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bigram_counts(
+            batch_df, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(counts_path)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(counts_path)
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").alias("n"))
+    )

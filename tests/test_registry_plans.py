@@ -24,6 +24,7 @@ _EXECUTES_ON_BUILD = {
     "stateful_running_totals",
     "stream_minhash_dedup_flags",
     "stream_sliding_counts",
+    "stream_bigram_lm_counts",
 }
 
 _REG = registry()
