@@ -45,41 +45,67 @@ def sorted_neighborhood_pairs(
     ``window - 1`` neighbors. Returns ``(id_a, id_b, key_a, key_b)``
     with ``id_a`` the earlier record in sort order.
 
-    One global sort + one window — candidate volume is (w-1)·n rows. A
-    production run multi-passes with several sort keys (key inversions
-    defeat any single ordering); each pass is this operator.
+    Candidate volume is (w-1)·n rows. A production run multi-passes with
+    several sort keys (key inversions defeat any single ordering); each
+    pass is this operator.
+
+    Parallel plan (a bare ``Window.orderBy`` would execute as a
+    single-partition WindowExec — every row on one task): the global
+    (key, id) order is established by ``repartitionByRange``; a dense
+    global index is partition-local ``row_number`` plus the collected
+    per-partition row counts (O(#partitions) driver rows) as offsets;
+    neighbor pairing is then a hash EQUI-join on ``index + offset`` —
+    every stage range/hash-partitioned, nothing single-task.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
-    w = Window.orderBy(F.col("_k").asc(), F.col(id_col).asc())
-    base = df.select(F.col(id_col), key.alias("_k"))
-    # leads first (window stage), THEN the explode (Generate stage) —
-    # Spark rejects window functions inside a generator projection
-    lead_cols = []
-    for off in range(1, window):
-        lead_cols.append(
-            F.struct(
-                F.lead(id_col, off).over(w).alias("id_b"),
-                F.lead("_k", off).over(w).alias("key_b"),
-            ).alias(f"_nb{off}")
-        )
-    led = base.select(
-        F.col(id_col).alias("id_a"), F.col("_k").alias("key_a"), *lead_cols
+    spark = df.sparkSession
+    nparts = max(
+        1, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
-    return (
-        led.select(
-            "id_a",
-            "key_a",
-            F.explode(
-                F.array(*[F.col(f"_nb{off}") for off in range(1, window)])
-            ).alias("_nb"),
-        )
-        .filter(F.col("_nb.id_b").isNotNull())
-        .select(
-            "id_a",
-            F.col("_nb.id_b").alias("id_b"),
-            "key_a",
-            F.col("_nb.key_b").alias("key_b"),
-        )
+    ranged = (
+        df.select(F.col(id_col), key.alias("_k"))
+        .repartitionByRange(nparts, F.col("_k").asc(), F.col(id_col).asc())
+        .withColumn("_part", F.spark_partition_id())
+    )
+    # partitionBy("_part") keeps the window parallel: each range
+    # partition is one window group, re-sorted locally.
+    local = Window.partitionBy("_part").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    with_rn = ranged.withColumn(
+        "_rn", F.row_number().over(local)
+    ).localCheckpoint(eager=False)
+    sizes = {
+        r["_part"]: r["n"]
+        for r in with_rn.groupBy("_part").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sizes):
+        offsets[p] = acc
+        acc += sizes[p]
+    off_expr = F.lit(0)
+    for p, o in offsets.items():
+        off_expr = F.when(F.col("_part") == p, F.lit(o)).otherwise(off_expr)
+    indexed = with_rn.select(
+        F.col(id_col),
+        F.col("_k"),
+        (F.col("_rn") + off_expr - 1).alias("_ix"),
+    )
+    probes = indexed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.explode(
+            F.array(*[F.lit(o) for o in range(1, window)])
+        ).alias("_off"),
+        F.col("_ix").alias("_base"),
+    ).select(
+        "id_a", "key_a", (F.col("_base") + F.col("_off")).alias("_ix")
+    )
+    return probes.join(indexed, "_ix").select(
+        "id_a",
+        F.col(id_col).alias("id_b"),
+        "key_a",
+        F.col("_k").alias("key_b"),
     )
 
 

@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k", "ndcg_at_k", "ivf_recall_curve"]
+__all__ = [
+    "recall_at_k",
+    "ndcg_at_k",
+    "ivf_recall_curve",
+    "ivf_recall_curve_df",
+]
 
 
 def recall_at_k(
@@ -103,6 +108,81 @@ def ndcg_at_k(
         F.round(
             F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
         ).alias("ndcg"),
+    )
+
+
+def ivf_recall_curve_df(
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """The recall-vs-nprobe tuning curve as a DataFrame — one row per
+    nprobe: ``(nprobe, total_hits, n_queries, mean_recall)``.
+
+    The distributed form of :func:`ivf_recall_curve`: ground truth is ONE
+    batched exact search (``nprobe = num_shards``), each curve point ONE
+    batched pruned search (`IVFIndex.search_batch` — union-of-probes scan,
+    per-query masks in the Arrow kernel), and the hit count a semi-join of
+    tiny top-k frames. len(nprobes)+1 jobs total regardless of |Q|;
+    ``mean_recall = total_hits / (k * |Q|)`` is an exact integer ratio, so
+    it is bit-identical cross-engine (no float summation order).
+
+    This is the accuracy/latency trade the reference's latency-only
+    benchmarks never measure (reference: report p.2 discusses recall loss
+    at shards_to_search=1 without quantifying it).
+    """
+    from functools import reduce
+
+    id_col = index.id_col
+    exact = index.search_batch(
+        queries,
+        k,
+        nprobe=index.num_shards(),
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    n_queries = queries.count()
+    per_np = []
+    for np_ in nprobes:
+        ap = index.search_batch(
+            queries,
+            k,
+            nprobe=np_,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).select(
+            F.lit(int(np_)).cast("long").alias("nprobe"),
+            F.col(query_id_col),
+            F.col(id_col),
+        )
+        per_np.append(ap)
+    approx = reduce(DataFrame.unionByName, per_np)
+    spark = queries.sparkSession
+    np_frame = spark.createDataFrame(
+        [(int(n),) for n in nprobes], "nprobe long"
+    )
+    hits = (
+        approx.join(exact, [query_id_col, id_col], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("total_hits"))
+    )
+    return (
+        np_frame.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("total_hits"), F.lit(0)).alias("total_hits"),
+            F.lit(int(n_queries)).cast("long").alias("n_queries"),
+            F.round(
+                F.coalesce(F.col("total_hits"), F.lit(0))
+                / F.lit(float(k * n_queries)),
+                6,
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
     )
 
 

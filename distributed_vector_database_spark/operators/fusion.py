@@ -25,6 +25,7 @@ and the expensive parts (the arms) keep their own optimal plans.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 from functools import reduce
 
@@ -182,7 +183,16 @@ def mmr_rerank(
     """
     import numpy as np
 
-    rows = shortlist.select(id_col, vector_col).collect()
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_SHORTLIST", "10000"))
+    # limit(cap+1) bounds the guard's own collect
+    rows = shortlist.select(id_col, vector_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"mmr_rerank: shortlist exceeds {cap} rows. MMR is a sequential "
+            "re-rank of a small retrieval shortlist — shrink the first-stage "
+            "top-k, or raise SPARK_GRAFT_MAX_SHORTLIST deliberately (cost "
+            "is O(k*|shortlist|) driver arithmetic)."
+        )
     ids = [r[0] for r in rows]
     mat = np.asarray([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
@@ -210,10 +220,27 @@ def mmr_rerank(
         selected.append(best)
         remaining.discard(best[0])
     spark = shortlist.sparkSession
+    # Inherit the shortlist's id type — string ids (e.g. the
+    # reference-format sqlite store) must not be miscast to long.
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField(id_col, shortlist.schema[id_col].dataType),
+            StructField("relevance", DoubleType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
     return spark.createDataFrame(
         [
             (r + 1, i, rel[i], sc)
             for r, (i, sc) in enumerate(selected)
         ],
-        f"rank int, {id_col} long, relevance double, mmr_score double",
+        schema,
     )

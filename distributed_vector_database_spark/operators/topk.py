@@ -27,6 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -259,10 +260,28 @@ def _partition_topk_arrow(
     task serializer — fine for <=O(10^4) queries); each input partition emits
     at most |Q|*k candidate rows. With ``allowed_shards``, each query only
     sees rows whose shard is in its probe set (batched IVF semantics).
+
+    A query batch past ``MAX_QUERY_BATCH`` (default 100k, env
+    ``SPARK_GRAFT_MAX_QUERY_BATCH``) raises instead of silently OOMing the
+    driver: batches that large belong in chunked calls or a distributed
+    similarity join (`dedup.embedding_neardup_pairs` topology), not a
+    closure broadcast.
     """
     import numpy as np
 
-    rows = queries.select(query_id_col, query_vec_col).collect()
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_QUERY_BATCH", "100000"))
+    # limit(cap+1) bounds the collect itself — the guard costs no extra job
+    # and cannot OOM while checking.
+    rows = queries.select(query_id_col, query_vec_col).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"batch_topk: query batch exceeds the closure-broadcast cap of "
+            f"{cap}. Chunk the query frame across several calls, or use the "
+            "blocked-GEMM similarity-join topology "
+            "(operators/dedup.embedding_neardup_pairs) for query sets this "
+            "large. Raise SPARK_GRAFT_MAX_QUERY_BATCH only if the driver "
+            "has memory for |Q| x d float64 in every task."
+        )
     q_ids = np.array([r[0] for r in rows])
     q_mat = np.array([r[1] for r in rows], dtype=np.float64)  # |Q| x d
     q_allowed = None

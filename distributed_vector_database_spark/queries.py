@@ -7580,71 +7580,156 @@ def q_stream_bigram_lm_counts(spark, sf_dir):
     ).limit(50)
 
 
+# ===========================================================================
+# IVF recall-vs-nprobe tuning curve as a DRIVER-CHECKED artifact
+# (operators/eval.ivf_recall_curve_df): the accuracy/latency trade the
+# reference's latency-only benchmarks never quantify (reference: report
+# p.2 discusses recall loss at shards_to_search=1 without measuring it).
+# mean_recall = total_hits / (k * |Q|) — an exact integer ratio, so the
+# row is bit-identical cross-engine.
+# ===========================================================================
+
+
+@register(
+    "ivf_recall_curve",
+    f"""
+WITH {_ASSIGN_CTE},
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (0, 25, 50, 75, 100)),
+probe AS (
+  SELECT qs.query_id, c.shard_id,
+         ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                            ORDER BY list_distance(c.cv, qs.qv) ASC,
+                                     c.shard_id ASC) AS pr
+  FROM qs, c),
+scored AS (
+  SELECT qs.query_id, e.vec_id, a.shard_id,
+         ROUND({_cos(E, 'qs.qv')}, 6) AS score
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, qs),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rk
+    FROM scored) t
+  WHERE rk <= 10),
+np AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+approx AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT np.nprobe, s.query_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY np.nprobe, s.query_id
+                              ORDER BY s.score DESC, s.vec_id ASC) AS rk
+    FROM np, scored s
+    JOIN probe p ON p.query_id = s.query_id AND p.shard_id = s.shard_id
+    WHERE p.pr <= np.nprobe) t
+  WHERE rk <= 10),
+hits AS (
+  SELECT nprobe, count(*) AS total_hits
+  FROM approx JOIN exact USING (query_id, vec_id)
+  GROUP BY nprobe)
+SELECT np.nprobe::BIGINT AS nprobe,
+       COALESCE(h.total_hits, 0)::BIGINT AS total_hits,
+       5::BIGINT AS n_queries,
+       ROUND(COALESCE(h.total_hits, 0) / 50.0, 6) AS mean_recall
+FROM np LEFT JOIN hits h ON np.nprobe = h.nprobe
+ORDER BY nprobe
+""",
+)
+def q_ivf_recall_curve(spark, sf_dir):
+    """(nprobe, recall@10) curve over 5 fixed corpus queries on the
+    8-centroid layout — ground truth is the nprobe=num_shards batched
+    search, each curve point one union-of-probes batched search
+    (reference: POST /search with shards_to_search, src/compute_server.py:
+    107-138; the recall side is this engine's addition)."""
+    from distributed_vector_database_spark.operators.eval import (
+        ivf_recall_curve_df,
+    )
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    idx = IVFIndex(spark, cents).attach(emb)
+    queries = emb.filter(F.col("vec_id").isin(0, 25, 50, 75, 100)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    return ivf_recall_curve_df(idx, queries, k=10, nprobes=(1, 2, 4, 8))
+
+
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 2).
+# Registration-order rotation (round 3).
 #
-# The round driver oracle-checks only the FIRST 50 registered queries
-# (CORRECTNESS_r01.json covers registrations 1-50; VERDICT r1 item 2), so
-# round 1 left 48 later registrations with zero driver verification. Rotate
-# those to the front — plus `sessionization` (oracle retyped this round:
-# HUGEINT-sum cast, VERDICT r1 item 1) and the new `ivf_exact_equiv` — so
-# every registered query earns a green CORRECTNESS row across rounds. Keep
-# rotating in later rounds as new queries overflow the window.
+# The round driver oracle-checks only the FIRST 50 registered queries, so
+# each round rotates a new window of never-driver-verified registrations to
+# the front (round 1 verified positions 1-50; round 2 the next 50). After
+# round 2, 88 registered queries had never been in a driver window
+# (ROADMAP.md lists them); this window takes 49 of them — prioritizing the
+# ones guarding whole subsystems (residual IVF-PQ / OPQ / binary /
+# matryoshka / BM25 / ColBERT / RRF / LM / BPE / MoR / MERGE / TPC-H sweep /
+# DQ / sqlite-store / streaming dedup+LM) — plus the new
+# `ivf_recall_curve`. The remaining 39 (listed in ROADMAP.md) are round 4's
+# window.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # never driver-verified in round 1 (registration positions 51-98)
-    "kmv_distinct_users_by_type",
-    "hash_sample_docs",
-    "brand_revenue",
-    "vector_json_roundtrip",
-    "event_value_pivot",
-    "moving_avg_value",
-    "curation_funnel",
-    "lang_confusion",
-    "pq_encode_recon",
-    "pq_adc_topk",
-    "csv_roundtrip_orders",
-    "json_roundtrip_events",
-    "event_gaps",
-    "salted_event_enrichment",
-    "ivfpq_search",
-    "term_frequencies",
-    "doc_tfidf_top_terms",
-    "stream_dedup_counts",
-    "zorder_curve_stats",
-    "stream_tumbling_counts",
-    "udaf_mean_cents_by_type",
-    "orders_above_global_avg",
-    "customer_max_order",
-    "pq_adc_batch_topk",
-    "dedup_clusters",
-    "pq_rerank_topk",
-    "user_spend_quartiles",
-    "forecast_revenue_change",
-    "train_val_test_split",
-    "late_orders_by_priority",
-    "large_volume_customers",
-    "ivf_centroid_update",
-    "orc_roundtrip_lineitem",
-    "stream_click_purchase_join",
-    "stratified_lang_sample",
-    "event_value_unpivot",
-    "event_value_histogram",
-    "radius_search_cosine",
-    "topk_dot_prenormalized",
-    "kfold_assignment",
-    "decontaminate_report",
-    "decontaminate_clean_count",
-    "doc_repetition",
-    "sequence_packing",
-    "quality_weighted_sample",
-    "source_budget_mix",
-    "filtered_topk_cosine",
-    "grouped_topk_by_label",
-    # red row fixed this round + the new §5.3 invariant query
-    "sessionization",
-    "ivf_exact_equiv",
+    # ANN / compression subsystem guards
+    "ivfpq_residual_search",
+    "opq_rotated_adc_topk",
+    "binary_rerank_search",
+    "matryoshka_rerank_search",
+    "knn_graph_exact",
+    "ivf_shard_rebalance",
+    # retrieval stack
+    "bm25_topk",
+    "late_interaction_search",
+    "hybrid_search_rrf",
+    "doc_chunks",
+    "chunk_search_hashed",
+    # dedup family
+    "semantic_dedup",
+    "minhash_dedup_flags",
+    "stream_minhash_dedup_flags",
+    "dedup_simhash_pairs",
+    "dedup_keep_best",
+    "paragraph_dedup_stats",
+    "snm_candidate_pairs",
+    "fuzzy_dup_pairs",
+    # LM / tokenizer / curation
+    "bigram_lm_ppl",
+    "bpe_pair_counts",
+    "doc_perplexity_filter",
+    "stream_bigram_lm_counts",
+    # storage: merge-on-read, MERGE INTO, sqlite shard store, footers
+    "merge_into_orders",
+    "mor_upsert_read",
+    "mor_delete_read",
+    "mor_changes_feed",
+    "mor_time_travel",
+    "sqlite_store_scan",
+    "sqlite_store_point_lookup",
+    "footer_minmax_stats",
+    # data-quality expectations
+    "dq_violations_report",
+    "dq_quarantined_events",
+    # TPC-H sweep completion
+    "sole_failing_suppliers",
+    "supplier_diversity_by_part",
+    "priority_shipping_split",
+    "disjunctive_brand_revenue",
+    "idle_rich_customers",
+    "customer_order_distribution",
+    "small_quantity_part_revenue",
+    "nation_market_share",
+    "volume_shipping",
+    "promo_revenue_monthly",
+    "min_cost_supplier",
+    "nation_profit_by_year",
+    "returned_item_customers",
+    "important_part_values",
+    "top_supplier_revenue",
+    "promotion_part_suppliers",
+    # new this round: the recall-vs-nprobe tuning artifact
+    "ivf_recall_curve",
 ]
 
 

@@ -71,11 +71,19 @@ class _ShardReader(DataSourceReader):
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("id",):
-                self.id_values = [f.value]
+                values = [f.value]
             elif isinstance(f, In) and f.attribute == ("id",):
-                self.id_values = list(f.value)
+                values = list(f.value)
             else:
                 yield f  # unsupported -> Spark evaluates it post-scan
+                continue
+            # A conjunction of consumed id predicates must INTERSECT, not
+            # overwrite: id IN ('1','2') AND id IN ('2','3') selects {'2'}.
+            if self.id_values is None:
+                self.id_values = values
+            else:
+                keep = set(values)
+                self.id_values = [v for v in self.id_values if v in keep]
 
     def partitions(self):
         return [InputPartition(sf) for sf in _shard_files(self.path)]
@@ -85,6 +93,8 @@ class _ShardReader(DataSourceReader):
         import sqlite3
 
         sid, file = partition.value
+        if self.id_values is not None and not self.id_values:
+            return  # contradictory id predicates -> empty scan
         con = sqlite3.connect(file)
         try:
             if self.id_values is not None:

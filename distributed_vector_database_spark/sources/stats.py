@@ -223,9 +223,11 @@ def footer_stats(spark, path: str, minmax_cols, *, count: bool = True):
     The V2-source and pushdown confs are flipped only around this call
     (execution is forced inside the scope — laziness would otherwise
     plan the scan AFTER the confs are restored) and restored afterwards,
-    so surrounding queries keep their V1 plans. Returns the one-row
-    aggregate as a list of (column, value) with names
-    ``min_<c>/max_<c>/cnt``.
+    so surrounding queries keep their V1 plans. Returns a
+    ``(row, plan)`` tuple: the one-row aggregate Row (fields
+    ``min_<c>/max_<c>/cnt``) and the formatted physical plan string the
+    scan executed under (so callers can assert ``PushedAggregation`` —
+    see ``queries.q_footer_minmax_stats``).
 
     At 100 TB this is the difference between a metadata-only job (one
     footer read per file) and a full-column scan for audit queries like

@@ -42,7 +42,9 @@ __all__ = [
     "read_document_stream",
     "stream_minhash_dedup",
     "read_bucket_owners",
+    "read_dedup_flags",
     "stream_bigram_counts",
+    "read_bigram_counts",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -94,8 +96,15 @@ def stream_minhash_dedup(
       1. band the batch's docs (`dedup.minhash_band_buckets`);
       2. owner per bucket = min(persisted owner, this batch's min id);
       3. flag each batch doc whose bucket owner is a smaller id;
-      4. append the decisions to ``<state_dir>/flags`` and the batch
-         minima to the append-only ``<state_dir>/owners`` index.
+      4. overwrite the decisions into ``<state_dir>/flags/batch=<id>``
+         and append the batch minima to the append-only
+         ``<state_dir>/owners`` index.
+
+    foreachBatch is at-least-once, so every state write must tolerate a
+    batch replay: the flags write is keyed by ``batch_id`` and
+    overwrites its own directory (a retry replaces, never duplicates,
+    its rows), and duplicate owner appends are absorbed by the
+    ``min()`` merge-on-read view.
 
     For doc-id-ordered arrival the result equals
     `dedup.minhash_bucket_dup_flags` on the full corpus regardless of
@@ -145,7 +154,9 @@ def stream_minhash_dedup(
                 (lost > 0).alias("is_dup"),
             )
         )
-        flags.write.mode("append").parquet(flags_path)
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_path, f"batch={batch_id}")
+        )
         batch_min.write.mode("append").parquet(owners_path)
         st.unpersist()
 
@@ -158,7 +169,15 @@ def stream_minhash_dedup(
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(flags_path)
+    return read_dedup_flags(spark, state_dir)
+
+
+def read_dedup_flags(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated per-doc dedup decisions from the stream state —
+    querying is independent of the ingest. ``batch=<id>`` subdirs surface
+    as a discovered partition column; the decision frame drops it."""
+    flags_path = os.path.join(state_dir, "flags")
+    return spark.read.parquet(flags_path).drop("batch")
 
 
 def stream_bigram_counts(
@@ -181,8 +200,13 @@ def stream_bigram_counts(
     rescans — counts only ever ADD, so maintenance is exact, unlike
     model families that need refitting.
 
+    foreachBatch is at-least-once, so each batch's partials land in
+    their own ``batch=<id>`` directory with overwrite — a retried batch
+    replaces, never duplicates, its counts.
+
     Returns the merged ``(w1, w2, n)`` frame after running the stream to
-    completion.
+    completion (see :func:`read_bigram_counts` for querying the live
+    state without re-ingesting).
     """
     from distributed_vector_database_spark.operators.lm import (
         bigram_counts,
@@ -195,7 +219,9 @@ def stream_bigram_counts(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bigram_counts(
             batch_df, text_col=text_col, id_col=id_col
-        ).write.mode("append").parquet(counts_path)
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"batch={batch_id}")
+        )
 
     q = (
         doc_stream.writeStream.foreachBatch(process)
@@ -206,8 +232,17 @@ def stream_bigram_counts(
         q.processAllAvailable()
     finally:
         q.stop()
+    return read_bigram_counts(spark, state_dir)
+
+
+def read_bigram_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge-on-read view of the stream-maintained LM counts: sum the
+    per-batch partials per bigram. Querying the state is independent of
+    the ingest — a live pipeline calls this without replaying anything."""
+    counts_path = os.path.join(state_dir, "bigram_counts")
     return (
         spark.read.parquet(counts_path)
+        .drop("batch")
         .groupBy("w1", "w2")
         .agg(F.sum("n").alias("n"))
     )

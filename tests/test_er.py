@@ -67,3 +67,32 @@ def test_fuzzy_pairs_length_band_blocks_far_lengths(spark):
     df = _docs(spark, rows)
     out = fuzzy_dup_pairs(df, prefix_chars=5, max_edits=5, length_band=8)
     assert out.count() == 0
+
+
+def test_snm_plan_has_no_single_partition_exchange(spark):
+    """Regression (round-3 advice): the neighbor window must not run as a
+    single-partition WindowExec — no Exchange SinglePartition anywhere."""
+    rows = [(i, f"k{i:02d}", "s") for i in range(20)]
+    df = _docs(spark, rows)
+    out = sorted_neighborhood_pairs(df, F.col("text"), window=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_snm_matches_serial_reference(spark):
+    """Pairs equal the definitional serial computation on a shuffled key
+    set (incl. duplicate keys, id tie-break)."""
+    rows = [(i, f"k{i % 7:02d}", "s") for i in range(30)]
+    df = _docs(spark, rows).repartition(8)
+    out = sorted_neighborhood_pairs(df, F.col("text"), window=4)
+    got = sorted((r["id_a"], r["id_b"]) for r in out.collect())
+    order = [i for _, i in sorted((f"k{i % 7:02d}", i) for i in range(30))]
+    exp = sorted(
+        (order[j], order[j + off])
+        for j in range(30)
+        for off in (1, 2, 3)
+        if j + off < 30
+    )
+    assert got == exp

@@ -146,3 +146,46 @@ def test_ndcg_at_k_rank_awareness(spark):
         ).collect()
     }
     assert got[0] == 1.0 and got[7] == 0.0
+
+
+def test_ivf_recall_curve_df_matches_list_variant(spark):
+    """The distributed curve (one batched search per nprobe) equals the
+    per-query list variant, and its mean_recall is the exact integer
+    ratio total_hits / (k * n_queries)."""
+    from distributed_vector_database_spark.operators.eval import (
+        ivf_recall_curve,
+        ivf_recall_curve_df,
+    )
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    idx = IVFIndex(spark, cents).attach(emb)
+    q_ids = [11, 23, 40]
+    qdf = emb.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    got = {
+        r["nprobe"]: r
+        for r in ivf_recall_curve_df(
+            idx, qdf, k=5, nprobes=(1, 2, 4)
+        ).collect()
+    }
+    qs = [
+        [float(x) for x in r["query_vector"]]
+        for r in qdf.orderBy("query_id").collect()
+    ]
+    ref = {p["nprobe"]: p for p in ivf_recall_curve(idx, qs, k=5, nprobes=(1, 2, 4))}
+    for np_ in (1, 2, 4):
+        assert got[np_]["n_queries"] == 3
+        assert got[np_]["mean_recall"] == pytest.approx(
+            ref[np_]["mean_recall"], abs=1e-4
+        )
+        assert got[np_]["mean_recall"] == pytest.approx(
+            got[np_]["total_hits"] / 15.0, abs=5e-7
+        )
+    assert got[4]["mean_recall"] == 1.0

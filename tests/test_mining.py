@@ -158,3 +158,55 @@ def test_semantic_dedup_invariants(spark, embeddings):
                 for m in members[:i]
             )
             assert r["kept"] == (not has_lower), (cid, r["vec_id"])
+
+
+def test_hard_negatives_join_equals_broadcast(spark, embeddings):
+    """The distributed blocked-GEMM strategy returns EXACTLY the
+    broadcast-kernel rows (same (rounded score DESC, id ASC) contract)."""
+    from distributed_vector_database_spark.operators.mining import (
+        hard_negatives_join,
+    )
+
+    ids = [0, 1, 5, 9, 17]
+    anchors = _anchors(embeddings, ids)
+    bc = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in hard_negatives(
+            embeddings, anchors, k=6, method="broadcast"
+        ).collect()
+    }
+    jn = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+        for r in hard_negatives_join(embeddings, anchors, k=6).collect()
+    }
+    assert bc == jn and len(bc) == 5 * 6
+
+
+def test_hard_negatives_anchor_cap_raises(spark, embeddings, monkeypatch):
+    """Regression (VERDICT r2 item 5): an oversized anchor batch raises a
+    clear error under method='broadcast' (and auto-falls back to the join
+    strategy under method='auto')."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_ANCHOR_BATCH", "3")
+    anchors = _anchors(embeddings, [0, 1, 2, 5, 9])
+    with pytest.raises(ValueError, match="closure-broadcast cap"):
+        hard_negatives(embeddings, anchors, k=2, method="broadcast")
+    # auto: silently takes the distributed path instead
+    out = hard_negatives(embeddings, anchors, k=2, method="auto").collect()
+    assert len(out) == 10
+
+
+def test_batch_topk_query_cap_raises(spark, embeddings, monkeypatch):
+    """Oversized query batches fail fast instead of OOMing the driver."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.topk import batch_topk
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_QUERY_BATCH", "2")
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    with pytest.raises(ValueError, match="closure-broadcast cap"):
+        batch_topk(embeddings, queries, 3).collect()

@@ -63,3 +63,30 @@ def test_mmr_over_real_shortlist_is_subset_and_sized(embeddings):
     # (classic MMR), but relevance of rank 1 is the max relevance
     rel1 = [r for r in rows if r["rank"] == 1][0]["relevance"]
     assert rel1 == max(r["relevance"] for r in rows)
+
+
+def test_mmr_inherits_string_id_type(spark):
+    """Regression (round-3 advice): the result schema derives the id type
+    from the shortlist — string ids (sqlite-store shape) round-trip."""
+    short = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.9, 0.1])],
+        "vec_id string, embedding array<double>",
+    )
+    out = mmr_rerank(short, [1.0, 0.0], k=2, lambda_=0.5)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert got[0] == "a" and len(got) == 2
+
+
+def test_mmr_shortlist_cap_raises(spark, monkeypatch):
+    """Regression (VERDICT r2 item 5): an oversized shortlist fails fast
+    with a clear message instead of OOMing the driver."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_SHORTLIST", "3")
+    short = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="shortlist exceeds"):
+        mmr_rerank(short, [1.0, 0.0], k=2)

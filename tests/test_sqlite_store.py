@@ -134,3 +134,23 @@ def test_append_mode_rejected(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_conjunctive_id_filters_intersect(spark, tmp_path):
+    """Regression (round-3 advice): two consumed id predicates must
+    INTERSECT — isin('1','2') AND isin('2','3') selects only '2'."""
+    d = str(tmp_path / "conj")
+    _mk_reference_store(
+        d, {0: [("1", [1.0]), ("2", [2.0])], 1: [("3", [3.0])]}
+    )
+    df = read_shards(spark, d)
+    got = (
+        df.filter(F.col("id").isin("1", "2") & F.col("id").isin("2", "3"))
+        .select("id")
+        .collect()
+    )
+    assert [r["id"] for r in got] == ["2"]
+    empty = df.filter(
+        F.col("id").isin("1") & F.col("id").isin("3")
+    ).collect()
+    assert empty == []
