@@ -138,13 +138,20 @@ def ivf_recall_curve_df(
     from functools import reduce
 
     id_col = index.id_col
-    exact = index.search_batch(
-        queries,
-        k,
-        nprobe=index.num_shards(),
-        query_id_col=query_id_col,
-        query_vec_col=query_vec_col,
-    ).select(query_id_col, id_col)
+    # |Q|*k rows; localCheckpoint so the ground-truth search isn't
+    # re-evaluated once per curve point (it appears under every union
+    # branch's semi-join otherwise — measured 4x evaluation)
+    exact = (
+        index.search_batch(
+            queries,
+            k,
+            nprobe=index.num_shards(),
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        .select(query_id_col, id_col)
+        .localCheckpoint()
+    )
     n_queries = queries.count()
     per_np = []
     for np_ in nprobes:
