@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_star", "pagerank_micro"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "pagerank_micro",
+    "triangle_stats",
+]
 
 
 def connected_components(
@@ -249,3 +254,108 @@ def pagerank_micro(
             .alias("mass"),
         )
     return pr
+
+
+def triangle_stats(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)`` where
+    ``global_clustering = 3·triangles / wedges`` (the transitivity ratio).
+
+    On the kNN graph this measures how "clumpy" the embedding space is —
+    high transitivity means near-duplicate clusters and topic clumps; it is
+    also the standard sanity metric for ANN graph indexes (a healthy
+    small-world graph has high clustering).
+
+    Plan (node-iterator with DEGREE ORIENTATION — Schank & Wagner 2005,
+    the standard distributed form): canonicalize to distinct a<b edges,
+    orient every edge from its lower-(degree, id) endpoint to the higher
+    one, build wedges by self-joining oriented edges on the source, and
+    verify the closing edge with one more equi-join. Orientation bounds
+    every out-degree by O(sqrt(|E|)), so the wedge fan-out is
+    O(|E|^{3/2}) worst-case instead of sum(deg²) — the difference between
+    a feasible and an exploding join on power-law graphs at 100 TB. All
+    three joins are equi-joins on uniform keys; counts are exact
+    integers.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge toward the higher-(degree, id) endpoint; carry the
+    # destination's (degree, id) key for the wedge-order comparison
+    e = (
+        und.join(deg.withColumnsRenamed({"n": "a", "d": "da"}), "a")
+        .join(deg.withColumnsRenamed({"n": "b", "d": "db"}), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("db").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("da").alias("dv"),
+                )
+            )
+            .alias("_e")
+        )
+        .select("_e.u", "_e.v", "_e.dv")
+        .localCheckpoint(eager=False)
+    )
+    w1 = e.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    w2 = e.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum((F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -28,6 +28,7 @@ from distributed_vector_database_spark.operators.topk import batch_topk
 __all__ = [
     "hard_negatives",
     "hard_negatives_join",
+    "negative_samples",
     "label_prototypes",
     "prototype_scores",
 ]
@@ -354,4 +355,92 @@ def prototype_scores(
                 6,
             ).alias("proto_cos"),
         )
+    )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    items: DataFrame,
+    n_neg: int = 3,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    seed: str = "ns",
+    oversample: int = 3,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for implicit-feedback
+    training pairs: for each user, ``n_neg`` items they never interacted
+    with, chosen by a seeded hash (md5 -> 60-bit int -> mod |items|) so
+    the sample is reproducible across engines, runs, and cluster layouts
+    — no RNG state, no collect.
+
+    Plan shape (the rejection-sampling form that scales): |users| x
+    (n_neg * oversample) candidate DRAWS (never |users| x |items|), an
+    equi-join to resolve draw -> item, an anti-join to reject true
+    interactions, a dedup, and a per-user rank to keep the first n_neg
+    surviving draws. ``items`` is assumed dimension-sized (its index is
+    one row_number over the dim — same bounded-state budget as a
+    broadcast dim); interactions can be arbitrarily large (they only
+    feed the anti-join, hash-partitioned on (user, item)).
+
+    A user with nearly-complete interaction coverage can yield fewer
+    than n_neg rows (raise ``oversample``); returns
+    ``(user, item, neg_rank)`` with neg_rank 1..n_neg.
+    """
+    idx = items.select(
+        F.col(item_col),
+        (
+            F.row_number().over(Window.orderBy(F.col(item_col))) - 1
+        ).alias("_ix"),
+    )
+    n_items = items.count()
+    draws = (
+        interactions.select(user_col)
+        .distinct()
+        .select(
+            F.col(user_col),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_neg * oversample) - 1))
+            ).alias("_j"),
+        )
+        .select(
+            user_col,
+            "_j",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(seed),
+                                F.lit(":"),
+                                F.col(user_col).cast("string"),
+                                F.lit(":"),
+                                F.col("_j").cast("string"),
+                            ).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(n_items)),
+            ).alias("_ix"),
+        )
+    )
+    cand = draws.join(idx, "_ix").select(user_col, item_col, "_j")
+    survived = cand.join(
+        interactions.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    )
+    # same item drawn twice for a user -> keep the earliest draw
+    first_draw = survived.groupBy(user_col, item_col).agg(
+        F.min("_j").alias("_j")
+    )
+    w = Window.partitionBy(user_col).orderBy(F.asc("_j"), F.asc(item_col))
+    return (
+        first_draw.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= n_neg)
+        .select(user_col, item_col, "neg_rank")
     )

@@ -26,6 +26,7 @@ __all__ = [
     "term_frequencies",
     "tfidf_top_terms",
     "oov_rates",
+    "pmi_pairs",
     "bm25_search",
     "LANG_MARKERS",
 ]
@@ -407,3 +408,64 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    *,
+    min_pair_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information of within-document token
+    co-occurrence: ``pmi(a,b) = ln( c_ab * N / (c_a * c_b) )`` over
+    document-level presence counts — the classic collocation / topic-pair
+    signal (Church & Hanks 1990), and a cheap corpus-drift monitor (PMI
+    of a pair shifting across snapshots means the sources changed).
+
+    Plan: one distinct (doc, token) projection; unary counts are a
+    token-group aggregate; pair counts come from the per-document
+    self-equi-join on ``doc_id`` (fan-out is O(u²) per doc with u =
+    DISTINCT tokens in the doc — bounded by document length, and in a
+    curated corpus documents are length-capped upstream; this never
+    joins across documents). N rides in as a broadcast one-row frame.
+    Integer count products stay exact in float64 (≤ 2⁵³), so the ln and
+    its 6dp rounding are bit-identical cross-engine.
+
+    Returns ``(t1, t2, pair_count, pmi)``, ``t1 < t2``, pairs with
+    ``pair_count >= min_pair_count``.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("t")
+    )
+    n_docs = docs.select(F.count("*").alias("_nd"))
+    ca = toks.groupBy(F.col("t")).agg(F.count("*").alias("_c"))
+    a = toks.select(F.col(id_col), F.col("t").alias("t1"))
+    b = toks.select(F.col(id_col), F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    # unary-count joins are left to AQE: the vocab frame is usually
+    # broadcastable, but at web-corpus vocab sizes (1e8+) it must take
+    # the shuffle path — don't force the hint either way
+    return (
+        pairs.join(ca.withColumnsRenamed({"t": "t1", "_c": "_c1"}), "t1")
+        .join(ca.withColumnsRenamed({"t": "t2", "_c": "_c2"}), "t2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1",
+            "t2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pair_count") * F.col("_nd")).cast("double")
+                    / (F.col("_c1") * F.col("_c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

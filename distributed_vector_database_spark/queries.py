@@ -7803,6 +7803,223 @@ def q_sq8_rerank_topk(spark, sf_dir):
     return sq_rerank_topk(emb, qv, bounds, k=10, shortlist=50)
 
 
+# ===========================================================================
+# Triangle census of the kNN graph (operators/graph.triangle_stats):
+# degree-oriented node-iterator — the transitivity of the embedding
+# space, and the standard structural sanity metric for ANN graph indexes.
+# ===========================================================================
+
+
+@register(
+    "knn_triangle_stats",
+    f"""
+WITH s AS (SELECT a.vec_id AS query_id, e.vec_id AS vec_id,
+                  ROUND({_cos(_A, E)}, 6) AS score
+           FROM embeddings a JOIN embeddings e ON a.vec_id <> e.vec_id),
+r AS (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rk
+      FROM s),
+und AS (SELECT DISTINCT least(query_id, vec_id) AS a,
+                        greatest(query_id, vec_id) AS b
+        FROM r WHERE rk <= 3),
+deg AS (SELECT n, count(*)::BIGINT AS d FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) t
+        GROUP BY n),
+tri AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+agg AS (SELECT count(*)::BIGINT AS n_nodes,
+               sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+        FROM deg)
+SELECT agg.n_nodes,
+       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+       agg.n_wedges,
+       tri.n_triangles,
+       ROUND(CASE WHEN agg.n_wedges = 0 THEN 0.0
+             ELSE 3.0 * tri.n_triangles / agg.n_wedges END, 6)
+         AS global_clustering
+FROM agg, tri
+""",
+)
+def q_knn_triangle_stats(spark, sf_dir):
+    """Transitivity of the exact 3-NN graph: triangles counted once via
+    degree orientation (out-degree bounded O(sqrt|E|), so the wedge join
+    cannot explode on hub nodes — the property that keeps this feasible
+    on power-law graphs at 100 TB). The a<b<c three-way self-join is the
+    oracle's independent formulation."""
+    from distributed_vector_database_spark.operators.ann import knn_graph
+    from distributed_vector_database_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=3).select(
+        F.col("query_id").alias("src"), F.col("vec_id").alias("dst")
+    )
+    return triangle_stats(edges)
+
+
+# ===========================================================================
+# PMI collocations (text_analysis.pmi_pairs): document-level token
+# co-occurrence — the classic collocation signal and a corpus-drift
+# monitor. Counts are integers, so the ln is bit-identical cross-engine.
+# ===========================================================================
+
+
+@register(
+    "pmi_top_pairs",
+    """
+WITH tk AS (SELECT DISTINCT doc_id, t FROM (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents) u),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+ca AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
+pc AS (SELECT a.t AS t1, b.t AS t2, count(*)::BIGINT AS pair_count
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.t < b.t
+       GROUP BY 1, 2
+       HAVING count(*) >= 50)
+SELECT pc.t1, pc.t2, pc.pair_count,
+       ROUND(ln((pc.pair_count * nd.n)::DOUBLE / (c1.c * c2.c)::DOUBLE), 6)
+         AS pmi
+FROM pc
+JOIN ca c1 ON c1.t = pc.t1
+JOIN ca c2 ON c2.t = pc.t2
+CROSS JOIN nd
+ORDER BY pmi DESC, t1 ASC, t2 ASC
+LIMIT 20
+""",
+)
+def q_pmi_top_pairs(spark, sf_dir):
+    """Top-20 token pairs by within-document PMI (pair support >= 50):
+    which words travel together beyond what their frequencies predict."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        pmi_pairs,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    out = pmi_pairs(docs, min_pair_count=50)
+    return out.orderBy(
+        F.desc("pmi"), F.asc("t1"), F.asc("t2")
+    ).limit(20)
+
+
+# ===========================================================================
+# Multimodal frame sampling (sources/multimodal.frame_sample): the 1-to-N
+# mapInPandas expansion every video pipeline needs (one row per sampled
+# frame), oracle-checked end-to-end over ASCII payloads — the codec is the
+# documented deterministic fake, the Spark plumbing (binary column, Arrow
+# batches, generator expansion) is real.
+# ===========================================================================
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH f AS (SELECT doc_id, text, strlen(text) AS n
+           FROM documents WHERE doc_id < 50),
+ix AS (SELECT doc_id, text,
+              unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS frame_ix
+       FROM f WHERE n > 0)
+SELECT doc_id, frame_ix::BIGINT AS frame_ix,
+       (frame_ix * 64)::BIGINT AS "offset",
+       ascii(substr(text, CAST(frame_ix * 64 + 1 AS BIGINT), 1))::BIGINT
+         AS byte
+FROM ix
+""",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """One row per sampled 64-byte 'frame' of each payload: document text
+    encoded to the binary content column behind an 8-byte fake header
+    (the ASCII corpus makes the sampled byte SQL-expressible as an ascii
+    code, so the expansion shape is driver-verified)."""
+    from distributed_vector_database_spark.sources.multimodal import (
+        frame_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.concat(
+            F.lit(bytearray(b"DVDB\x00\x00\x00\x00")),
+            F.encode("text", "UTF-8"),
+        ).alias("content"),
+    )
+    return frame_sample(assets, every_n_bytes=64).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("frame_ix").cast("long").alias("frame_ix"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("byte").cast("long").alias("byte"),
+    )
+
+
+# ===========================================================================
+# Deterministic negative sampling (mining.negative_samples): seeded-hash
+# rejection sampling — |users| x draws candidates, never |users| x |items|;
+# the reproducible implicit-feedback training-pair generator.
+# ===========================================================================
+
+
+@register(
+    "purchase_negative_samples",
+    """
+WITH inter AS (SELECT DISTINCT o.o_custkey AS user_id,
+                               l.l_partkey AS item_id
+               FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+               WHERE o.o_custkey < 200),
+idx AS (SELECT p_partkey AS item_id,
+               ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS ix
+        FROM part),
+n AS (SELECT count(*)::BIGINT AS n_items FROM part),
+draws AS (SELECT u.user_id, j.j,
+                 CAST(('0x' || substr(
+                        md5('ns:' || u.user_id::VARCHAR || ':' || j.j::VARCHAR),
+                        1, 15)) AS BIGINT) % n.n_items AS ix
+          FROM (SELECT DISTINCT user_id FROM inter) u
+          CROSS JOIN (SELECT unnest(range(0, 9)) AS j) j
+          CROSS JOIN n),
+cand AS (SELECT d.user_id, i.item_id, d.j
+         FROM draws d JOIN idx i ON i.ix = d.ix),
+surv AS (SELECT c.user_id, c.item_id, min(c.j) AS j
+         FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM inter t
+                           WHERE t.user_id = c.user_id
+                             AND t.item_id = c.item_id)
+         GROUP BY c.user_id, c.item_id),
+rk AS (SELECT user_id, item_id,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY j ASC, item_id ASC) AS neg_rank
+       FROM surv)
+SELECT user_id, item_id, neg_rank::BIGINT AS neg_rank
+FROM rk WHERE neg_rank <= 3
+""",
+)
+def q_purchase_negative_samples(spark, sf_dir):
+    """3 reproducible negative parts per customer (customers < 200):
+    parts the customer never ordered, drawn by seeded md5 hash — the
+    engines agree row-for-row because the 'randomness' is a shared hash,
+    not an RNG."""
+    from distributed_vector_database_spark.operators.mining import (
+        negative_samples,
+    )
+
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    l = _read(spark, sf_dir, "lineitem")
+    inter = o.join(
+        l, l.l_orderkey == o.o_orderkey
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    items = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("item_id")
+    )
+    return negative_samples(inter, items, n_neg=3, oversample=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 3).
 #

@@ -374,3 +374,36 @@ def test_bm25_ranking_properties(spark):
             mics += round(s * 1e6)
         if mics:
             assert scores[i] == round(mics / 1e6, 6)
+
+
+def test_pmi_pairs_hand_computed(spark):
+    """4 docs: (a,b) co-occur in 2, a in 3, b in 2 -> pmi = ln(2*4/(3*2))."""
+    import math
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        pmi_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x"),
+            (2, "a b y"),
+            (3, "a z"),
+            (4, "q r"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["t1"], r["t2"]): (r["pair_count"], r["pmi"])
+        for r in pmi_pairs(docs, min_pair_count=2).collect()
+    }
+    assert got[("a", "b")] == (2, round(math.log(2 * 4 / (3 * 2)), 6))
+    # duplicate tokens inside one doc count once (document-level presence)
+    docs2 = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a b")], "doc_id long, text string"
+    )
+    got2 = {
+        (r["t1"], r["t2"]): r["pair_count"]
+        for r in pmi_pairs(docs2, min_pair_count=1).collect()
+    }
+    assert got2[("a", "b")] == 2

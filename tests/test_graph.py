@@ -107,3 +107,39 @@ def test_pagerank_micro_matches_python_reference(spark):
     assert got == pr
     # d has no in-edges: exactly the teleport base every round
     assert min(got, key=got.get) == "d" and got["d"] == base
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 plus a pendant edge: C(4,3)=4 triangles, 13 wedges."""
+    from distributed_vector_database_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(3, 4)], "src long, dst long"
+    )
+    r = triangle_stats(edges).head()
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    # degrees: 3,3,3,4,1 -> wedges = 3+3+3+6+0 = 15
+    assert r["n_wedges"] == 15
+    assert r["global_clustering"] == round(12 / 15, 6)
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    """Duplicate/reversed input edges and a triangle-free star both
+    resolve correctly."""
+    from distributed_vector_database_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    assert triangle_stats(tri).head()["n_triangles"] == 1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = triangle_stats(star).head()
+    assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0

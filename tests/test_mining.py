@@ -210,3 +210,47 @@ def test_batch_topk_query_cap_raises(spark, embeddings, monkeypatch):
     )
     with pytest.raises(ValueError, match="closure-broadcast cap"):
         batch_topk(embeddings, queries, 3).collect()
+
+
+def test_negative_samples_contract(spark):
+    """Negatives are never interacted items, capped at n_neg per user,
+    deterministic across invocations."""
+    from distributed_vector_database_spark.operators.mining import (
+        negative_samples,
+    )
+
+    inter = spark.createDataFrame(
+        [(u, i) for u in range(5) for i in range(u + 1)],
+        "user_id long, item_id long",
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(20)], "item_id long"
+    )
+    out1 = negative_samples(inter, items, n_neg=4).collect()
+    out2 = negative_samples(inter, items, n_neg=4).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    seen = {(r["user_id"], r["item_id"]) for r in inter.collect()}
+    per_user = {}
+    for r in out1:
+        assert (r["user_id"], r["item_id"]) not in seen
+        per_user.setdefault(r["user_id"], []).append(r["neg_rank"])
+    for u, ranks in per_user.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+    assert len(per_user) == 5
+
+
+def test_negative_samples_near_full_coverage(spark):
+    """A user who interacted with all but one item can only ever get that
+    item (or nothing if the draws miss it) — never an interacted one."""
+    from distributed_vector_database_spark.operators.mining import (
+        negative_samples,
+    )
+
+    items = spark.createDataFrame([(i,) for i in range(5)], "item_id long")
+    inter = spark.createDataFrame(
+        [(1, i) for i in range(4)], "user_id long, item_id long"
+    )
+    out = negative_samples(inter, items, n_neg=3, oversample=10).collect()
+    assert all(r["item_id"] == 4 for r in out)
+    assert len(out) <= 1 or all(r["neg_rank"] == 1 for r in out)
