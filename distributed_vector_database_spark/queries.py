@@ -8020,6 +8020,75 @@ def q_purchase_negative_samples(spark, sf_dir):
     return negative_samples(inter, items, n_neg=3, oversample=3)
 
 
+# ===========================================================================
+# Streaming migration from a LIVE reference store (sources/sqlite_store.
+# stream_shards): the CDC tail of the shard_{i}.sqlite3 directory — batch
+# reader backfills, this stream keeps following REPLACE INTO traffic.
+# ===========================================================================
+
+_SQLITE_STREAM_CACHE: dict[str, str] = {}
+
+
+@register(
+    "sqlite_store_stream_ingest",
+    f"""
+WITH {_ASSIGN_CTE}
+SELECT e.vec_id::VARCHAR AS id,
+       a.shard_id::BIGINT AS shard_id,
+       ROUND(sqrt(list_dot_product({E}, {E})), 6) AS norm
+FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+WHERE e.vec_id < 100
+""",
+)
+def q_sqlite_store_stream_ingest(spark, sf_dir):
+    """Round-trip through the live-migration path: 100 vectors exported
+    into a reference-format store (8 shards via centroid assignment),
+    then STREAM-read back through the CDC source and landed in parquet —
+    the ingested rows must equal the parquet truth. Ingest runs once per
+    process; repeat calls read the landed table (same memoization
+    contract as the other stream queries)."""
+    import tempfile
+
+    from distributed_vector_database_spark.operators.ivf import assign_shards
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        stream_shards,
+        write_shards,
+    )
+
+    out_dir = _SQLITE_STREAM_CACHE.get(sf_dir)
+    if out_dir is None:
+        emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+        cents = _fixed_centroids(spark, sf_dir)
+        frame = assign_shards(emb, cents).select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("shard_id").cast("int").alias("shard_id"),
+        )
+        store = tempfile.mkdtemp(prefix="dvdb_sqlstream_store_")
+        write_shards(frame, store)
+        out_dir = tempfile.mkdtemp(prefix="dvdb_sqlstream_out_")
+        ckpt = tempfile.mkdtemp(prefix="dvdb_sqlstream_ckpt_")
+        q = (
+            stream_shards(spark, store)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        _SQLITE_STREAM_CACHE[sf_dir] = out_dir
+    landed = spark.read.parquet(out_dir)
+    return landed.select(
+        "id",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        round_score(l2_norm("embedding")).alias("norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 3).
 #

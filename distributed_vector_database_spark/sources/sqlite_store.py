@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -47,6 +48,7 @@ __all__ = [
     "register",
     "read_shards",
     "write_shards",
+    "stream_shards",
 ]
 
 SCHEMA = "id string, embedding array<double>, shard_id int"
@@ -181,6 +183,85 @@ class _ShardWriter(DataSourceWriter):
                         os.remove(tmp)
 
 
+class _ShardStreamReader(SimpleDataSourceStreamReader):
+    """Streaming CDC over a live reference store: each micro-batch emits
+    the rows whose SQLite ``rowid`` rose above the per-shard high-water
+    mark since the last batch — the offset is ``{"rowid": {shard: max}}``.
+
+    The reference's writes are ``REPLACE INTO`` (src/storage_server.py:
+    43-46): SQLite implements REPLACE as delete+insert, so an update
+    surfaces here as a NEW row for the same id — downstream applies
+    keep-latest (`vector_store.upsert_keep_latest` / `MorStore`) exactly
+    like any CDC feed. ``readBetweenOffsets`` replays any committed range
+    deterministically (rowids are stable once written), so the source is
+    exactly-once under Structured Streaming's offset log.
+
+    Known edge (documented, inherent to rowid watermarks): REPLACE of the
+    row that currently holds a shard's MAX rowid reuses that rowid, so
+    that one update is invisible until a later insert moves the
+    watermark. A production feed adds a monotone version column; the
+    reference's schema has none.
+
+    Scale shape: this simple reader tails CHANGES (driver-side, small);
+    bulk backfill is the batch reader's shard-parallel job. The pairing —
+    parallel snapshot + sequential tail — is the standard migration
+    topology.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("sqlite_vector_shards requires option 'path'")
+
+    def initialOffset(self) -> dict:
+        return {"rowid": {}}
+
+    def _scan(self, lo: dict, hi: dict | None):
+        import json
+        import sqlite3
+
+        rows = []
+        new = {}
+        for sid, f in _shard_files(self.path):
+            start = int(lo.get(str(sid), 0))
+            stop = None if hi is None else int(hi.get(str(sid), start))
+            con = sqlite3.connect(f)
+            try:
+                if stop is None:
+                    cur = con.execute(
+                        "SELECT rowid, id, vector_json FROM vectors "
+                        "WHERE rowid > ? ORDER BY rowid",
+                        (start,),
+                    )
+                else:
+                    cur = con.execute(
+                        "SELECT rowid, id, vector_json FROM vectors "
+                        "WHERE rowid > ? AND rowid <= ? ORDER BY rowid",
+                        (start, stop),
+                    )
+                mx = start
+                for rowid, id_, vj in cur:
+                    rows.append(
+                        (id_, [float(x) for x in json.loads(vj)], sid)
+                    )
+                    mx = rowid
+                new[str(sid)] = mx if stop is None else stop
+            finally:
+                con.close()
+        return rows, new
+
+    def read(self, start: dict):
+        rows, new = self._scan(start.get("rowid", {}), None)
+        return iter(rows), {"rowid": new}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._scan(start.get("rowid", {}), end.get("rowid", {}))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream's checkpoint, nothing to ack
+
+
 class SqliteVectorShards(DataSource):
     """``spark.read.format("sqlite_vector_shards").option("path", dir)``"""
 
@@ -196,6 +277,9 @@ class SqliteVectorShards(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _ShardWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema):
+        return _ShardStreamReader(self.options)
 
 
 _REGISTERED: set[int] = set()
@@ -242,4 +326,16 @@ def write_shards(df, path: str) -> None:
         .option("path", path)
         .mode("overwrite")
         .save()
+    )
+
+
+def stream_shards(spark, path: str):
+    """Streaming DataFrame tailing a reference-format shard directory:
+    every new / replaced row arrives as a micro-batch row (CDC feed).
+    Same ``(id, embedding, shard_id)`` schema as :func:`read_shards`."""
+    register(spark)
+    return (
+        spark.readStream.format("sqlite_vector_shards")
+        .option("path", path)
+        .load()
     )

@@ -25,6 +25,7 @@ _EXECUTES_ON_BUILD = {
     "stream_minhash_dedup_flags",
     "stream_sliding_counts",
     "stream_bigram_lm_counts",
+    "sqlite_store_stream_ingest",
 }
 
 _REG = registry()

@@ -154,3 +154,72 @@ def test_conjunctive_id_filters_intersect(spark, tmp_path):
         F.col("id").isin("1") & F.col("id").isin("3")
     ).collect()
     assert empty == []
+
+
+def test_stream_shards_tails_inserts_and_updates(spark, tmp_path):
+    """CDC semantics: the initial content arrives in batch 1; rows
+    REPLACE'd or inserted afterwards arrive in batch 2 (an update shows
+    up as a new row for the same id — keep-latest folds it)."""
+    import json as _json
+
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        stream_shards,
+    )
+
+    d = str(tmp_path / "live")
+    _mk_reference_store(
+        d,
+        {
+            0: [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+            1: [("c", [2.0, 2.0])],
+        },
+    )
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batches = []
+
+    def drain():
+        q = (
+            stream_shards(spark, d)
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(
+                    sorted(
+                        (r["id"], tuple(r["embedding"]), r["shard_id"])
+                        for r in df.collect()
+                    )
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    flat1 = [r for b in batches for r in b]
+    assert sorted(flat1) == [
+        ("a", (1.0, 0.0), 0),
+        ("b", (0.0, 1.0), 0),
+        ("c", (2.0, 2.0), 1),
+    ]
+    # live changes: one brand-new row, one REPLACE of a NON-max row
+    con = sqlite3.connect(os.path.join(d, "shard_0.sqlite3"))
+    con.execute(
+        "REPLACE INTO vectors (id, vector_json) VALUES (?, ?)",
+        ("a", _json.dumps([9.0, 9.0])),
+    )
+    con.execute(
+        "INSERT INTO vectors (id, vector_json) VALUES (?, ?)",
+        ("d", _json.dumps([3.0, 3.0])),
+    )
+    con.commit()
+    con.close()
+    n_before = len(batches)
+    drain()  # restart from the checkpointed offset
+    new_rows = [r for b in batches[n_before:] for r in b]
+    assert sorted(new_rows) == [
+        ("a", (9.0, 9.0), 0),
+        ("d", (3.0, 3.0), 0),
+    ]
