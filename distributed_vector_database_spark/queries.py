@@ -8089,6 +8089,67 @@ def q_sqlite_store_stream_ingest(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# MoR retention vacuum (sources/mor.MorStore.vacuum): bounded-history
+# compaction — fold all but the newest N delta batches, keep that much
+# time-travel/CDC addressable. The lakehouse VACUUM contract.
+# ===========================================================================
+
+_MOR_VACUUM_CACHE: dict[str, object] = {}
+
+
+@register(
+    "mor_vacuum_read",
+    """
+SELECT vec_id,
+       (CASE WHEN vec_id % 20 = 0 THEN 3
+             WHEN vec_id % 5 = 0 THEN 2
+             ELSE 1 END)::BIGINT AS version,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * (CASE WHEN vec_id % 20 = 0 THEN 3
+                     WHEN vec_id % 5 = 0 THEN 2
+                     ELSE 1 END), 6) AS val
+FROM embeddings
+WHERE NOT (vec_id % 50 = 0 AND vec_id % 20 <> 0)
+""",
+)
+def q_mor_vacuum_read(spark, sf_dir):
+    """The merged view AFTER vacuum(retain_last=1): base + three deltas
+    (upsert %5 -> v2, delete %50, upsert %20 -> v3), then all but the
+    newest delta folded into the base — the read must be byte-identical
+    to the unvacuumed view (tombstoned ids physically gone, the retained
+    delta still outranking the fold)."""
+    import tempfile
+
+    from distributed_vector_database_spark.functions.vector import l2_norm
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    emb = _read(spark, sf_dir, "embeddings")
+
+    def versioned(df, v):
+        return df.select(
+            "vec_id",
+            F.lit(v).cast("long").alias("version"),
+            round_score(l2_norm("embedding") * v).alias("val"),
+        )
+
+    store = _MOR_VACUUM_CACHE.get(sf_dir)
+    if store is None:
+        store = MorStore(
+            spark, tempfile.mkdtemp(prefix="dvdb_morvac_"), id_col="vec_id"
+        )
+        store.write_base(versioned(emb, 1))
+        store.append(versioned(emb.filter(F.col("vec_id") % 5 == 0), 2))
+        store.delete(
+            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+        )
+        store.append(versioned(emb.filter(F.col("vec_id") % 20 == 0), 3))
+        folded = store.vacuum(retain_last=1)
+        assert folded["folded_batches"] == 2, folded
+        _MOR_VACUUM_CACHE[sf_dir] = store
+    return store.read()
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 3).
 #

@@ -280,7 +280,26 @@ class MorStore:
         the temp renamed to base, then trash + folded deltas are deleted.
         Every rename is checked; a failure aborts before any delete.
         """
+        return self._fold(self._delta_dirs())
+
+    def vacuum(self, retain_last: int) -> dict:
+        """Retention-bounded compaction: fold all but the newest
+        ``retain_last`` delta batches into the base, keeping that much
+        time-travel/CDC history addressable — the lakehouse VACUUM
+        contract (bounded history instead of compact()'s full fold).
+
+        ``read(as_of_batch=N)`` and ``changes(since_batch=N)`` keep
+        working for N at or above the new fold watermark; older
+        as-of points are folded away (same rule compact() already
+        documents). Returns {folded_batches, watermark}.
+        """
+        if retain_last < 0:
+            raise ValueError("retain_last must be >= 0")
         deltas = self._delta_dirs()
+        fold = deltas[: max(0, len(deltas) - retain_last)]
+        return self._fold(fold)
+
+    def _fold(self, deltas: list[tuple[int, str]]) -> dict:
         if not deltas:
             return {"folded_batches": 0, "watermark": 0}
         watermark = deltas[-1][0]

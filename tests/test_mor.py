@@ -205,3 +205,46 @@ def test_time_travel_read_reconstructs_each_batch_state(store, spark):
     # as of batch 0: the pristine base
     s0 = _as_dict(store.read(as_of_batch=0))
     assert s0 == {i: f"v0_{i}" for i in range(20)}
+
+
+def test_vacuum_retains_recent_history(spark, tmp_path):
+    """vacuum(retain_last=1) folds old batches into the base but keeps the
+    newest delta addressable: the current view is unchanged, time travel
+    to the retained batch still works, and the folded dirs are gone."""
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    store = MorStore(spark, str(tmp_path / "mv"), id_col="id")
+    store.write_base(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    b1 = store.append(spark.createDataFrame([(1, "a2")], "id long, v string"))
+    b2 = store.delete([2])
+    b3 = store.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    before = sorted(map(tuple, store.read().collect()))
+    out = store.vacuum(retain_last=1)
+    assert out["folded_batches"] == 2 and out["watermark"] == b2
+    # only the retained delta dir remains
+    assert [bid for bid, _ in store._delta_dirs()] == [b3]
+    assert sorted(map(tuple, store.read().collect())) == before
+    # time travel to the fold watermark and to the retained batch
+    as_of_b2 = sorted(map(tuple, store.read(as_of_batch=b2).collect()))
+    assert as_of_b2 == [(1, "a2")]  # id 2 deleted, id 3 not yet appended
+    as_of_b3 = sorted(map(tuple, store.read(as_of_batch=b3).collect()))
+    assert as_of_b3 == before
+    # appends after vacuum still outrank everything
+    store.append(spark.createDataFrame([(1, "a3")], "id long, v string"))
+    assert sorted(map(tuple, store.read().collect())) == [
+        (1, "a3"),
+        (3, "c"),
+    ]
+
+
+def test_vacuum_retain_all_is_noop(spark, tmp_path):
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    store = MorStore(spark, str(tmp_path / "mv2"), id_col="id")
+    store.write_base(spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    out = store.vacuum(retain_last=5)
+    assert out == {"folded_batches": 0, "watermark": 0}
+    assert len(store._delta_dirs()) == 1
