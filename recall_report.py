@@ -125,6 +125,31 @@ def main() -> None:
         )
         enc.unpersist()
 
+    # SQ8 scalar quantization: 1 byte/dim, inline dequant in codegen —
+    # near-lossless (error <= scale/2 per dim), the 4x-bytes cut that
+    # keeps recall while PQ trades it.
+    from distributed_vector_database_spark.operators.sq import (
+        fit_sq_bounds,
+        sq_encode_col,
+        sq_topk,
+    )
+
+    bounds = fit_sq_bounds(emb)
+    coded8 = emb.select(
+        "vec_id", sq_encode_col("embedding", bounds).alias("codes")
+    ).cache()
+    coded8.count()
+    recs = []
+    for q, t in zip(qs, truth):
+        got = {r["vec_id"] for r in sq_topk(coded8, q, bounds, k=K).collect()}
+        recs.append(len(got & t) / len(t))
+    sec = timed(lambda: sq_topk(coded8, qs[0], bounds, k=K).collect())
+    print(
+        f"| SQ8 scalar quant | 1 byte/dim | {statistics.mean(recs):.3f} "
+        f"| {sec:.3f} | 25% bytes (codes) |"
+    )
+    coded8.unpersist()
+
     # residual IVF-PQ (IVFADC): PQ on centroid residuals, per-cell LUTs.
     # Same bits as PQ-ADC m=16 above; the residual basis concentrates the
     # quantizer on within-cell displacement -> better codes, and nprobe
