@@ -8150,6 +8150,117 @@ def q_mor_vacuum_read(spark, sf_dir):
     return store.read()
 
 
+# ===========================================================================
+# Distributed hard negatives + IVF×SQ8 composition: the two round-3
+# strategies that complete their stacks — the blocked-GEMM anchor-scale
+# path as a driver row of its own, and partition pruning composed with
+# byte-domain scanning + exact re-rank (the full 100 TB read recipe:
+# touch nprobe/N of the corpus, 1 byte/dim of that, floats only for R
+# survivors).
+# ===========================================================================
+
+
+@register(
+    "hard_negatives_join_topk",
+    f"""
+WITH qs AS (SELECT vec_id AS query_id, label AS qlabel,
+                   embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (0, 7, 42, 99, 123)),
+s AS (SELECT qs.query_id, e.vec_id, ROUND({_cos(E, 'qs.qv')}, 6) AS score
+      FROM embeddings e, qs WHERE e.label <> qs.qlabel),
+r AS (SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT query_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
+""",
+)
+def q_hard_negatives_join_topk(spark, sf_dir):
+    """The DISTRIBUTED hard-negative strategy as its own driver row
+    (`hard_negative_mining` covers the broadcast kernel): blocked GEMM
+    with the label-inequality mask, nothing on the driver — the shape
+    that mines negatives for EVERY training example at corpus scale."""
+    from distributed_vector_database_spark.operators.mining import (
+        hard_negatives_join,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = emb.filter(
+        F.col("vec_id").isin(0, 7, 42, 99, 123)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+        F.col("label").alias("query_label"),
+    )
+    out = hard_negatives_join(emb, anchors, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ivf_sq8_search",
+    f"""
+WITH {_ASSIGN_CTE},
+dims AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM (
+    SELECT generate_subscripts(embedding::DOUBLE[],1) AS i,
+           unnest(embedding::DOUBLE[]) AS x FROM embeddings) ex
+  GROUP BY i),
+b AS (SELECT list(lo ORDER BY i) AS mins,
+             list(CASE WHEN hi>lo THEN (hi-lo)/255.0 ELSE 1.0 END
+                  ORDER BY i) AS scales
+      FROM dims),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+probe AS (SELECT c.shard_id FROM c, q
+          ORDER BY list_distance(c.cv, q.qv) ASC, c.shard_id ASC LIMIT 2),
+cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ev,
+                list_transform(e.embedding::DOUBLE[],
+                  (x,i) -> b.mins[i]
+                           + round((x - b.mins[i]) / b.scales[i])
+                             * b.scales[i]) AS dv
+         FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, b
+         WHERE a.shard_id IN (SELECT shard_id FROM probe)),
+short AS (
+  SELECT vec_id, ev FROM (
+    SELECT cand.vec_id, cand.ev,
+           ROUND({_SQ_COS.replace('dv', 'cand.dv')}, 6) AS approx
+    FROM cand, q ORDER BY approx DESC, vec_id ASC LIMIT 50) t),
+resc AS (
+  SELECT s.vec_id,
+         ROUND(CASE WHEN sqrt(list_dot_product(s.ev,s.ev)) = 0
+                    OR sqrt(list_dot_product(q.qv,q.qv)) = 0 THEN 0.0
+               ELSE list_dot_product(s.ev, q.qv) /
+                    (sqrt(list_dot_product(s.ev,s.ev))
+                     * sqrt(list_dot_product(q.qv,q.qv))) END, 6) AS score
+  FROM short s, q)
+SELECT vec_id, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS "rank"
+FROM resc QUALIFY "rank" <= 10
+""",
+)
+def q_ivf_sq8_search(spark, sf_dir):
+    """The composed 100 TB read recipe: IVF routing prunes to nprobe=2 of
+    8 shards, the SQ8 byte-domain scan shortlists 50 within the probed
+    fraction, exact float cosine re-ranks 10 — floats touched only for
+    the 50 survivors. (Reference: POST /search scans full floats of the
+    probed shards, src/compute_server.py:107-138; this is that path with
+    a 4x cheaper scan inserted.)"""
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+        nearest_shards,
+    )
+    from distributed_vector_database_spark.operators.sq import sq_rerank_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    bounds = _sq_bounds(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 100)
+    shards = nearest_shards(qv, cents, nprobe=2)
+    pruned = assign_shards(emb, cents).filter(
+        F.col("shard_id").isin(shards)
+    )
+    return sq_rerank_topk(pruned, qv, bounds, k=10, shortlist=50)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 3).
 #
