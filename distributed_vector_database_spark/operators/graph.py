@@ -279,6 +279,10 @@ def triangle_stats(
     three joins are equi-joins on uniform keys; counts are exact
     integers.
     """
+    # |E| rows, but its lineage (e.g. a kNN-graph GEMM) can be expensive —
+    # and und feeds FIVE consumers (degrees twice, orientation, edge
+    # count, the closing semi-join) with no exchange reuse across
+    # self-joins; materialize it once.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -286,6 +290,7 @@ def triangle_stats(
         )
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n"))
