@@ -48,25 +48,29 @@ __all__ = [
 
 
 def fit_sq_bounds(
-    emb: DataFrame, *, vector_col: str = "embedding"
+    emb: DataFrame, *, vector_col: str = "embedding", dim: int | None = None
 ) -> list[tuple[float, float]]:
     """Per-dimension (min, max) over the corpus — the SQ8 "codebook".
 
-    One posexplode + one |dim|-group aggregate (partial min/max map-side,
-    the shuffle is dim rows); the collected state is 2·dim doubles.
+    ONE global aggregate carrying 2·dim min/max expressions (the
+    `label_prototypes` pattern): partials combine map-side and the
+    shuffle is a single 2·dim-column row. The posexplode alternative
+    multiplies the corpus by dim BEFORE aggregating — a 64x row blow-up
+    that matters at 100 TB; this form never widens the row count.
+    ``dim`` defaults to the first row's vector length.
     """
-    ex = emb.select(
-        F.posexplode(F.col(vector_col).cast("array<double>")).alias(
-            "_i", "_x"
-        )
-    )
-    rows = (
-        ex.groupBy("_i")
-        .agg(F.min("_x").alias("lo"), F.max("_x").alias("hi"))
-        .orderBy("_i")
-        .collect()
-    )
-    return [(float(r["lo"]), float(r["hi"])) for r in rows]
+    if dim is None:
+        head = emb.select(F.size(F.col(vector_col)).alias("_d")).head()
+        dim = int(head["_d"])
+    v = F.col(vector_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(v[i]).alias(f"_lo{i}"))
+        aggs.append(F.max(v[i]).alias(f"_hi{i}"))
+    row = emb.agg(*aggs).head()
+    return [
+        (float(row[f"_lo{i}"]), float(row[f"_hi{i}"])) for i in range(dim)
+    ]
 
 
 def _bounds_arrays(bounds: Sequence[tuple[float, float]]):
