@@ -225,16 +225,23 @@ def pagerank_micro(
     """
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # materialize the loop-invariant frames once, and truncate pr's
+    # lineage every round — without this the final action re-evaluates an
+    # iters-deep nested join tree (and the edge derivation inside it)
+    # from scratch (measured 8.0 s -> ~2 s at sf0.1)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     base = (100 - damping_pct) * 1_000_000 // 100
     pr = nodes.withColumn("mass", F.lit(1_000_000).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(pr, e._s == pr.node)
             .join(outdeg, "_s")
@@ -253,6 +260,8 @@ def pagerank_micro(
             .cast("long")
             .alias("mass"),
         )
+        if i < iters - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 
