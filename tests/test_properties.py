@@ -115,3 +115,91 @@ def test_merge_into_matches_reference_model(spark, base_rows, src_rows):
         else:
             model[k] = (t, v)                # insert (even tag == DEL)
     assert got == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_sq8_roundtrip_error_bounded(spark, vecs):
+    """For ANY float corpus (incl. constant and negative dims):
+    |x - dequant(encode(x))| <= scale_d/2 elementwise, and constant
+    dimensions reconstruct exactly."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.sq import (
+        fit_sq_bounds,
+        sq_dequantize_col,
+        sq_encode_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    bounds = fit_sq_bounds(df)
+    deq = sq_dequantize_col(sq_encode_col("embedding", bounds), bounds)
+    rows = df.select(
+        F.col("embedding"), deq.alias("deq")
+    ).collect()
+    half = [
+        ((hi - lo) / 255.0) / 2.0 if hi > lo else 0.0 for lo, hi in bounds
+    ]
+    for r in rows:
+        for d, (x, y) in enumerate(zip(r["embedding"], r["deq"])):
+            assert abs(x - y) <= half[d] + 1e-9 * max(1.0, abs(x))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """Degree-oriented census == O(n^3) brute force on arbitrary small
+    graphs (self-loops and duplicate/reversed edges included)."""
+    from distributed_vector_database_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    und = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    if not und:
+        return  # operator contract: edge list with no proper edges
+    nodes = sorted({n for e in und for n in e})
+    tri = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            for c in nodes[nodes.index(b) + 1 :]:
+                if (
+                    (a, b) in und
+                    and (b, c) in und
+                    and (a, c) in und
+                ):
+                    tri += 1
+    df = spark.createDataFrame(list(edges), "src long, dst long")
+    r = triangle_stats(df).head()
+    assert r["n_triangles"] == tri
+    assert r["n_edges"] == len(und)
+    assert r["n_nodes"] == len(nodes)
