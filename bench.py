@@ -108,6 +108,15 @@ def main() -> None:
     per_query["topk768_pq_adc"] = pqhd["adc_gather_mean_sec"]
     per_query["pq768_encode"] = pqhd["encode_sec"]
 
+    # SQ8 at the same scale: the near-lossless byte-domain point
+    from distributed_vector_database_spark.benchmark import (
+        high_dim_sq8_latency,
+    )
+
+    sqhd = high_dim_sq8_latency(spark, SF_DIR)
+    per_query["topk768_sq8_adc"] = sqhd["adc_mean_sec"]
+    per_query["sq768_encode"] = sqhd["encode_sec"]
+
     # batch-mode amortization: 100 queries in ONE job (BASELINE.md notes
     # this is the regime that beats every reference cell)
     from distributed_vector_database_spark.benchmark import (

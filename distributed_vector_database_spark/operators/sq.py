@@ -52,16 +52,26 @@ def fit_sq_bounds(
 ) -> list[tuple[float, float]]:
     """Per-dimension (min, max) over the corpus — the SQ8 "codebook".
 
-    ONE global aggregate carrying 2·dim min/max expressions (the
-    `label_prototypes` pattern): partials combine map-side and the
-    shuffle is a single 2·dim-column row. The posexplode alternative
-    multiplies the corpus by dim BEFORE aggregating — a 64x row blow-up
-    that matters at 100 TB; this form never widens the row count.
+    Never widens the row count (the posexplode alternative multiplies the
+    corpus by dim BEFORE aggregating — a 64x row blow-up at scale). Two
+    physical strategies, auto-selected on ``dim``:
+
+      - <= 256 dims: ONE global aggregate carrying 2·dim min/max
+        expressions (the `label_prototypes` pattern) — partials combine
+        map-side, the shuffle is a single wide row;
+      - wider: Arrow per-partition numpy reduce (one (lo, hi) vector
+        pair per partition, combined on the driver) — thousands of
+        aggregate expressions stall codegen (measured 13.6 s to fit
+        768 dims via expressions vs ~1 s via the partition reduce).
+
+    min/max are order-free, so both strategies return identical bounds.
     ``dim`` defaults to the first row's vector length.
     """
     if dim is None:
         head = emb.select(F.size(F.col(vector_col)).alias("_d")).head()
         dim = int(head["_d"])
+    if dim > 256:
+        return _fit_sq_bounds_arrow(emb, vector_col, dim)
     v = F.col(vector_col).cast("array<double>")
     aggs = []
     for i in range(dim):
@@ -71,6 +81,45 @@ def fit_sq_bounds(
     return [
         (float(row[f"_lo{i}"]), float(row[f"_hi{i}"])) for i in range(dim)
     ]
+
+
+def _fit_sq_bounds_arrow(
+    emb: DataFrame, vector_col: str, dim: int
+) -> list[tuple[float, float]]:
+    import numpy as np
+
+    schema = "lo binary, hi binary"
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        lo = hi = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            plo, phi = mat.min(axis=0), mat.max(axis=0)
+            lo = plo if lo is None else np.minimum(lo, plo)
+            hi = phi if hi is None else np.maximum(hi, phi)
+        if lo is not None:
+            yield pd.DataFrame({"lo": [lo.tobytes()], "hi": [hi.tobytes()]})
+
+    rows = (
+        emb.select(F.col(vector_col).cast("array<double>").alias("_v"))
+        .mapInPandas(part, schema)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_sq_bounds: empty corpus")
+    lo = np.full(dim, np.inf)
+    hi = np.full(dim, -np.inf)
+    for r in rows:
+        lo = np.minimum(lo, np.frombuffer(r["lo"], dtype=np.float64))
+        hi = np.maximum(hi, np.frombuffer(r["hi"], dtype=np.float64))
+    return [(float(a), float(b)) for a, b in zip(lo, hi)]
 
 
 def _bounds_arrays(bounds: Sequence[tuple[float, float]]):
