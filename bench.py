@@ -184,6 +184,16 @@ def main() -> None:
         "stream_minhash_dedup_flags",
         "sqlite_store_scan",
         "ivf_shard_rebalance",
+        "topk768_sq8_adc",
+        "sq8_rerank_topk",
+        "ivf_sq8_search",
+        "ivf_recall_curve",
+        "knn_triangle_stats",
+        "pmi_top_pairs",
+        "purchase_negative_samples",
+        "hard_negatives_join_topk",
+        "sqlite_store_stream_ingest",
+        "mor_vacuum_read",
     ]
     compact = dict(full)
     compact["queries"] = {
