@@ -6989,7 +6989,14 @@ def q_knn_two_hop_reach(spark, sf_dir):
     from distributed_vector_database_spark.operators.ann import knn_graph
 
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    edges = knn_graph(_spread(emb), k=3).select("query_id", "vec_id")
+    # materialize the GEMM-derived edge frame once — every UnionLoop
+    # round joins the view, and the recursion would otherwise re-run the
+    # kNN kernel per hop
+    edges = (
+        knn_graph(_spread(emb), k=3)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     edges.createOrReplaceTempView("knn_edges_2hop")
     return spark.sql(
         """
