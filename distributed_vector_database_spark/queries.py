@@ -7521,13 +7521,13 @@ def q_dq_violations_report(spark, sf_dir):
     "dq_quarantined_events",
     """
 SELECT event_id,
-       list_filter([
+       array_to_string(list_filter([
          CASE WHEN NOT coalesce(value <= 100.0, FALSE)
               THEN 'value_le_100' END,
          CASE WHEN NOT coalesce(event_type <> 'error', FALSE)
               THEN 'no_error_type' END,
          CASE WHEN props IS NULL THEN 'props_present' END
-       ], x -> x IS NOT NULL) AS violations
+       ], x -> x IS NOT NULL), ',') AS violations
 FROM events
 WHERE NOT coalesce(value <= 100.0, FALSE)
    OR NOT coalesce(event_type <> 'error', FALSE)
@@ -7538,7 +7538,12 @@ def q_dq_quarantined_events(spark, sf_dir):
     """The quarantine side of the expectations split: every failing
     event with the ordered list of rules it violated — the reviewable
     reject stream, while the valid side flows on with its original
-    schema."""
+    schema.
+
+    The library API (`apply_expectations`) keeps `violations` as an
+    ARRAY<STRING>; this driver row flattens it to a comma-joined string
+    on BOTH sides because the round driver's canonicalizer sorts raw
+    pandas cells and cannot hash/sort list values (r3/r4 red row)."""
     from distributed_vector_database_spark.operators.quality import (
         apply_expectations,
     )
@@ -7546,7 +7551,9 @@ def q_dq_quarantined_events(spark, sf_dir):
     _valid, bad = apply_expectations(
         _read(spark, sf_dir, "events"), _dq_rules()
     )
-    return bad.select("event_id", "violations")
+    return bad.select(
+        "event_id", F.array_join("violations", ",").alias("violations")
+    )
 
 
 # ===========================================================================
@@ -8075,10 +8082,16 @@ def q_sqlite_store_stream_ingest(spark, sf_dir):
         write_shards(frame, store)
         out_dir = tempfile.mkdtemp(prefix="dvdb_sqlstream_out_")
         ckpt = tempfile.mkdtemp(prefix="dvdb_sqlstream_ckpt_")
+        # foreachBatch is at-least-once: a replayed batch must not double
+        # its rows, so each batch overwrites its own batch=<id> subdir
+        # (same idempotence contract as streaming/docs.py) instead of
+        # appending to a shared directory.
         q = (
             stream_shards(spark, store)
             .writeStream.foreachBatch(
-                lambda df, bid: df.write.mode("append").parquet(out_dir)
+                lambda df, bid: df.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch={bid}"
+                )
             )
             .option("checkpointLocation", ckpt)
             .start()
@@ -8269,79 +8282,78 @@ def q_ivf_sq8_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 3).
+# Registration-order rotation (round 5).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
 # each round rotates a new window of never-driver-verified registrations to
-# the front (round 1 verified positions 1-50; round 2 the next 50). After
-# round 2, 88 registered queries had never been in a driver window
-# (ROADMAP.md lists them); this window takes 49 of them — prioritizing the
-# ones guarding whole subsystems (residual IVF-PQ / OPQ / binary /
-# matryoshka / BM25 / ColBERT / RRF / LM / BPE / MoR / MERGE / TPC-H sweep /
-# DQ / sqlite-store / streaming dedup+LM) — plus the new
-# `ivf_recall_curve`. The remaining 39 (listed in ROADMAP.md) are round 4's
-# window.
+# the front (round 1 verified positions 1-50; round 2 the next 50; round 3
+# the 50 subsystem guards). This window holds the final 49 of ROADMAP.md's
+# round-4 next-window block (the last never-driver-verified registrations:
+# the SQ8 family, window/session analytics, curation scores, graph/mining,
+# layout pruning, streaming) plus `dq_quarantined_events` re-windowed after
+# its array_join fix (red in r3/r4 on a top-level ARRAY column). The one
+# displaced name (`duplicate_paragraph_report` — sibling of driver-green
+# `paragraph_dedup_stats`, and its `repeated_span_report` /
+# `doc_repeated_span_stats` cousins stay in-window) rotates in round 6.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # ANN / compression subsystem guards
-    "ivfpq_residual_search",
-    "opq_rotated_adc_topk",
-    "binary_rerank_search",
-    "matryoshka_rerank_search",
-    "knn_graph_exact",
-    "ivf_shard_rebalance",
-    # retrieval stack
-    "bm25_topk",
-    "late_interaction_search",
-    "hybrid_search_rrf",
-    "doc_chunks",
-    "chunk_search_hashed",
-    # dedup family
-    "semantic_dedup",
-    "minhash_dedup_flags",
-    "stream_minhash_dedup_flags",
-    "dedup_simhash_pairs",
-    "dedup_keep_best",
-    "paragraph_dedup_stats",
-    "snm_candidate_pairs",
-    "fuzzy_dup_pairs",
-    # LM / tokenizer / curation
-    "bigram_lm_ppl",
-    "bpe_pair_counts",
-    "doc_perplexity_filter",
-    "stream_bigram_lm_counts",
-    # storage: merge-on-read, MERGE INTO, sqlite shard store, footers
-    "merge_into_orders",
-    "mor_upsert_read",
-    "mor_delete_read",
-    "mor_changes_feed",
-    "mor_time_travel",
-    "sqlite_store_scan",
-    "sqlite_store_point_lookup",
-    "footer_minmax_stats",
-    # data-quality expectations
-    "dq_violations_report",
+    # the fixed red row, re-windowed for a green driver record
     "dq_quarantined_events",
-    # TPC-H sweep completion
-    "sole_failing_suppliers",
-    "supplier_diversity_by_part",
-    "priority_shipping_split",
-    "disjunctive_brand_revenue",
-    "idle_rich_customers",
-    "customer_order_distribution",
-    "small_quantity_part_revenue",
-    "nation_market_share",
-    "volume_shipping",
-    "promo_revenue_monthly",
-    "min_cost_supplier",
-    "nation_profit_by_year",
-    "returned_item_customers",
-    "important_part_values",
-    "top_supplier_revenue",
-    "promotion_part_suppliers",
-    # new this round: the recall-vs-nprobe tuning artifact
-    "ivf_recall_curve",
+    # ANN: scalar-quantization (SQ8) family + binary / graph / mining
+    "sq8_encode_recon",
+    "sq8_adc_topk",
+    "sq8_rerank_topk",
+    "ivf_sq8_search",
+    "binary_hamming_topk",
+    "knn_triangle_stats",
+    "knn_two_hop_reach",
+    "hard_negatives_join_topk",
+    "hard_negative_mining",
+    "purchase_negative_samples",
+    "label_prototype_cos",
+    "ann_lsh_ndcg",
+    "diversified_topk",
+    "embedding_drift",
+    "vector_dim_stats",
+    # curation / text-quality scores
+    "pii_redaction_stats",
+    "doc_oov_rate",
+    "dsir_log_weights",
+    "dsir_gumbel_sample",
+    "temperature_lang_mix",
+    "source_unigram_kl",
+    "boilerplate_report",
+    "doc_boilerplate_frac",
+    "repeated_span_report",
+    "doc_repeated_span_stats",
+    "pmi_top_pairs",
+    "corpus_card",
+    "multimodal_frame_sample",
+    # event / session analytics
+    "asof_next_purchase_after_click",
+    "event_grouping_sets",
+    "click_purchase_reconcile",
+    "value_range_window",
+    "hourly_gap_fill",
+    "value_quartiles_by_type",
+    "user_value_ewma",
+    "event_zscore_outliers",
+    "conversion_funnel",
+    "retention_cohorts",
+    "sliding_window_counts",
+    "variant_props_rollup",
+    "lateral_top_orders",
+    # layout pruning / runtime filters / graph
+    "stats_pruned_range_scan",
+    "bloom_pruned_point_lookup",
+    "dpp_hot_shard_scan",
+    "runtime_bloom_join",
+    "supplier_customer_pagerank",
+    # storage + streaming tails
+    "mor_vacuum_read",
+    "sqlite_store_stream_ingest",
+    "stream_sliding_counts",
 ]
 
 

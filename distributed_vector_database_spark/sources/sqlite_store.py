@@ -196,11 +196,16 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
     deterministically (rowids are stable once written), so the source is
     exactly-once under Structured Streaming's offset log.
 
-    Known edge (documented, inherent to rowid watermarks): REPLACE of the
-    row that currently holds a shard's MAX rowid reuses that rowid, so
-    that one update is invisible until a later insert moves the
-    watermark. A production feed adds a monotone version column; the
-    reference's schema has none.
+    Known edge (inherent to rowid watermarks, MITIGATED here): REPLACE of
+    the row that currently holds a shard's MAX rowid reuses that rowid,
+    so ``rowid > watermark`` alone would never see that update. The
+    offset therefore also carries a per-shard content fingerprint of the
+    row AT the watermark (``{"tip": {shard: sha1(id, vector_json)}}``);
+    every read re-reads that single row and re-emits it when its content
+    no longer matches the recorded fingerprint. Downstream is keep-latest
+    (`vector_store.upsert_keep_latest` / `MorStore`), so the occasional
+    re-emit is absorbed; a production feed would add a monotone version
+    column, which the reference's schema lacks.
 
     Scale shape: this simple reader tails CHANGES (driver-side, small);
     bulk backfill is the batch reader's shard-parallel job. The pairing —
@@ -214,19 +219,51 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("sqlite_vector_shards requires option 'path'")
 
     def initialOffset(self) -> dict:
-        return {"rowid": {}}
+        return {"rowid": {}, "tip": {}}
 
-    def _scan(self, lo: dict, hi: dict | None):
+    @staticmethod
+    def _fingerprint(id_: str, vector_json: str) -> str:
+        import hashlib
+
+        return hashlib.sha1(
+            f"{id_}\x00{vector_json}".encode()
+        ).hexdigest()
+
+    def _scan(self, lo: dict, hi: dict | None, lo_tip: dict):
         import json
         import sqlite3
 
         rows = []
         new = {}
+        new_tip = {}
         for sid, f in _shard_files(self.path):
             start = int(lo.get(str(sid), 0))
             stop = None if hi is None else int(hi.get(str(sid), start))
             con = sqlite3.connect(f)
             try:
+                # Watermark re-verify (see class docstring): REPLACE of
+                # the max-rowid row reuses its rowid, so the plain
+                # `rowid > start` scan misses it. Re-read the one row AT
+                # the watermark and emit it when its content diverged
+                # from the fingerprint recorded in the offset.
+                tip_fp = lo_tip.get(str(sid))
+                if start > 0:
+                    r = con.execute(
+                        "SELECT id, vector_json FROM vectors "
+                        "WHERE rowid = ?",
+                        (start,),
+                    ).fetchone()
+                    if r is not None:
+                        fp = self._fingerprint(r[0], r[1])
+                        if tip_fp is not None and fp != tip_fp:
+                            rows.append(
+                                (
+                                    r[0],
+                                    [float(x) for x in json.loads(r[1])],
+                                    sid,
+                                )
+                            )
+                        tip_fp = fp
                 if stop is None:
                     cur = con.execute(
                         "SELECT rowid, id, vector_json FROM vectors "
@@ -245,17 +282,30 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
                         (id_, [float(x) for x in json.loads(vj)], sid)
                     )
                     mx = rowid
+                    tip_fp = self._fingerprint(id_, vj)
                 new[str(sid)] = mx if stop is None else stop
+                if tip_fp is not None:
+                    new_tip[str(sid)] = tip_fp
             finally:
                 con.close()
-        return rows, new
+        return rows, new, new_tip
 
     def read(self, start: dict):
-        rows, new = self._scan(start.get("rowid", {}), None)
-        return iter(rows), {"rowid": new}
+        rows, new, new_tip = self._scan(
+            start.get("rowid", {}), None, start.get("tip", {})
+        )
+        return iter(rows), {"rowid": new, "tip": new_tip}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        rows, _ = self._scan(start.get("rowid", {}), end.get("rowid", {}))
+        # Replays the same re-verify decision against the live store:
+        # rowids are stable once written, so the range scan is exact; the
+        # tip row replays with its CURRENT content (at-least-once under
+        # concurrent REPLACE of that one row — absorbed by keep-latest).
+        rows, _, _ = self._scan(
+            start.get("rowid", {}),
+            end.get("rowid", {}),
+            start.get("tip", {}),
+        )
         return iter(rows)
 
     def commit(self, end: dict) -> None:

@@ -254,3 +254,31 @@ def test_negative_samples_near_full_coverage(spark):
     out = negative_samples(inter, items, n_neg=3, oversample=10).collect()
     assert all(r["item_id"] == 4 for r in out)
     assert len(out) <= 1 or all(r["neg_rank"] == 1 for r in out)
+
+
+def test_label_guard_counts_nulls_out_before_the_cap(spark, monkeypatch):
+    """Regression (ADVICE r4): NULL labels must be dropped BEFORE the
+    `limit(cap+1)` sample — filtering after could let a >cap label space
+    slip past the guard with a truncated label set (wrong negatives, no
+    error). With cap=3 and 4 distinct non-null labels (+ a NULL row), the
+    guard must raise regardless of which rows the limit samples."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_LABELS", "3")
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 1),
+            (2, [0.0, 1.0], 2),
+            (3, [0.1, 0.9], 3),
+            (4, [0.5, 0.5], None),
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    anchors = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+        F.col("label").alias("query_label"),
+    )
+    with pytest.raises(ValueError, match="distinct labels"):
+        hard_negatives(corpus, anchors, k=2, method="broadcast")

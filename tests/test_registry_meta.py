@@ -91,3 +91,45 @@ def test_next_window_fits_driver_slot_budget():
     assert len(_next_window()) <= 50, (
         "next-window exceeds the 50-slot driver window; split it"
     )
+
+
+def test_no_oracle_emits_top_level_list_or_struct_column():
+    """The round driver's canonicalizer sorts raw pandas cells: a top-level
+    LIST/STRUCT/MAP result column crashes it with `TypeError: unhashable
+    type` even when the repo's own harness (which stringifies cells) is
+    green — this made `dq_quarantined_events` driver-red in r3/r4. Bind
+    every registered oracle against the sf0.001 views and assert every
+    result column is scalar; nested data must be array_to_string'd /
+    struct-unpacked on BOTH sides before registration."""
+    import duckdb
+
+    sf = pathlib.Path("/root/testdata/sf0.001")
+    if not sf.exists():
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf / (t + '.parquet')}'"
+        )
+    bad: dict[str, list[str]] = {}
+    for name, (_fn, sql) in q.registry().items():
+        if sql is None:
+            continue
+        rel = con.sql(sql)
+        nested = [
+            f"{c}: {t}"
+            for c, t in zip(rel.columns, rel.types)
+            if "[]" in str(t)
+            or str(t).startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, (
+        "oracles returning top-level nested columns (driver canonicalizer "
+        f"cannot sort these — flatten on both sides): {bad}"
+    )

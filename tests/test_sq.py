@@ -88,3 +88,36 @@ def test_rerank_scores_are_exact_cosine(embeddings, bounds):
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in exp
     ]
+
+
+def test_fit_sq_bounds_empty_corpus_raises(embeddings):
+    """Regression (ADVICE r4): fitting on an empty frame raises a clear
+    ValueError instead of a TypeError on `head()[...]` — on both the
+    expression path (dim inferred) and the Arrow path (dim > 256)."""
+    empty = embeddings.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        fit_sq_bounds(empty)
+    with pytest.raises(ValueError, match="empty corpus"):
+        fit_sq_bounds(empty, dim=768)
+
+
+def test_encode_clamps_out_of_range_vectors(spark, embeddings, bounds):
+    """Regression (ADVICE r4): vectors ingested after the fit can exceed
+    the fitted range; codes must saturate at 0/255, never leave the uint8
+    domain the ADC tables assume."""
+    dim = len(bounds)
+    wild = spark.createDataFrame(
+        [
+            (0, [1e6] * dim),   # above every hi -> all 255
+            (1, [-1e6] * dim),  # below every lo -> all 0
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r["codes"]
+        for r in wild.select(
+            "vec_id", sq_encode_col("embedding", bounds).alias("codes")
+        ).collect()
+    }
+    assert rows[0] == [255] * dim
+    assert rows[1] == [0] * dim

@@ -223,3 +223,74 @@ def test_stream_shards_tails_inserts_and_updates(spark, tmp_path):
         ("a", (9.0, 9.0), 0),
         ("d", (3.0, 3.0), 0),
     ]
+
+
+def test_stream_replace_of_max_rowid_row_is_emitted(spark, tmp_path):
+    """Regression (ADVICE r4): SQLite REPLACE of the row holding a
+    shard's MAX rowid reuses that rowid, so a bare `rowid > watermark`
+    scan never sees the update. The offset's per-shard tip fingerprint
+    must catch it — and an unchanged store must emit nothing (no
+    spurious re-emit of the watermark row every batch)."""
+    import json as _json
+
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        stream_shards,
+    )
+
+    d = str(tmp_path / "live")
+    _mk_reference_store(
+        d, {0: [("a", [1.0, 0.0]), ("b", [0.0, 1.0])]}
+    )
+    ckpt = str(tmp_path / "ckpt")
+    batches = []
+
+    def drain():
+        q = (
+            stream_shards(spark, d)
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(
+                    sorted(
+                        (r["id"], tuple(r["embedding"]), r["shard_id"])
+                        for r in df.collect()
+                    )
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    assert sorted(r for b in batches for r in b) == [
+        ("a", (1.0, 0.0), 0),
+        ("b", (0.0, 1.0), 0),
+    ]
+    # drain with NO changes: the tip row must not be re-emitted
+    n = len(batches)
+    drain()
+    assert [r for b in batches[n:] for r in b] == []
+    # Rewrite the max-rowid row ("b" holds rowid 2) in a way that REUSES
+    # rowid 2 (DELETE then INSERT: the fresh insert takes max+1 of the
+    # REMAINING rows = 2 again) — invisible to the range scan alone.
+    # (A single-statement REPLACE happens to pick its new rowid before
+    # deleting the conflict, but delete-then-rewrite batches hit this.)
+    con = sqlite3.connect(os.path.join(d, "shard_0.sqlite3"))
+    con.execute("DELETE FROM vectors WHERE id = 'b'")
+    con.execute(
+        "INSERT INTO vectors (id, vector_json) VALUES (?, ?)",
+        ("b", json.dumps([7.0, 7.0])),
+    )
+    con.commit()
+    # confirm the edge is real: max rowid did NOT advance
+    assert con.execute("SELECT max(rowid) FROM vectors").fetchone()[0] == 2
+    con.close()
+    n = len(batches)
+    drain()
+    assert [r for b in batches[n:] for r in b] == [("b", (7.0, 7.0), 0)]
+    # and the re-emit is one-shot: the next unchanged drain is empty
+    n = len(batches)
+    drain()
+    assert [r for b in batches[n:] for r in b] == []
