@@ -176,9 +176,16 @@ def main() -> None:
     #                               prone: isolated 1.7 s, mid-sweep 4.5 s)
     #   stateful_running_totals     ~3.0-4.0 s  (applyInPandasWithState
     #                               micro-batch harness cost, not the op)
-    #   sq8_rerank_topk             ~1.2-1.6 s  (two-stage: ADC scan +
-    #                               exact re-rank join)
+    #   sq8_rerank_topk             ~1.4-2.1 s  (two-stage: ADC scan +
+    #                               exact re-rank join; isolated median
+    #                               1.76 s, r5 full-run spread 1.68/2.05)
     #   sql_topk_cosine             ~0.6-1.0 s  (SQL-path brute-force scan)
+    #   topk768_pq_adc              ~0.45-0.90 s (gather-ADC Arrow path;
+    #                               the r5 two-run diff's only >1.5x key —
+    #                               python-worker-pool adjacency noise)
+    #   embedding_drift             ~0.3-0.7 s  (tiny two-agg broadcast
+    #                               join; fixed-overhead-bound, so +-0.2 s
+    #                               scheduling noise is a large ratio)
     headline_keys = [
         "ivf_search_nprobe1_cached",
         "topk768_expr",
