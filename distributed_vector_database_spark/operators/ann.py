@@ -37,6 +37,7 @@ __all__ = [
     "binary_rerank_topk",
     "matryoshka_rerank_topk",
     "knn_graph",
+    "knn_graph_lsh",
 ]
 
 
@@ -306,6 +307,96 @@ def knn_graph(
     )
     return (
         res.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def knn_graph_lsh(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    k: int = 5,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+    multiprobe: bool = False,
+) -> DataFrame:
+    """Approximate kNN graph: candidates come from sign-LSH buckets, so
+    total pair work is sum_b m_b^2 (bounded by bucket size) instead of
+    `knn_graph`'s |V|^2 — the scale path the exact graph's docstring
+    points at (measured: exact graph 58x slower on 10x rows; this stays
+    near-linear while buckets stay bounded).
+
+    Entirely JVM-side relational: bucket projection (plane matrix is a
+    plan literal, no shuffle) -> ONE equi-self-join on the bucket key ->
+    inline cosine/euclidean in whole-stage codegen -> per-query rank
+    window. No Python in the path; Catalyst/AQE size the bucket shuffle.
+
+    ``multiprobe`` also probes every Hamming-1 bucket of each query row
+    (planes+1 probe keys per row), recovering neighbors that fall just
+    across one hyperplane — recall knob without re-indexing. Probe keys
+    are distinct per query row and each candidate has ONE bucket, so no
+    pair is generated twice (no dedup shuffle needed).
+
+    ANN semantics: a row alone in its probe set yields no edges; rows may
+    get fewer than k neighbors. Same output shape as `knn_graph`
+    (query_id, id, score, rank) so triangle/2-hop consumers swap in
+    directly.
+    """
+    from pyspark.sql import Window
+
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+        euclidean_distance,
+        round_score,
+    )
+    from distributed_vector_database_spark.operators.topk import _order
+
+    bucket = lsh_bucket(F.col(vector_col), planes)
+    if multiprobe:
+        n_bits = len(planes)
+        # the row's own bucket + each Hamming-1 flip, as ONE array column
+        probes = F.array(
+            bucket,
+            *[
+                F.concat(
+                    F.substring(bucket, 1, i),
+                    F.when(
+                        F.substring(bucket, i + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    F.substring(bucket, i + 2, n_bits - i - 1),
+                )
+                for i in range(n_bits)
+            ],
+        )
+    else:
+        probes = F.array(bucket)
+    q = df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vector_col).cast("array<double>").alias("_qv"),
+        F.explode(probes).alias("_probe"),
+    )
+    c = df.select(
+        F.col(id_col),
+        F.col(vector_col).cast("array<double>").alias("_cv"),
+        lsh_bucket(F.col(vector_col), planes).alias("_bucket"),
+    )
+    score = (
+        cosine_similarity("_qv", "_cv")
+        if metric == "cosine"
+        else euclidean_distance("_qv", "_cv")
+    )
+    pairs = (
+        q.join(c, q["_probe"] == c["_bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, round_score(score).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        *_order(metric, F.col("score"), F.col(id_col))
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )

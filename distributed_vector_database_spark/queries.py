@@ -8281,6 +8281,51 @@ def q_ivf_sq8_search(spark, sf_dir):
     return sq_rerank_topk(pruned, qv, bounds, k=10, shortlist=50)
 
 
+# ===========================================================================
+# Approximate kNN graph (operators/ann.knn_graph_lsh): the scale path for
+# graph construction — sign-LSH buckets bound the pair work to sum_b m_b^2
+# where the exact graph (knn_graph_exact) is |V|^2 GEMM (measured 58x
+# slower at 10x rows, SCALING.md decade sweep). Same output shape, so the
+# triangle/2-hop consumers swap in directly.
+# ===========================================================================
+
+
+@register(
+    "knn_graph_lsh",
+    f"""
+WITH {_LSH_CTE},
+pairs AS (
+  SELECT bq.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND({_cos('(q.embedding::DOUBLE[])', E)}, 6) AS score
+  FROM b bq
+  JOIN embeddings q ON q.vec_id = bq.vec_id
+  JOIN b bc ON bc.bucket = bq.bucket
+  JOIN embeddings e ON e.vec_id = bc.vec_id
+  WHERE bq.vec_id <> bc.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn_graph_lsh(spark, sf_dir):
+    """Approximate kNN graph via sign-LSH buckets (planes := first 8
+    embeddings so the oracle can rebuild them): one bucket equi-self-join
+    + inline cosine + per-query rank window, all JVM-side. ANN semantics:
+    rows alone in their bucket yield no edges."""
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _fixed_centroids(spark, sf_dir, 8)
+    g = _ann.knn_graph_lsh(emb, planes, k=5)
+    return g.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

@@ -209,3 +209,82 @@ def test_knn_graph_matches_bruteforce(spark, embeddings):
         mine = sorted(by_q[int(qid)], key=lambda r: r["rank"])
         assert [(r["vec_id"], r["score"]) for r in mine] == exp
     sub.unpersist()
+
+
+def test_knn_graph_lsh_edges_are_exact_within_buckets(spark, embeddings):
+    """Every emitted edge must carry the exact (rounded) cosine, ranks
+    must be contiguous from 1, and every neighbor must share the query's
+    bucket — approximation lives ONLY in candidate generation."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        lsh_bucket,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=4, seed=11)
+    sub = embeddings.filter(F.col("vec_id") < 120).cache()
+    got = knn_graph_lsh(sub, planes, k=3).collect()
+    assert got, "4-bit buckets over 120 rows must produce edges"
+    rows = sub.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), planes).alias("b")
+    ).collect()
+    vec = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    buck = {r["vec_id"]: r["b"] for r in rows}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert buck[r["query_id"]] == buck[r["vec_id"]]
+        a, b = vec[r["query_id"]], vec[r["vec_id"]]
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        exp = 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+        assert abs(r["score"] - round(exp, 6)) < 1e-9
+    for q, edges in by_q.items():
+        assert sorted(e["rank"] for e in edges) == list(
+            range(1, len(edges) + 1)
+        )
+        assert len(edges) <= 3
+
+
+def test_knn_graph_lsh_multiprobe_recall_not_worse(spark, embeddings):
+    """Hamming-1 multiprobe may only ADD candidates: edge-set recall vs
+    the exact graph is >= the single-probe recall."""
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph,
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=5, seed=3)
+    sub = embeddings.filter(F.col("vec_id") < 150).cache()
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_graph(sub, k=3).collect()
+    }
+
+    def recall(multiprobe):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in knn_graph_lsh(
+                sub, planes, k=3, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r1, rm = recall(False), recall(True)
+    assert 0 < r1 <= rm <= 1.0
+    sub.unpersist()
+
+
+def test_knn_graph_lsh_no_python_and_no_cartesian(spark, embeddings):
+    """The approximate graph must stay JVM-side (no Python eval) and join
+    on the bucket key (no cartesian product)."""
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=5, seed=3)
+    plan = knn_graph_lsh(embeddings, planes, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
