@@ -38,6 +38,7 @@ __all__ = [
     "matryoshka_rerank_topk",
     "knn_graph",
     "knn_graph_lsh",
+    "adaptive_lsh_keys",
 ]
 
 
@@ -312,6 +313,203 @@ def knn_graph(
     )
 
 
+def adaptive_lsh_keys(
+    df: DataFrame,
+    planes: Sequence[Sequence[float]],
+    max_bucket: int,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_depth: int = 4,
+    key_col: str = "_key",
+) -> DataFrame:
+    """Per-row adaptive-depth LSH key: the SHORTEST plane-bit prefix whose
+    bucket holds <= ``max_bucket`` rows (full depth as the fallback), so a
+    dense cluster — which makes plain fixed-depth LSH's sum_b m_b^2 blow
+    up no matter how good the planes are — gets automatically split onto
+    more bits while sparse regions keep short prefixes (bigger, recall-
+    friendlier buckets).
+
+    Deterministic and consistent: the depth choice is a function of the
+    prefix-bucket counts alone, and every row sharing a depth-d prefix
+    shares all shallower prefixes, so all members of a final bucket chose
+    the same depth; prefix keys of different depths differ in string
+    length, so no cross-depth collisions.
+
+    Only a pile of rows with IDENTICAL full signatures can defeat depth
+    extension (a cluster tighter than every plane margin — observed: 4000
+    copies at noise 1e-3 shared all 16 bits). Those piles are sharded
+    into deterministic SALT CELLS of <= ``max_bucket`` rows (ordered by
+    md5 of the id, so any SQL engine reproduces the split); members find
+    neighbors within their cell only. That is a principled recall trade:
+    inside a near-duplicate pile every candidate scores ~identically, so
+    which cap-sized subset supplies the k neighbors barely moves the
+    result — and it turns the worst case from m^2 into m * max_bucket.
+    The salt window shuffles ONLY the over-cap piles (other rows take a
+    constant cell).
+
+    Scale shape: bucket counts aggregate to ONE row per full signature
+    (map-side combinable; <= min(|V|, 2^bits) rows), every per-depth
+    rollup + the depth choice run on that small frame, and rows get their
+    final key back through a single (typically broadcast) equi-join on
+    the full signature. The data-sized path gains one narrow aggregation
+    and one join — no explode of the corpus.
+
+    Returns ``df`` + ``key_col``; feed to any bucket self-join (see
+    `knn_graph_lsh(max_bucket=...)`).
+    """
+    n_bits = len(planes)
+    if not 1 <= min_depth <= n_bits:
+        raise ValueError(
+            f"min_depth must be in [1, {n_bits}], got {min_depth}"
+        )
+    depths = list(range(min_depth, n_bits + 1))
+    full = lsh_bucket(F.col(vector_col), planes)
+    base = df.withColumn("_full", full)
+    counts = base.groupBy("_full").agg(F.count("*").alias("_c"))
+    # per-depth prefix counts, rolled up from the small full-bucket frame
+    pc = None
+    for d in depths:
+        g = (
+            counts.groupBy(F.substring("_full", 1, d).alias("_pk"))
+            .agg(F.sum("_c").alias("_pc"))
+            .withColumn("_pd", F.lit(d))
+        )
+        pc = g if pc is None else pc.unionByName(g)
+    fp = counts.select(
+        "_full",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("_pd"),
+                        F.substring("_full", 1, d).alias("_pk"),
+                    )
+                    for d in depths
+                ]
+            )
+        ).alias("_s"),
+    ).select("_full", F.col("_s._pd").alias("_pd"), F.col("_s._pk").alias("_pk"))
+    choice = (
+        fp.join(pc, ["_pd", "_pk"])
+        .groupBy("_full")
+        .agg(
+            F.min(
+                F.when(F.col("_pc") <= max_bucket, F.col("_pd"))
+            ).alias("_cd")
+        )
+        .withColumn("_cd", F.coalesce("_cd", F.lit(n_bits)))
+        .join(counts, "_full")
+        .select(
+            "_full",
+            F.expr("substring(_full, 1, _cd)").alias(key_col),
+            F.col("_c").alias("_fullc"),
+        )
+    )
+    # materialize the SMALL signature->key map: consumers self-join the
+    # keyed frame, and self-joins get no exchange reuse — without this the
+    # count+choice derivation would run once per join side. The base scan
+    # re-runs per side (cheap, columnar); only the tiny frame is pinned.
+    choice = choice.localCheckpoint(eager=True)
+    keyed = base.join(choice, "_full")
+    # the depth fallback fires exactly when the FULL-signature pile
+    # exceeds the cap (depth n always qualifies otherwise) — shard those
+    # piles into deterministic md5-ordered cells; everyone else skips the
+    # window entirely.
+    from pyspark.sql import Window
+
+    small = keyed.filter(F.col("_fullc") <= max_bucket).select(
+        *df.columns, key_col
+    )
+    w = Window.partitionBy("_full").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    big = (
+        keyed.filter(F.col("_fullc") > max_bucket)
+        .withColumn(
+            "_cell",
+            F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket)),
+        )
+        .withColumn(
+            key_col, F.concat_ws(":", F.col(key_col), F.col("_cell"))
+        )
+        .select(*df.columns, key_col)
+    )
+    return small.unionByName(big)
+
+
+def _bucket_gemm_topk(
+    keyed: DataFrame,
+    k: int,
+    *,
+    vector_col: str,
+    id_col: str,
+    metric: str,
+    key_col: str = "_key",
+) -> DataFrame:
+    """Per-bucket exact top-k via one Arrow ``applyInPandas`` GEMM per
+    cap-bounded key group. Mirrors the relational scorer bit-for-bit:
+    float64 cast, zero-norm cosine = 0.0, scores rounded to 6dp BEFORE
+    ranking, (score order, id asc) ties — so `impl='gemm'` and
+    `impl='expr'` return identical rows. Groups arrive cap-bounded from
+    `adaptive_lsh_keys`, so the m x m score matrix is O(cap^2)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(keyed.dtypes)[id_col]
+    schema = (
+        f"query_id {id_type}, {id_col} {id_type}, score double, rank int"
+    )
+    cosine = metric == "cosine"
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "score": [], "rank": []}
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+        )
+        if cosine:
+            n = np.linalg.norm(M, axis=1)
+            safe = np.where(n == 0.0, 1.0, n)
+            Z = M / safe[:, None]
+            S = Z @ Z.T
+            S[n == 0.0, :] = 0.0
+            S[:, n == 0.0] = 0.0
+        else:
+            sq = (M * M).sum(axis=1)
+            S = np.sqrt(
+                np.maximum(sq[:, None] + sq[None, :] - 2.0 * (M @ M.T), 0.0)
+            )
+        S = np.round(S, 6)
+        qs, cs, ss, rs = [], [], [], []
+        for i in range(m):
+            row = S[i]
+            keys = -row if cosine else row
+            order = np.lexsort((ids, keys))
+            # id-equality (not index) exclusion, matching the expr path's
+            # query_id != id filter under duplicate ids
+            order = order[ids[order] != ids[i]][:k]
+            nn = len(order)
+            qs.append(np.full(nn, ids[i]))
+            cs.append(ids[order])
+            ss.append(row[order])
+            rs.append(np.arange(1, nn + 1))
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qs),
+                id_col: np.concatenate(cs),
+                "score": np.concatenate(ss),
+                "rank": np.concatenate(rs).astype(np.int32),
+            }
+        )
+
+    return keyed.groupBy(key_col).applyInPandas(_score, schema)
+
+
 def knn_graph_lsh(
     df: DataFrame,
     planes: Sequence[Sequence[float]],
@@ -321,6 +519,9 @@ def knn_graph_lsh(
     id_col: str = "vec_id",
     metric: str = "cosine",
     multiprobe: bool = False,
+    max_bucket: int | None = None,
+    min_depth: int = 4,
+    impl: str = "expr",
 ) -> DataFrame:
     """Approximate kNN graph: candidates come from sign-LSH buckets, so
     total pair work is sum_b m_b^2 (bounded by bucket size) instead of
@@ -328,10 +529,36 @@ def knn_graph_lsh(
     points at (measured: exact graph 58x slower on 10x rows; this stays
     near-linear while buckets stay bounded).
 
-    Entirely JVM-side relational: bucket projection (plane matrix is a
-    plan literal, no shuffle) -> ONE equi-self-join on the bucket key ->
-    inline cosine/euclidean in whole-stage codegen -> per-query rank
-    window. No Python in the path; Catalyst/AQE size the bucket shuffle.
+    ``max_bucket`` guards the "while buckets stay bounded" premise
+    against dense DATA: a tight cluster overfills its bucket no matter
+    how good the planes are, and sum m_b^2 grows with the square of that
+    pile. With the cap, rows pair on `adaptive_lsh_keys` prefixes
+    instead: dense buckets split onto more plane bits, sparse regions
+    keep short recall-friendly prefixes. The cap can NOT rescue a
+    degenerate PLANE set — near-parallel planes give most rows the
+    IDENTICAL full signature (observed: using the x10 corpus's first 8
+    vectors, pairwise cosine >= 0.994, as planes put 96% of rows into 2
+    signatures and grew sum m_b^2 8300x), and identical signatures have
+    no deeper bits to split on — those piles fall to the salt-cell shard
+    in `adaptive_lsh_keys`, which bounds the worst case at
+    |V| * max_bucket pair evaluations. Plane quality is still the
+    caller's knob (`random_hyperplanes`); the cap is the density bound.
+    Incompatible with ``multiprobe`` (bit flips are defined on the
+    fixed-depth code).
+
+    ``impl`` picks the capped path's scorer: ``"expr"`` (default) stays
+    entirely JVM-side relational; ``"gemm"`` runs one Arrow
+    ``applyInPandas`` GEMM per bucket (safe — groups are cap-bounded),
+    which trades plan purity for ~2 orders of magnitude more pair
+    throughput (the higher-order-function cosine evaluates ~40k pairs/s
+    per machine; BLAS does millions). Identical output either way:
+    scores rounded to 6dp BEFORE ranking, ties broken by id ascending.
+
+    The fixed-depth path is entirely JVM-side relational: bucket
+    projection (plane matrix is a plan literal, no shuffle) -> ONE
+    equi-self-join on the bucket key -> inline cosine/euclidean in
+    whole-stage codegen -> per-query rank window. No Python in the path;
+    Catalyst/AQE size the bucket shuffle.
 
     ``multiprobe`` also probes every Hamming-1 bucket of each query row
     (planes+1 probe keys per row), recovering neighbors that fall just
@@ -353,6 +580,64 @@ def knn_graph_lsh(
     )
     from distributed_vector_database_spark.operators.topk import _order
 
+    if max_bucket is not None:
+        if multiprobe:
+            raise ValueError(
+                "max_bucket and multiprobe are mutually exclusive: "
+                "Hamming-1 probes are defined on the fixed-depth code"
+            )
+        if impl not in ("expr", "gemm"):
+            raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
+        keyed = adaptive_lsh_keys(
+            df.select(id_col, vector_col),
+            planes,
+            max_bucket,
+            vector_col=vector_col,
+            id_col=id_col,
+            min_depth=min_depth,
+        )
+        if impl == "gemm":
+            return _bucket_gemm_topk(
+                keyed,
+                k,
+                vector_col=vector_col,
+                id_col=id_col,
+                metric=metric,
+            )
+        q = keyed.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vector_col).cast("array<double>").alias("_qv"),
+            F.col("_key").alias("_probe"),
+        )
+        c = keyed.select(
+            F.col(id_col),
+            F.col(vector_col).cast("array<double>").alias("_cv"),
+            F.col("_key").alias("_bucket"),
+        )
+        score = (
+            cosine_similarity("_qv", "_cv")
+            if metric == "cosine"
+            else euclidean_distance("_qv", "_cv")
+        )
+        pairs = (
+            q.join(c, q["_probe"] == c["_bucket"])
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", id_col, round_score(score).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            *_order(metric, F.col("score"), F.col(id_col))
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank")
+        )
+
+    if impl == "gemm":
+        raise ValueError(
+            "impl='gemm' requires max_bucket: per-bucket GEMM matrices "
+            "are only memory-safe when groups are cap-bounded"
+        )
     bucket = lsh_bucket(F.col(vector_col), planes)
     if multiprobe:
         n_bits = len(planes)

@@ -8326,6 +8326,67 @@ def q_knn_graph_lsh(spark, sf_dir):
     )
 
 
+@register(
+    "knn_graph_lsh_capped",
+    f"""
+WITH p AS (SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+           FROM embeddings WHERE vec_id < 8),
+sig AS (SELECT e.vec_id,
+               string_agg(CASE WHEN list_dot_product({E}, p.pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.plane_id)
+                 AS fullsig
+        FROM embeddings e, p GROUP BY e.vec_id),
+cnt AS (SELECT fullsig, count(*) AS c FROM sig GROUP BY fullsig),
+pc AS (SELECT t.d, substr(fullsig, 1, t.d) AS pk, sum(c) AS pcnt
+       FROM cnt, generate_series(4, 8) AS t(d)
+       GROUP BY t.d, substr(fullsig, 1, t.d)),
+choice AS (SELECT cnt.fullsig, cnt.c,
+                  coalesce(min(CASE WHEN pc.pcnt <= 4 THEN pc.d END), 8) AS cd
+           FROM cnt JOIN pc ON pc.pk = substr(cnt.fullsig, 1, pc.d)
+           GROUP BY cnt.fullsig, cnt.c),
+keyed AS (SELECT s.vec_id,
+                 CASE WHEN ch.c <= 4 THEN substr(s.fullsig, 1, ch.cd)
+                      ELSE substr(s.fullsig, 1, ch.cd) || ':' || CAST(CAST(
+                             floor((ROW_NUMBER() OVER (
+                                 PARTITION BY s.fullsig
+                                 ORDER BY md5(CAST(s.vec_id AS VARCHAR)),
+                                          s.vec_id) - 1) / 4) AS BIGINT)
+                             AS VARCHAR)
+                 END AS key
+          FROM sig s JOIN choice ch ON ch.fullsig = s.fullsig),
+pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                 ROUND({_cos('(ea.embedding::DOUBLE[])',
+                             '(eb.embedding::DOUBLE[])')}, 6) AS score
+          FROM keyed a
+          JOIN keyed b ON a.key = b.key AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+ranked AS (SELECT query_id, vec_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, vec_id ASC) AS rank
+           FROM pairs)
+SELECT query_id, vec_id, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn_graph_lsh_capped(spark, sf_dir):
+    """Cap-bounded approximate kNN graph: rows pair on the shortest
+    plane-bit prefix whose bucket is <= 4 rows (adaptive depth 4..8);
+    identical-signature piles beyond the cap shard into md5-ordered salt
+    cells, so worst-case pair work is |V| * cap even for clusters tighter
+    than every plane margin. Scoring runs the cap-bounded Arrow GEMM
+    (impl='gemm'), proven row-identical to the relational scorer. The tiny
+    cap makes the driver row exercise BOTH mechanisms at sf0.01."""
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _fixed_centroids(spark, sf_dir, 8)
+    g = _ann.knn_graph_lsh(
+        emb, planes, k=5, max_bucket=4, min_depth=4, impl="gemm"
+    )
+    return g.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

@@ -288,3 +288,86 @@ def test_knn_graph_lsh_no_python_and_no_cartesian(spark, embeddings):
     plan = knn_graph_lsh(embeddings, planes, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adaptive_lsh_keys_caps_buckets_and_is_deterministic(spark):
+    """A dense pile tighter than every plane margin shares one full
+    signature; salt cells must still bound every final bucket at the cap,
+    and the keys must be identical across recomputation."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        adaptive_lsh_keys,
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(3)
+    center = rng.standard_normal(16)
+    rows = [
+        (i, (center + 1e-4 * rng.standard_normal(16)).tolist())
+        for i in range(300)
+    ] + [(1000 + i, rng.standard_normal(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    planes = random_hyperplanes(16, n_planes=8, seed=9)
+    keyed = adaptive_lsh_keys(df, planes, 40, min_depth=4)
+    sizes = keyed.groupBy("_key").count().collect()
+    assert max(r["count"] for r in sizes) <= 40
+    assert keyed.count() == 500  # every row keeps exactly one key
+    # the pile was sharded: some keys carry a salt cell suffix
+    assert any(":" in r["_key"] for r in sizes)
+    k1 = sorted((r["vec_id"], r["_key"]) for r in keyed.collect())
+    k2 = sorted(
+        (r["vec_id"], r["_key"])
+        for r in adaptive_lsh_keys(df, planes, 40, min_depth=4).collect()
+    )
+    assert k1 == k2
+
+
+def test_knn_graph_lsh_capped_expr_gemm_identical(spark, embeddings):
+    """The Arrow GEMM scorer must reproduce the relational scorer
+    bit-for-bit (same rounding-then-rank contract)."""
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=8, seed=5)
+    sub = embeddings.filter(F.col("vec_id") < 300).cache()
+    for metric in ("cosine", "euclidean"):
+        a = sorted(
+            map(
+                tuple,
+                knn_graph_lsh(
+                    sub, planes, k=4, max_bucket=24, impl="expr", metric=metric
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                knn_graph_lsh(
+                    sub, planes, k=4, max_bucket=24, impl="gemm", metric=metric
+                ).collect(),
+            )
+        )
+        assert a and a == b, metric
+    sub.unpersist()
+
+
+def test_knn_graph_lsh_capped_guards(spark, embeddings):
+    import pytest
+
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=8, seed=5)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        knn_graph_lsh(
+            embeddings, planes, k=3, max_bucket=16, multiprobe=True
+        )
+    with pytest.raises(ValueError, match="requires max_bucket"):
+        knn_graph_lsh(embeddings, planes, k=3, impl="gemm")
+    with pytest.raises(ValueError, match="min_depth"):
+        knn_graph_lsh(embeddings, planes, k=3, max_bucket=16, min_depth=0)
