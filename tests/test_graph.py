@@ -143,3 +143,26 @@ def test_triangle_stats_counts_each_triangle_once(spark):
     )
     r = triangle_stats(star).head()
     assert r["n_triangles"] == 0 and r["global_clustering"] == 0.0
+
+
+def test_triangle_stats_composes_with_capped_lsh_graph(spark, embeddings):
+    """The approximate-graph scale path must feed the census directly:
+    same edge shape as knn_graph_exact, sane invariants out."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+    from distributed_vector_database_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    planes = random_hyperplanes(64, n_planes=8, seed=5)
+    edges = knn_graph_lsh(
+        embeddings, planes, k=3, max_bucket=32, impl="gemm"
+    ).select(F.col("query_id").alias("src"), F.col("vec_id").alias("dst"))
+    r = triangle_stats(edges).head()
+    assert r["n_nodes"] > 0 and r["n_edges"] > 0
+    assert 0.0 <= r["global_clustering"] <= 1.0
+    assert r["n_wedges"] >= 3 * r["n_triangles"]
