@@ -46,6 +46,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash_fingerprints",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
     "keep_best_per_cluster",
     "semantic_dedup",
     "repeated_spans",
@@ -568,6 +569,73 @@ def embedding_neardup_pairs(
                 )
 
     return block_pairs.mapInPandas(gemm, out_schema)
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    planes,
+    threshold: float = 0.99,
+    *,
+    max_bucket: int = 256,
+    min_depth: int = 4,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The sub-quadratic 100 TB path `embedding_neardup_pairs` points at:
+    candidate pairs come from cap-bounded adaptive sign-LSH buckets
+    (operators/ann.adaptive_lsh_keys — dense buckets split onto more
+    plane bits, identical-signature piles shard into salt cells), and
+    the in-bucket verifier is one float64 GEMM per group emitting ALL
+    pairs with cosine >= threshold.
+
+    Work is sum_b m_b^2 with m_b <= max_bucket — |V| * cap worst case —
+    versus the exact operator's |V|^2. ANN semantics: pairs whose rows
+    land in different buckets are missed; near-dup thresholds (~0.99)
+    mean near-identical vectors, which agree on sign bits with high
+    probability, so recall concentrates exactly where dedup needs it.
+
+    Same output shape as `embedding_neardup_pairs`
+    (vec_id_a < vec_id_b, score rounded to 6dp).
+    """
+    from distributed_vector_database_spark.operators.ann import (
+        adaptive_lsh_keys,
+    )
+
+    keyed = adaptive_lsh_keys(
+        emb.select(id_col, vector_col),
+        planes,
+        max_bucket,
+        vector_col=vector_col,
+        id_col=id_col,
+        min_depth=min_depth,
+    )
+    out_schema = "vec_id_a long, vec_id_b long, score double"
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "score": []})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vector_col]]
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm guard (reference: src/compute_server.py:36-37)
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        scores = np.round(mat @ mat.T, 6)
+        ii, jj = np.nonzero(scores >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ii][keep],
+                "vec_id_b": ids[jj][keep],
+                "score": scores[ii, jj][keep],
+            }
+        )
+
+    return keyed.groupBy("_key").applyInPandas(verify, out_schema)
 
 
 def keep_best_per_cluster(

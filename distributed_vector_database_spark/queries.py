@@ -8387,6 +8387,61 @@ def q_knn_graph_lsh_capped(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_embedding_cosine_lsh",
+    f"""
+WITH p AS (SELECT vec_id AS plane_id, embedding::DOUBLE[] AS pv
+           FROM embeddings WHERE vec_id < 8),
+sig AS (SELECT e.vec_id,
+               string_agg(CASE WHEN list_dot_product({E}, p.pv) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p.plane_id)
+                 AS fullsig
+        FROM embeddings e, p GROUP BY e.vec_id),
+cnt AS (SELECT fullsig, count(*) AS c FROM sig GROUP BY fullsig),
+pc AS (SELECT t.d, substr(fullsig, 1, t.d) AS pk, sum(c) AS pcnt
+       FROM cnt, generate_series(4, 8) AS t(d)
+       GROUP BY t.d, substr(fullsig, 1, t.d)),
+choice AS (SELECT cnt.fullsig, cnt.c,
+                  coalesce(min(CASE WHEN pc.pcnt <= 32 THEN pc.d END), 8) AS cd
+           FROM cnt JOIN pc ON pc.pk = substr(cnt.fullsig, 1, pc.d)
+           GROUP BY cnt.fullsig, cnt.c),
+keyed AS (SELECT s.vec_id,
+                 CASE WHEN ch.c <= 32 THEN substr(s.fullsig, 1, ch.cd)
+                      ELSE substr(s.fullsig, 1, ch.cd) || ':' || CAST(CAST(
+                             floor((ROW_NUMBER() OVER (
+                                 PARTITION BY s.fullsig
+                                 ORDER BY md5(CAST(s.vec_id AS VARCHAR)),
+                                          s.vec_id) - 1) / 32) AS BIGINT)
+                             AS VARCHAR)
+                 END AS key
+          FROM sig s JOIN choice ch ON ch.fullsig = s.fullsig)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND({_cos('(ea.embedding::DOUBLE[])',
+                   '(eb.embedding::DOUBLE[])')}, 6) AS score
+FROM keyed a
+JOIN keyed b ON a.key = b.key AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE ROUND({_cos('(ea.embedding::DOUBLE[])',
+                  '(eb.embedding::DOUBLE[])')}, 6) >= 0.38
+""",
+)
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    """The 100 TB path for embedding-cosine near-dup discovery: candidate
+    pairs from cap-bounded adaptive LSH buckets (cap=32, depths 4..8),
+    verified by one float64 GEMM per group — |V|*cap worst-case pair work
+    where the exact operator is |V|^2. Threshold 0.38 (vs the exact
+    query's 0.45) keeps the same-bucket survivor set non-trivial at
+    sf0.01 — the testdata's max pairwise cosine is ~0.51; production
+    near-dup default is 0.99, where sign-bit agreement — and thus
+    recall — is highest."""
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = _fixed_centroids(spark, sf_dir, 8)
+    return _dd.embedding_neardup_pairs_lsh(
+        emb, planes, threshold=0.38, max_bucket=32, min_depth=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

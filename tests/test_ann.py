@@ -371,3 +371,34 @@ def test_knn_graph_lsh_capped_guards(spark, embeddings):
         knn_graph_lsh(embeddings, planes, k=3, impl="gemm")
     with pytest.raises(ValueError, match="min_depth"):
         knn_graph_lsh(embeddings, planes, k=3, max_bucket=16, min_depth=0)
+
+
+def test_embedding_neardup_pairs_lsh_subset_of_exact(spark, embeddings):
+    """Every LSH-bucketed pair must appear in the exact all-pairs result
+    with the identical score (approximation = candidate generation only),
+    and same-bucket recall must be non-trivial at this threshold."""
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+    from distributed_vector_database_spark.operators.ann import (
+        random_hyperplanes,
+    )
+
+    sub = embeddings.filter(F.col("vec_id") < 400).cache()
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["score"]
+        for r in embedding_neardup_pairs(sub, threshold=0.35).collect()
+    }
+    planes = random_hyperplanes(64, n_planes=8, seed=5)
+    approx = {
+        (r["vec_id_a"], r["vec_id_b"]): r["score"]
+        for r in embedding_neardup_pairs_lsh(
+            sub, planes, threshold=0.35, max_bucket=64
+        ).collect()
+    }
+    assert approx, "bucketed near-dup pairs must be non-empty"
+    for pair, score in approx.items():
+        assert pair in exact
+        assert abs(score - exact[pair]) < 1e-9
+    sub.unpersist()
