@@ -186,6 +186,11 @@ def main() -> None:
     #   embedding_drift             ~0.3-0.7 s  (tiny two-agg broadcast
     #                               join; fixed-overhead-bound, so +-0.2 s
     #                               scheduling noise is a large ratio)
+    #   knn_graph_lsh               ~2.0-3.0 s  (bucket self-join + rank
+    #                               window; isolated median 2.4 s)
+    #   knn_graph_lsh_capped        ~3.0-4.2 s  (adds the count/choice agg,
+    #                               salt-cell window and Arrow GEMM stage;
+    #                               isolated median 3.5 s)
     headline_keys = [
         "ivf_search_nprobe1_cached",
         "topk768_expr",
@@ -225,6 +230,9 @@ def main() -> None:
         "hard_negatives_join_topk",
         "sqlite_store_stream_ingest",
         "mor_vacuum_read",
+        "knn_graph_lsh",
+        "knn_graph_lsh_capped",
+        "dedup_embedding_cosine_lsh",
     ]
     compact = dict(full)
     compact["queries"] = {
