@@ -188,6 +188,8 @@ def main() -> None:
     #                               scheduling noise is a large ratio)
     #   knn_graph_lsh               ~2.0-3.0 s  (bucket self-join + rank
     #                               window; isolated median 2.4 s)
+    #   knn_triangle_stats          ~1.4-2.6 s  (exact graph + census;
+    #                               isolated median 1.4 s, mid-sweep 2.6 s)
     #   knn_graph_lsh_capped        ~3.0-4.2 s  (adds the count/choice agg,
     #                               salt-cell window and Arrow GEMM stage;
     #                               isolated median 3.5 s)
