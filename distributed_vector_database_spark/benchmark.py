@@ -352,8 +352,8 @@ def high_dim_pq_latency(
     fit_sec = _one_shot_median(_fit)
     books = _fit_box["books"]  # seeded fit: every run returns the same
     # per-trial cache-materialize + drop (a bare count() would let the
-    # optimizer prune the encode projection away); the final trial's
-    # cache is reused by the ADC runs below
+    # optimizer prune the encode projection away); every trial unpersists
+    # its cache, so the ADC runs below re-materialize one fresh encode
     def _encode():
         c = pq_encode_arrow(wide, books).select("vec_id", "codes").cache()
         c.count()
@@ -448,8 +448,8 @@ def high_dim_sq8_latency(
     fit_sec = _one_shot_median(_fit)
     bounds = _fit_box["bounds"]  # min/max fit: deterministic across runs
     # per-trial cache-materialize + drop (a bare count() would let the
-    # optimizer prune the encode projection away); the final trial's
-    # cache is reused by the ADC runs below
+    # optimizer prune the encode projection away); every trial unpersists
+    # its cache, so the ADC runs below re-materialize one fresh encode
     def _encode():
         c = wide.select(
             "vec_id", sq_encode_col("embedding", bounds).alias("codes")

@@ -363,6 +363,13 @@ def adaptive_lsh_keys(
         raise ValueError(
             f"min_depth must be in [1, {n_bits}], got {min_depth}"
         )
+    reserved = {"_full", "_c", "_fullc", "_cell", key_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"adaptive_lsh_keys uses working columns {sorted(reserved)} "
+            "that already exist on the input — rename them (or pass a "
+            "different key_col) first"
+        )
     depths = list(range(min_depth, n_bits + 1))
     full = lsh_bucket(F.col(vector_col), planes)
     base = df.withColumn("_full", full)
@@ -410,7 +417,10 @@ def adaptive_lsh_keys(
     # keyed frame, and self-joins get no exchange reuse — without this the
     # count+choice derivation would run once per join side. The base scan
     # re-runs per side (cheap, columnar); only the tiny frame is pinned.
-    choice = choice.localCheckpoint(eager=True)
+    # eager=False: materializes on FIRST action (both self-join sides then
+    # share the checkpointed RDD), so plan-only inspection costs no jobs
+    # and repeated plan construction doesn't stack eager executions.
+    choice = choice.localCheckpoint(eager=False)
     keyed = base.join(choice, "_full")
     # the depth fallback fires exactly when the FULL-signature pile
     # exceeds the cap (depth n always qualifies otherwise) — shard those
@@ -448,11 +458,18 @@ def _bucket_gemm_topk(
     key_col: str = "_key",
 ) -> DataFrame:
     """Per-bucket exact top-k via one Arrow ``applyInPandas`` GEMM per
-    cap-bounded key group. Mirrors the relational scorer bit-for-bit:
-    float64 cast, zero-norm cosine = 0.0, scores rounded to 6dp BEFORE
-    ranking, (score order, id asc) ties — so `impl='gemm'` and
-    `impl='expr'` return identical rows. Groups arrive cap-bounded from
-    `adaptive_lsh_keys`, so the m x m score matrix is O(cap^2)."""
+    cap-bounded key group. Mirrors the relational scorer: float64 cast,
+    zero-norm cosine = 0.0, euclidean as the norm of the actual
+    DIFFERENCE vectors (NOT the a^2+b^2-2ab Gram identity — its
+    catastrophic cancellation near zero distance yields e.g. 1e-6
+    instead of 0.0 for near-identical non-unit-norm vectors, breaking
+    expr-parity exactly in the near-duplicate regime), scores rounded to
+    6dp BEFORE ranking, (score order, id asc) ties — so `impl='gemm'`
+    and `impl='expr'` return identical rows on unique-id input (ids are
+    assumed unique, the corpus's primary-key contract; under duplicated
+    ids the two impls window candidates differently). Groups arrive
+    cap-bounded from `adaptive_lsh_keys`, so the m x m score matrix is
+    O(cap^2)."""
     import numpy as np
     import pandas as pd
 
@@ -480,18 +497,20 @@ def _bucket_gemm_topk(
             S[n == 0.0, :] = 0.0
             S[:, n == 0.0] = 0.0
         else:
-            sq = (M * M).sum(axis=1)
-            S = np.sqrt(
-                np.maximum(sq[:, None] + sq[None, :] - 2.0 * (M @ M.T), 0.0)
-            )
+            # difference-vector norms, row at a time: same arithmetic as
+            # the expr path's sqrt(sum((x-y)^2)); groups are cap-bounded
+            # so the O(m^2 d) broadcast stays small
+            S = np.empty((m, m), dtype=np.float64)
+            for i in range(m):
+                diff = M - M[i]
+                S[i] = np.sqrt((diff * diff).sum(axis=1))
         S = np.round(S, 6)
         qs, cs, ss, rs = [], [], [], []
         for i in range(m):
             row = S[i]
             keys = -row if cosine else row
             order = np.lexsort((ids, keys))
-            # id-equality (not index) exclusion, matching the expr path's
-            # query_id != id filter under duplicate ids
+            # exclude the query row itself (ids are unique by contract)
             order = order[ids[order] != ids[i]][:k]
             nn = len(order)
             qs.append(np.full(nn, ids[i]))
@@ -571,14 +590,8 @@ def knn_graph_lsh(
     (query_id, id, score, rank) so triangle/2-hop consumers swap in
     directly.
     """
-    from pyspark.sql import Window
-
-    from distributed_vector_database_spark.functions.vector import (
-        cosine_similarity,
-        euclidean_distance,
-        round_score,
-    )
-    from distributed_vector_database_spark.operators.topk import _order
+    if impl not in ("expr", "gemm"):
+        raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
 
     if max_bucket is not None:
         if multiprobe:
@@ -586,8 +599,6 @@ def knn_graph_lsh(
                 "max_bucket and multiprobe are mutually exclusive: "
                 "Hamming-1 probes are defined on the fixed-depth code"
             )
-        if impl not in ("expr", "gemm"):
-            raise ValueError(f"impl must be 'expr' or 'gemm', got {impl!r}")
         keyed = adaptive_lsh_keys(
             df.select(id_col, vector_col),
             planes,
@@ -614,24 +625,7 @@ def knn_graph_lsh(
             F.col(vector_col).cast("array<double>").alias("_cv"),
             F.col("_key").alias("_bucket"),
         )
-        score = (
-            cosine_similarity("_qv", "_cv")
-            if metric == "cosine"
-            else euclidean_distance("_qv", "_cv")
-        )
-        pairs = (
-            q.join(c, q["_probe"] == c["_bucket"])
-            .filter(F.col("query_id") != F.col(id_col))
-            .select("query_id", id_col, round_score(score).alias("score"))
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            *_order(metric, F.col("score"), F.col(id_col))
-        )
-        return (
-            pairs.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", id_col, "score", "rank")
-        )
+        return _probe_join_rank_topk(q, c, k, metric, id_col)
 
     if impl == "gemm":
         raise ValueError(
@@ -667,6 +661,24 @@ def knn_graph_lsh(
         F.col(vector_col).cast("array<double>").alias("_cv"),
         lsh_bucket(F.col(vector_col), planes).alias("_bucket"),
     )
+    return _probe_join_rank_topk(q, c, k, metric, id_col)
+
+
+def _probe_join_rank_topk(
+    q: DataFrame, c: DataFrame, k: int, metric: str, id_col: str
+) -> DataFrame:
+    """Shared relational tail of both `knn_graph_lsh` paths: probe-key
+    equi-join (`_probe` == `_bucket` over `_qv`/`_cv` float64 vectors),
+    inline score rounded to 6dp, per-query rank window, <= k."""
+    from pyspark.sql import Window
+
+    from distributed_vector_database_spark.functions.vector import (
+        cosine_similarity,
+        euclidean_distance,
+        round_score,
+    )
+    from distributed_vector_database_spark.operators.topk import _order
+
     score = (
         cosine_similarity("_qv", "_cv")
         if metric == "cosine"

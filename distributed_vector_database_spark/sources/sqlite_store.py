@@ -192,20 +192,33 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
     43-46): SQLite implements REPLACE as delete+insert, so an update
     surfaces here as a NEW row for the same id — downstream applies
     keep-latest (`vector_store.upsert_keep_latest` / `MorStore`) exactly
-    like any CDC feed. ``readBetweenOffsets`` replays any committed range
-    deterministically (rowids are stable once written), so the source is
-    exactly-once under Structured Streaming's offset log.
+    like any CDC feed. ``readBetweenOffsets`` replays committed ranges by
+    rowid (stable once written); rows surfaced by the re-verify paths
+    below replay with their CURRENT content, so the source is
+    exactly-once for append-only writes and at-least-once (keep-latest
+    absorbed) under concurrent rewrites.
 
-    Known edge (inherent to rowid watermarks, MITIGATED here): REPLACE of
-    the row that currently holds a shard's MAX rowid reuses that rowid,
-    so ``rowid > watermark`` alone would never see that update. The
-    offset therefore also carries a per-shard content fingerprint of the
-    row AT the watermark (``{"tip": {shard: sha1(id, vector_json)}}``);
-    every read re-reads that single row and re-emits it when its content
-    no longer matches the recorded fingerprint. Downstream is keep-latest
-    (`vector_store.upsert_keep_latest` / `MorStore`), so the occasional
-    re-emit is absorbed; a production feed would add a monotone version
-    column, which the reference's schema lacks.
+    Known edge (inherent to rowid watermarks): SQLite assigns
+    max(rowid)+1, so a batch that DELETEs the shard's max row can reuse
+    rowids at-or-below the watermark for its re-INSERTs, which
+    ``rowid > watermark`` never sees. Two verify levels
+    (``option("verify", ...)``):
+
+    - ``"tip"`` (default): the offset carries a content fingerprint of
+      the single row AT the watermark (``{"tip": {shard: sha1(...)}}``);
+      each read re-reads that row and re-emits it on divergence. Covers
+      the common case — REPLACE of the current max row — but NOT a
+      multi-row delete-then-reinsert that reuses rowids strictly below
+      the watermark.
+    - ``"full"``: the offset additionally carries an order-insensitive
+      64-bit content checksum of the ENTIRE sub-watermark region
+      (``{"sum": {shard: int}}``); each read recomputes it (O(region)
+      per shard, driver-side) and re-emits the whole region on
+      divergence. Closes the multi-row hole at re-scan cost.
+
+    A production feed would add a monotone version column, which the
+    reference's schema lacks — these verify modes are the best a
+    versionless rowid store admits.
 
     Scale shape: this simple reader tails CHANGES (driver-side, small);
     bulk backfill is the batch reader's shard-parallel job. The pairing —
@@ -217,9 +230,14 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("sqlite_vector_shards requires option 'path'")
+        self.verify = options.get("verify", "tip")
+        if self.verify not in ("tip", "full"):
+            raise ValueError(
+                f"verify must be 'tip' or 'full', got {self.verify!r}"
+            )
 
     def initialOffset(self) -> dict:
-        return {"rowid": {}, "tip": {}}
+        return {"rowid": {}, "tip": {}, "sum": {}}
 
     @staticmethod
     def _fingerprint(id_: str, vector_json: str) -> str:
@@ -229,13 +247,29 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
             f"{id_}\x00{vector_json}".encode()
         ).hexdigest()
 
-    def _scan(self, lo: dict, hi: dict | None, lo_tip: dict):
+    @classmethod
+    def _fp64(cls, id_: str, vector_json: str) -> int:
+        # order-insensitive region checksum term: 64 bits of the row
+        # fingerprint, summed mod 2^64 across rows
+        return int(cls._fingerprint(id_, vector_json)[:16], 16)
+
+    def _region_sum(self, con, watermark: int) -> int:
+        total = 0
+        for id_, vj in con.execute(
+            "SELECT id, vector_json FROM vectors WHERE rowid <= ?",
+            (watermark,),
+        ):
+            total = (total + self._fp64(id_, vj)) % (1 << 64)
+        return total
+
+    def _scan(self, lo: dict, hi: dict | None, lo_tip: dict, lo_sum: dict):
         import json
         import sqlite3
 
         rows = []
         new = {}
         new_tip = {}
+        new_sum = {}
         for sid, f in _shard_files(self.path):
             start = int(lo.get(str(sid), 0))
             stop = None if hi is None else int(hi.get(str(sid), start))
@@ -247,7 +281,28 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
                 # the watermark and emit it when its content diverged
                 # from the fingerprint recorded in the offset.
                 tip_fp = lo_tip.get(str(sid))
-                if start > 0:
+                resnapshot = False
+                if self.verify == "full" and start > 0:
+                    # order-insensitive checksum of the whole region at or
+                    # below the watermark: any delete-then-reinsert that
+                    # reused rowids below the watermark diverges it
+                    cur_sum = self._region_sum(con, start)
+                    rec = lo_sum.get(str(sid))
+                    if rec is not None and cur_sum != int(rec):
+                        resnapshot = True
+                        for id_, vj in con.execute(
+                            "SELECT id, vector_json FROM vectors "
+                            "WHERE rowid <= ? ORDER BY rowid",
+                            (start,),
+                        ):
+                            rows.append(
+                                (
+                                    id_,
+                                    [float(x) for x in json.loads(vj)],
+                                    sid,
+                                )
+                            )
+                if start > 0 and not resnapshot:
                     r = con.execute(
                         "SELECT id, vector_json FROM vectors "
                         "WHERE rowid = ?",
@@ -286,25 +341,34 @@ class _ShardStreamReader(SimpleDataSourceStreamReader):
                 new[str(sid)] = mx if stop is None else stop
                 if tip_fp is not None:
                     new_tip[str(sid)] = tip_fp
+                if self.verify == "full":
+                    new_sum[str(sid)] = self._region_sum(
+                        con, new[str(sid)]
+                    )
             finally:
                 con.close()
-        return rows, new, new_tip
+        return rows, new, new_tip, new_sum
 
     def read(self, start: dict):
-        rows, new, new_tip = self._scan(
-            start.get("rowid", {}), None, start.get("tip", {})
+        rows, new, new_tip, new_sum = self._scan(
+            start.get("rowid", {}),
+            None,
+            start.get("tip", {}),
+            start.get("sum", {}),
         )
-        return iter(rows), {"rowid": new, "tip": new_tip}
+        return iter(rows), {"rowid": new, "tip": new_tip, "sum": new_sum}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # Replays the same re-verify decision against the live store:
-        # rowids are stable once written, so the range scan is exact; the
-        # tip row replays with its CURRENT content (at-least-once under
-        # concurrent REPLACE of that one row — absorbed by keep-latest).
-        rows, _, _ = self._scan(
+        # Replays the same re-verify decisions against the live store:
+        # rowids are stable once written, so the range scan is exact; rows
+        # surfaced by the tip/region re-verify replay with their CURRENT
+        # content (at-least-once under concurrent rewrites — absorbed by
+        # keep-latest).
+        rows, _, _, _ = self._scan(
             start.get("rowid", {}),
             end.get("rowid", {}),
             start.get("tip", {}),
+            start.get("sum", {}),
         )
         return iter(rows)
 
@@ -379,13 +443,17 @@ def write_shards(df, path: str) -> None:
     )
 
 
-def stream_shards(spark, path: str):
+def stream_shards(spark, path: str, *, verify: str = "tip"):
     """Streaming DataFrame tailing a reference-format shard directory:
     every new / replaced row arrives as a micro-batch row (CDC feed).
-    Same ``(id, embedding, shard_id)`` schema as :func:`read_shards`."""
+    Same ``(id, embedding, shard_id)`` schema as :func:`read_shards`.
+    ``verify``: "tip" (default, cheap) or "full" (region checksum that
+    also catches multi-row rowid reuse below the watermark) — see
+    `_ShardStreamReader`."""
     register(spark)
     return (
         spark.readStream.format("sqlite_vector_shards")
         .option("path", path)
+        .option("verify", verify)
         .load()
     )

@@ -402,3 +402,56 @@ def test_embedding_neardup_pairs_lsh_subset_of_exact(spark, embeddings):
         assert pair in exact
         assert abs(score - exact[pair]) < 1e-9
     sub.unpersist()
+
+
+def test_knn_graph_lsh_gemm_euclidean_near_duplicates_match_expr(spark):
+    """Regression: the GEMM scorer must compute euclidean as the norm of
+    the DIFFERENCE vectors — the a^2+b^2-2ab Gram identity's catastrophic
+    cancellation reports ~1e-6 instead of 0.0 for near-identical
+    non-unit-norm vectors, diverging from the relational scorer."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16) * 45.0  # large norm -> worst case
+    rows = [(i, (base + 1e-9 * rng.standard_normal(16)).tolist())
+            for i in range(12)]
+    rows += [(100 + i, (rng.standard_normal(16) * 45.0).tolist())
+             for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    planes = random_hyperplanes(16, n_planes=6, seed=2)
+    a = sorted(map(tuple, knn_graph_lsh(
+        df, planes, k=4, max_bucket=16, impl="expr", metric="euclidean"
+    ).collect()))
+    b = sorted(map(tuple, knn_graph_lsh(
+        df, planes, k=4, max_bucket=16, impl="gemm", metric="euclidean"
+    ).collect()))
+    assert a and a == b
+    # the near-identical pile's mutual distances must round to exactly 0.0
+    zero_scores = [r[2] for r in b if r[0] < 12 and r[1] < 12]
+    assert zero_scores and all(s == 0.0 for s in zero_scores)
+
+
+def test_knn_graph_lsh_rejects_bad_impl_without_cap(spark, embeddings):
+    import pytest
+
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=4, seed=1)
+    with pytest.raises(ValueError, match="impl must be"):
+        knn_graph_lsh(embeddings, planes, k=3, impl="gem")
+    with pytest.raises(ValueError, match="working columns"):
+        from distributed_vector_database_spark.operators.ann import (
+            adaptive_lsh_keys,
+        )
+
+        adaptive_lsh_keys(
+            embeddings.withColumn("_full", F.lit("x")), planes, 8
+        )

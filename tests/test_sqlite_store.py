@@ -294,3 +294,76 @@ def test_stream_replace_of_max_rowid_row_is_emitted(spark, tmp_path):
     n = len(batches)
     drain()
     assert [r for b in batches[n:] for r in b] == []
+
+
+def test_stream_full_verify_catches_multirow_rowid_reuse(spark, tmp_path):
+    """Regression (round-5 review): a batch that DELETEs the max-rowid
+    row TOGETHER with rows below it can reuse rowids strictly below the
+    watermark for its re-INSERTs — invisible to the range scan AND to
+    the single-row tip fingerprint. verify='full' carries a region
+    checksum and must re-emit the rewritten region; an unchanged store
+    must still emit nothing."""
+    d = str(tmp_path / "live")
+    _mk_reference_store(
+        d,
+        {0: [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [1.0, 1.0])]},
+    )
+    from distributed_vector_database_spark.sources.sqlite_store import (
+        stream_shards,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    batches = []
+
+    def drain():
+        q = (
+            stream_shards(spark, d, verify="full")
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(
+                    sorted(
+                        (r["id"], tuple(r["embedding"]), r["shard_id"])
+                        for r in df.collect()
+                    )
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()
+    assert sorted(r for b in batches for r in b) == [
+        ("a", (1.0, 0.0), 0),
+        ("b", (0.0, 1.0), 0),
+        ("c", (1.0, 1.0), 0),
+    ]
+    # no-change drain: nothing re-emitted despite the O(region) checksum
+    n = len(batches)
+    drain()
+    assert [r for b in batches[n:] for r in b] == []
+    # delete rowids 2 AND 3 (the max), then insert two rewritten rows:
+    # SQLite hands out max(remaining)+1 = 2, then 3 — both at/below the
+    # watermark, and the tip row's content alone can't prove row 2 moved
+    con = sqlite3.connect(os.path.join(d, "shard_0.sqlite3"))
+    con.execute("DELETE FROM vectors WHERE id IN ('b', 'c')")
+    con.execute(
+        "INSERT INTO vectors (id, vector_json) VALUES (?, ?)",
+        ("b2", json.dumps([7.0, 7.0])),
+    )
+    con.execute(
+        "INSERT INTO vectors (id, vector_json) VALUES (?, ?)",
+        ("c2", json.dumps([8.0, 8.0])),
+    )
+    con.commit()
+    got = con.execute("SELECT rowid, id FROM vectors ORDER BY rowid").fetchall()
+    assert got == [(1, "a"), (2, "b2"), (3, "c2")], got
+    con.close()
+    n = len(batches)
+    drain()
+    emitted = sorted(r for b in batches[n:] for r in b)
+    # the whole rewritten region replays (keep-latest absorbs "a")
+    assert ("b2", (7.0, 7.0), 0) in emitted
+    assert ("c2", (8.0, 8.0), 0) in emitted
