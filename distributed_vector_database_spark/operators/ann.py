@@ -413,14 +413,16 @@ def adaptive_lsh_keys(
             F.col("_c").alias("_fullc"),
         )
     )
-    # materialize the SMALL signature->key map: consumers self-join the
-    # keyed frame, and self-joins get no exchange reuse — without this the
-    # count+choice derivation would run once per join side. The base scan
-    # re-runs per side (cheap, columnar); only the tiny frame is pinned.
-    # eager=False: materializes on FIRST action (both self-join sides then
-    # share the checkpointed RDD), so plan-only inspection costs no jobs
-    # and repeated plan construction doesn't stack eager executions.
-    choice = choice.localCheckpoint(eager=False)
+    # materialize the SMALL signature->key map EAGERLY: the keyed frame
+    # is referenced up to 4x downstream (small/big union x both sides of
+    # a consumer's self-join), and a lazy checkpoint is not a barrier —
+    # the branches race to compute the un-persisted lineage and the
+    # count/choice aggregation runs per branch (measured: lazy 5.1 s
+    # noisy vs eager 3.5 s tight on knn_graph_lsh_capped at sf0.1). The
+    # costs of eager — a plan-construction job and one pinned TINY frame
+    # per call — are the lesser evil; callers doing plan-only inspection
+    # pay one small aggregation job.
+    choice = choice.localCheckpoint(eager=True)
     keyed = base.join(choice, "_full")
     # the depth fallback fires exactly when the FULL-signature pile
     # exceeds the cap (depth n always qualifies otherwise) — shard those
