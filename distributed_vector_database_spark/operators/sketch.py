@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_fraction",
     "kmv_distinct",
+    "kmv_sketch",
+    "kmv_set_estimates",
+    "cms_build",
+    "cms_merge",
+    "cms_lookup",
+    "cms_bucket",
     "hash_sample",
     "hash_split",
     "stratified_hash_sample",
@@ -144,3 +150,166 @@ def hash_split(
         )
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) on the portable md5 hash.
+#
+# A frequency sketch that is a plain (row, bucket, cnt) DataFrame:
+#   - registers are SUMS, so the sketch is order-independent and mergeable
+#     (union two sketches, re-sum) — the canonical pattern for per-day /
+#     per-source sketches folded later into a global one;
+#   - every register write is a map-side-combinable groupBy: the shuffle
+#     carries at most depth*width rows per task however big the input;
+#   - lookups broadcast the (tiny) sketch against the probe keys.
+# Determinism: the row-i hash is md5(f"{i}:{key}") — the same convention as
+# `hash_fraction`, so the DuckDB oracle reproduces every register and every
+# estimate bit-exactly (a property engine-native CMS implementations lack).
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(row: Column, key: Column, width: int) -> Column:
+    """Register column for hash row ``row``: first 12 hex chars of
+    md5("{row}:{key}") mod width. DuckDB mirror:
+    ``('0x' || substr(md5(i::VARCHAR || ':' || key::VARCHAR), 1, 12))::BIGINT
+    % width``."""
+    hx = F.substring(
+        F.md5(F.concat_ws(":", row.cast("string"), key.cast("string"))),
+        1,
+        _HEX_DIGITS,
+    )
+    return F.pmod(F.conv(hx, 16, 10).cast("long"), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch over ``key_col`` occurrences (or summed
+    ``weight_col``). Returns (*group_cols, row, bucket, cnt) — at most
+    depth*width rows per group. One partial-aggregated shuffle; the explode
+    multiplies rows by ``depth`` only map-side."""
+    groups = group_cols or []
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    probes = df.select(
+        *groups,
+        F.col(key_col).alias("_k"),
+        w.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    return (
+        probes.withColumn("bucket", cms_bucket(F.col("row"), F.col("_k"), width))
+        .groupBy(*groups, "row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold sketches built with the same (depth, width) into one: union the
+    register frames and re-sum. Associative and commutative, so per-source /
+    per-day sketches can fold in any order or tree shape."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    groups = group_cols or []
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*groups, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """Point-estimate the count of every key in ``keys``: min over the
+    ``depth`` registers the key hashes into (never an underestimate for
+    non-negative weights; collisions only inflate). Returns
+    (key_col, cms_count). The sketch is at most depth*width rows —
+    broadcast, so the probe side never shuffles."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).withColumn("bucket", cms_bucket(F.col("row"), F.col(key_col), width))
+    joined = probes.join(
+        F.broadcast(sketch.select("row", "bucket", "cnt")),
+        ["row", "bucket"],
+        "left",
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (Beyer et al. SIGMOD 2007): union / intersection /
+# Jaccard estimates from two k-minimum-value sketches. Each sketch is the
+# k smallest hash fractions of its key set; the k smallest of the COMBINED
+# pool all lie below both sketches' k-th minima, so membership flags inside
+# that pool are exact — giving jaccard = |matches|/|pool| and
+# |A ∩ B| ≈ jaccard * union_est. Deterministic via the portable md5 hash:
+# the DuckDB oracle reproduces the estimates exactly.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, key_col: str, *, k: int = 64) -> DataFrame:
+    """The k smallest distinct hash fractions of ``key_col`` — a mergeable
+    distinct-set summary (column ``_h``). Planned as TakeOrderedAndProject:
+    per-partition top-k then a single k-row merge — no global sort however
+    large the input."""
+    return (
+        df.select(hash_fraction(key_col).alias("_h"))
+        .distinct()
+        .orderBy(F.asc("_h"))
+        .limit(k)
+    )
+
+
+def kmv_set_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, k: int = 64
+) -> DataFrame:
+    """One-row frame (union_est, intersect_est, jaccard) from two KMV
+    sketches built with the same k. Exact when the union has < k distinct
+    keys (the pool then holds every key of both sets). The window below is
+    single-partition by construction — it ranks at most 2k sketch rows,
+    never data-sized input."""
+    a = sketch_a.select("_h", F.lit(1).alias("_a"))
+    b = sketch_b.select("_h", F.lit(1).alias("_b"))
+    pool = a.join(b, "_h", "full").select(
+        "_h",
+        F.coalesce("_a", F.lit(0)).alias("_a"),
+        F.coalesce("_b", F.lit(0)).alias("_b"),
+    )
+    ranked = pool.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(F.asc("_h")))
+    ).filter(F.col("_rn") <= k)
+    agg = ranked.agg(
+        F.count("*").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+        F.sum(F.col("_a") * F.col("_b")).alias("_m"),
+    )
+    union_est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / F.col("_hk"))
+    )
+    jac = F.col("_m").cast("double") / F.col("_n")
+    return agg.select(
+        union_est.cast("long").alias("union_est"),
+        F.round(jac * union_est).cast("long").alias("intersect_est"),
+        F.round(jac, 6).alias("jaccard"),
+    )

@@ -8442,6 +8442,131 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Mergeable frequency / set-cardinality sketches (operators/sketch.py):
+# Count-Min registers and KMV set operations on the portable md5 hash —
+# the 100 TB monitoring pattern (per-source/per-day sketches folded into a
+# global one; registers shuffle at most depth*width rows per task), with
+# estimates the oracle reproduces bit-exactly.
+# ===========================================================================
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+WITH regs AS (
+  SELECT i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events, range(4) t(i)
+  GROUP BY i, bucket),
+probes AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket
+  FROM (SELECT DISTINCT user_id FROM events), range(4) t(i)),
+est AS (SELECT user_id, min(cnt)::BIGINT AS cms_count
+        FROM probes JOIN regs USING (i, bucket)
+        GROUP BY user_id),
+exact AS (SELECT user_id, count(*)::BIGINT AS exact_count
+          FROM events GROUP BY user_id)
+SELECT user_id, cms_count, exact_count
+FROM est JOIN exact USING (user_id)
+ORDER BY cms_count DESC, user_id ASC
+LIMIT 15
+""",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters over event traffic: a depth=4 x width=64
+    register sketch (width < #users, so collisions — and the sketch's
+    never-underestimate inflation — are actually exercised), probed for
+    every user and laid beside the exact counts. The register build is one
+    map-side-combinable groupBy whose shuffle carries <= 256 rows per task
+    at any corpus size; the probe join broadcasts the sketch. Deterministic
+    md5 row-hashes make every register and estimate oracle-exact."""
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=4, width=64)
+    keys = ev.select("user_id").distinct()
+    est = cms_lookup(sketch, keys, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("exact_count")
+    )
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("cms_count").cast("long").alias("cms_count"),
+            "exact_count",
+        )
+        .orderBy(F.desc("cms_count"), F.asc("user_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "kmv_order_year_overlap",
+    """
+WITH ha AS (SELECT DISTINCT
+              ('0x' || substr(md5(o_custkey::VARCHAR), 1, 12))::BIGINT
+                / 281474976710656.0 AS _h
+            FROM orders WHERE year(o_orderdate) = 1995
+            ORDER BY _h ASC LIMIT 64),
+hb AS (SELECT DISTINCT
+              ('0x' || substr(md5(o_custkey::VARCHAR), 1, 12))::BIGINT
+                / 281474976710656.0 AS _h
+            FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY _h ASC LIMIT 64),
+pool AS (SELECT coalesce(ha._h, hb._h) AS _h,
+                (ha._h IS NOT NULL)::INT AS _a,
+                (hb._h IS NOT NULL)::INT AS _b
+         FROM ha FULL JOIN hb ON ha._h = hb._h),
+r AS (SELECT _h, _a, _b,
+             row_number() OVER (ORDER BY _h ASC) AS _rn
+      FROM pool),
+kk AS (SELECT * FROM r WHERE _rn <= 64),
+agg AS (SELECT count(*) AS _n,
+               max(CASE WHEN _rn = 64 THEN _h END) AS _hk,
+               sum(_a * _b) AS _m
+        FROM kk)
+SELECT (CASE WHEN _n < 64 THEN _n::DOUBLE
+             ELSE round(63.0 / _hk) END)::BIGINT AS union_est,
+       round((_m::DOUBLE / _n)
+             * (CASE WHEN _n < 64 THEN _n::DOUBLE
+                     ELSE round(63.0 / _hk) END))::BIGINT AS intersect_est,
+       round(_m::DOUBLE / _n, 6) AS jaccard
+FROM agg
+""",
+)
+def q_kmv_order_year_overlap(spark, sf_dir):
+    """Customer-set overlap across adjacent order years from two k=64 KMV
+    sketches [Beyer et al. SIGMOD 2007]: union / intersection / Jaccard
+    estimated from 128 hash fractions, never from the data — each sketch
+    is a TakeOrderedAndProject (per-partition top-k, no global sort), and
+    the set algebra touches <= 2k rows. The audience question ("how many
+    customers did we retain year-over-year?") costs two tiny sketches
+    however many orders exist."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    a = orders.filter(year == 1995).select("o_custkey")
+    b = orders.filter(year == 1996).select("o_custkey")
+    return kmv_set_estimates(
+        kmv_sketch(a, "o_custkey", k=64),
+        kmv_sketch(b, "o_custkey", k=64),
+        k=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

@@ -48,3 +48,116 @@ def test_hash_sample_stable_across_tables(spark):
     ka = {r["key"] for r in hash_sample(a, "key", 0.15).collect()}
     kb = {r["key"] for r in hash_sample(b, "key", 0.15).collect()}
     assert ka == kb and 10 < len(ka) < 90
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+
+def _cms_modules():
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+
+    return cms_build, cms_lookup, cms_merge
+
+
+def test_cms_never_underestimates_and_exact_when_wide(spark):
+    """CMS guarantee: estimate >= true count for every key (non-negative
+    weights); with width >> #keys the deterministic hash gives no
+    collisions here and every estimate is exact."""
+    cms_build, cms_lookup, _ = _cms_modules()
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(3000)], "key long"
+    )
+    exact = {r["key"]: r["count"] for r in df.groupBy("key").count().collect()}
+    keys = df.select("key").distinct()
+
+    narrow = cms_build(df, "key", depth=4, width=16)
+    est_n = {
+        r["key"]: r["cms_count"]
+        for r in cms_lookup(narrow, keys, "key", depth=4, width=16).collect()
+    }
+    assert set(est_n) == set(exact)
+    assert all(est_n[k] >= exact[k] for k in exact)
+
+    wide = cms_build(df, "key", depth=4, width=4096)
+    est_w = {
+        r["key"]: r["cms_count"]
+        for r in cms_lookup(wide, keys, "key", depth=4, width=4096).collect()
+    }
+    assert est_w == exact
+
+
+def test_cms_merge_equals_global_build(spark):
+    """Union+re-sum of per-source sketches is register-identical to the
+    sketch of the union — the mergeability that makes per-day / per-source
+    sketching sound."""
+    cms_build, _, cms_merge = _cms_modules()
+    df = spark.createDataFrame(
+        [(i % 53, i % 2) for i in range(2000)], "key long, src int"
+    )
+    whole = cms_build(df, "key", depth=4, width=32)
+    parts = [
+        cms_build(df.filter(F.col("src") == s), "key", depth=4, width=32)
+        for s in (0, 1)
+    ]
+    merged = cms_merge(*parts)
+    as_set = lambda d: {  # noqa: E731
+        (r["row"], r["bucket"], r["cnt"]) for r in d.collect()
+    }
+    assert as_set(merged) == as_set(whole)
+
+
+def test_cms_weighted_and_missing_key(spark):
+    """weight_col sums into the registers; a never-seen key reads the
+    register floor (0 when its buckets are empty)."""
+    cms_build, cms_lookup, _ = _cms_modules()
+    df = spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "key long, w long"
+    )
+    sk = cms_build(df, "key", depth=4, width=1024, weight_col="w")
+    keys = spark.createDataFrame([(1,), (2,), (999,)], "key long")
+    got = {
+        r["key"]: r["cms_count"]
+        for r in cms_lookup(sk, keys, "key", depth=4, width=1024).collect()
+    }
+    assert got[1] == 15 and got[2] == 7 and got[999] == 0
+
+
+# --- KMV set operations -----------------------------------------------------
+
+
+def test_kmv_set_ops_exact_when_union_below_k(spark):
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], "key long")
+    row = kmv_set_estimates(
+        kmv_sketch(a, "key", k=64), kmv_sketch(b, "key", k=64), k=64
+    ).head()
+    assert row["union_est"] == 15
+    assert row["intersect_est"] == 5
+    assert abs(row["jaccard"] - 5 / 15) < 1e-6
+
+
+def test_kmv_set_ops_estimate_band(spark):
+    """Above k: estimates land in the ~1/sqrt(k) band and are
+    deterministic across runs."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], "key long")
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], "key long")
+    ska, skb = kmv_sketch(a, "key", k=256), kmv_sketch(b, "key", k=256)
+    row = kmv_set_estimates(ska, skb, k=256).head()
+    assert abs(row["union_est"] - 3000) / 3000 < 0.3
+    assert abs(row["jaccard"] - 1000 / 3000) < 0.15
+    row2 = kmv_set_estimates(ska, skb, k=256).head()
+    assert row.asDict() == row2.asDict()
