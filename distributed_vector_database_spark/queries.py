@@ -8567,6 +8567,80 @@ def q_kmv_order_year_overlap(spark, sf_dir):
     )
 
 
+_CMS_STATE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    """
+WITH regs AS (
+  SELECT i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events, range(4) t(i)
+  GROUP BY i, bucket),
+probes AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket
+  FROM (SELECT DISTINCT user_id FROM events), range(4) t(i)),
+est AS (SELECT user_id, min(cnt)::BIGINT AS cms_count
+        FROM probes JOIN regs USING (i, bucket)
+        GROUP BY user_id)
+SELECT user_id, cms_count
+FROM est
+ORDER BY cms_count DESC, user_id ASC
+LIMIT 15
+""",
+)
+def q_stream_cms_heavy_hitters(spark, sf_dir):
+    """The STREAM-maintained twin of `cms_heavy_hitters`: the event log
+    replayed as unordered micro-batches, each folding its batch-local
+    registers into the state; the merged sketch must equal the one-shot
+    batch build exactly — registers are sums, so the oracle is the same
+    batch SQL regardless of chunking. Ingest runs once per process;
+    repeat calls query the live state (read_cms), which is how a
+    production monitor reads traffic sketches without replay."""
+    import tempfile
+
+    from distributed_vector_database_spark.operators.sketch import cms_lookup
+    from distributed_vector_database_spark.streaming.events import (
+        read_cms,
+        read_event_stream,
+        stream_cms_counts,
+    )
+
+    state = _CMS_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        sketch = read_cms(spark, state)
+    else:
+        d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+        if d is None:
+            src = _read(spark, sf_dir, "events")
+            d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+            src.repartition(4).write.mode("overwrite").parquet(d)
+            _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+        state = tempfile.mkdtemp(prefix="dvdb_cmsstate_")
+        sketch = stream_cms_counts(
+            read_event_stream(spark, d, max_files_per_trigger=2),
+            state,
+            key_col="user_id",
+            depth=4,
+            width=64,
+        )
+        _CMS_STATE_CACHE[sf_dir] = state
+    keys = _read(spark, sf_dir, "events").select("user_id").distinct()
+    est = cms_lookup(sketch, keys, "user_id", depth=4, width=64)
+    return (
+        est.select(
+            "user_id", F.col("cms_count").cast("long").alias("cms_count")
+        )
+        .orderBy(F.desc("cms_count"), F.asc("user_id"))
+        .limit(15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

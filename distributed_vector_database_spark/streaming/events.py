@@ -26,6 +26,8 @@ __all__ = [
     "stateful_user_totals_tws",
     "join_event_streams",
     "run_stream_to_batch",
+    "stream_cms_counts",
+    "read_cms",
 ]
 
 EVENT_SCHEMA = (
@@ -370,4 +372,72 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
         outputStructType="user_id long, n_events long, total_cents long",
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def stream_cms_counts(
+    event_stream: DataFrame,
+    state_dir: str,
+    *,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Incrementally-maintained Count-Min registers over an event stream:
+    each micro-batch writes its batch-local sketch (one partial-aggregated
+    groupBy, <= depth*width rows), and the merged view re-sums registers at
+    read time. Registers are SUMS, so stream-built == batch-built for ANY
+    chunking — the same associativity that makes the sketch mergeable
+    across sources makes it maintainable from a live feed.
+
+    State layout mirrors `streaming/docs.stream_bigram_counts`: per-batch
+    ``batch=<id>`` dirs written with overwrite, so an at-least-once
+    foreachBatch retry replaces, never duplicates, its partial. Returns the
+    merged register frame after running the stream to completion; a live
+    pipeline queries :func:`read_cms` without touching the ingest.
+    """
+    import os
+
+    from distributed_vector_database_spark.operators.sketch import cms_build
+
+    spark = event_stream.sparkSession
+    regs_path = os.path.join(state_dir, "cms_registers")
+    ckpt_path = os.path.join(state_dir, "_cms_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cms_build(
+            batch_df,
+            key_col,
+            depth=depth,
+            width=width,
+            weight_col=weight_col,
+        ).write.mode("overwrite").parquet(
+            os.path.join(regs_path, f"batch={batch_id}")
+        )
+
+    q = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_cms(spark, state_dir)
+
+
+def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge-on-read view of the stream-maintained CMS: sum the per-batch
+    register partials per (row, bucket) — `sketch.cms_merge` over the
+    discovered ``batch=<id>`` partitions."""
+    import os
+
+    regs_path = os.path.join(state_dir, "cms_registers")
+    return (
+        spark.read.parquet(regs_path)
+        .drop("batch")
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )

@@ -161,3 +161,39 @@ def test_kmv_set_ops_estimate_band(spark):
     assert abs(row["jaccard"] - 1000 / 3000) < 0.15
     row2 = kmv_set_estimates(ska, skb, k=256).head()
     assert row.asDict() == row2.asDict()
+
+
+def test_stream_cms_equals_batch_build(spark, tmp_path):
+    """Registers folded from unordered micro-batches equal the one-shot
+    batch sketch — CMS sums are associative/commutative, so stream == batch
+    for any chunking (the invariant the streaming twin query relies on)."""
+    from distributed_vector_database_spark.operators.sketch import cms_build
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        stream_cms_counts,
+    )
+
+    rows = [
+        (i, "2024-01-01T00:%02d:00" % (i % 60), i % 23, "click", 1.0, "{}")
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    streamed = stream_cms_counts(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        str(tmp_path / "state"),
+        key_col="user_id",
+        depth=4,
+        width=32,
+    )
+    batch = cms_build(ev, "user_id", depth=4, width=32)
+    as_set = lambda d: {  # noqa: E731
+        (r["row"], r["bucket"], r["cnt"]) for r in d.collect()
+    }
+    assert as_set(streamed) == as_set(batch)
