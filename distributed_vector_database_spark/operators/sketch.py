@@ -307,7 +307,10 @@ def kmv_set_estimates(
     union_est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
         F.round(F.lit(float(k - 1)) / F.col("_hk"))
     )
-    jac = F.col("_m").cast("double") / F.col("_n")
+    # empty pool (both sets empty): 0/0 would be NULL — report zeros
+    jac = F.when(F.col("_n") == 0, F.lit(0.0)).otherwise(
+        F.col("_m").cast("double") / F.col("_n")
+    )
     return agg.select(
         union_est.cast("long").alias("union_est"),
         F.round(jac * union_est).cast("long").alias("intersect_est"),

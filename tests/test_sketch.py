@@ -197,3 +197,28 @@ def test_stream_cms_equals_batch_build(spark, tmp_path):
         (r["row"], r["bucket"], r["cnt"]) for r in d.collect()
     }
     assert as_set(streamed) == as_set(batch)
+
+
+def test_kmv_set_ops_empty_sets(spark):
+    """Empty inputs report zeros, not NULL (the 0/0 jaccard guard); a
+    one-sided empty set gives intersection 0 with the other side's
+    exact cardinality."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_sketch,
+    )
+
+    empty = spark.createDataFrame([], "key long")
+    a = spark.createDataFrame([(i,) for i in range(7)], "key long")
+    both = kmv_set_estimates(
+        kmv_sketch(empty, "key"), kmv_sketch(empty, "key")
+    ).head()
+    assert (both["union_est"], both["intersect_est"], both["jaccard"]) == (
+        0, 0, 0.0
+    )
+    one = kmv_set_estimates(
+        kmv_sketch(a, "key"), kmv_sketch(empty, "key")
+    ).head()
+    assert (one["union_est"], one["intersect_est"], one["jaccard"]) == (
+        7, 0, 0.0
+    )
