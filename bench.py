@@ -235,6 +235,9 @@ def main() -> None:
         "knn_graph_lsh",
         "knn_graph_lsh_capped",
         "dedup_embedding_cosine_lsh",
+        "cms_heavy_hitters",
+        "kmv_order_year_overlap",
+        "stream_cms_heavy_hitters",
     ]
     compact = dict(full)
     compact["queries"] = {
