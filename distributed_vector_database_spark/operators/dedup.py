@@ -55,6 +55,7 @@ __all__ = [
     "paragraph_dedup_stats",
     "duplicate_paragraphs",
     "simhash_neardup_pairs",
+    "shared_span_pairs",
 ]
 
 HEX = "0123456789abcdef"
@@ -1014,4 +1015,54 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
         .distinct()
+    )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    max_df: int = 10,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication candidates via winnowing fingerprints
+    (`text_analysis.winnow_fingerprints`): document pairs sharing >=
+    ``min_shared`` selected fingerprints, i.e. likely sharing verbatim
+    token runs of length >= k + window - 1 — the quote-reuse / template /
+    partial-copy signal that bag-of-words Jaccard dilutes away on long
+    documents.
+
+    Scale shape: fingerprints whose document frequency exceeds ``max_df``
+    are dropped BEFORE the self-join (ubiquitous boilerplate would
+    otherwise contribute df^2/2 pairs each), so per-fingerprint pair work
+    is bounded by max_df^2 and the join is a plain equi-join on ``fp`` —
+    the same bounded-block discipline as the MinHash/SimHash candidate
+    generators above. Returns (doc_id_a, doc_id_b, n_shared), integers
+    only — bit-identical cross-engine.
+    """
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(
+        docs, k=k, window=window, text_col=text_col, id_col=id_col
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("doc_id_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("doc_id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

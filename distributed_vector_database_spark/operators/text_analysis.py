@@ -23,6 +23,7 @@ __all__ = [
     "language_id",
     "regex_token_count",
     "fingerprints",
+    "winnow_fingerprints",
     "term_frequencies",
     "tfidf_top_terms",
     "oov_rates",
@@ -221,6 +222,55 @@ def fingerprints(
 ) -> DataFrame:
     """(doc_id, fp): whitespace-insensitive md5 content fingerprint."""
     return docs.select(F.col(id_col), doc_fingerprint(text_col).alias("fp"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    per document, the distinct minima of each ``window`` consecutive
+    k-token-gram hashes — (doc_id, fp) rows.
+
+    The winnowing guarantee: any token run of length >= k + window - 1
+    shared by two documents selects at least one common fingerprint, so an
+    equi-join on ``fp`` finds substring-level duplication (quote reuse,
+    template text, partial plagiarism) that whole-document or bag-of-words
+    fingerprints miss — while keeping only ~2/(window+1) of the gram
+    hashes per document.
+
+    Plan shape: the entire selection (tokenize -> k-grams -> md5 -> window
+    minima -> distinct) is ONE array-expression projection per row — no
+    shuffle until a consumer joins on fp. Hash minima compare md5 hex
+    lexicographically (uniform over tokens), which the DuckDB oracle
+    reproduces exactly.
+
+    Documents with fewer than k tokens yield no fingerprints; with fewer
+    than k + window - 1 tokens, the (single, short) window still selects
+    the global minimum, so short docs remain joinable.
+    """
+    from distributed_vector_database_spark.functions.text import (
+        word_shingles,
+    )
+
+    toks = tokens(text_col)
+    grams = word_shingles(toks, k, distinct=False)
+    gh = F.transform(grams, F.md5)
+    n_windows = F.greatest(F.size(gh) - (window - 1), F.lit(1))
+    mins = F.when(
+        F.size(gh) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(gh, j, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
 
 
 def term_frequencies(

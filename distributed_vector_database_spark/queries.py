@@ -8641,6 +8641,51 @@ def q_stream_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Winnowing fingerprints (Schleimer et al. SIGMOD 2003;
+# text_analysis.winnow_fingerprints + dedup.shared_span_pairs): substring-
+# level duplication — pairs sharing verbatim token runs — the signal
+# whole-doc hashes and bag-of-words Jaccard both miss.
+# ===========================================================================
+
+
+@register(
+    "winnow_shared_span_pairs",
+    """
+WITH toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t)-3, 1)),
+          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4])) AS gh
+      FROM toks),
+fp AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(gh)-2, 1)),
+           j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
+       FROM g WHERE len(gh) > 0),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       count(*)::BIGINT AS n_shared
+FROM fp a JOIN fp b USING (fp) JOIN keep USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+""",
+)
+def q_winnow_shared_span_pairs(spark, sf_dir):
+    """Document pairs sharing >= 3 winnowing fingerprints (k=5-token
+    grams, window=4 -> guaranteed detection of any shared verbatim run of
+    >= 8 tokens). Fingerprint selection is one array-expression projection
+    per row; candidates come from an equi-join on fp with ubiquitous
+    fingerprints (df > 10) dropped first, so pair work is df-bounded at
+    any corpus size. Integer-only output — bit-identical cross-engine."""
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return _dd.shared_span_pairs(
+        docs, k=5, window=4, max_df=10, min_shared=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

@@ -69,3 +69,95 @@ def test_write_observed_returns_metrics_from_the_write(spark, tmp_path):
     assert m["v_cents"] == 300
     back = spark.read.parquet(out)
     assert back.count() == 4
+
+
+# --- winnowing fingerprints ---------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Two docs sharing a verbatim run of >= k + window - 1 tokens select at
+    least one common fingerprint (the winnowing guarantee), and the pair
+    surfaces in shared_span_pairs at min_shared=1."""
+    from distributed_vector_database_spark.operators.dedup import (
+        shared_span_pairs,
+    )
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {run} tail one"),
+            (2, f"different opening {run} other ending entirely"),
+            (3, "no overlap with anything else at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fp"
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in shared_span_pairs(
+            docs, k=5, window=4, max_df=10, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_short_docs(spark):
+    """< k tokens -> no fingerprints; between k and k+window-1 tokens ->
+    exactly one (the global minimum of the short window)."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    got = winnow_fingerprints(docs, k=5, window=4).collect()
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r["doc_id"], []).append(r["fp"])
+    assert 1 not in per_doc
+    assert len(per_doc[2]) == 1
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """Fingerprints present in more than max_df docs are dropped BEFORE
+    the self-join — the df cap that bounds join fan-out at scale. Six
+    docs share a boilerplate run whose core fingerprints have df=6: with
+    max_df=6 every pair of docs matches (an all-pairs clique); with
+    max_df=5 those ubiquitous fps vanish, so only pairs connected by
+    rarer boundary-context fingerprints remain (winnowing minima near
+    each doc's unique suffix differ per doc, so intermediate-df fps are
+    expected — the guarantee is one-sided)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        shared_span_pairs,
+    )
+
+    boiler = "standard legal disclaimer text applies to this document body"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    clique = shared_span_pairs(
+        docs, k=5, window=4, max_df=6, min_shared=1
+    )
+    assert clique.count() == 15  # all C(6,2) pairs via the df=6 fps
+    capped = shared_span_pairs(
+        docs, k=5, window=4, max_df=5, min_shared=1
+    ).collect()
+    assert len(capped) < 15
+    # every surviving pair rests on sub-ubiquitous fps only: shared
+    # counts must be strictly below the 2 ubiquitous fps' contribution
+    survivors = {d for r in capped for d in (r["doc_id_a"], r["doc_id_b"])}
+    assert survivors < set(range(6))  # some docs lose ALL their pairs
