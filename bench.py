@@ -238,6 +238,7 @@ def main() -> None:
         "cms_heavy_hitters",
         "kmv_order_year_overlap",
         "stream_cms_heavy_hitters",
+        "winnow_shared_span_pairs",
     ]
     compact = dict(full)
     compact["queries"] = {

@@ -1047,9 +1047,12 @@ def shared_span_pairs(
         winnow_fingerprints,
     )
 
+    # three consumers below (df filter + both self-join sides) would each
+    # re-run the fingerprint kernel — checkpoint the small (doc_id, fp)
+    # frame once (same pattern as the simhash/graph iteratives)
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
-    )
+    ).localCheckpoint(eager=True)
     keep = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))

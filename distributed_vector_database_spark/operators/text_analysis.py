@@ -231,10 +231,11 @@ def winnow_fingerprints(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
     per document, the distinct minima of each ``window`` consecutive
-    k-token-gram hashes — (doc_id, fp) rows.
+    k-token-gram md5s — (doc_id, fp) rows.
 
     The winnowing guarantee: any token run of length >= k + window - 1
     shared by two documents selects at least one common fingerprint, so an
@@ -243,33 +244,76 @@ def winnow_fingerprints(
     fingerprints miss — while keeping only ~2/(window+1) of the gram
     hashes per document.
 
-    Plan shape: the entire selection (tokenize -> k-grams -> md5 -> window
-    minima -> distinct) is ONE array-expression projection per row — no
-    shuffle until a consumer joins on fp. Hash minima compare md5 hex
-    lexicographically (uniform over tokens), which the DuckDB oracle
-    reproduces exactly.
+    Selection is one projection per row — no shuffle until a consumer
+    joins on fp. ``impl="arrow"`` (default) computes it in an
+    Arrow-batched kernel: the expression form is a transform-inside-
+    transform nest (md5 per gram, array_min per window) that Catalyst
+    evaluates INTERPRETED and re-inlines the gram-hash array into every
+    window's slice — measured 15 s vs 0.9 s for the pair query at sf0.01.
+    Same hot-path story as `functions.text.word_shingles_arrow`; the
+    ``impl="expr"`` twin stays as the oracle-parity reference (tested
+    equal) and the DuckDB mirror matches both: md5 hex minima compare
+    lexicographically in all three.
 
     Documents with fewer than k tokens yield no fingerprints; with fewer
     than k + window - 1 tokens, the (single, short) window still selects
     the global minimum, so short docs remain joinable.
     """
-    from distributed_vector_database_spark.functions.text import (
-        word_shingles,
-    )
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
+    if impl == "expr":
+        from distributed_vector_database_spark.functions.text import (
+            word_shingles,
+        )
 
-    toks = tokens(text_col)
-    grams = word_shingles(toks, k, distinct=False)
-    gh = F.transform(grams, F.md5)
-    n_windows = F.greatest(F.size(gh) - (window - 1), F.lit(1))
-    mins = F.when(
-        F.size(gh) > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(gh, j, window)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        toks = tokens(text_col)
+        grams = word_shingles(toks, k, distinct=False)
+        gh = F.transform(grams, F.md5)
+        n_windows = F.greatest(F.size(gh) - (window - 1), F.lit(1))
+        mins = F.when(
+            F.size(gh) > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(gh, j, window)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return docs.select(
+            F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+        )
+
+    import hashlib
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.types import ArrayType, StringType
+
+    ws = re.compile(r"\s+")
+
+    # explicit SCALAR: the type-hint form can't resolve 'pd.Series' under
+    # postponed annotations with a function-local pandas import
+    @F.pandas_udf(ArrayType(StringType()), PandasUDFType.SCALAR)
+    def _winnow(texts):
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split(t or "") if x]
+            gh = [
+                hashlib.md5(
+                    " ".join(toks[i : i + k]).encode("utf-8")
+                ).hexdigest()
+                for i in range(len(toks) - k + 1)
+            ]
+            if not gh:
+                out.append([])
+                continue
+            n_windows = max(len(gh) - window + 1, 1)
+            out.append(
+                sorted({min(gh[j : j + window]) for j in range(n_windows)})
+            )
+        return pd.Series(out)
+
     return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+        F.col(id_col), F.explode(_winnow(F.col(text_col))).alias("fp")
     )
 
 

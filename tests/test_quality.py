@@ -161,3 +161,24 @@ def test_winnow_max_df_drops_boilerplate(spark):
     # counts must be strictly below the 2 ubiquitous fps' contribution
     survivors = {d for r in capped for d in (r["doc_id_a"], r["doc_id_b"])}
     assert survivors < set(range(6))  # some docs lose ALL their pairs
+
+
+def test_winnow_arrow_equals_expr(spark):
+    """The Arrow kernel and the Catalyst-expression twin select identical
+    fingerprint sets (same contract as word_shingles_arrow) — the expr
+    form is the oracle-parity reference, the arrow form the hot path."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    as_set = lambda d: {  # noqa: E731
+        (r["doc_id"], r["fp"]) for r in d.collect()
+    }
+    arrow = winnow_fingerprints(docs, k=5, window=4, impl="arrow")
+    expr = winnow_fingerprints(docs, k=5, window=4, impl="expr")
+    assert as_set(arrow) == as_set(expr)
