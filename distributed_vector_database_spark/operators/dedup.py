@@ -56,6 +56,7 @@ __all__ = [
     "duplicate_paragraphs",
     "simhash_neardup_pairs",
     "shared_span_pairs",
+    "longest_shared_runs",
 ]
 
 HEX = "0123456789abcdef"
@@ -1068,4 +1069,89 @@ def shared_span_pairs(
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def longest_shared_runs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact verification of substring-duplication candidates: for each
+    (doc_id_a, doc_id_b) pair, the length in tokens of the LONGEST verbatim
+    token run the two documents share — (doc_id_a, doc_id_b,
+    longest_run_tokens).
+
+    Method: k-gram hashes with positions for only the docs the pair list
+    touches (semi-join prune), equi-joined per pair on gram equality; a
+    shared run of length L contributes L-k+1 matches on one DIAGONAL
+    (pos_a - pos_b constant), so the longest run is the longest
+    consecutive-pos_a island per (pair, diagonal) plus k-1 — the
+    gaps-and-islands trick, all equi-shuffles keyed by the pair.
+
+    This is the locate step of exact substring dedup (Lee et al., ACL
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    candidates come cheap from `shared_span_pairs` winnowing, and this op
+    tells you exactly how much text to excise. Per-pair cost is
+    O(#matching gram position pairs) — bounded in practice because the
+    candidate list is already df-capped; repetitive text inflates it at
+    worst quadratically in the repeated gram's multiplicity, so feed it
+    CANDIDATES, not a corpus cross product.
+    """
+    from pyspark.sql import Window
+
+    from distributed_vector_database_spark.functions.text import (
+        word_shingles_arrow,
+    )
+
+    wanted = (
+        pairs.select(F.col("doc_id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = (
+        docs.join(wanted, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                word_shingles_arrow(F.col(text_col), k, distinct=False)
+            ).alias("pos", "_g"),
+        )
+        .select(id_col, "pos", F.md5("_g").alias("fp"))
+    )
+    a = grams.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("pos").alias("_pa"),
+        "fp",
+    )
+    b = grams.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("pos").alias("_pb"),
+        "fp",
+    )
+    matches = (
+        pairs.select("doc_id_a", "doc_id_b")
+        .join(a, "doc_id_a")
+        .join(b, ["doc_id_b", "fp"])
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "_pa",
+            (F.col("_pa") - F.col("_pb")).alias("_diag"),
+        )
+    )
+    w = Window.partitionBy("doc_id_a", "doc_id_b", "_diag").orderBy("_pa")
+    islands = matches.withColumn(
+        "_grp", F.col("_pa") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("doc_id_a", "doc_id_b", "_diag", "_grp").agg(
+        F.count("*").alias("_len")
+    )
+    return runs.groupBy("doc_id_a", "doc_id_b").agg(
+        (F.max("_len") + F.lit(k - 1))
+        .cast("long")
+        .alias("longest_run_tokens")
     )

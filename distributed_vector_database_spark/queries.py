@@ -8686,6 +8686,64 @@ def q_winnow_shared_span_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "shared_span_longest_run",
+    """
+WITH toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t)-3, 1)),
+          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4])) AS gh
+      FROM toks),
+fp AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(gh)-2, 1)),
+           j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
+       FROM g WHERE len(gh) > 0),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         FROM fp a JOIN fp b USING (fp) JOIN keep USING (fp)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3),
+wanted AS (SELECT DISTINCT doc_id FROM
+           (SELECT da AS doc_id FROM cand UNION ALL SELECT db FROM cand)),
+gp AS (SELECT doc_id, u['pos']::BIGINT AS pos, u['fp'] AS fp
+       FROM (SELECT g.doc_id,
+               unnest(list_transform(range(1, len(gh)+1),
+                 i -> {'pos': i, 'fp': gh[i]})) AS u
+             FROM g JOIN wanted USING (doc_id))),
+m AS (SELECT c.da, c.db, a.pos AS pa, a.pos - b.pos AS diag
+      FROM cand c
+      JOIN gp a ON a.doc_id = c.da
+      JOIN gp b ON b.doc_id = c.db AND b.fp = a.fp),
+isl AS (SELECT da, db, diag,
+               pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+                 AS grp
+        FROM m),
+runs AS (SELECT da, db, count(*) AS rl FROM isl GROUP BY da, db, diag, grp)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       (max(rl) + 4)::BIGINT AS longest_run_tokens
+FROM runs GROUP BY 1, 2
+""",
+)
+def q_shared_span_longest_run(spark, sf_dir):
+    """The locate step of exact substring dedup (Lee et al., ACL 2022):
+    winnowing candidates (`shared_span_pairs`) verified to their exact
+    longest shared verbatim token run via the diagonal gaps-and-islands
+    join (`dedup.longest_shared_runs`) — at sf0.01 the candidate pairs
+    turn out to share runs up to 93 tokens. Grams are positioned only for
+    the docs the candidate list touches (semi-join prune); every shuffle
+    is keyed by the pair. Integer-only output."""
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    pairs = _dd.shared_span_pairs(
+        docs, k=5, window=4, max_df=10, min_shared=3
+    )
+    return _dd.longest_shared_runs(
+        docs, pairs.select("doc_id_a", "doc_id_b"), k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

@@ -182,3 +182,32 @@ def test_winnow_arrow_equals_expr(spark):
     arrow = winnow_fingerprints(docs, k=5, window=4, impl="arrow")
     expr = winnow_fingerprints(docs, k=5, window=4, impl="expr")
     assert as_set(arrow) == as_set(expr)
+
+
+def test_longest_shared_run_exact_length(spark):
+    """The diagonal gaps-and-islands verification reports the EXACT longest
+    shared token run: two docs sharing a 9-token run (and a separate
+    6-token run) must report 9, not the sum and not the fingerprint
+    count."""
+    from distributed_vector_database_spark.operators.dedup import (
+        longest_shared_runs,
+    )
+
+    run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    run6 = "s1 s2 s3 s4 s5 s6"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {run9} cc dd {run6} ee"),
+            (2, f"xx {run6} yy zz {run9} ww vv"),
+            (3, f"{run9} solo"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["longest_run_tokens"]
+        for r in longest_shared_runs(docs, pairs, k=5).collect()
+    }
+    assert got == {(1, 2): 9, (1, 3): 9}
