@@ -1079,11 +1079,17 @@ def longest_shared_runs(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_positions: bool = False,
 ) -> DataFrame:
     """Exact verification of substring-duplication candidates: for each
     (doc_id_a, doc_id_b) pair, the length in tokens of the LONGEST verbatim
     token run the two documents share — (doc_id_a, doc_id_b,
     longest_run_tokens).
+
+    ``with_positions=True`` adds (start_a, start_b): the 0-based token
+    offsets where the longest run begins in each document — what an
+    excision pass needs to actually cut the duplicated span (argmax is
+    deterministic: longest island, then earliest start_a, then diagonal).
 
     Method: k-gram hashes with positions for only the docs the pair list
     touches (semi-join prune), equi-joined per pair on gram equality; a
@@ -1148,10 +1154,32 @@ def longest_shared_runs(
         "_grp", F.col("_pa") - F.row_number().over(w)
     )
     runs = islands.groupBy("doc_id_a", "doc_id_b", "_diag", "_grp").agg(
-        F.count("*").alias("_len")
+        F.count("*").alias("_len"), F.min("_pa").alias("_start_a")
     )
-    return runs.groupBy("doc_id_a", "doc_id_b").agg(
-        (F.max("_len") + F.lit(k - 1))
-        .cast("long")
-        .alias("longest_run_tokens")
+    if not with_positions:
+        return runs.groupBy("doc_id_a", "doc_id_b").agg(
+            (F.max("_len") + F.lit(k - 1))
+            .cast("long")
+            .alias("longest_run_tokens")
+        )
+    # excision-ready variant: also report WHERE the longest run starts in
+    # each doc (0-based token offsets). Deterministic argmax: longest
+    # island first, then earliest start in a, then earliest in b.
+    pick = Window.partitionBy("doc_id_a", "doc_id_b").orderBy(
+        F.desc("_len"), F.asc("_start_a"), F.asc("_diag")
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("_len") + F.lit(k - 1)).cast("long").alias(
+                "longest_run_tokens"
+            ),
+            F.col("_start_a").cast("long").alias("start_a"),
+            (F.col("_start_a") - F.col("_diag")).cast("long").alias(
+                "start_b"
+            ),
+        )
     )

@@ -211,3 +211,26 @@ def test_longest_shared_run_exact_length(spark):
         for r in longest_shared_runs(docs, pairs, k=5).collect()
     }
     assert got == {(1, 2): 9, (1, 3): 9}
+
+
+def test_longest_shared_run_positions(spark):
+    """with_positions reports the 0-based token offsets of the longest run
+    in each doc — the excision coordinates."""
+    from distributed_vector_database_spark.operators.dedup import (
+        longest_shared_runs,
+    )
+
+    run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    docs = spark.createDataFrame(
+        [
+            (1, f"aa bb {run9} cc"),          # run starts at token 2
+            (2, f"xx yy zz ww {run9} vv"),    # run starts at token 4
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+    row = longest_shared_runs(
+        docs, pairs, k=5, with_positions=True
+    ).head()
+    assert row["longest_run_tokens"] == 9
+    assert row["start_a"] == 2 and row["start_b"] == 4
