@@ -1138,8 +1138,13 @@ def longest_shared_runs(
         F.col("pos").alias("_pb"),
         "fp",
     )
+    # duplicate pair rows would double every match and split the
+    # row_number islands (corrupting run lengths); self-pairs would just
+    # report the doc's own length — drop both
     matches = (
         pairs.select("doc_id_a", "doc_id_b")
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+        .distinct()
         .join(a, "doc_id_a")
         .join(b, ["doc_id_b", "fp"])
         .select(

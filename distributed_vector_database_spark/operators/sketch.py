@@ -194,6 +194,9 @@ def cms_build(
     ``weight_col``). Returns (*group_cols, row, bucket, cnt) — at most
     depth*width rows per group. One partial-aggregated shuffle; the explode
     multiplies rows by ``depth`` only map-side."""
+    if depth < 1 or width < 1:
+        # sequence(0, depth-1) would silently DESCEND for depth < 1
+        raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
     groups = group_cols or []
     w = (
         F.col(weight_col).cast("long")
@@ -222,6 +225,15 @@ def cms_merge(
     if not sketches:
         raise ValueError("cms_merge needs at least one sketch")
     groups = group_cols or []
+    expected = {*groups, "row", "bucket", "cnt"}
+    for s in sketches:
+        if set(s.columns) != expected:
+            # a grouped sketch merged without its group_cols would silently
+            # sum registers ACROSS groups — refuse instead
+            raise ValueError(
+                f"sketch columns {sorted(s.columns)} != expected "
+                f"{sorted(expected)}; pass group_cols matching the build"
+            )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

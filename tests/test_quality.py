@@ -234,3 +234,23 @@ def test_longest_shared_run_positions(spark):
     ).head()
     assert row["longest_run_tokens"] == 9
     assert row["start_a"] == 2 and row["start_b"] == 4
+
+
+def test_longest_shared_run_dedupes_pairs(spark):
+    """Duplicate pair rows and self-pairs in the candidate list must not
+    corrupt run lengths (dupes would split the row_number islands)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        longest_shared_runs,
+    )
+
+    run9 = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    docs = spark.createDataFrame(
+        [(1, f"aa {run9} bb"), (2, f"cc {run9} dd")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 1)], "doc_id_a long, doc_id_b long"
+    )
+    got = longest_shared_runs(docs, pairs, k=5).collect()
+    assert len(got) == 1
+    assert got[0]["longest_run_tokens"] == 9

@@ -222,3 +222,26 @@ def test_kmv_set_ops_empty_sets(spark):
     assert (one["union_est"], one["intersect_est"], one["jaccard"]) == (
         7, 0, 0.0
     )
+
+
+def test_cms_guards(spark):
+    """depth/width < 1 raise (sequence(0,-1) would silently descend);
+    merging a grouped sketch without its group_cols raises instead of
+    summing registers across groups."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "key long, g string")
+    with pytest.raises(ValueError, match=">= 1"):
+        cms_build(df, "key", depth=0, width=16)
+    with pytest.raises(ValueError, match=">= 1"):
+        cms_build(df, "key", depth=4, width=0)
+    grouped = cms_build(df, "key", depth=2, width=8, group_cols=["g"])
+    with pytest.raises(ValueError, match="group_cols"):
+        cms_merge(grouped, grouped)
+    merged = cms_merge(grouped, grouped, group_cols=["g"])
+    assert {r["cnt"] for r in merged.collect()} == {2}
