@@ -34,6 +34,7 @@ __all__ = [
     "lsh_index",
     "lsh_search",
     "binary_topk",
+    "binary_asym_topk",
     "binary_rerank_topk",
     "matryoshka_rerank_topk",
     "knn_graph",
@@ -154,6 +155,47 @@ def binary_topk(
         ),
     )
     return scored.orderBy(F.asc("hamming"), F.asc(id_col)).limit(k)
+
+
+def binary_asym_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    *,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric binary scoring: the FULL-PRECISION query against
+    sign-quantized documents — score = dot(q, sign(d)) = sum_i q_i *
+    (d_i >= 0 ? +1 : -1). Same 1-bit/dim storage as :func:`binary_topk`,
+    strictly more ranking information: symmetric Hamming also quantizes
+    the query, throwing away its magnitudes, while the asymmetric scorer
+    keeps them (the same asymmetry PQ's ADC exploits against codebooks).
+
+    Returns (id_col, score) ordered by (score DESC, id ASC), 6dp-rounded.
+    Determinism: a left fold in array order on both engines (F.aggregate
+    here, list_reduce in the oracle). At 100 TB, persist the packed sign
+    codes as a skinny column and expand per 8-bit byte through a
+    256-entry per-byte partial-sum LUT — the scan cost stays 1 bit/dim;
+    here the signs come straight off the float column, like binary_topk.
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vector]).cast(
+        "array<double>"
+    )
+    folded = F.aggregate(
+        F.zip_with(
+            qv,
+            F.col(vector_col).cast("array<double>"),
+            lambda q, x: F.when(x >= 0, q).otherwise(-q),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.select(F.col(id_col), F.round(folded, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def binary_rerank_topk(

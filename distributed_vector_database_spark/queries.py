@@ -8744,6 +8744,35 @@ def q_shared_span_longest_run(spark, sf_dir):
     )
 
 
+@register(
+    "binary_asym_topk",
+    f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id AS vec_id,
+       ROUND(list_reduce(list_transform(range(1, 65),
+         i -> CASE WHEN (e.embedding::DOUBLE[])[i] >= 0
+                   THEN q.qv[i] ELSE -q.qv[i] END),
+         (a, b) -> a + b), 6) AS score
+FROM embeddings e, q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_binary_asym_topk(spark, sf_dir):
+    """Asymmetric binary search (ann.binary_asym_topk): the full-precision
+    query scored against sign-quantized docs, dot(q, sign(d)) — the same
+    1 bit/dim storage as binary_hamming_topk but the query's magnitudes
+    survive, so ranking is strictly better informed (the ADC asymmetry
+    applied to the 1-bit rung). Left-fold sum on both engines keeps the
+    float result bit-identical."""
+    from distributed_vector_database_spark.operators.ann import (
+        binary_asym_topk,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return binary_asym_topk(emb, _query_vec(spark, sf_dir, 3), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

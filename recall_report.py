@@ -235,28 +235,38 @@ def main() -> None:
         )
         indexed.unpersist()
 
-    # binary (1-bit sign) quantization: Hamming-only, and with exact re-rank
+    # binary (1-bit sign) quantization: symmetric Hamming, asymmetric
+    # dot(q, sign(d)) at the same storage, and Hamming with exact re-rank
     from distributed_vector_database_spark.operators.ann import (
+        binary_asym_topk,
         binary_rerank_topk,
         binary_topk,
     )
 
-    recs, rr_recs = [], []
+    recs, asym_recs, rr_recs = [], [], []
     for q, t in zip(qs, truth):
         got = {r["vec_id"] for r in binary_topk(emb, q, K).collect()}
         recs.append(len(got & t) / len(t))
+        asym = {r["vec_id"] for r in binary_asym_topk(emb, q, K).collect()}
+        asym_recs.append(len(asym & t) / len(t))
         rr = {
             r["vec_id"]
             for r in binary_rerank_topk(emb, q, k=K, shortlist=50).collect()
         }
         rr_recs.append(len(rr & t) / len(t))
     sec = timed(lambda: binary_topk(emb, qs[0], K).collect())
+    asym_sec = timed(lambda: binary_asym_topk(emb, qs[0], K).collect())
     rr_sec = timed(
         lambda: binary_rerank_topk(emb, qs[0], k=K, shortlist=50).collect()
     )
     print(
         f"| binary (sign) Hamming | 1 bit/dim | {statistics.mean(recs):.3f} "
         f"| {sec:.3f} | 3% bytes (signs) |"
+    )
+    print(
+        f"| binary asymmetric dot(q, sign(d)) | 1 bit/dim "
+        f"| {statistics.mean(asym_recs):.3f} "
+        f"| {asym_sec:.3f} | 3% bytes (signs) |"
     )
     print(
         f"| binary → exact re-rank | R=50 | {statistics.mean(rr_recs):.3f} "

