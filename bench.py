@@ -239,6 +239,8 @@ def main() -> None:
         "kmv_order_year_overlap",
         "stream_cms_heavy_hitters",
         "winnow_shared_span_pairs",
+        "shared_span_longest_run",
+        "binary_asym_topk",
     ]
     compact = dict(full)
     compact["queries"] = {
