@@ -254,3 +254,63 @@ def test_longest_shared_run_dedupes_pairs(spark):
     got = longest_shared_runs(docs, pairs, k=5).collect()
     assert len(got) == 1
     assert got[0]["longest_run_tokens"] == 9
+
+
+def test_excision_via_reported_coordinates_removes_the_dup(spark):
+    """Closed loop: find the shared span, CUT it from one document using
+    the reported (start_a, longest_run_tokens) coordinates, and the pair
+    disappears from a re-run — i.e. the coordinates are exactly right
+    for the excision pass they exist to feed."""
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.operators.dedup import (
+        longest_shared_runs,
+        shared_span_pairs,
+    )
+
+    run = " ".join(f"dup{i}" for i in range(12))  # 12-token shared span
+    docs = spark.createDataFrame(
+        [
+            (1, f"uniq1a uniq1b {run} tail1a tail1b tail1c"),
+            (2, f"other2a other2b other2c {run} end2a end2b"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = shared_span_pairs(docs, k=5, window=4, max_df=10, min_shared=1)
+    loc = longest_shared_runs(
+        docs, pairs.select("doc_id_a", "doc_id_b"), k=5, with_positions=True
+    ).head()
+    assert loc["longest_run_tokens"] == 12
+
+    # excise [start_a, start_a + run_len) from doc 1's token stream
+    cut = spark.createDataFrame(
+        [(1, loc["start_a"], loc["longest_run_tokens"])],
+        "doc_id long, cut_start long, cut_len long",
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    excised = (
+        docs.join(cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cut_start").isNotNull(),
+                F.concat_ws(
+                    " ",
+                    F.slice(toks, 1, F.col("cut_start").cast("int")),
+                    F.slice(
+                        toks,
+                        (F.col("cut_start") + F.col("cut_len") + 1).cast(
+                            "int"
+                        ),
+                        F.size(toks),
+                    ),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    again = shared_span_pairs(
+        excised, k=5, window=4, max_df=10, min_shared=1
+    )
+    assert again.count() == 0
