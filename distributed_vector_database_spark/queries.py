@@ -8773,6 +8773,59 @@ def q_binary_asym_topk(spark, sf_dir):
     return binary_asym_topk(emb, _query_vec(spark, sf_dir, 3), k=10)
 
 
+@register(
+    "cms_merge_heavy_hitters",
+    """
+WITH regs AS (
+  SELECT i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events, range(4) t(i)
+  GROUP BY i, bucket),
+probes AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket
+  FROM (SELECT DISTINCT user_id FROM events), range(4) t(i)),
+est AS (SELECT user_id, min(cnt)::BIGINT AS cms_count
+        FROM probes JOIN regs USING (i, bucket)
+        GROUP BY user_id)
+SELECT user_id, cms_count
+FROM est
+ORDER BY cms_count DESC, user_id ASC
+LIMIT 15
+""",
+)
+def q_cms_merge_heavy_hitters(spark, sf_dir):
+    """The MERGE path of the Count-Min family as a driver row: two
+    independently-built per-source sketches (interaction events vs the
+    rest — the per-day / per-source sharding a 100 TB pipeline actually
+    has) folded by `cms_merge` (union + re-sum), then probed. Because
+    registers are sums, the merged sketch is register-identical to the
+    one-shot global build — the oracle IS the global computation."""
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    interactive = F.col("event_type").isin("click", "view")
+    part_a = cms_build(ev.filter(interactive), "user_id", depth=4, width=64)
+    part_b = cms_build(ev.filter(~interactive), "user_id", depth=4, width=64)
+    sketch = cms_merge(part_a, part_b)
+    keys = ev.select("user_id").distinct()
+    est = cms_lookup(sketch, keys, "user_id", depth=4, width=64)
+    return (
+        est.select(
+            "user_id", F.col("cms_count").cast("long").alias("cms_count")
+        )
+        .orderBy(F.desc("cms_count"), F.asc("user_id"))
+        .limit(15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #
