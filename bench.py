@@ -193,6 +193,12 @@ def main() -> None:
     #   knn_graph_lsh_capped        ~3.0-4.2 s  (adds the count/choice agg,
     #                               salt-cell window and Arrow GEMM stage;
     #                               isolated median 3.5 s)
+    #   ivf_exact_equiv             ~1.0-2.5 s  (exact + pruned search pair;
+    #                               isolated median 1.76 s, sweep spikes to
+    #                               4 s on ivf_* adjacency)
+    #   stream_click_purchase_join  ~2.6-4.5 s  (two-stream micro-batch
+    #                               replay harness; isolated median 3.8 s,
+    #                               sweep spread 2.6-7.1 s)
     headline_keys = [
         "ivf_search_nprobe1_cached",
         "topk768_expr",
