@@ -8826,6 +8826,62 @@ def q_cms_merge_heavy_hitters(spark, sf_dir):
     )
 
 
+@register(
+    "cms_top_spenders",
+    """
+WITH ev AS (SELECT user_id, round(value * 100)::BIGINT AS cents
+            FROM events),
+regs AS (
+  SELECT i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket,
+         sum(cents)::BIGINT AS cnt
+  FROM ev, range(4) t(i)
+  GROUP BY i, bucket),
+probes AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 12))
+           ::BIGINT % 64 AS bucket
+  FROM (SELECT DISTINCT user_id FROM ev), range(4) t(i)),
+est AS (SELECT user_id, min(cnt)::BIGINT AS cms_cents
+        FROM probes JOIN regs USING (i, bucket)
+        GROUP BY user_id)
+SELECT user_id, cms_cents
+FROM est
+ORDER BY cms_cents DESC, user_id ASC
+LIMIT 15
+""",
+)
+def q_cms_top_spenders(spark, sf_dir):
+    """WEIGHTED Count-Min as a driver row: registers accumulate exact
+    integer spend-cents (weight_col) instead of occurrence counts — the
+    'which keys carry the most volume' monitor (top spenders, heaviest
+    token sources) at register-sized state. Weights are positive here, so
+    the never-underestimate guarantee carries over; exact integer cents
+    keep the sums bit-identical cross-engine."""
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sketch = cms_build(
+        ev, "user_id", depth=4, width=64, weight_col="cents"
+    )
+    keys = ev.select("user_id").distinct()
+    est = cms_lookup(sketch, keys, "user_id", depth=4, width=64)
+    return (
+        est.select(
+            "user_id", F.col("cms_count").cast("long").alias("cms_cents")
+        )
+        .orderBy(F.desc("cms_cents"), F.asc("user_id"))
+        .limit(15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #

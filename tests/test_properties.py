@@ -203,3 +203,69 @@ def test_triangle_stats_matches_bruteforce(spark, edges):
     assert r["n_triangles"] == tri
     assert r["n_edges"] == len(und)
     assert r["n_nodes"] == len(nodes)
+
+
+# --- sketch invariants (round 5) --------------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=200
+    )
+)
+def test_cms_never_underestimates_property(spark, keys):
+    """For ANY key multiset, every CMS point estimate >= the true count
+    (width 8 forces heavy collisions; the md5 hash is deterministic, so
+    hypothesis explores multisets, not hash luck)."""
+    from collections import Counter
+
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+    )
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key long")
+    sk = cms_build(df, "key", depth=3, width=8)
+    got = {
+        r["key"]: r["cms_count"]
+        for r in cms_lookup(
+            sk, df.select("key").distinct(), "key", depth=3, width=8
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    assert all(got[k] >= truth[k] for k in truth)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=30),   # tokens before the run in A
+    st.integers(min_value=0, max_value=30),   # tokens before the run in B
+    st.integers(min_value=8, max_value=20),   # shared run length (>= k+w-1)
+    st.randoms(use_true_random=False),
+)
+def test_winnow_guarantee_property(spark, pre_a, pre_b, run_len, rnd):
+    """Winnowing guarantee, property form: whatever surrounds it, a shared
+    verbatim run of >= k + window - 1 tokens always selects at least one
+    common fingerprint (k=5, window=4)."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"run{i}" for i in range(run_len))
+    noise = lambda n, tag: " ".join(  # noqa: E731
+        f"{tag}{rnd.randrange(10**6)}" for _ in range(n)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"{noise(pre_a, 'a')} {run} {noise(3, 'za')}".strip()),
+            (2, f"{noise(pre_b, 'b')} {run} {noise(5, 'zb')}".strip()),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {1: set(), 2: set()}
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2]
