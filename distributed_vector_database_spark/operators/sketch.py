@@ -30,6 +30,7 @@ __all__ = [
     "cms_lookup",
     "cms_bucket",
     "hash_sample",
+    "hash_topk_sample",
     "hash_split",
     "stratified_hash_sample",
 ]
@@ -83,6 +84,44 @@ def hash_sample(
     """Deterministic Bernoulli sample: rows whose key's hash fraction is
     below ``rate``. Same keys survive in every run/engine/table."""
     return df.filter(hash_fraction(key_col) < F.lit(rate))
+
+
+def hash_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic FIXED-SIZE sample: the k rows with the smallest key
+    hash fractions, per group — carve "exactly 200 eval docs per
+    language" where rate-based sampling (`stratified_hash_sample`) can't
+    guarantee a count. Uniform over keys, reproducible across
+    runs/engines, and stable under corpus growth in the precise sense
+    that a row leaves the sample only when a new key hashes below the
+    group's current k-th minimum (the KMV property — this IS a KMV
+    sketch whose carried payload is the whole row).
+
+    Grouped: one window shuffle on group_cols. Ungrouped: plans as
+    TakeOrderedAndProject (per-partition top-k, no global sort). Ties
+    are impossible short of a 48-bit hash collision between distinct
+    keys; identical keys keep every copy (sample by a unique key).
+    """
+    h = hash_fraction(key_col).alias("_h")
+    if not group_cols:
+        return (
+            df.select("*", h)
+            .orderBy(F.asc("_h"))
+            .limit(k)
+            .drop("_h")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
+    return (
+        df.select("*", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_h", "_rn")
+    )
 
 
 def stratified_hash_sample(

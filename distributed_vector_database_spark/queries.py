@@ -8882,6 +8882,36 @@ def q_cms_top_spenders(spark, sf_dir):
     )
 
 
+@register(
+    "fixed_k_sample_per_lang",
+    """
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                    / 281474976710656.0 AS _h
+           FROM documents),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY _h ASC) AS _rn
+      FROM h)
+SELECT doc_id, lang, n_chars FROM r WHERE _rn <= 20
+""",
+)
+def q_fixed_k_sample_per_lang(spark, sf_dir):
+    """Exactly-20-docs-per-language eval carve (sketch.hash_topk_sample):
+    the k smallest doc-id hash fractions per group — a FIXED-SIZE
+    deterministic sample where rate-based sampling can't guarantee a
+    count. Growth-stable by the KMV property: a sampled doc is displaced
+    only when a new doc hashes below the group's k-th minimum. One window
+    shuffle on the group key."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hash_topk_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return hash_topk_sample(docs, "doc_id", 20, group_cols=["lang"])
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 5).
 #
