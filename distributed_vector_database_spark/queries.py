@@ -8661,7 +8661,7 @@ g AS (SELECT doc_id,
                    t[i+3] || ' ' || t[i+4])) AS gh
       FROM toks),
 fp AS (SELECT doc_id, unnest(list_distinct(
-         list_transform(range(1, greatest(len(gh)-2, 1)),
+         list_transform(range(1, greatest(len(gh)-2, 2)),
            j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
        FROM g WHERE len(gh) > 0),
 keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10)
@@ -8698,7 +8698,7 @@ g AS (SELECT doc_id,
                    t[i+3] || ' ' || t[i+4])) AS gh
       FROM toks),
 fp AS (SELECT doc_id, unnest(list_distinct(
-         list_transform(range(1, greatest(len(gh)-2, 1)),
+         list_transform(range(1, greatest(len(gh)-2, 2)),
            j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
        FROM g WHERE len(gh) > 0),
 keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
@@ -8913,78 +8913,76 @@ def q_fixed_k_sample_per_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 5).
+# Registration-order rotation (round 6).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a new window of never-driver-verified registrations to
-# the front (round 1 verified positions 1-50; round 2 the next 50; round 3
-# the 50 subsystem guards). This window holds the final 49 of ROADMAP.md's
-# round-4 next-window block (the last never-driver-verified registrations:
-# the SQ8 family, window/session analytics, curation scores, graph/mining,
-# layout pruning, streaming) plus `dq_quarantined_events` re-windowed after
-# its array_join fix (red in r3/r4 on a top-level ARRAY column). The one
-# displaced name (`duplicate_paragraph_report` — sibling of driver-green
-# `paragraph_dedup_stats`, and its `repeated_span_report` /
-# `doc_repeated_span_stats` cousins stay in-window) rotates in round 6.
+# each round rotates a window to the front. Rounds 1-5 covered every
+# registration at least once (r5: the final 49 never-verified + the fixed dq
+# row). This round 6 window = the 13 round-5 registrations still awaiting an
+# independent driver row (ROADMAP's round-6 ```next-window``` ledger) + the
+# 37 oldest driver-green rows (CORRECTNESS_r01 order) per the round-robin
+# refresh schedule (ROADMAP.md "Rotation re-verification schedule"):
+# r6 = r1 names, r7 = r2 names, r8 = r3 guards, r9 = r5 names, repeat.
+# NEW queries register at the registry END and get a line in ROADMAP's
+# ```next-window``` block so they front round 7 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # the fixed red row, re-windowed for a green driver record
-    "dq_quarantined_events",
-    # ANN: scalar-quantization (SQ8) family + binary / graph / mining
-    "sq8_encode_recon",
-    "sq8_adc_topk",
-    "sq8_rerank_topk",
-    "ivf_sq8_search",
-    "binary_hamming_topk",
-    "knn_triangle_stats",
-    "knn_two_hop_reach",
-    "hard_negatives_join_topk",
-    "hard_negative_mining",
-    "purchase_negative_samples",
-    "label_prototype_cos",
-    "ann_lsh_ndcg",
-    "diversified_topk",
-    "embedding_drift",
-    "vector_dim_stats",
-    # curation / text-quality scores
-    "pii_redaction_stats",
-    "doc_oov_rate",
-    "dsir_log_weights",
-    "dsir_gumbel_sample",
-    "temperature_lang_mix",
-    "source_unigram_kl",
-    "boilerplate_report",
-    "doc_boilerplate_frac",
-    "repeated_span_report",
-    "doc_repeated_span_stats",
-    "pmi_top_pairs",
-    "corpus_card",
-    "multimodal_frame_sample",
-    # event / session analytics
-    "asof_next_purchase_after_click",
-    "event_grouping_sets",
-    "click_purchase_reconcile",
-    "value_range_window",
-    "hourly_gap_fill",
-    "value_quartiles_by_type",
-    "user_value_ewma",
-    "event_zscore_outliers",
-    "conversion_funnel",
-    "retention_cohorts",
-    "sliding_window_counts",
-    "variant_props_rollup",
-    "lateral_top_orders",
-    # layout pruning / runtime filters / graph
-    "stats_pruned_range_scan",
-    "bloom_pruned_point_lookup",
-    "dpp_hot_shard_scan",
-    "runtime_bloom_join",
-    "supplier_customer_pagerank",
-    # storage + streaming tails
-    "mor_vacuum_read",
-    "sqlite_store_stream_ingest",
-    "stream_sliding_counts",
+    # --- the 13 round-5 registrations never driver-verified (ROADMAP's
+    # round-6 ```next-window``` ledger, fronted per the rotation schedule) ---
+    "duplicate_paragraph_report",
+    "knn_graph_lsh",
+    "knn_graph_lsh_capped",
+    "dedup_embedding_cosine_lsh",
+    "cms_heavy_hitters",
+    "kmv_order_year_overlap",
+    "stream_cms_heavy_hitters",
+    "winnow_shared_span_pairs",
+    "shared_span_longest_run",
+    "binary_asym_topk",
+    "cms_merge_heavy_hitters",
+    "cms_top_spenders",
+    "fixed_k_sample_per_lang",
+    # --- round-robin refresh: the 37 oldest driver-green rows, in their
+    # CORRECTNESS_r01 order (rotation schedule, ROADMAP.md). The remaining
+    # 13 round-1 names front round 7's refresh tail. ---
+    "topk_cosine",
+    "topk_euclidean",
+    "topk_dot",
+    "batch_topk_cosine",
+    "point_lookup",
+    "list_ids_stats",
+    "ivf_assign",
+    "ivf_count_per_shard",
+    "ivf_search_pruned",
+    "upsert_keep_latest",
+    "doc_token_stats",
+    "doc_quality",
+    "lang_id",
+    "bpe_token_count",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "lineitem_pricing_summary",
+    "top_revenue_customers",
+    "events_hourly_rollup",
+    "sessionization",
+    "running_totals",
+    "latest_event_per_user",
+    "event_type_rollup",
+    "clickers_also_purchasing",
+    "json_props_extract",
+    "median_value_by_type",
+    "ann_lsh_buckets",
+    "ann_lsh_search",
+    "embed_hash_sparse",
+    "embed_hash_dense_check",
+    "session_window_stats",
+    "doc_search_hashed",
+    "dedup_docs_to_drop",
 ]
 
 

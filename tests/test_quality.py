@@ -314,3 +314,66 @@ def test_excision_via_reported_coordinates_removes_the_dup(spark):
         excised, k=5, window=4, max_df=10, min_shared=1
     )
     assert again.count() == 0
+
+
+def test_winnow_oracle_counts_short_doc_fingerprints(spark, tmp_path):
+    """ADVICE r5 (medium): the registered DuckDB oracles for
+    winnow_shared_span_pairs / shared_span_longest_run bounded the
+    fingerprint window list with range(1, greatest(len(gh)-2, 1)), which is
+    EMPTY for docs with 1-3 grams (5-7 tokens) — while the Spark impl and
+    the documented contract emit the single short-window minimum. Invisible
+    at sf0.01 (no short docs), but a short doc's fingerprint counts toward
+    df, so it can flip `keep` (max_df) decisions. This corpus makes that
+    decisive: two identical 30-token docs share S fingerprints; for all but
+    2 of them, nine 5-token excerpt docs (each reproducing exactly that
+    fingerprint) push df to 11 > max_df=10, so the fixed oracle AND Spark
+    both drop the pair (2 surviving shared fps < min_shared=3) — while the
+    pre-fix oracle (short docs invisible, df stays 2) still emits it."""
+    import hashlib
+
+    import duckdb
+
+    from distributed_vector_database_spark import queries as q
+    from tests.conftest import assert_df_matches_oracle
+
+    toks = [f"w{i:02d}" for i in range(30)]
+    text = " ".join(toks)
+    gh = [
+        hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+        for i in range(len(toks) - 4)
+    ]
+    sel = sorted({min(gh[j : j + 4]) for j in range(len(gh) - 3)})
+    assert len(sel) >= 3, "need >=3 shared fps for the pair to exist"
+    rows = [(1, text), (2, text)]
+    nid = 100
+    for fp in sel[:-2]:  # leave exactly 2 fps under the df cap
+        i = gh.index(fp)
+        excerpt = " ".join(toks[i : i + 5])
+        for _ in range(9):
+            rows.append((nid, excerpt))
+            nid += 1
+    docs = spark.createDataFrame(
+        [(d, t, "en", "synth", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    fn, sql = q.registry()["winnow_shared_span_pairs"]
+    got = fn(spark, sf_dir)
+    # the pair is suppressed: only 2 shared fps survive the df cap
+    assert got.count() == 0
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    assert_df_matches_oracle(got, con, sql)
+    # discrimination: the PRE-fix bound diverges on this corpus
+    old_sql = sql.replace(
+        "greatest(len(gh)-2, 2)", "greatest(len(gh)-2, 1)"
+    )
+    assert old_sql != sql
+    assert con.sql(old_sql).fetchall() != [], (
+        "pre-fix oracle should emit the (1,2) pair — test not discriminating"
+    )
