@@ -102,23 +102,32 @@ def hash_topk_sample(
     group's current k-th minimum (the KMV property — this IS a KMV
     sketch whose carried payload is the whole row).
 
-    Grouped: one window shuffle on group_cols. Ungrouped: plans as
-    TakeOrderedAndProject (per-partition top-k, no global sort). Ties
-    are impossible short of a 48-bit hash collision between distinct
-    keys; identical keys keep every copy (sample by a unique key).
+    Grouped: one window shuffle on group_cols, cut by ``dense_rank()``
+    so the k smallest DISTINCT hash values per group survive and rows
+    tied on the hash — i.e. duplicate keys — are kept WHOLE: the cut
+    never splits a key's copies nondeterministically, and the result can
+    exceed k rows only by such copies. Ungrouped: the k smallest
+    DISTINCT hash values (TakeOrderedAndProject on the hash frame — no
+    global sort) broadcast-semi-joined back, the same keep-ties-whole
+    contract. Ties between DISTINCT keys are impossible short of a
+    48-bit md5 collision, so with a unique key the result is exactly k
+    rows on both paths.
     """
     h = hash_fraction(key_col).alias("_h")
     if not group_cols:
-        return (
-            df.select("*", h)
+        kth = (
+            df.select(h)
+            .distinct()
             .orderBy(F.asc("_h"))
             .limit(k)
-            .drop("_h")
         )
+        return df.select("*", h).join(
+            F.broadcast(kth), "_h", "left_semi"
+        ).drop("_h")
     w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"))
     return (
         df.select("*", h)
-        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_rn", F.dense_rank().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_h", "_rn")
     )
@@ -232,11 +241,26 @@ def cms_build(
     """Build a Count-Min sketch over ``key_col`` occurrences (or summed
     ``weight_col``). Returns (*group_cols, row, bucket, cnt) — at most
     depth*width rows per group. One partial-aggregated shuffle; the explode
-    multiplies rows by ``depth`` only map-side."""
+    multiplies rows by ``depth`` only map-side.
+
+    ``weight_col`` must be an INTEGRAL column (registers are exact long
+    sums; the never-underestimate guarantee needs lossless accumulation).
+    Fractional amounts must be pre-converted by the caller at a chosen
+    precision — e.g. ``F.round(F.col("value") * 100).cast("long")`` for
+    cents, as the `cms_top_spenders` driver row does. A float column is
+    refused rather than silently truncated toward zero per-row."""
     if depth < 1 or width < 1:
         # sequence(0, depth-1) would silently DESCEND for depth < 1
         raise ValueError(f"depth and width must be >= 1, got {depth}x{width}")
     groups = group_cols or []
+    if weight_col is not None:
+        wtype = dict(df.dtypes).get(weight_col)
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col {weight_col!r} has type {wtype}; CMS registers "
+                "are exact integer sums — pre-convert fractional weights "
+                "(e.g. round(value*100).cast('long') for cents)"
+            )
     w = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -293,7 +317,19 @@ def cms_lookup(
     ``depth`` registers the key hashes into (never an underestimate for
     non-negative weights; collisions only inflate). Returns
     (key_col, cms_count). The sketch is at most depth*width rows —
-    broadcast, so the probe side never shuffles."""
+    broadcast, so the probe side never shuffles.
+
+    Refuses a grouped sketch (same guard as `cms_merge`): silently
+    dropping the group columns would match each probe against EVERY
+    group's registers and take the min ACROSS groups — an underestimate
+    that breaks the CMS guarantee. Probe one group at a time (filter the
+    sketch to the group first) or merge groups deliberately."""
+    if set(sketch.columns) != {"row", "bucket", "cnt"}:
+        raise ValueError(
+            f"sketch columns {sorted(sketch.columns)} != ['bucket', 'cnt', "
+            "'row']; a grouped sketch must be filtered to one group (or "
+            "folded with cms_merge(group_cols=...) semantics) before lookup"
+        )
     probes = keys.select(
         F.col(key_col),
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),

@@ -295,3 +295,81 @@ def test_hash_topk_sample_fixed_size_and_growth_stable(spark):
     assert set(keys) == set(
         sorted(fr_k := {k: fr.get(k) for k in range(100)}, key=fr_k.get)[:7]
     )
+
+
+def test_cms_lookup_refuses_grouped_sketch(spark):
+    """ADVICE r5: a grouped sketch probed directly would broadcast-join
+    each probe against EVERY group's register row and min ACROSS groups —
+    a silent underestimate. cms_lookup now refuses (same guard shape as
+    cms_merge); filtering to one group and dropping the group column is
+    the sanctioned path and still never underestimates."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b")], "key long, g string"
+    )
+    grouped = cms_build(df, "key", depth=2, width=8, group_cols=["g"])
+    keys = df.select("key").distinct()
+    with pytest.raises(ValueError, match="grouped sketch"):
+        cms_lookup(grouped, keys, "key", depth=2, width=8)
+    one = grouped.filter(F.col("g") == "a").drop("g")
+    est = {r["key"]: r["cms_count"] for r in
+           cms_lookup(one, keys, "key", depth=2, width=8).collect()}
+    assert est[1] >= 2  # true count in group a; never an underestimate
+
+
+def test_cms_build_refuses_fractional_weight_col(spark):
+    """ADVICE r5: cast('long') on a double weight silently truncates
+    toward zero per-row, so the sketch no longer upper-bounds the true
+    weighted total. Float weights are refused; the caller pre-converts at
+    a chosen precision (cents), as cms_top_spenders does."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (1, 0.9)], "key long, w double"
+    )
+    with pytest.raises(ValueError, match="integer"):
+        cms_build(df, "key", depth=2, width=8, weight_col="w")
+    cents = df.select(
+        "key", F.round(F.col("w") * 100).cast("long").alias("cents")
+    )
+    sk = cms_build(cents, "key", depth=2, width=8, weight_col="cents")
+    assert max(r["cnt"] for r in sk.collect()) == 180
+
+
+def test_hash_topk_sample_keeps_duplicate_keys_whole(spark):
+    """ADVICE r5: duplicate keys hash identically, so a row_number /
+    limit cut through the tie group was nondeterministic across
+    runs/engines. Both paths now keep tie groups whole: the cut selects
+    k smallest DISTINCT hashes and every copy of a selected key
+    survives — deterministic even when copies straddle the boundary."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hash_fraction,
+        hash_topk_sample,
+    )
+
+    # 10 distinct keys, each duplicated 3x -> 30 rows
+    rows = [(k, "g0", i) for k in range(10) for i in range(3)]
+    df = spark.createDataFrame(rows, "key long, g string, copy long")
+    fr = {
+        r["key"]: r["h"]
+        for r in df.select("key", hash_fraction("key").alias("h"))
+        .distinct()
+        .collect()
+    }
+    keep = set(sorted(fr, key=fr.get)[:4])
+
+    got_g = hash_topk_sample(df, "key", 4, group_cols=["g"]).collect()
+    assert {r["key"] for r in got_g} == keep
+    assert len(got_g) == 12  # every copy of every selected key
+
+    got_u = hash_topk_sample(df, "key", 4).collect()
+    assert {r["key"] for r in got_u} == keep
+    assert len(got_u) == 12
