@@ -57,6 +57,8 @@ __all__ = [
     "simhash_neardup_pairs",
     "shared_span_pairs",
     "longest_shared_runs",
+    "shared_runs",
+    "excise_spans",
 ]
 
 HEX = "0123456789abcdef"
@@ -1072,40 +1074,37 @@ def shared_span_pairs(
     )
 
 
-def longest_shared_runs(
+def _run_islands(
     docs: DataFrame,
     pairs: DataFrame,
     *,
-    k: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    with_positions: bool = False,
+    k: int,
+    text_col: str,
+    id_col: str,
+    gram_pos_cap: int | None,
 ) -> DataFrame:
-    """Exact verification of substring-duplication candidates: for each
-    (doc_id_a, doc_id_b) pair, the length in tokens of the LONGEST verbatim
-    token run the two documents share — (doc_id_a, doc_id_b,
-    longest_run_tokens).
+    """Shared machinery of `longest_shared_runs` / `shared_runs`: the
+    per-(pair, diagonal) match islands frame —
+    (doc_id_a, doc_id_b, _diag, _len, _start_a, _overflowed).
 
-    ``with_positions=True`` adds (start_a, start_b): the 0-based token
-    offsets where the longest run begins in each document — what an
-    excision pass needs to actually cut the duplicated span (argmax is
-    deterministic: longest island, then earliest start_a, then diagonal).
+    k-gram hashes with positions for only the docs the pair list touches
+    (semi-join prune), equi-joined per pair on gram equality; a shared run
+    of length L contributes L-k+1 matches on one DIAGONAL (pos_a - pos_b
+    constant), so each run is a consecutive-pos_a island per (pair,
+    diagonal) — the gaps-and-islands trick, all equi-shuffles keyed by
+    the pair.
 
-    Method: k-gram hashes with positions for only the docs the pair list
-    touches (semi-join prune), equi-joined per pair on gram equality; a
-    shared run of length L contributes L-k+1 matches on one DIAGONAL
-    (pos_a - pos_b constant), so the longest run is the longest
-    consecutive-pos_a island per (pair, diagonal) plus k-1 — the
-    gaps-and-islands trick, all equi-shuffles keyed by the pair.
-
-    This is the locate step of exact substring dedup (Lee et al., ACL
-    2022, "Deduplicating Training Data Makes Language Models Better"):
-    candidates come cheap from `shared_span_pairs` winnowing, and this op
-    tells you exactly how much text to excise. Per-pair cost is
-    O(#matching gram position pairs) — bounded in practice because the
-    candidate list is already df-capped; repetitive text inflates it at
-    worst quadratically in the repeated gram's multiplicity, so feed it
-    CANDIDATES, not a corpus cross product.
+    ``gram_pos_cap`` bounds the join fan-out BY CONSTRUCTION: a gram
+    occurring p_a x p_b times across a pair contributes p_a*p_b match
+    rows — quadratic in the repeated gram's multiplicity, unbounded on
+    pathologically repetitive text ("x x x x ..."). Per (doc, gram) only
+    the first ``gram_pos_cap`` positions survive (deterministic: lowest
+    positions), so per-pair work is <= (#distinct shared grams) * cap^2
+    however repetitive the text. Rows whose gram was truncated on either
+    side carry ``_overflowed = true``: island lengths on those pairs are
+    LOWER bounds; everywhere else results are exact (the sf corpora's max
+    within-doc gram multiplicity is 1 — measured, so the default cap
+    changes nothing on real text).
     """
     from pyspark.sql import Window
 
@@ -1128,14 +1127,32 @@ def longest_shared_runs(
         )
         .select(id_col, "pos", F.md5("_g").alias("fp"))
     )
+    if gram_pos_cap is not None:
+        if gram_pos_cap < 1:
+            raise ValueError(f"gram_pos_cap must be >= 1, got {gram_pos_cap}")
+        wcap = Window.partitionBy(id_col, "fp")
+        grams = (
+            grams.withColumn(
+                "_rn", F.row_number().over(wcap.orderBy(F.asc("pos")))
+            )
+            .withColumn(
+                "_tr", (F.count("*").over(wcap) > gram_pos_cap)
+            )
+            .filter(F.col("_rn") <= gram_pos_cap)
+            .drop("_rn")
+        )
+    else:
+        grams = grams.withColumn("_tr", F.lit(False))
     a = grams.select(
         F.col(id_col).alias("doc_id_a"),
         F.col("pos").alias("_pa"),
+        F.col("_tr").alias("_tra"),
         "fp",
     )
     b = grams.select(
         F.col(id_col).alias("doc_id_b"),
         F.col("pos").alias("_pb"),
+        F.col("_tr").alias("_trb"),
         "fp",
     )
     # duplicate pair rows would double every match and split the
@@ -1152,20 +1169,77 @@ def longest_shared_runs(
             "doc_id_b",
             "_pa",
             (F.col("_pa") - F.col("_pb")).alias("_diag"),
+            (F.col("_tra") | F.col("_trb")).alias("_ovf"),
         )
     )
     w = Window.partitionBy("doc_id_a", "doc_id_b", "_diag").orderBy("_pa")
     islands = matches.withColumn(
         "_grp", F.col("_pa") - F.row_number().over(w)
     )
-    runs = islands.groupBy("doc_id_a", "doc_id_b", "_diag", "_grp").agg(
-        F.count("*").alias("_len"), F.min("_pa").alias("_start_a")
+    return islands.groupBy("doc_id_a", "doc_id_b", "_diag", "_grp").agg(
+        F.count("*").alias("_len"),
+        F.min("_pa").alias("_start_a"),
+        F.max("_ovf").alias("_overflowed"),
+    )
+
+
+def longest_shared_runs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_positions: bool = False,
+    gram_pos_cap: int | None = 64,
+    with_overflow_flag: bool = False,
+) -> DataFrame:
+    """Exact verification of substring-duplication candidates: for each
+    (doc_id_a, doc_id_b) pair, the length in tokens of the LONGEST verbatim
+    token run the two documents share — (doc_id_a, doc_id_b,
+    longest_run_tokens).
+
+    ``with_positions=True`` adds (start_a, start_b): the 0-based token
+    offsets where the longest run begins in each document — what an
+    excision pass needs to actually cut the duplicated span (argmax is
+    deterministic: longest island, then earliest start_a, then diagonal).
+
+    This is the locate step of exact substring dedup (Lee et al., ACL
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    candidates come cheap from `shared_span_pairs` winnowing, and this op
+    tells you exactly how much text to excise.
+
+    Per-pair cost is bounded BY CONSTRUCTION via ``gram_pos_cap`` (see
+    `_run_islands`): pathologically repetitive pairs — where a single
+    repeated gram would otherwise contribute multiplicity^2 match rows —
+    are truncated to the cap's quadratic and their reported run lengths
+    become lower bounds; on text whose within-doc gram multiplicity stays
+    under the cap (all real corpora measured here: max 1) results are
+    exact. ``with_overflow_flag=True`` adds a boolean ``overflowed``
+    column marking affected pairs; ``gram_pos_cap=None`` restores the
+    uncapped exact behavior.
+    """
+    from pyspark.sql import Window
+
+    runs = _run_islands(
+        docs,
+        pairs,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        gram_pos_cap=gram_pos_cap,
+    )
+    flag = (
+        [F.max("_overflowed").alias("overflowed")]
+        if with_overflow_flag
+        else []
     )
     if not with_positions:
         return runs.groupBy("doc_id_a", "doc_id_b").agg(
             (F.max("_len") + F.lit(k - 1))
             .cast("long")
-            .alias("longest_run_tokens")
+            .alias("longest_run_tokens"),
+            *flag,
         )
     # excision-ready variant: also report WHERE the longest run starts in
     # each doc (0-based token offsets). Deterministic argmax: longest
@@ -1173,8 +1247,18 @@ def longest_shared_runs(
     pick = Window.partitionBy("doc_id_a", "doc_id_b").orderBy(
         F.desc("_len"), F.asc("_start_a"), F.asc("_diag")
     )
+    pair_flag = (
+        [
+            F.max("_overflowed")
+            .over(Window.partitionBy("doc_id_a", "doc_id_b"))
+            .alias("overflowed")
+        ]
+        if with_overflow_flag
+        else []
+    )
     return (
-        runs.withColumn("_rn", F.row_number().over(pick))
+        runs.select("*", *pair_flag)
+        .withColumn("_rn", F.row_number().over(pick))
         .filter(F.col("_rn") == 1)
         .select(
             "doc_id_a",
@@ -1186,5 +1270,127 @@ def longest_shared_runs(
             (F.col("_start_a") - F.col("_diag")).cast("long").alias(
                 "start_b"
             ),
+            *(["overflowed"] if with_overflow_flag else []),
         )
     )
+
+
+def shared_runs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    k: int = 5,
+    min_run_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_pos_cap: int | None = 64,
+) -> DataFrame:
+    """ALL verbatim token runs shared by each candidate pair — not just the
+    longest — with their positions: (doc_id_a, doc_id_b, run_tokens,
+    start_a, start_b). The input to a COMPLETE excision pass
+    (`excise_spans`): cutting only the longest run per pair leaves any
+    second long run behind; cutting every reported run >= the winnowing
+    detection floor removes all duplication the candidate generator can
+    see.
+
+    ``min_run_tokens`` defaults to k + 3 — the `shared_span_pairs`
+    winnowing guarantee floor (k + window - 1 with the default window=4):
+    runs at least that long are exactly the ones guaranteed to keep
+    producing candidate pairs, so excising them drives a re-run of the
+    candidate generator on the cleaned corpus toward empty. Same bounded
+    join discipline as `longest_shared_runs` (``gram_pos_cap``).
+    """
+    if min_run_tokens is None:
+        min_run_tokens = k + 3
+    runs = _run_islands(
+        docs,
+        pairs,
+        k=k,
+        text_col=text_col,
+        id_col=id_col,
+        gram_pos_cap=gram_pos_cap,
+    )
+    return (
+        runs.select(
+            "doc_id_a",
+            "doc_id_b",
+            (F.col("_len") + F.lit(k - 1)).cast("long").alias("run_tokens"),
+            F.col("_start_a").cast("long").alias("start_a"),
+            (F.col("_start_a") - F.col("_diag")).cast("long").alias(
+                "start_b"
+            ),
+        )
+        .filter(F.col("run_tokens") >= F.lit(int(min_run_tokens)))
+    )
+
+
+def excise_spans(
+    docs: DataFrame,
+    runs: DataFrame,
+    *,
+    side: str = "b",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rewrite from located duplicate spans (the final step of the
+    Lee et al. ACL'22 substring-dedup pipeline): cut every reported span
+    out of the ``side`` document of each pair and re-emit the corpus with
+    ``text_col`` rewritten (all other columns pass through; docs with no
+    spans are untouched).
+
+    ``runs`` is `shared_runs` / `longest_shared_runs(with_positions=True)`
+    output: (doc_id_a, doc_id_b, run_tokens|longest_run_tokens, start_a,
+    start_b). ``side="b"`` cuts from doc_id_b — one copy of the duplicated
+    text (in the LOWEST-id document, since candidate pairs are emitted
+    with doc_id_a < doc_id_b) survives, mirroring keep-first dedup.
+
+    Plan shape: spans aggregate to one short interval array per cut doc
+    (collect_list over the span rows — bounded by the pairs touching that
+    doc), broadcast-scale left join onto the corpus, then one projection:
+    tokens are kept when no interval covers their position (a
+    single-level ``filter(.., (tok, i) -> !exists(intervals, ..))`` HOF
+    over a short interval array — overlapping intervals need no merge,
+    coverage is coverage). No data-sized shuffle: the corpus never moves;
+    only the tiny span frame aggregates.
+    """
+    if side not in ("a", "b"):
+        raise ValueError(f"side must be 'a' or 'b', got {side!r}")
+    len_col = (
+        "run_tokens" if "run_tokens" in runs.columns else "longest_run_tokens"
+    )
+    start = F.col(f"start_{side}")
+    spans = (
+        runs.select(
+            F.col(f"doc_id_{side}").alias(id_col),
+            F.struct(
+                start.cast("long").alias("s"),
+                (start + F.col(len_col) - 1).cast("long").alias("e"),
+            ).alias("_iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_iv").alias("_ivs"))
+    )
+    from distributed_vector_database_spark.functions.text import tokens
+
+    # positions in `runs` index the NON-EMPTY whitespace token sequence
+    # (the same tokenization the gram/winnowing kernels use) — cut
+    # against that exact sequence, not a raw split
+    toks = tokens(text_col)
+    # i is the 0-based token position; an interval [s, e] covers it when
+    # s <= i <= e. exists() over the short interval array handles
+    # overlapping spans with no merge step.
+    kept = F.filter(
+        toks,
+        lambda tok, i: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (i >= iv["s"]) & (i <= iv["e"]),
+        ),
+    )
+    rewritten = F.when(
+        F.col("_ivs").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(kept, " "))
+    out_cols = [
+        rewritten.alias(c) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return docs.join(spans, id_col, "left").select(*out_cols)

@@ -8912,6 +8912,130 @@ def q_fixed_k_sample_per_lang(spark, sf_dir):
     return hash_topk_sample(docs, "doc_id", 20, group_cols=["lang"])
 
 
+@register(
+    "substring_dedup_excised_stats",
+    """
+WITH toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t)-3, 1)),
+          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4])) AS gh
+      FROM toks),
+fp AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(gh)-2, 2)),
+           j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
+       FROM g WHERE len(gh) > 0),
+keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10),
+cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         FROM fp a JOIN fp b USING (fp) JOIN keep USING (fp)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3),
+wanted AS (SELECT DISTINCT doc_id FROM
+           (SELECT da AS doc_id FROM cand UNION ALL SELECT db FROM cand)),
+gp AS (SELECT doc_id, u['pos']::BIGINT AS pos, u['fp'] AS fp
+       FROM (SELECT g.doc_id,
+               unnest(list_transform(range(1, len(gh)+1),
+                 i -> {'pos': i, 'fp': gh[i]})) AS u
+             FROM g JOIN wanted USING (doc_id))),
+m AS (SELECT c.da, c.db, a.pos AS pa, a.pos - b.pos AS diag
+      FROM cand c
+      JOIN gp a ON a.doc_id = c.da
+      JOIN gp b ON b.doc_id = c.db AND b.fp = a.fp),
+isl AS (SELECT da, db, diag, pa,
+               pa - row_number() OVER (PARTITION BY da, db, diag ORDER BY pa)
+                 AS grp
+        FROM m),
+runs AS (SELECT da, db, diag, count(*) AS rl, min(pa) AS minpa
+         FROM isl GROUP BY da, db, diag, grp),
+-- 1-based inclusive token interval the island covers on the b side:
+-- gram pos p covers tokens p..p+4, so [minpa-diag, minpa-diag+rl+3]
+spans AS (SELECT db AS doc_id, (minpa - diag) AS s,
+                 (minpa - diag + rl + 3) AS e
+          FROM runs WHERE rl + 4 >= 8),
+ivs AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs
+        FROM spans GROUP BY doc_id),
+cleaned AS (SELECT toks.doc_id,
+        CASE WHEN ivs.ivs IS NULL THEN toks.t
+             ELSE list_filter(toks.t, (x, j) ->
+                    len(list_filter(ivs.ivs,
+                        v -> j >= v['s'] AND j <= v['e'])) = 0)
+        END AS t
+      FROM toks LEFT JOIN ivs USING (doc_id)),
+g2 AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t)-3, 1)),
+          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4])) AS gh
+      FROM cleaned),
+fp2 AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(gh)-2, 2)),
+           j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
+       FROM g2 WHERE len(gh) > 0),
+keep2 AS (SELECT fp FROM fp2 GROUP BY fp HAVING count(*) <= 10),
+cand2 AS (SELECT a.doc_id AS da, b.doc_id AS db
+         FROM fp2 a JOIN fp2 b USING (fp) JOIN keep2 USING (fp)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT (SELECT count(*) FROM cand)::BIGINT AS pairs_before,
+       (SELECT count(DISTINCT doc_id) FROM spans)::BIGINT AS docs_excised,
+       ((SELECT sum(len(t)) FROM toks)
+        - (SELECT sum(len(t)) FROM cleaned))::BIGINT AS tokens_removed,
+       (SELECT count(*) FROM cand2)::BIGINT AS residual_pairs
+""",
+)
+def q_substring_dedup_excised_stats(spark, sf_dir):
+    """The COMPLETE Lee et al. (ACL 2022) substring-dedup pipeline, closed
+    loop: winnowing candidates (`dedup.shared_span_pairs`) -> ALL shared
+    verbatim runs >= the 8-token winnowing detection floor, with positions
+    (`dedup.shared_runs`) -> corpus rewrite cutting each run from the
+    higher-id document (`dedup.excise_spans`) -> candidate generator
+    re-run on the cleaned corpus. One audit row: candidate pairs before,
+    documents cut, tokens removed, residual candidate pairs after.
+
+    Every stage is equi-join / single-projection work: the corpus never
+    shuffles (spans broadcast onto it), the pair frame is df-capped, and
+    the run verify is gram_pos_cap-bounded (exact here — the corpus'
+    within-doc gram multiplicity is 1). The tiny runs frame is
+    checkpointed: both the rewrite and the stats read it, and it sits
+    behind the candidate join + islands window."""
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    pairs = _dd.shared_span_pairs(
+        docs, k=5, window=4, max_df=10, min_shared=3
+    )
+    runs = _dd.shared_runs(docs, pairs, k=5).localCheckpoint(eager=True)
+    cleaned = _dd.excise_spans(docs, runs)
+    pairs_after = _dd.shared_span_pairs(
+        cleaned, k=5, window=4, max_df=10, min_shared=3
+    )
+    from distributed_vector_database_spark.functions.text import tokens
+
+    ntok = F.size(tokens("text"))
+    before = pairs.agg(F.count("*").cast("long").alias("pairs_before"))
+    cut = runs.agg(
+        F.countDistinct("doc_id_b").cast("long").alias("docs_excised")
+    )
+    tb = docs.agg(F.sum(ntok).cast("long").alias("_tb"))
+    ta = cleaned.agg(F.sum(ntok).cast("long").alias("_ta"))
+    residual = pairs_after.agg(
+        F.count("*").cast("long").alias("residual_pairs")
+    )
+    return (
+        before.crossJoin(cut)
+        .crossJoin(tb)
+        .crossJoin(ta)
+        .crossJoin(residual)
+        .select(
+            "pairs_before",
+            "docs_excised",
+            (F.col("_tb") - F.col("_ta")).cast("long").alias(
+                "tokens_removed"
+            ),
+            "residual_pairs",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 6).
 #
