@@ -311,6 +311,7 @@ def knn_graph(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     metric: str = "cosine",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact k-nearest-neighbor graph over the corpus: for every vector,
     its k most similar OTHER vectors — the substrate for SemDeDup-style
@@ -322,16 +323,30 @@ def knn_graph(
     The +1 over-fetch absorbs the self-match, which is then dropped and
     ranks recomputed.
 
-    Exact all-pairs is O(|V|^2) compute by definition; at 100 TB scope the
-    query side to the slice you need neighbors for, or generate candidate
-    pairs with the LSH buckets / IVF cells in this package and use this
-    kernel per-bucket.
+    Exact all-pairs is O(|V|^2) compute by definition, so the corpus size
+    is guarded (``max_rows``, same discipline as `batch_topk`'s query
+    cap): above it the call refuses with a pointer at the sub-quadratic
+    twin `knn_graph_lsh_capped` (edge-recall 0.94-0.95 on the clustered
+    corpus, RECALL.md) rather than silently launching |V|^2 GEMM work.
+    ``max_rows=None`` bypasses the guard for deliberate offline exact
+    runs; at 100 TB scope the query side to the slice you need neighbors
+    for, or use this kernel per-LSH-bucket.
     """
     from distributed_vector_database_spark.operators.topk import (
         _order,
         batch_topk,
     )
     from pyspark.sql import Window
+
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"knn_graph is exact O(|V|^2): corpus has {n} rows > "
+                f"max_rows={max_rows}. Use ann.knn_graph_lsh_capped (the "
+                "sub-quadratic approximate twin) or pass max_rows=None "
+                "for a deliberate exact run."
+            )
 
     queries = df.select(
         F.col(id_col).alias("query_id"),

@@ -471,6 +471,7 @@ def embedding_neardup_pairs(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     num_blocks: int = 8,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -484,10 +485,24 @@ def embedding_neardup_pairs(
 
     Still O(n²) work — exact dedup can't avoid it in the worst case; size
     ``num_blocks`` so a block's matrix (rows/B x dim x 8B) fits an executor.
-    The sub-quadratic 100 TB path is operators/ann.py's LSH bucketing with
-    this operator as the in-bucket verifier.
+    The corpus size is guarded (``max_rows``, same discipline as
+    `batch_topk`'s query cap): above it the call refuses and points at
+    `embedding_neardup_pairs_lsh` — the sub-quadratic capped-LSH twin
+    whose output is proven a subset-complete match at the threshold —
+    rather than silently launching n² GEMM work. ``max_rows=None``
+    bypasses for deliberate offline exact runs.
     """
     import numpy as np  # noqa: F401  (executor-side import checked early)
+
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is exact O(n^2): corpus has {n} "
+                f"rows > max_rows={max_rows}. Use "
+                "dedup.embedding_neardup_pairs_lsh (the sub-quadratic "
+                "twin) or pass max_rows=None for a deliberate exact run."
+            )
 
     spark = emb.sparkSession
     src = emb.select(

