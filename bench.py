@@ -53,6 +53,46 @@ def time_query(fn, spark, warmups=WARMUPS, runs=RUNS) -> float:
     return statistics.median(times)
 
 
+def _committed_bench(repo_dir: str) -> dict:
+    """The last COMMITTED artifact (`git show HEAD:BENCH_FULL.json`) — the
+    adjudicated quiet-machine reference the new sweep is defended against.
+    Falls back to {} when absent (first run) or git is unavailable."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=repo_dir,
+            capture_output=True,
+            timeout=30,
+        )
+        if out.returncode != 0:
+            return {}
+        return json.loads(out.stdout.decode())
+    except Exception:
+        return {}
+
+
+def _deviant_keys(
+    measured: dict[str, float],
+    committed: dict[str, float],
+    *,
+    ratio: float = 1.5,
+) -> list[str]:
+    """Keys whose sweep value moved >ratio in EITHER direction vs the
+    committed artifact — candidates for isolated re-measurement. Keys
+    absent from the committed file (new this round) or failed (<= 0 on
+    either side) are skipped."""
+    out = []
+    for k, v in measured.items():
+        ref = committed.get(k)
+        if ref is None or ref <= 0 or v <= 0:
+            continue
+        if v > ref * ratio or v < ref / ratio:
+            out.append(k)
+    return out
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="dvdb-bench")
@@ -142,6 +182,54 @@ def main() -> None:
     for name, sec in skew_join_compare(spark).items():
         per_query[f"skewjoin_{name}"] = sec
 
+    # Artifact defense (VERDICT r5 item 2, automating the manual
+    # adjudication loop of ROADMAP.md "final BENCH_FULL refresh"): a
+    # contended host — the driver's or the builder's — makes unrelated
+    # keys read uniformly 1.5-5x slow and would publish false
+    # regressions over byte-identical code (it happened in r4 and again
+    # to the r5 driver refresh). Before writing BENCH_FULL, every
+    # REGISTRY key that deviates >1.5x in either direction from the
+    # last COMMITTED artifact is re-measured at the end of the run, one
+    # key at a time (1 warmup + median of 3 — the isolated-median
+    # protocol), and the isolated number is what gets published. The
+    # adjudication table rides along in the artifact so a reader can
+    # see which keys were contested and what the sweep had said.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    committed = _committed_bench(repo_dir).get("queries", {})
+    adjudicated: dict[str, dict[str, float]] = {}
+    if committed and os.environ.get("SPARK_GRAFT_BENCH_DEFEND", "1") != "0":
+        registry_fns = _q.spark_queries()
+        for key in _deviant_keys(per_query, committed):
+            fn = registry_fns.get(key)
+            if fn is None:
+                continue  # bench-internal cells keep their range notes
+            try:
+                time.sleep(1)  # let straggler tasks/GC settle
+                iso = round(
+                    time_query(
+                        lambda s, f=fn: f(s, SF_DIR),
+                        spark,
+                        warmups=1,
+                        runs=3,
+                    ),
+                    4,
+                )
+            except Exception as e:
+                print(f"# defend {key} failed: {e}", file=sys.stderr)
+                continue
+            adjudicated[key] = {
+                "sweep": per_query[key],
+                "committed": committed[key],
+                "isolated": iso,
+            }
+            print(
+                f"# defend {key}: sweep={per_query[key]} "
+                f"committed={committed[key]} isolated={iso}",
+                file=sys.stderr,
+                flush=True,
+            )
+            per_query[key] = iso
+
     # The driver tail-captures stdout, so the FINAL line must stay compact
     # (round 1's 98-query dict overflowed the capture -> "parsed": null).
     # Full per-query seconds go to a side file + stderr; the last stdout line
@@ -153,6 +241,8 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if adjudicated:
+        full["adjudicated"] = adjudicated
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_FULL.json"),

@@ -1,0 +1,44 @@
+"""bench.py artifact defense (VERDICT r5 item 2): deviation detection vs
+the committed BENCH_FULL.json — pure-Python, no Spark."""
+
+import json
+import pathlib
+import subprocess
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from bench import _committed_bench, _deviant_keys
+
+
+def test_deviant_keys_both_directions_and_skips():
+    committed = {"a": 1.0, "b": 1.0, "c": 1.0, "d": -1.0, "f": 1.0}
+    measured = {
+        "a": 1.6,    # >1.5x slower -> deviant
+        "b": 0.5,    # >1.5x faster -> deviant
+        "c": 1.4,    # inside the band
+        "d": 2.0,    # committed failed -> skip
+        "e": 9.9,    # new key, no committed value -> skip
+        "f": -1.0,   # measured failed -> skip
+    }
+    assert sorted(_deviant_keys(measured, committed)) == ["a", "b"]
+    assert _deviant_keys(measured, {}) == []
+    # custom band
+    assert _deviant_keys({"a": 1.4}, {"a": 1.0}, ratio=1.3) == ["a"]
+
+
+def test_committed_bench_reads_head_artifact(tmp_path):
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    got = _committed_bench(str(repo))
+    # HEAD carries the adjudicated r5 artifact
+    expect = json.loads(
+        subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=repo,
+            capture_output=True,
+            check=True,
+        ).stdout
+    )
+    assert got == expect and got.get("queries")
+    # non-repo dir -> {}
+    assert _committed_bench(str(tmp_path)) == {}
