@@ -29,6 +29,9 @@ __all__ = [
     "cms_merge",
     "cms_lookup",
     "cms_bucket",
+    "bloom_build",
+    "bloom_merge",
+    "bloom_contains",
     "hash_sample",
     "hash_topk_sample",
     "hash_split",
@@ -402,4 +405,120 @@ def kmv_set_estimates(
         union_est.cast("long").alias("union_est"),
         F.round(jac * union_est).cast("long").alias("intersect_est"),
         F.round(jac, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter (Bloom, CACM 1970) on the same md5 hash convention
+# as the CMS above — positions are `cms_bucket(i, key, num_bits)` for
+# i in 0..num_hashes-1, so the DuckDB oracle reproduces every bit and
+# every membership verdict exactly (engine-native bloom filters cannot be
+# oracle-compared).
+#
+# Representation: a DataFrame of DISTINCT set-bit positions — at most
+# min(num_bits, n*num_hashes) single-int rows however large the keyed
+# input, i.e. a fixed-memory summary that is
+#   - mergeable: union + distinct (order-free, tree-foldable — per-day /
+#     per-source filters fold into a global one);
+#   - broadcastable: membership probes join the tiny position set, the
+#     probe side never shuffles;
+#   - one-sided exact: `maybe_present = false` is a guarantee of absence,
+#     `true` is wrong with the classic (1 - e^(-kn/m))^k false-positive
+#     rate. The decontamination use: a 100-TB corpus probes a broadcast
+#     bloom of the eval-set n-grams and only the tiny maybe-present
+#     remainder needs the exact check.
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-bit positions of the Bloom filter over ``key_col`` —
+    (*group_cols, pos), distinct. The explode is map-side (xnum_hashes)
+    and the only shuffle is the partial-aggregated distinct over at most
+    ``num_bits`` positions per group."""
+    if num_bits < 1 or num_hashes < 1:
+        raise ValueError(
+            f"num_bits and num_hashes must be >= 1, got {num_bits}/{num_hashes}"
+        )
+    groups = group_cols or []
+    return (
+        df.select(
+            *groups,
+            F.col(key_col).alias("_k"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1))
+            ).alias("_i"),
+        )
+        .select(
+            *groups,
+            cms_bucket(F.col("_i"), F.col("_k"), num_bits).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold Bloom filters built with the same (num_bits, num_hashes):
+    union the position sets and re-distinct. Same grouped-sketch guard as
+    `cms_merge` — merging grouped filters without their group columns
+    would silently OR bit sets across groups."""
+    if not sketches:
+        raise ValueError("bloom_merge needs at least one sketch")
+    groups = group_cols or []
+    expected = {*groups, "pos"}
+    for s in sketches:
+        if set(s.columns) != expected:
+            raise ValueError(
+                f"sketch columns {sorted(s.columns)} != expected "
+                f"{sorted(expected)}; pass group_cols matching the build"
+            )
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Membership verdict for every probe key: (key_col, maybe_present).
+    ``false`` is definite absence; ``true`` carries the Bloom
+    false-positive rate. The sketch (<= num_bits rows) is broadcast, so
+    the probe side never shuffles before its per-key aggregation.
+
+    Refuses a grouped sketch (same guard as `cms_lookup`): probing
+    against the union of all groups' bits would silently inflate
+    ``maybe_present``."""
+    if set(sketch.columns) != {"pos"}:
+        raise ValueError(
+            f"sketch columns {sorted(sketch.columns)} != ['pos']; a "
+            "grouped sketch must be filtered to one group (or folded with "
+            "bloom_merge(group_cols=...) semantics) before probing"
+        )
+    ex = probes.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_i"),
+    ).select(
+        key_col, cms_bucket(F.col("_i"), F.col(key_col), num_bits).alias("pos")
+    )
+    joined = ex.join(
+        F.broadcast(sketch.select("pos", F.lit(1).alias("_hit"))),
+        "pos",
+        "left",
+    )
+    return joined.groupBy(key_col).agg(
+        (F.count("_hit") == F.lit(num_hashes)).alias("maybe_present")
     )

@@ -9054,6 +9054,117 @@ def q_substring_dedup_excised_stats(spark, sf_dir):
     )
 
 
+@register(
+    "bloom_decontaminate_stats",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_EVAL_PRED}),
+nb AS (SELECT greatest(16 * count(*), 1024)::BIGINT AS m FROM ev),
+bloom AS (SELECT DISTINCT
+            ('0x' || substr(md5(r.i::VARCHAR || ':' || ev.g), 1, 12))::BIGINT
+              % (SELECT m FROM nb) AS pos
+          FROM ev, range(0, 4) r(i)),
+trg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT ({_EVAL_PRED})),
+gdict AS (SELECT DISTINCT g FROM trg),
+hits AS (SELECT p.g FROM
+           (SELECT g, ('0x' || substr(md5(r.i::VARCHAR || ':' || g), 1, 12))
+                        ::BIGINT % (SELECT m FROM nb) AS pos
+            FROM gdict, range(0, 4) r(i)) p
+         JOIN bloom USING (pos)
+         GROUP BY p.g HAVING count(*) = 4),
+fb AS (SELECT DISTINCT doc_id FROM trg JOIN hits USING (g)),
+fe AS (SELECT DISTINCT doc_id FROM trg JOIN ev ON trg.g = ev.g)
+SELECT (SELECT count(*) FROM documents WHERE NOT ({_EVAL_PRED}))::BIGINT
+         AS n_train,
+       (SELECT count(*) FROM fb)::BIGINT AS flagged_bloom,
+       (SELECT count(*) FROM fe)::BIGINT AS flagged_exact,
+       ((SELECT count(*) FROM fb) - (SELECT count(*) FROM fe))::BIGINT
+         AS false_positive_docs
+""",
+)
+def q_bloom_decontaminate_stats(spark, sf_dir):
+    """Bloom-filter decontamination (`sketch.bloom_build/bloom_contains`):
+    the eval slice's word-3-gram dictionary becomes a portable Bloom
+    filter (m = 16 bits per gram, k=4 — FPR ~0.24%), every distinct
+    training gram probes it, and a doc is bloom-flagged when any of its
+    grams is maybe-present. One audit row alongside the EXACT
+    contamination count, so the false-positive overhead of the sketch
+    path is measured, not assumed.
+
+    The 100-TB shape this rehearses: the eval set's exact gram dictionary
+    may be too large to broadcast, but its Bloom positions (<= m single
+    ints, data-independent size) always fit — the corpus probes the
+    broadcast filter with no shuffle, and only the tiny maybe-present
+    remainder ever needs the exact verify. No false negatives by
+    construction (the test suite proves merge==global and absence
+    exactness), so the clean side — the side that feeds training — is
+    identical to exact decontamination's."""
+    from distributed_vector_database_spark.functions.text import (
+        word_shingles_arrow,
+    )
+    from distributed_vector_database_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    ev = docs.filter(F.expr(_EVAL_PRED))
+    tr = docs.filter(~F.expr(_EVAL_PRED))
+    evg = (
+        ev.select(
+            F.explode(
+                word_shingles_arrow(F.col("text"), 3, distinct=True)
+            ).alias("g")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; read by count + build
+    )
+    num_bits = max(16 * evg.count(), 1024)
+    bloom = bloom_build(evg, "g", num_bits=num_bits, num_hashes=4)
+    trg = tr.select(
+        "doc_id",
+        F.explode(
+            word_shingles_arrow(F.col("text"), 3, distinct=True)
+        ).alias("g"),
+    )
+    verd = bloom_contains(
+        bloom,
+        trg.select("g").distinct(),
+        "g",
+        num_bits=num_bits,
+        num_hashes=4,
+    )
+    fb = (
+        trg.join(verd.filter(F.col("maybe_present")), "g")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("flagged_bloom"))
+    )
+    fe = (
+        trg.join(F.broadcast(evg), "g")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("flagged_exact"))
+    )
+    nt = tr.agg(F.count("*").cast("long").alias("n_train"))
+    return (
+        nt.crossJoin(fb)
+        .crossJoin(fe)
+        .select(
+            "n_train",
+            "flagged_bloom",
+            "flagged_exact",
+            (F.col("flagged_bloom") - F.col("flagged_exact"))
+            .cast("long")
+            .alias("false_positive_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 6).
 #

@@ -373,3 +373,73 @@ def test_hash_topk_sample_keeps_duplicate_keys_whole(spark):
     got_u = hash_topk_sample(df, "key", 4).collect()
     assert {r["key"] for r in got_u} == keep
     assert len(got_u) == 12
+
+
+def test_bloom_no_false_negatives_and_merge_equals_global(spark):
+    """Every inserted key probes maybe_present; merge of per-source
+    filters == the global build (bit sets are unions); definite-absence
+    verdicts are exact; guards refuse bad params and grouped sketches."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    kw = dict(num_bits=1 << 14, num_hashes=4)
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    sk_a = bloom_build(a, "k", **kw)
+    sk_b = bloom_build(b, "k", **kw)
+    merged = bloom_merge(sk_a, sk_b)
+    glob = bloom_build(a.unionByName(b), "k", **kw)
+    assert {r["pos"] for r in merged.collect()} == {
+        r["pos"] for r in glob.collect()
+    }
+    # no false negatives: every inserted key is maybe_present
+    verd = bloom_contains(merged, a.unionByName(b), "k", **kw)
+    assert all(r["maybe_present"] for r in verd.collect())
+    # with m >> kn, fresh keys are definitely absent
+    fresh = spark.createDataFrame(
+        [(f"z{i}",) for i in range(50)], "k string"
+    )
+    vf = bloom_contains(sk_a, fresh, "k", **kw)
+    assert not any(r["maybe_present"] for r in vf.collect())
+    with pytest.raises(ValueError, match=">= 1"):
+        bloom_build(a, "k", num_bits=0)
+    grouped = bloom_build(
+        a.select("k", F.lit("g").alias("g")), "k", group_cols=["g"], **kw
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        bloom_merge(grouped, grouped)
+    with pytest.raises(ValueError, match="grouped sketch"):
+        bloom_contains(grouped, a, "k", **kw)
+    # grouped merge with its group columns stays per-group
+    gm = bloom_merge(grouped, grouped, group_cols=["g"])
+    assert set(gm.columns) == {"g", "pos"}
+
+
+def test_bloom_false_positive_rate_in_expected_band(spark):
+    """With m sized to ~2 bits/element-hash the measured FPR lands inside
+    a loose band around (1-e^{-kn/m})^k — evidence the positions really
+    are k independent-ish hashes, not k copies."""
+    import math
+
+    from distributed_vector_database_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    n, m, k = 400, 1 << 12, 4
+    keys = spark.createDataFrame(
+        [(f"in{i}",) for i in range(n)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [(f"out{i}",) for i in range(4000)], "k string"
+    )
+    sk = bloom_build(keys, "k", num_bits=m, num_hashes=k)
+    verd = bloom_contains(sk, probes, "k", num_bits=m, num_hashes=k)
+    fp = sum(1 for r in verd.collect() if r["maybe_present"]) / 4000
+    expect = (1 - math.exp(-k * n / m)) ** k
+    assert expect / 4 <= fp <= expect * 4, (fp, expect)
