@@ -59,6 +59,7 @@ __all__ = [
     "longest_shared_runs",
     "shared_runs",
     "excise_spans",
+    "winnow_owner_dup_flags",
 ]
 
 HEX = "0123456789abcdef"
@@ -1086,6 +1087,57 @@ def shared_span_pairs(
         .groupBy("doc_id_a", "doc_id_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_owner_dup_flags(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass SUBSTRING-dup decision without pair mining: every
+    winnowing fingerprint is owned by the LOWEST doc id that contains
+    it; a doc is flagged when at least ``min_shared`` of its fingerprints
+    are owned by smaller ids — the keep-lowest-id form of
+    `shared_span_pairs`'s contract, made ORDER-FREE (ownership is a min
+    over the whole corpus, not an arrival race), so the same decision is
+    computable incrementally by a stream
+    (`streaming.docs.stream_winnow_dedup`) and by a SQL oracle.
+
+    ``(id, n_fps, n_owned_elsewhere, is_span_dup)``. Scale: ONE shuffle
+    on the uniform fingerprint key — ownership is a min() window, no
+    pair fan-out, no df cap needed (a ubiquitous fingerprint costs one
+    window partition, not df^2/2 pairs). Docs with zero fingerprints
+    (< k tokens) are absent. The owner form is one-sided vs the pair
+    form: ``min_shared`` fingerprints owned by DIFFERENT smaller docs
+    still flag, trading the per-pair guarantee for the flat plan — the
+    pair/verify/excise chain stays the exact path.
+    """
+    from pyspark.sql import Window
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(
+        docs, k=k, window=window, text_col=text_col, id_col=id_col
+    )
+    owner = F.min(id_col).over(Window.partitionBy("fp"))
+    lost = F.sum(
+        F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+    )
+    return (
+        fps.withColumn("_owner", owner)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_fps"),
+            lost.cast("long").alias("n_owned_elsewhere"),
+            (lost >= min_shared).alias("is_span_dup"),
+        )
     )
 
 

@@ -9165,6 +9165,83 @@ def q_bloom_decontaminate_stats(spark, sf_dir):
     )
 
 
+_WINNOW_FLAGS_SQL = """
+WITH toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t)-3, 1)),
+          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4])) AS gh
+      FROM toks),
+fp AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(gh)-2, 2)),
+           j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
+       FROM g WHERE len(gh) > 0),
+own AS (SELECT fp, min(doc_id) AS owner FROM fp GROUP BY fp)
+SELECT f.doc_id AS doc_id, count(*)::BIGINT AS n_fps,
+       sum(CASE WHEN own.owner < f.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_owned_elsewhere,
+       (sum(CASE WHEN own.owner < f.doc_id THEN 1 ELSE 0 END) >= 3)
+         AS is_span_dup
+FROM fp f JOIN own USING (fp)
+GROUP BY f.doc_id
+"""
+
+
+@register("winnow_dup_flags", _WINNOW_FLAGS_SQL)
+def q_winnow_dup_flags(spark, sf_dir):
+    """Per-doc SUBSTRING-dup decision without pair mining
+    (`dedup.winnow_owner_dup_flags`): every winnowing fingerprint is
+    owned by its lowest doc id; >= 3 fingerprints owned elsewhere flag
+    the doc. One min-window on the uniform fp key — no pair fan-out, no
+    df cap needed — the flat-plan screen in front of the exact
+    pair/verify/excise chain."""
+    return _dd.winnow_owner_dup_flags(
+        _spread(_read(spark, sf_dir, "documents")),
+        k=5,
+        window=4,
+        min_shared=3,
+    )
+
+
+_WINNOW_STATE_CACHE: dict[str, str] = {}
+
+
+@register("stream_winnow_dup_flags", _WINNOW_FLAGS_SQL)
+def q_stream_winnow_dup_flags(spark, sf_dir):
+    """The SAME substring-dup contract computed incrementally: documents
+    arrive id-ordered in two micro-batches; each batch is flagged against
+    the append-only fingerprint-owner index built from prior batches
+    (`streaming.docs.stream_winnow_dedup`). The replay's accumulated
+    decisions must equal the batch/SQL owner form on the full corpus —
+    cross-batch VERBATIM-SPAN state proven, complementing the minhash
+    (whole-doc similarity) streaming twin."""
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.docs import (
+        read_document_stream,
+        read_winnow_flags,
+        stream_winnow_dedup,
+    )
+
+    state = _WINNOW_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        out = read_winnow_flags(spark, state)
+    else:
+        d = _ordered_two_chunk_replay_dir(spark, sf_dir)
+        state = tempfile.mkdtemp(prefix="dvdb_wnstate_")
+        out = stream_winnow_dedup(
+            read_document_stream(spark, d, max_files_per_trigger=1),
+            state,
+            k=5,
+            window=4,
+            min_shared=3,
+        )
+        _WINNOW_STATE_CACHE[sf_dir] = state
+    return out.select("doc_id", "n_fps", "n_owned_elsewhere", "is_span_dup")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 6).
 #

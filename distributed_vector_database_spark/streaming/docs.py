@@ -45,6 +45,9 @@ __all__ = [
     "read_dedup_flags",
     "stream_bigram_counts",
     "read_bigram_counts",
+    "stream_winnow_dedup",
+    "read_winnow_flags",
+    "read_fp_owners",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -246,3 +249,112 @@ def read_bigram_counts(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def read_fp_owners(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current winnowing-fingerprint owner index: min doc id per fp over
+    every appended batch — merge-on-read, same pattern as the LSH bucket
+    owners above."""
+    owners_path = os.path.join(state_dir, "fp_owners")
+    try:
+        raw = spark.read.parquet(owners_path)
+    except Exception:
+        return spark.createDataFrame([], "fp string, owner long")
+    return raw.groupBy("fp").agg(F.min("owner").alias("owner"))
+
+
+def stream_winnow_dedup(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental SUBSTRING-level dedup: the streaming twin of
+    `dedup.winnow_owner_dup_flags`. The maintained state is the
+    (fingerprint -> lowest owner id) index — one row per distinct
+    winnowing fingerprint ever seen, ~2/(window+1) of the corpus' gram
+    count, the same index a production quote-reuse/template detector
+    keeps.
+
+    Per micro-batch (foreachBatch — every step a plain batch plan):
+      1. winnowing fingerprints of the batch docs (Arrow kernel);
+      2. fp owner = min(persisted owner, this batch's min id);
+      3. flag each batch doc with >= ``min_shared`` fps owned by a
+         smaller id;
+      4. overwrite decisions into ``<state_dir>/winnow_flags/batch=<id>``
+         and append batch minima to the append-only
+         ``<state_dir>/fp_owners`` index.
+
+    At-least-once safe exactly like `stream_minhash_dedup`: per-batch
+    overwrite dirs for decisions, duplicate owner appends absorbed by
+    the min() merge-on-read. For doc-id-ordered arrival the accumulated
+    decisions equal the batch form on the full corpus under ANY chunking
+    (a fingerprint's final owner is the globally smallest id, which
+    ordered arrival presents first — no later batch can invalidate an
+    earlier decision).
+    """
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    spark = doc_stream.sparkSession
+    owners_path = os.path.join(state_dir, "fp_owners")
+    flags_path = os.path.join(state_dir, "winnow_flags")
+    ckpt_path = os.path.join(state_dir, "_winnow_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fps = winnow_fingerprints(
+            batch_df, k=k, window=window, text_col=text_col, id_col=id_col
+        ).cache()
+        batch_min = fps.groupBy("fp").agg(F.min(id_col).alias("owner"))
+        prior = read_fp_owners(spark, state_dir)
+        owner = (
+            batch_min.withColumnRenamed("owner", "_bmin")
+            .join(prior.withColumnRenamed("owner", "_prior"), "fp", "left")
+            .select(
+                "fp",
+                F.least(
+                    F.col("_bmin"),
+                    F.coalesce(F.col("_prior"), F.col("_bmin")),
+                ).alias("_owner"),
+            )
+        )
+        lost = F.sum(
+            F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+        )
+        flags = (
+            fps.join(owner, "fp")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("long").alias("n_fps"),
+                lost.cast("long").alias("n_owned_elsewhere"),
+                (lost >= min_shared).alias("is_span_dup"),
+            )
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_path, f"batch={batch_id}")
+        )
+        batch_min.write.mode("append").parquet(owners_path)
+        fps.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_winnow_flags(spark, state_dir)
+
+
+def read_winnow_flags(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated per-doc substring-dup decisions from the stream state —
+    querying is independent of the ingest."""
+    flags_path = os.path.join(state_dir, "winnow_flags")
+    return spark.read.parquet(flags_path).drop("batch")

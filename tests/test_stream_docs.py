@@ -118,3 +118,82 @@ def test_flags_semantics_tiny(spark, tmp_path):
         .count()
     )
     assert flags[2] == (shared > 0)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stream_winnow_equals_batch_flags(documents, tmp_path, n_chunks):
+    """The incremental fingerprint-owner index reproduces the batch
+    substring-dup decision exactly for id-ordered arrival, any chunking."""
+    from distributed_vector_database_spark.operators.dedup import (
+        winnow_owner_dup_flags,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        stream_winnow_dedup,
+    )
+
+    docs = documents.limit(200)
+    d = str(tmp_path / f"wreplay{n_chunks}")
+    os.makedirs(d)
+    _write_chunks(docs, n_chunks, d)
+    out = stream_winnow_dedup(
+        read_document_stream(
+            docs.sparkSession, d, max_files_per_trigger=1
+        ),
+        str(tmp_path / f"wstate{n_chunks}"),
+        k=5,
+        window=4,
+        min_shared=3,
+    )
+    batch = winnow_owner_dup_flags(docs, k=5, window=4, min_shared=3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_winnow_owner_flags_semantics_tiny(spark, tmp_path):
+    """Doc 2 embeds a 20-token verbatim run of doc 1 -> >= 3 shared
+    winnowing fps, all owned by doc 1 -> flagged; the distinct doc is
+    not; and the stream state's owner index equals the batch fp-min."""
+    from distributed_vector_database_spark.operators.dedup import (
+        winnow_owner_dup_flags,
+    )
+    from distributed_vector_database_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_fp_owners,
+        stream_winnow_dedup,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(20))
+    rows = [
+        (1, "intro words here " + run, "en", "s", 1),
+        (2, run + " totally different tail text", "en", "s", 1),
+        (3, " ".join(f"other{i}" for i in range(25)), "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    flags = {
+        r["doc_id"]: r["is_span_dup"]
+        for r in winnow_owner_dup_flags(docs, min_shared=3).collect()
+    }
+    assert flags[1] is False and flags[3] is False
+    assert flags[2] is True
+    d = str(tmp_path / "replay")
+    os.makedirs(d)
+    _write_chunks(docs, 2, d)
+    state = str(tmp_path / "state")
+    stream_winnow_dedup(
+        read_document_stream(spark, d, max_files_per_trigger=1), state
+    )
+    owners = read_fp_owners(spark, state)
+    exp = (
+        winnow_fingerprints(docs, k=5, window=4)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("owner"))
+    )
+    assert sorted(map(tuple, owners.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
