@@ -60,10 +60,19 @@ from distributed_vector_database_spark.operators.skew import (
     skew_safe_totals,
 )
 from distributed_vector_database_spark.operators.sketch import (
+    bloom_build,
+    bloom_contains,
+    bloom_merge,
+    cms_build,
+    cms_lookup,
+    cms_merge,
     hash_sample,
     hash_split,
-    stratified_hash_sample,
+    hash_topk_sample,
     kmv_distinct,
+    kmv_set_estimates,
+    kmv_sketch,
+    stratified_hash_sample,
 )
 from distributed_vector_database_spark.operators.eval import ndcg_at_k, recall_at_k
 from distributed_vector_database_spark.operators.graph import (
@@ -84,6 +93,7 @@ from distributed_vector_database_spark.operators.dedup import (
 )
 from distributed_vector_database_spark.streaming.docs import (
     stream_minhash_dedup,
+    stream_winnow_dedup,
 )
 from distributed_vector_database_spark.operators.text_analysis import (
     language_id,
@@ -142,10 +152,15 @@ from distributed_vector_database_spark.operators.chunking import chunk_documents
 from distributed_vector_database_spark.operators.dedup import (
     doc_repeated_span_stats,
     duplicate_paragraphs,
+    excise_spans,
+    longest_shared_runs,
     paragraph_dedup_stats,
     repeated_spans,
     semantic_dedup,
+    shared_runs,
+    shared_span_pairs,
     simhash_neardup_pairs,
+    winnow_owner_dup_flags,
 )
 from distributed_vector_database_spark.operators.dsir import (
     dsir_gumbel_sample,
@@ -245,6 +260,21 @@ __all__ = [
     "minhash_bucket_dup_flags",
     "minhash_candidate_pairs",
     "stream_minhash_dedup",
+    "stream_winnow_dedup",
+    "kmv_sketch",
+    "kmv_set_estimates",
+    "hash_topk_sample",
+    "cms_merge",
+    "cms_lookup",
+    "cms_build",
+    "bloom_merge",
+    "bloom_contains",
+    "bloom_build",
+    "winnow_owner_dup_flags",
+    "shared_span_pairs",
+    "shared_runs",
+    "longest_shared_runs",
+    "excise_spans",
     "simhash_fingerprints",
     "simhash_neardup_pairs",
     "embedding_neardup_pairs",
