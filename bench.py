@@ -337,6 +337,10 @@ def main() -> None:
         "winnow_shared_span_pairs",
         "shared_span_longest_run",
         "binary_asym_topk",
+        "substring_dedup_excised_stats",
+        "bloom_decontaminate_stats",
+        "winnow_dup_flags",
+        "stream_winnow_dup_flags",
     ]
     compact = dict(full)
     compact["queries"] = {
