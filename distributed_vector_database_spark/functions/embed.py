@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.text import tokens
 
-__all__ = ["token_bucket", "sparse_token_buckets", "hashing_embed", "transformer_embed_udf"]
+__all__ = [
+    "token_bucket",
+    "sparse_token_buckets",
+    "hashing_embed",
+    "transformer_embed_udf",
+    "word2vec_doc_embeddings",
+]
 
 
 def token_bucket(tok: Column, dim: int = 64) -> Column:
@@ -131,3 +137,59 @@ def transformer_embed_udf(model_name: str = "all-MiniLM-L6-v2"):
         return pd.Series(list(vecs))
 
     return embed
+
+
+def word2vec_doc_embeddings(
+    docs: DataFrame,
+    *,
+    dim: int = 32,
+    min_count: int = 2,
+    seed: int = 7,
+    num_partitions: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Trainable embeddings with NO external dependency: Spark MLlib
+    Word2Vec (skip-gram) fit on the corpus, documents embedded as the
+    mean of their in-vocabulary word vectors (MLlib's own transform
+    semantics). Returns ``(model, embeddings)`` where embeddings is
+    (id_col, embedding array<double>).
+
+    The middle rung of the embedding ladder this module offers:
+    `hashing_embed` (deterministic, oracle-exact, no semantics) ->
+    THIS (learned distributional semantics, offline-trainable, seeded)
+    -> `transformer_embed_udf` (the reference's production quality,
+    gated on sentence-transformers). Like the A2 KMeans fit, training
+    is MLlib-internal and not oracle-comparable (§7.3), so the contract
+    is held by invariant tests: same-seed reproducibility at
+    ``num_partitions=1``, co-occurrence neighbors closer than strangers,
+    all-OOV docs -> zero vector.
+
+    Scale: Word2Vec training distributes over ``num_partitions`` (raise
+    it on a real cluster — at >1 the async updates make runs
+    seed-reproducible only per-partitioning); the transform is a
+    broadcast join of the (vocab x dim) vector table against exploded
+    tokens + one mean-agg per doc — vocab is the only state, the corpus
+    never shuffles.
+    """
+    from pyspark.ml.feature import Word2Vec
+
+    toked = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    w2v = Word2Vec(
+        vectorSize=dim,
+        minCount=min_count,
+        seed=seed,
+        numPartitions=num_partitions,
+        inputCol="_toks",
+        outputCol="_vec",
+    )
+    model = w2v.fit(toked)
+    from pyspark.ml.functions import vector_to_array
+
+    emb = model.transform(toked).select(
+        F.col(id_col),
+        vector_to_array(F.col("_vec")).cast("array<double>").alias(
+            "embedding"
+        ),
+    )
+    return model, emb

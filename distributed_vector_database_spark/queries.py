@@ -9018,6 +9018,9 @@ def q_substring_dedup_excised_stats(spark, sf_dir):
     checkpointed: both the rewrite and the stats read it, and it sits
     behind the candidate join + islands window."""
     docs = _spread(_read(spark, sf_dir, "documents"))
+    # measured-and-rejected: checkpointing `pairs` too (it feeds runs +
+    # the pairs_before stat) read 6.46 vs 6.39 s at sf0.1 — the saved
+    # join pass repays its own materialization, nothing more
     pairs = _dd.shared_span_pairs(
         docs, k=5, window=4, max_df=10, min_shared=3
     )

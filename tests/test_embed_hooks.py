@@ -44,3 +44,46 @@ def test_transformer_embed_runs(spark, documents):
     }
     for r in out:
         assert again[r["doc_id"]] == pytest.approx(r["emb"], abs=1e-6)
+
+
+def test_word2vec_doc_embeddings_invariants(spark):
+    """MLlib Word2Vec path (the trainable, dependency-free middle rung):
+    seeded single-partition training reproduces itself; docs built from
+    one topic's co-occurring vocabulary embed closer to each other than
+    to the other topic; all-OOV docs get the zero vector."""
+    from distributed_vector_database_spark.functions.embed import (
+        word2vec_doc_embeddings,
+    )
+
+    import numpy as np
+
+    # two disjoint-vocab topics, words co-occurring within topic only
+    a_words = [f"apple{i}" for i in range(6)]
+    b_words = [f"bolt{i}" for i in range(6)]
+    rows = []
+    did = 0
+    for words in (a_words, b_words):
+        for s in range(8):  # rotated windows force co-occurrence
+            text = " ".join(words[(s + j) % 6] for j in range(4))
+            rows.append((did, text))
+            did += 1
+    rows.append((did, "zzz qqq www"))  # all OOV (min_count=2 drops them)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    model, emb = word2vec_doc_embeddings(docs, dim=16, min_count=2, seed=7)
+    got = {r["doc_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    assert len(got) == len(rows) and all(len(v) == 16 for v in got.values())
+    assert np.allclose(got[did], 0.0)  # OOV doc -> zero vector
+
+    def cos(x, y):
+        nx, ny = np.linalg.norm(x), np.linalg.norm(y)
+        return float(x @ y / (nx * ny)) if nx and ny else 0.0
+
+    within = [cos(got[0], got[i]) for i in range(1, 8)]
+    across = [cos(got[0], got[8 + i]) for i in range(8)]
+    assert min(within) > max(across), (within, across)
+
+    # same seed, single partition -> bit-identical rerun
+    _, emb2 = word2vec_doc_embeddings(docs, dim=16, min_count=2, seed=7)
+    got2 = {r["doc_id"]: np.array(r["embedding"]) for r in emb2.collect()}
+    assert all(np.array_equal(got[k], got2[k]) for k in got)
