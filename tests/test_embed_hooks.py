@@ -87,3 +87,44 @@ def test_word2vec_doc_embeddings_invariants(spark):
     _, emb2 = word2vec_doc_embeddings(docs, dim=16, min_count=2, seed=7)
     got2 = {r["doc_id"]: np.array(r["embedding"]) for r in emb2.collect()}
     assert all(np.array_equal(got[k], got2[k]) for k in got)
+
+
+def test_word2vec_embeddings_compose_with_ivf_search(spark):
+    """The trainable embedding path plugs straight into the ANN stack:
+    w2v doc embeddings -> IVF shard assignment -> pruned top-k retrieves
+    the query doc's own topic-mates first (end-to-end composition, the
+    switch-path a reference user would take when transformers are
+    unavailable)."""
+    import numpy as np
+
+    from distributed_vector_database_spark.functions.embed import (
+        word2vec_doc_embeddings,
+    )
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+    )
+    from distributed_vector_database_spark.operators.topk import topk
+
+    a_words = [f"apple{i}" for i in range(6)]
+    b_words = [f"bolt{i}" for i in range(6)]
+    rows = []
+    did = 0
+    for words in (a_words, b_words):
+        for s in range(8):
+            rows.append(
+                (did, " ".join(words[(s + j) % 6] for j in range(4)))
+            )
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _, emb = word2vec_doc_embeddings(docs, dim=16, min_count=2, seed=7)
+    emb = emb.withColumnRenamed("doc_id", "vec_id")
+    rows_e = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    cents = [list(rows_e[0]), list(rows_e[8])]  # one centroid per topic
+    indexed = assign_shards(emb, cents)
+    # every topic-a doc routes to shard 0, topic-b to shard 1
+    shards = {r["vec_id"]: r["shard_id"] for r in indexed.collect()}
+    assert all(shards[i] == 0 for i in range(8))
+    assert all(shards[i] == 1 for i in range(8, 16))
+    got = topk(emb, list(rows_e[1]), k=5)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert set(ids) <= set(range(8))  # all results from the query's topic

@@ -269,3 +269,42 @@ def test_winnow_guarantee_property(spark, pre_a, pre_b, run_len, rnd):
     for r in fps.collect():
         by_doc[r["doc_id"]].add(r["fp"])
     assert by_doc[1] & by_doc[2]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=40),
+    raw_spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=1, max_value=12),
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+)
+def test_excise_spans_matches_python_reference(spark, n_tokens, raw_spans):
+    """excise_spans' indexed-HOF interval cut == an independent Python
+    token slice for arbitrary (possibly overlapping, possibly
+    past-the-end) span sets; docs without spans pass through untouched."""
+    from distributed_vector_database_spark.operators.dedup import (
+        excise_spans,
+    )
+
+    toks = [f"w{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "untouched doc text")],
+        "doc_id long, text string",
+    )
+    runs = spark.createDataFrame(
+        [(0, 1, ln, 0, s) for s, ln in raw_spans],
+        "doc_id_a long, doc_id_b long, run_tokens long, "
+        "start_a long, start_b long",
+    )
+    got = {r["doc_id"]: r["text"] for r in excise_spans(docs, runs).collect()}
+    cut = set()
+    for s, ln in raw_spans:
+        cut |= set(range(s, s + ln))
+    expect = " ".join(t for i, t in enumerate(toks) if i not in cut)
+    assert got[1] == expect
+    assert got[2] == "untouched doc text"
