@@ -61,6 +61,9 @@ from distributed_vector_database_spark.operators.skew import (
 )
 from distributed_vector_database_spark.operators.sketch import (
     bloom_build,
+    hdr_hist_build,
+    hdr_hist_merge,
+    hdr_quantiles,
     bloom_contains,
     bloom_merge,
     cms_build,
@@ -270,6 +273,9 @@ __all__ = [
     "bloom_merge",
     "bloom_contains",
     "bloom_build",
+    "hdr_quantiles",
+    "hdr_hist_merge",
+    "hdr_hist_build",
     "winnow_owner_dup_flags",
     "shared_span_pairs",
     "shared_runs",

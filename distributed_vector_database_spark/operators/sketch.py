@@ -32,6 +32,10 @@ __all__ = [
     "bloom_build",
     "bloom_merge",
     "bloom_contains",
+    "hdr_hist_build",
+    "hdr_hist_merge",
+    "hdr_quantiles",
+    "hdr_bucket_lo",
     "hash_sample",
     "hash_topk_sample",
     "hash_split",
@@ -521,4 +525,144 @@ def bloom_contains(
     )
     return joined.groupBy(key_col).agg(
         (F.count("_hit") == F.lit(num_hashes)).alias("maybe_present")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style histogram quantile sketch (HdrHistogram / DDSketch family) on
+# EXACT INTEGER bucketing — no float log, so unlike gamma-bucket DDSketch
+# the bucket of a value is bit-identical in every engine (a boundary value
+# can never round differently) and the DuckDB oracle reproduces every
+# register and every quantile estimate exactly.
+#
+# Bucket of a positive integer c (e.g. cents): e = floor(log2 c) computed
+# as length(bin(c)) - 1, sub = the next 4 bits after the leading one —
+# 16 sub-buckets per octave, so bucket width / lower bound <= 1/16
+# (6.25% one-sided relative error). The sketch is (e, sub, cnt):
+# at most 16 * 60 rows per group for the whole BIGINT range, registers
+# are sums — order-independent, mergeable, broadcastable; the same
+# fixed-memory/mergeable story as the CMS registers above, for the
+# quantile question. Completes the sketch quartet: frequency -> CMS,
+# distinct -> KMV, membership -> Bloom, quantiles -> this.
+# ---------------------------------------------------------------------------
+
+
+def _hdr_e_sub(c: Column) -> tuple[Column, Column]:
+    e = (F.length(F.bin(c)) - 1).cast("int")
+    # the python shiftright/shiftleft wrappers take only literal shift
+    # amounts; the SQL builtins accept expressions
+    sub = (
+        F.call_function(
+            "shiftright", c, F.greatest(e - F.lit(4), F.lit(0))
+        )
+        .bitwiseAND(F.lit(15))
+        .cast("int")
+    )
+    return e, sub
+
+
+def hdr_bucket_lo(e: Column, sub: Column) -> Column:
+    """Deterministic bucket lower bound (the published estimate): exact
+    value for e < 4 octaves, (16+sub) << (e-4) above. DuckDB mirror:
+    ``CASE WHEN e < 4 THEN sub ELSE (16 + sub)::BIGINT << (e - 4) END``."""
+    return F.when(e < 4, sub.cast("long")).otherwise(
+        F.call_function(
+            "shiftleft", (F.lit(16) + sub).cast("long"), e - F.lit(4)
+        )
+    )
+
+
+def hdr_hist_build(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the histogram over a POSITIVE INTEGRAL column (pre-convert
+    fractional amounts at a chosen precision — cents — exactly like
+    `cms_build`; an integral dtype is enforced the same way). Rows with
+    value < 1 are outside the log-bucket domain and are dropped, the
+    standard positive-store contract of this sketch family. Returns
+    (*group_cols, e, sub, cnt) — one partial-aggregated shuffle of at
+    most ~960 register rows per group."""
+    wtype = dict(df.dtypes).get(value_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"value_col {value_col!r} has type {wtype}; hdr buckets need "
+            "exact integers — pre-convert (e.g. round(value*100)"
+            ".cast('long') for cents)"
+        )
+    groups = group_cols or []
+    c = F.col(value_col).cast("long")
+    e, sub = _hdr_e_sub(c)
+    return (
+        df.filter(c >= 1)
+        .select(*groups, e.alias("e"), sub.alias("sub"))
+        .groupBy(*groups, "e", "sub")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_hist_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold histograms: union register frames and re-sum — associative,
+    commutative, any tree shape. Same grouped-sketch guard as the other
+    mergeable families."""
+    if not sketches:
+        raise ValueError("hdr_hist_merge needs at least one sketch")
+    groups = group_cols or []
+    expected = {*groups, "e", "sub", "cnt"}
+    for s in sketches:
+        if set(s.columns) != expected:
+            raise ValueError(
+                f"sketch columns {sorted(s.columns)} != expected "
+                f"{sorted(expected)}; pass group_cols matching the build"
+            )
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*groups, "e", "sub").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, the lower bound
+    of the bucket holding the ceil(q*n)-th smallest value — a
+    deterministic integer with the value guaranteed in
+    [estimate, estimate * 17/16) for e >= 4 octaves (exact below).
+    Returns (*group_cols, q, est). Register-sized work: a cumulative-sum
+    window over <= ~960 rows per group, cross-joined with the literal
+    q list."""
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"qs must be fractions in (0, 1], got {qs}")
+    groups = group_cols or []
+    w = Window.partitionBy(*groups).orderBy("e", "sub")
+    wt = Window.partitionBy(*groups)
+    cum = sketch.select(
+        *groups,
+        "e",
+        "sub",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wt).alias("_total"),
+    )
+    qf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    rank = F.greatest(
+        F.ceil(F.col("q") * F.col("_total")).cast("long"), F.lit(1)
+    )
+    return (
+        cum.crossJoin(F.broadcast(qf))
+        .filter(F.col("_cum") >= rank)
+        .groupBy(*groups, "q")
+        .agg(
+            F.min(hdr_bucket_lo(F.col("e"), F.col("sub"))).alias("est")
+        )
     )

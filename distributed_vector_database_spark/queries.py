@@ -9245,6 +9245,65 @@ def q_stream_winnow_dup_flags(spark, sf_dir):
     return out.select("doc_id", "n_fps", "n_owned_elsewhere", "is_span_dup")
 
 
+@register(
+    "hdr_value_quantiles",
+    """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+b AS (SELECT event_type,
+             length(bin(c)) - 1 AS e,
+             (c >> greatest(length(bin(c)) - 1 - 4, 0)) & 15 AS sub,
+             count(*) AS cnt
+      FROM c GROUP BY 1, 2, 3),
+cum AS (SELECT event_type, e, sub,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY e, sub) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+        FROM b),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT event_type, q::DOUBLE AS q,
+       min(CASE WHEN e < 4 THEN sub::BIGINT
+                ELSE (16 + sub)::BIGINT << (e - 4) END)::BIGINT
+         AS est_cents
+FROM cum, qs
+WHERE cum >= greatest(CAST(ceil(q * total) AS BIGINT), 1)
+GROUP BY 1, 2
+""",
+)
+def q_hdr_value_quantiles(spark, sf_dir):
+    """Per-event-type p50/p90/p99 of spend from the HDR histogram sketch
+    (`sketch.hdr_hist_build/hdr_quantiles`) — the quantile member of the
+    mergeable-sketch quartet (CMS frequency, KMV distinct, Bloom
+    membership). Bucketing is EXACT integer math (floor(log2) via binary
+    length + 4 mantissa bits), so unlike float-log DDSketch buckets the
+    oracle reproduces every register and estimate bit-identically, and
+    the estimate is guaranteed within 6.25% below the true quantile.
+
+    Scale shape: the corpus contributes one partial-aggregated shuffle
+    of <= ~960 register rows per group however large the input; the
+    quantile read is a window over those registers. Per-day / per-source
+    sketches fold with `hdr_hist_merge` (sums) — the pattern that lets a
+    100-TB pipeline keep live value distributions without re-scans."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_hist_build,
+        hdr_quantiles,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sk = hdr_hist_build(ev, "cents", group_cols=["event_type"])
+    return (
+        hdr_quantiles(sk, [0.5, 0.9, 0.99], group_cols=["event_type"])
+        .select(
+            "event_type",
+            "q",
+            F.col("est").cast("long").alias("est_cents"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 6).
 #

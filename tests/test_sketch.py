@@ -443,3 +443,64 @@ def test_bloom_false_positive_rate_in_expected_band(spark):
     fp = sum(1 for r in verd.collect() if r["maybe_present"]) / 4000
     expect = (1 - math.exp(-k * n / m)) ** k
     assert expect / 4 <= fp <= expect * 4, (fp, expect)
+
+
+def test_hdr_quantiles_error_bound_and_merge(spark):
+    """Quantile estimates: the true rank-element always lies in
+    [est, est*17/16) for e>=4 (exact below 16); per-source sketches
+    merged == the global build; guards refuse float values, bad qs,
+    grouped sketches without group_cols."""
+    import random
+
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_hist_build,
+        hdr_hist_merge,
+        hdr_quantiles,
+    )
+
+    rnd = random.Random(42)
+    vals = [rnd.randint(1, 10**7) for _ in range(4000)]
+    df = spark.createDataFrame(
+        [(v, "s%d" % (i % 3)) for i, v in enumerate(vals)],
+        "c long, src string",
+    )
+    sk = hdr_hist_build(df, "c")
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {r["q"]: r["est"] for r in hdr_quantiles(sk, qs).collect()}
+    svals = sorted(vals)
+    for q in qs:
+        rank = max(-(-int(q * len(vals)) // 1), 1)
+        true = svals[max(int(__import__("math").ceil(q * len(vals))), 1) - 1]
+        est = got[q]
+        assert est <= true, (q, est, true)
+        assert true < est * 17 / 16 + 1, (q, est, true)
+    # merge of per-source sketches == global
+    parts = [
+        hdr_hist_build(df.filter(F.col("src") == f"s{i}"), "c")
+        for i in range(3)
+    ]
+    merged = hdr_hist_merge(*parts)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+    # values < 1 dropped (positive-store contract)
+    with_zero = spark.createDataFrame(
+        [(0,), (-5,), (7,)], "c long"
+    )
+    assert hdr_hist_build(with_zero, "c").agg(
+        F.sum("cnt")
+    ).first()[0] == 1
+    # guards
+    fdf = spark.createDataFrame([(1.5,)], "c double")
+    with pytest.raises(ValueError, match="exact integers"):
+        hdr_hist_build(fdf, "c")
+    with pytest.raises(ValueError, match="qs must"):
+        hdr_quantiles(sk, [0.0])
+    grouped = hdr_hist_build(df, "c", group_cols=["src"])
+    with pytest.raises(ValueError, match="group_cols"):
+        hdr_hist_merge(grouped, grouped)
+    gq = {(r["src"], r["q"]): r["est"]
+          for r in hdr_quantiles(grouped, [0.5], group_cols=["src"]).collect()}
+    assert len(gq) == 3
