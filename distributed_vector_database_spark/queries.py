@@ -9304,6 +9304,85 @@ def q_hdr_value_quantiles(spark, sf_dir):
     )
 
 
+_HDR_STATE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_hdr_value_quantiles",
+    """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+b AS (SELECT event_type,
+             length(bin(c)) - 1 AS e,
+             (c >> greatest(length(bin(c)) - 1 - 4, 0)) & 15 AS sub,
+             count(*) AS cnt
+      FROM c GROUP BY 1, 2, 3),
+cum AS (SELECT event_type, e, sub,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY e, sub) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+        FROM b),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT event_type, q::DOUBLE AS q,
+       min(CASE WHEN e < 4 THEN sub::BIGINT
+                ELSE (16 + sub)::BIGINT << (e - 4) END)::BIGINT
+         AS est_cents
+FROM cum, qs
+WHERE cum >= greatest(CAST(ceil(q * total) AS BIGINT), 1)
+GROUP BY 1, 2
+""",
+)
+def q_stream_hdr_value_quantiles(spark, sf_dir):
+    """The STREAM-maintained twin of `hdr_value_quantiles`: the event log
+    replayed as unordered micro-batches, each folding its batch-local
+    histogram registers into the state; quantiles read from the merged
+    state must equal the one-shot batch sketch exactly — registers are
+    sums, so the oracle is the same batch SQL regardless of chunking.
+    Ingest runs once per process; repeat calls query the live state
+    (read_hdr_hist) — a latency dashboard reading p50/p99 without ever
+    rescanning the feed."""
+    import tempfile
+
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_quantiles,
+    )
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        read_hdr_hist,
+        stream_hdr_hist,
+    )
+
+    cents = F.round(F.col("value") * 100).cast("long").alias("cents")
+    state = _HDR_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        sketch = read_hdr_hist(spark, state, group_cols=["event_type"])
+    else:
+        d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+        if d is None:
+            src = _read(spark, sf_dir, "events")
+            d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+            src.repartition(4).write.mode("overwrite").parquet(d)
+            _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+        state = tempfile.mkdtemp(prefix="dvdb_hdrstate_")
+        sketch = stream_hdr_hist(
+            read_event_stream(spark, d, max_files_per_trigger=2).select(
+                "event_type", cents
+            ),
+            state,
+            value_col="cents",
+            group_cols=["event_type"],
+        )
+        _HDR_STATE_CACHE[sf_dir] = state
+    return (
+        hdr_quantiles(sketch, [0.5, 0.9, 0.99], group_cols=["event_type"])
+        .select(
+            "event_type",
+            "q",
+            F.col("est").cast("long").alias("est_cents"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 6).
 #

@@ -28,6 +28,8 @@ __all__ = [
     "run_stream_to_batch",
     "stream_cms_counts",
     "read_cms",
+    "stream_hdr_hist",
+    "read_hdr_hist",
 ]
 
 EVENT_SCHEMA = (
@@ -439,5 +441,75 @@ def read_cms(spark: SparkSession, state_dir: str) -> DataFrame:
         spark.read.parquet(regs_path)
         .drop("batch")
         .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def stream_hdr_hist(
+    event_stream: DataFrame,
+    state_dir: str,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally-maintained HDR histogram registers over an event
+    stream: each micro-batch writes its batch-local histogram (one
+    partial-aggregated groupBy, <= ~960 rows per group), and the merged
+    view re-sums registers at read time. Registers are SUMS — the same
+    additivity as the CMS twin above — so stream-built == batch-built
+    for ANY chunking, and live quantile reads
+    (`sketch.hdr_quantiles(read_hdr_hist(...))`) never rescan the feed.
+
+    ``value_col`` must already be the positive integral domain (cents),
+    exactly as `sketch.hdr_hist_build` requires. State layout mirrors
+    the other streaming sketches: per-batch ``batch=<id>`` overwrite
+    dirs, at-least-once-retry safe.
+    """
+    import os
+
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_hist_build,
+    )
+
+    spark = event_stream.sparkSession
+    groups = group_cols or []
+    regs_path = os.path.join(state_dir, "hdr_registers")
+    ckpt_path = os.path.join(state_dir, "_hdr_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hdr_hist_build(
+            batch_df, value_col, group_cols=groups
+        ).write.mode("overwrite").parquet(
+            os.path.join(regs_path, f"batch={batch_id}")
+        )
+
+    q = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_hdr_hist(spark, state_dir, group_cols=groups)
+
+
+def read_hdr_hist(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge-on-read view of the stream-maintained HDR histogram: sum the
+    per-batch register partials per (*group_cols, e, sub)."""
+    import os
+
+    groups = group_cols or []
+    regs_path = os.path.join(state_dir, "hdr_registers")
+    return (
+        spark.read.parquet(regs_path)
+        .drop("batch")
+        .groupBy(*groups, "e", "sub")
         .agg(F.sum("cnt").alias("cnt"))
     )

@@ -504,3 +504,49 @@ def test_hdr_quantiles_error_bound_and_merge(spark):
     gq = {(r["src"], r["q"]): r["est"]
           for r in hdr_quantiles(grouped, [0.5], group_cols=["src"]).collect()}
     assert len(gq) == 3
+
+
+def test_stream_hdr_equals_batch_build(spark, tmp_path):
+    """HDR registers folded from micro-batches equal the one-shot batch
+    histogram (sums are associative), and quantiles read from the
+    maintained state equal the batch-sketch quantiles."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_hist_build,
+        hdr_quantiles,
+    )
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        stream_hdr_hist,
+    )
+
+    rows = [
+        (i, "2024-01-01T00:%02d:00" % (i % 60), i % 23, "click",
+         float(1 + (i * 37) % 5000) / 100.0, "{}")
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    cents = F.round(F.col("value") * 100).cast("long").alias("cents")
+    stream_in = read_event_stream(
+        spark, src, max_files_per_trigger=1
+    ).select("event_type", cents)
+    streamed = stream_hdr_hist(
+        stream_in,
+        str(tmp_path / "state"),
+        value_col="cents",
+        group_cols=["event_type"],
+    )
+    batch = hdr_hist_build(
+        ev.select("event_type", cents), "cents", group_cols=["event_type"]
+    )
+    as_set = lambda d: {tuple(r) for r in d.collect()}  # noqa: E731
+    assert as_set(streamed) == as_set(batch)
+    qa = hdr_quantiles(streamed, [0.5, 0.99], group_cols=["event_type"])
+    qb = hdr_quantiles(batch, [0.5, 0.99], group_cols=["event_type"])
+    assert as_set(qa) == as_set(qb)
