@@ -73,6 +73,16 @@ def _committed_bench(repo_dir: str) -> dict:
         return {}
 
 
+def _reference_queries(committed_full: dict, sf_val) -> dict[str, float]:
+    """The committed per-query dict usable as the deviation reference —
+    empty when the committed artifact was measured at a DIFFERENT scale
+    factor (cross-SF comparison would flag every key and re-measure the
+    whole sweep)."""
+    if committed_full.get("sf") != sf_val:
+        return {}
+    return committed_full.get("queries", {})
+
+
 def _deviant_keys(
     measured: dict[str, float],
     committed: dict[str, float],
@@ -195,7 +205,8 @@ def main() -> None:
     # adjudication table rides along in the artifact so a reader can
     # see which keys were contested and what the sweep had said.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    committed = _committed_bench(repo_dir).get("queries", {})
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    committed = _reference_queries(_committed_bench(repo_dir), sf_val)
     adjudicated: dict[str, dict[str, float]] = {}
     if committed and os.environ.get("SPARK_GRAFT_BENCH_DEFEND", "1") != "0":
         registry_fns = _q.spark_queries()

@@ -42,3 +42,15 @@ def test_committed_bench_reads_head_artifact(tmp_path):
     assert got == expect and got.get("queries")
     # non-repo dir -> {}
     assert _committed_bench(str(tmp_path)) == {}
+
+
+def test_defense_skips_cross_sf_comparison():
+    """A committed artifact from a different scale factor must not be
+    used as the deviation reference — every key would 'deviate' and the
+    defense would re-measure the whole sweep."""
+    from bench import _reference_queries
+
+    full = {"sf": 0.1, "queries": {"a": 1.0}}
+    assert _reference_queries(full, 0.1) == {"a": 1.0}
+    assert _reference_queries(full, 0.001) == {}
+    assert _reference_queries({}, 0.1) == {}
