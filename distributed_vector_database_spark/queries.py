@@ -9384,76 +9384,77 @@ def q_stream_hdr_value_quantiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 6).
+# Registration-order rotation (round 7).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. Rounds 1-5 covered every
-# registration at least once (r5: the final 49 never-verified + the fixed dq
-# row). This round 6 window = the 13 round-5 registrations still awaiting an
-# independent driver row (ROADMAP's round-6 ```next-window``` ledger) + the
-# 37 oldest driver-green rows (CORRECTNESS_r01 order) per the round-robin
-# refresh schedule (ROADMAP.md "Rotation re-verification schedule"):
-# r6 = r1 names, r7 = r2 names, r8 = r3 guards, r9 = r5 names, repeat.
+# each round rotates a window to the front. This round-7 window = ROADMAP's
+# round-7 ```next-window``` ledger (the 6 round-6 registrations never
+# driver-verified + the 13 round-1 refresh names displaced from round 6) +
+# the first 31 round-2 window names (CORRECTNESS_r02 order) per the
+# round-robin refresh schedule (ROADMAP.md "Rotation re-verification
+# schedule"): r7 = r2 names, r8 = r3 guards, r9 = r5 names, repeat. The 19
+# round-2 names that don't fit (ivf_centroid_update .. ivf_exact_equiv) are
+# refresh-only displacements — they stay driver-green on their r2 rows and
+# rejoin the cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 7 before any refresh names.
+# ```next-window``` block so they front round 8 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 13 round-5 registrations never driver-verified (ROADMAP's
-    # round-6 ```next-window``` ledger, fronted per the rotation schedule) ---
-    "duplicate_paragraph_report",
-    "knn_graph_lsh",
-    "knn_graph_lsh_capped",
-    "dedup_embedding_cosine_lsh",
-    "cms_heavy_hitters",
-    "kmv_order_year_overlap",
-    "stream_cms_heavy_hitters",
-    "winnow_shared_span_pairs",
-    "shared_span_longest_run",
-    "binary_asym_topk",
-    "cms_merge_heavy_hitters",
-    "cms_top_spenders",
-    "fixed_k_sample_per_lang",
-    # --- round-robin refresh: the 37 oldest driver-green rows, in their
-    # CORRECTNESS_r01 order (rotation schedule, ROADMAP.md). The remaining
-    # 13 round-1 names front round 7's refresh tail. ---
-    "topk_cosine",
-    "topk_euclidean",
-    "topk_dot",
-    "batch_topk_cosine",
-    "point_lookup",
-    "list_ids_stats",
-    "ivf_assign",
-    "ivf_count_per_shard",
-    "ivf_search_pruned",
-    "upsert_keep_latest",
-    "doc_token_stats",
-    "doc_quality",
-    "lang_id",
-    "bpe_token_count",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "lineitem_pricing_summary",
-    "top_revenue_customers",
-    "events_hourly_rollup",
-    "sessionization",
-    "running_totals",
-    "latest_event_per_user",
-    "event_type_rollup",
-    "clickers_also_purchasing",
-    "json_props_extract",
-    "median_value_by_type",
-    "ann_lsh_buckets",
-    "ann_lsh_search",
-    "embed_hash_sparse",
-    "embed_hash_dense_check",
-    "session_window_stats",
-    "doc_search_hashed",
-    "dedup_docs_to_drop",
+    # --- the 6 round-6 registrations never driver-verified (fronted) ---
+    "substring_dedup_excised_stats",
+    "bloom_decontaminate_stats",
+    "winnow_dup_flags",
+    "stream_winnow_dup_flags",
+    "hdr_value_quantiles",
+    "stream_hdr_value_quantiles",
+    # --- the 13 round-1 refresh names displaced from round 6's window ---
+    "asof_last_click_before_purchase",
+    "quantize_int8_recon",
+    "multimodal_payload_stats",
+    "customers_no_big_order",
+    "big_purchasers_never_erroring",
+    "shipping_priority",
+    "stateful_running_totals",
+    "range_clicks_before_purchase",
+    "event_cohort_cube",
+    "sql_topk_cosine",
+    "skewed_type_totals",
+    "multires_rollup",
+    "local_supplier_volume",
+    # --- round-robin refresh: the first 31 round-2 window names, in their
+    # CORRECTNESS_r02 order (rotation schedule, ROADMAP.md) ---
+    "kmv_distinct_users_by_type",
+    "hash_sample_docs",
+    "brand_revenue",
+    "vector_json_roundtrip",
+    "event_value_pivot",
+    "moving_avg_value",
+    "curation_funnel",
+    "lang_confusion",
+    "pq_encode_recon",
+    "pq_adc_topk",
+    "csv_roundtrip_orders",
+    "json_roundtrip_events",
+    "event_gaps",
+    "salted_event_enrichment",
+    "ivfpq_search",
+    "term_frequencies",
+    "doc_tfidf_top_terms",
+    "stream_dedup_counts",
+    "zorder_curve_stats",
+    "stream_tumbling_counts",
+    "udaf_mean_cents_by_type",
+    "orders_above_global_avg",
+    "customer_max_order",
+    "pq_adc_batch_topk",
+    "dedup_clusters",
+    "pq_rerank_topk",
+    "user_spend_quartiles",
+    "forecast_revenue_change",
+    "train_val_test_split",
+    "late_orders_by_priority",
+    "large_volume_customers",
 ]
 
 
