@@ -326,11 +326,15 @@ def knn_graph(
     Exact all-pairs is O(|V|^2) compute by definition, so the corpus size
     is guarded (``max_rows``, same discipline as `batch_topk`'s query
     cap): above it the call refuses with a pointer at the sub-quadratic
-    twin `knn_graph_lsh_capped` (edge-recall 0.94-0.95 on the clustered
-    corpus, RECALL.md) rather than silently launching |V|^2 GEMM work.
-    ``max_rows=None`` bypasses the guard for deliberate offline exact
-    runs; at 100 TB scope the query side to the slice you need neighbors
-    for, or use this kernel per-LSH-bucket.
+    twin `ann.knn_graph_lsh` — optionally with ``max_bucket=`` for the
+    adaptive cap, the configuration the registered `knn_graph_lsh_capped`
+    query uses (edge-recall 0.94-0.95 on the clustered corpus, RECALL.md)
+    — rather than silently launching |V|^2 GEMM work. The guard runs a
+    bounded probe job (``limit(max_rows+1).count()`` — stops after
+    max_rows+1 rows instead of scanning the full corpus) each call;
+    ``max_rows=None`` skips it entirely for deliberate exact runs. At
+    100 TB scope the query side to the slice you need neighbors for, or
+    use this kernel per-LSH-bucket.
     """
     from distributed_vector_database_spark.operators.topk import (
         _order,
@@ -339,13 +343,14 @@ def knn_graph(
     from pyspark.sql import Window
 
     if max_rows is not None:
-        n = df.count()
+        n = df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"knn_graph is exact O(|V|^2): corpus has {n} rows > "
-                f"max_rows={max_rows}. Use ann.knn_graph_lsh_capped (the "
-                "sub-quadratic approximate twin) or pass max_rows=None "
-                "for a deliberate exact run."
+                f"knn_graph is exact O(|V|^2): corpus has more than "
+                f"max_rows={max_rows} rows. Use ann.knn_graph_lsh "
+                "(optionally with max_bucket=... for the adaptive cap — "
+                "the sub-quadratic approximate twin) or pass "
+                "max_rows=None for a deliberate exact run."
             )
 
     queries = df.select(

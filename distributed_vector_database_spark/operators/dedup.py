@@ -490,17 +490,19 @@ def embedding_neardup_pairs(
     `batch_topk`'s query cap): above it the call refuses and points at
     `embedding_neardup_pairs_lsh` — the sub-quadratic capped-LSH twin
     whose output is proven a subset-complete match at the threshold —
-    rather than silently launching n² GEMM work. ``max_rows=None``
-    bypasses for deliberate offline exact runs.
+    rather than silently launching n² GEMM work. The guard runs a bounded
+    probe job (``limit(max_rows+1).count()`` — stops after max_rows+1
+    rows rather than executing the full upstream plan) on every call;
+    ``max_rows=None`` skips it for deliberate offline exact runs.
     """
     import numpy as np  # noqa: F401  (executor-side import checked early)
 
     if max_rows is not None:
-        n = emb.count()
+        n = emb.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"embedding_neardup_pairs is exact O(n^2): corpus has {n} "
-                f"rows > max_rows={max_rows}. Use "
+                "embedding_neardup_pairs is exact O(n^2): corpus has more "
+                f"than max_rows={max_rows} rows. Use "
                 "dedup.embedding_neardup_pairs_lsh (the sub-quadratic "
                 "twin) or pass max_rows=None for a deliberate exact run."
             )
@@ -1108,30 +1110,38 @@ def winnow_owner_dup_flags(
     computable incrementally by a stream
     (`streaming.docs.stream_winnow_dedup`) and by a SQL oracle.
 
-    ``(id, n_fps, n_owned_elsewhere, is_span_dup)``. Scale: ONE shuffle
-    on the uniform fingerprint key — ownership is a min() window, no
-    pair fan-out, no df cap needed (a ubiquitous fingerprint costs one
-    window partition, not df^2/2 pairs). Docs with zero fingerprints
-    (< k tokens) are absent. The owner form is one-sided vs the pair
-    form: ``min_shared`` fingerprints owned by DIFFERENT smaller docs
-    still flag, trading the per-pair guarantee for the flat plan — the
-    pair/verify/excise chain stays the exact path.
+    ``(id, n_fps, n_owned_elsewhere, is_span_dup)``. Scale: ownership is
+    a partial-aggregating ``groupBy(fp).agg(min(id))`` joined back on the
+    fingerprint key — NOT a ``min().over(partitionBy(fp))`` window, which
+    would force every row of one fingerprint into a single task and turn
+    a boilerplate fingerprint shared by millions of docs into a straggler
+    (the map-side combine collapses such a key to one row per input
+    partition before the shuffle; its streaming twin
+    `streaming.docs.stream_winnow_dedup` uses the identical two-step).
+    No pair fan-out, no df cap needed (a ubiquitous fingerprint costs one
+    combined aggregate row, not df^2/2 pairs). Docs with zero
+    fingerprints (< k tokens) are absent. The owner form is one-sided vs
+    the pair form: ``min_shared`` fingerprints owned by DIFFERENT smaller
+    docs still flag, trading the per-pair guarantee for the flat plan —
+    the pair/verify/excise chain stays the exact path.
     """
-    from pyspark.sql import Window
-
     from distributed_vector_database_spark.operators.text_analysis import (
         winnow_fingerprints,
     )
 
+    # two consumers (aggregate input + join probe side) and no exchange
+    # reuse across the self-join — checkpoint the small (doc_id, fp)
+    # frame so the fingerprint kernel runs once (same pattern as
+    # shared_span_pairs above)
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
-    )
-    owner = F.min(id_col).over(Window.partitionBy("fp"))
+    ).localCheckpoint(eager=True)
+    owners = fps.groupBy("fp").agg(F.min(id_col).alias("_owner"))
     lost = F.sum(
         F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
     )
     return (
-        fps.withColumn("_owner", owner)
+        fps.join(owners, "fp")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_fps"),
@@ -1351,6 +1361,7 @@ def shared_runs(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_pos_cap: int | None = 64,
+    with_overflow_flag: bool = False,
 ) -> DataFrame:
     """ALL verbatim token runs shared by each candidate pair — not just the
     longest — with their positions: (doc_id_a, doc_id_b, run_tokens,
@@ -1366,6 +1377,15 @@ def shared_runs(
     producing candidate pairs, so excising them drives a re-run of the
     candidate generator on the cleaned corpus toward empty. Same bounded
     join discipline as `longest_shared_runs` (``gram_pos_cap``).
+
+    ``with_overflow_flag=True`` propagates the cap's truncation marker:
+    an ``overflowed`` boolean column, AND overflowed runs are kept even
+    below ``min_run_tokens`` — a truncated island's length is a LOWER
+    bound, so the cap could otherwise shrink a real >= floor run under
+    the floor and silently drop it from the excision set (its longest-run
+    sibling already exposed the flag; a complete-excision caller needs
+    it here too). Default off: exact on every corpus whose within-doc
+    gram multiplicity stays under the cap (all sf corpora: max 1).
     """
     if min_run_tokens is None:
         min_run_tokens = k + 3
@@ -1377,18 +1397,18 @@ def shared_runs(
         id_col=id_col,
         gram_pos_cap=gram_pos_cap,
     )
-    return (
-        runs.select(
-            "doc_id_a",
-            "doc_id_b",
-            (F.col("_len") + F.lit(k - 1)).cast("long").alias("run_tokens"),
-            F.col("_start_a").cast("long").alias("start_a"),
-            (F.col("_start_a") - F.col("_diag")).cast("long").alias(
-                "start_b"
-            ),
-        )
-        .filter(F.col("run_tokens") >= F.lit(int(min_run_tokens)))
+    out = runs.select(
+        "doc_id_a",
+        "doc_id_b",
+        (F.col("_len") + F.lit(k - 1)).cast("long").alias("run_tokens"),
+        F.col("_start_a").cast("long").alias("start_a"),
+        (F.col("_start_a") - F.col("_diag")).cast("long").alias("start_b"),
+        F.col("_overflowed").alias("overflowed"),
     )
+    floor = F.col("run_tokens") >= F.lit(int(min_run_tokens))
+    if with_overflow_flag:
+        return out.filter(floor | F.col("overflowed"))
+    return out.filter(floor).drop("overflowed")
 
 
 def excise_spans(

@@ -353,8 +353,23 @@ def stream_winnow_dedup(
     return read_winnow_flags(spark, state_dir)
 
 
-def read_winnow_flags(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_winnow_flags(
+    spark: SparkSession, state_dir: str, *, id_col: str = "doc_id"
+) -> DataFrame:
     """Accumulated per-doc substring-dup decisions from the stream state —
-    querying is independent of the ingest."""
+    querying is independent of the ingest.
+
+    A doc delivered in two different micro-batches (re-delivering or
+    non-id-ordered sources) writes one decision row per batch; rather
+    than surface duplicate, potentially conflicting rows, the read keeps
+    the LATEST decision per doc (max batch id — computed with more
+    fingerprint history, so it can only be more complete). Partial-agg
+    max-of-struct, no window: skew-free however hot one doc id is."""
     flags_path = os.path.join(state_dir, "winnow_flags")
-    return spark.read.parquet(flags_path).drop("batch")
+    raw = spark.read.parquet(flags_path)
+    val_cols = [c for c in raw.columns if c not in (id_col, "batch")]
+    return (
+        raw.groupBy(id_col)
+        .agg(F.max(F.struct("batch", *val_cols)).alias("_latest"))
+        .select(id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols])
+    )

@@ -512,7 +512,9 @@ def test_exact_quadratic_kernels_refuse_oversized_corpora(spark):
         [(i, [float(i), 1.0]) for i in range(12)],
         "vec_id long, embedding array<double>",
     )
-    with pytest.raises(ValueError, match="knn_graph_lsh_capped"):
+    # the message must name a REAL api (ann.knn_graph_lsh), not the
+    # registry-only name knn_graph_lsh_capped (ADVICE r6)
+    with pytest.raises(ValueError, match=r"ann\.knn_graph_lsh "):
         knn_graph(emb, k=2, max_rows=10)
     with pytest.raises(ValueError, match="embedding_neardup_pairs_lsh"):
         embedding_neardup_pairs(emb, threshold=0.9, max_rows=10)

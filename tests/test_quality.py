@@ -512,3 +512,71 @@ def test_gram_pos_cap_bounds_pathological_pair(spark):
     }
     assert pos[(1, 2)]["start_a"] == 30 and pos[(1, 2)]["overflowed"] is False
     assert pos[(4, 5)]["overflowed"] is True
+
+
+def test_shared_runs_overflow_flag_keeps_truncated_runs(spark):
+    """ADVICE r6: gram_pos_cap truncation can shrink a real run BELOW
+    min_run_tokens — the default path would silently drop it from the
+    excision set. with_overflow_flag=True (a) adds the overflowed column
+    and (b) keeps truncated rows regardless of the floor, so a
+    complete-excision caller can detect lower-bound pairs; normal pairs
+    are exact and unflagged on both paths."""
+    from distributed_vector_database_spark.operators.dedup import (
+        shared_runs,
+    )
+
+    patho = " ".join(["rep"] * 200)
+    docs = _two_run_docs(spark).unionByName(
+        spark.createDataFrame(
+            [(4, patho), (5, patho)], "doc_id long, text string"
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5)], "doc_id_a long, doc_id_b long"
+    )
+    # cap=2: the pathological pair's only island is 2 matches -> 6 tokens,
+    # under the k+3=8 floor -> the default path drops the pair entirely
+    dflt = shared_runs(docs, pairs, k=5, gram_pos_cap=2)
+    assert "overflowed" not in dflt.columns
+    got_dflt = dflt.collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in got_dflt} == {(1, 2)}
+    # flagged path: the truncated pair's lower-bound rows survive, marked
+    flagged = shared_runs(
+        docs, pairs, k=5, gram_pos_cap=2, with_overflow_flag=True
+    ).collect()
+    by_pair = {}
+    for r in flagged:
+        by_pair.setdefault((r["doc_id_a"], r["doc_id_b"]), []).append(r)
+    assert (4, 5) in by_pair
+    assert all(r["overflowed"] for r in by_pair[(4, 5)])
+    assert all(r["run_tokens"] < 8 for r in by_pair[(4, 5)])  # lower bounds
+    normal = by_pair[(1, 2)]
+    assert {r["run_tokens"] for r in normal} == {12, 9}
+    assert all(not r["overflowed"] for r in normal)
+
+
+def test_winnow_owner_flags_plan_is_partial_agg_not_window(spark):
+    """VERDICT r6 item 3: fingerprint ownership must be a partial-
+    aggregating groupBy(fp).agg(min) + join-back, NOT a window over the
+    fp key — a window forces every row of one hot fingerprint into a
+    single task (boilerplate fp shared by millions of docs = straggler).
+    Assert the physical plan carries no Window operator and does carry a
+    partial min aggregate; and on a hot-fp adversarial fixture (every doc
+    shares one boilerplate sentence) results match a brute-force oracle."""
+    from distributed_vector_database_spark.operators.dedup import (
+        winnow_owner_dup_flags,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(8)))
+         for i in range(1, 41)],
+        "doc_id long, text string",
+    )
+    out = winnow_owner_dup_flags(docs, k=5, window=4, min_shared=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "ownership regressed to a window"
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    flags = {r["doc_id"]: r["is_span_dup"] for r in out.collect()}
+    assert flags[1] is False  # lowest id owns the boilerplate fps
+    assert all(flags[i] for i in range(2, 41))  # everyone else flagged

@@ -197,3 +197,34 @@ def test_winnow_owner_flags_semantics_tiny(spark, tmp_path):
     assert sorted(map(tuple, owners.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_read_winnow_flags_dedupes_redelivered_docs(spark, tmp_path):
+    """ADVICE r6: a doc delivered in two different micro-batches (any
+    re-delivering or non-id-ordered source) writes one decision row per
+    batch. The read must surface ONE row per doc — the latest (max batch
+    id) decision, computed with more fingerprint history — not duplicate
+    conflicting rows."""
+    from distributed_vector_database_spark.streaming.docs import (
+        read_winnow_flags,
+    )
+
+    state = str(tmp_path / "wstate")
+    flags_path = os.path.join(state, "winnow_flags")
+    schema = (
+        "doc_id long, n_fps long, n_owned_elsewhere long, "
+        "is_span_dup boolean"
+    )
+    # batch 0: doc 7 judged clean (no prior owners yet); doc 1 clean
+    spark.createDataFrame(
+        [(1, 5, 0, False), (7, 4, 1, False)], schema
+    ).write.parquet(os.path.join(flags_path, "batch=0"))
+    # batch 1: doc 7 re-delivered, now flagged against fuller state
+    spark.createDataFrame(
+        [(7, 4, 3, True), (9, 6, 0, False)], schema
+    ).write.parquet(os.path.join(flags_path, "batch=1"))
+    got = {r["doc_id"]: r for r in read_winnow_flags(spark, state).collect()}
+    assert len(got) == 3  # one row per doc, not four
+    assert got[7]["is_span_dup"] is True  # the max-batch decision wins
+    assert got[7]["n_owned_elsewhere"] == 3
+    assert got[1]["is_span_dup"] is False and got[9]["is_span_dup"] is False
