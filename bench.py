@@ -103,6 +103,22 @@ def _deviant_keys(
     return out
 
 
+def _defense_plan(
+    deviants: list[str],
+    registry_keys: set[str],
+    key_to_group: dict[str, str],
+) -> tuple[list[str], list[str]]:
+    """Route contested keys to their isolated re-measure path: registry
+    keys re-run one at a time; bench-internal one-shot cells re-run via
+    their owning harness group (each group at most once, however many of
+    its cells deviated). A deviant key in neither set (shouldn't happen —
+    every published key is one or the other) is silently left at its
+    sweep value, which the adjudication table's absence makes visible."""
+    per_key = [k for k in deviants if k in registry_keys]
+    groups = sorted({key_to_group[k] for k in deviants if k in key_to_group})
+    return per_key, groups
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session(app_name="dvdb-bench")
@@ -124,7 +140,19 @@ def main() -> None:
             flush=True,
         )
 
-    # headline: search latency, BASELINE-comparable protocol
+    # Bench-internal one-shot cells, organized as named GROUPS so the
+    # artifact defense below can re-run an owning harness in isolation
+    # when a cell deviates (VERDICT r6 item 2 — these were the only keys
+    # a contended host could still move; the r6 driver refresh published
+    # topk768_arrow/sq768_encode/pq768_encode 1.5-1.9x slow on unchanged
+    # code because the old defense covered registry keys only).
+    from distributed_vector_database_spark.benchmark import (
+        batch_amortized_latency,
+        high_dim_latency,
+        high_dim_pq_latency,
+        high_dim_sq8_latency,
+        skew_join_compare,
+    )
     from distributed_vector_database_spark.operators.ivf import (
         assign_shards,
         nearest_shards,
@@ -132,88 +160,110 @@ def main() -> None:
     from distributed_vector_database_spark.operators.topk import topk
     from pyspark.sql import functions as F
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    cents = _q._fixed_centroids(spark, SF_DIR, n=8)
-    qv = _q._query_vec(spark, SF_DIR, 0)
-    # pre-materialize the sharded layout once (index build, not query time)
-    indexed = assign_shards(emb, cents).cache()
-    indexed.count()
-    shards = nearest_shards(qv, cents, nprobe=1)
+    def grp_headline() -> dict[str, float]:
+        # headline: search latency, BASELINE-comparable protocol; the
+        # sharded layout is pre-materialized once (index build, not
+        # query time)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = _q._fixed_centroids(spark, SF_DIR, n=8)
+        qv = _q._query_vec(spark, SF_DIR, 0)
+        indexed = assign_shards(emb, cents).cache()
+        indexed.count()
+        shards = nearest_shards(qv, cents, nprobe=1)
 
-    def search(s):
-        return topk(
-            indexed.filter(F.col("shard_id").isin(shards)), qv, k=5
-        )
+        def search(s):
+            return topk(
+                indexed.filter(F.col("shard_id").isin(shards)), qv, k=5
+            )
 
-    latency = time_query(search, spark, warmups=3, runs=11)
-    per_query["ivf_search_nprobe1_cached"] = round(latency, 4)
-    indexed.unpersist()
+        latency = time_query(search, spark, warmups=3, runs=11)
+        indexed.unpersist()
+        return {"ivf_search_nprobe1_cached": round(latency, 4)}
 
-    # BASELINE-dimension parity: the reference's numbers are 768-d; tile the
-    # 64-d testdata 12x and measure full-scan exact search at equal compute.
-    from distributed_vector_database_spark.benchmark import high_dim_latency
+    def grp_highdim() -> dict[str, float]:
+        # BASELINE-dimension parity: the reference's numbers are 768-d;
+        # tile the 64-d testdata 12x and measure full-scan exact search
+        # at equal compute. warmups=2/trials=7: this cell sits mid-run
+        # and is the single most adjacency-noise-prone number (Arrow
+        # transfer vs a stressed python worker pool; isolated A/B
+        # measures 0.97-1.07 s where a 3-trial mid-bench median has read
+        # 2.2 s) — more trials, median kept
+        hd = high_dim_latency(spark, SF_DIR, warmups=2, trials=7)
+        return {
+            "topk768_expr": hd["expr_mean_sec"],
+            "topk768_arrow": hd["arrow_mean_sec"],
+        }
 
-    # warmups=2/trials=7: this cell sits mid-run and is the single most
-    # adjacency-noise-prone number (Arrow transfer vs a stressed python
-    # worker pool; isolated A/B measures 0.97-1.07 s where a 3-trial
-    # mid-bench median has read 2.2 s) — more trials, median kept
-    hd = high_dim_latency(spark, SF_DIR, warmups=2, trials=7)
-    per_query["topk768_expr"] = hd["expr_mean_sec"]
-    per_query["topk768_arrow"] = hd["arrow_mean_sec"]
+    def grp_pq() -> dict[str, float]:
+        # compressed-domain counterpart at the same 10k x 768-d scale
+        pqhd = high_dim_pq_latency(spark, SF_DIR)
+        return {
+            "topk768_pq_adc": pqhd["adc_gather_mean_sec"],
+            "pq768_encode": pqhd["encode_sec"],
+        }
 
-    # compressed-domain counterpart at the same 10k x 768-d scale
-    from distributed_vector_database_spark.benchmark import high_dim_pq_latency
+    def grp_sq8() -> dict[str, float]:
+        # SQ8 at the same scale: the near-lossless byte-domain point
+        sqhd = high_dim_sq8_latency(spark, SF_DIR)
+        return {
+            "topk768_sq8_adc": sqhd["adc_mean_sec"],
+            "sq768_encode": sqhd["encode_sec"],
+        }
 
-    pqhd = high_dim_pq_latency(spark, SF_DIR)
-    per_query["topk768_pq_adc"] = pqhd["adc_gather_mean_sec"]
-    per_query["pq768_encode"] = pqhd["encode_sec"]
+    def grp_batch() -> dict[str, float]:
+        # batch-mode amortization: 100 queries in ONE job (BASELINE.md
+        # notes this is the regime that beats every reference cell)
+        ba = batch_amortized_latency(spark, SF_DIR)
+        return {"batch100_sec_per_query": round(ba["sec_per_query"], 5)}
 
-    # SQ8 at the same scale: the near-lossless byte-domain point
-    from distributed_vector_database_spark.benchmark import (
-        high_dim_sq8_latency,
-    )
+    def grp_skew() -> dict[str, float]:
+        # skew story (ROADMAP #5): hot-key join, AQE vs no-AQE vs salted
+        return {
+            f"skewjoin_{name}": sec
+            for name, sec in skew_join_compare(spark).items()
+        }
 
-    sqhd = high_dim_sq8_latency(spark, SF_DIR)
-    per_query["topk768_sq8_adc"] = sqhd["adc_mean_sec"]
-    per_query["sq768_encode"] = sqhd["encode_sec"]
-
-    # batch-mode amortization: 100 queries in ONE job (BASELINE.md notes
-    # this is the regime that beats every reference cell)
-    from distributed_vector_database_spark.benchmark import (
-        batch_amortized_latency,
-    )
-
-    ba = batch_amortized_latency(spark, SF_DIR)
-    per_query["batch100_sec_per_query"] = round(ba["sec_per_query"], 5)
-
-    # skew story (ROADMAP #5): hot-key join, AQE-skew vs no-AQE vs salted
-    from distributed_vector_database_spark.benchmark import skew_join_compare
-
-    for name, sec in skew_join_compare(spark).items():
-        per_query[f"skewjoin_{name}"] = sec
+    one_shot_groups = {
+        "headline": grp_headline,
+        "highdim": grp_highdim,
+        "pq": grp_pq,
+        "sq8": grp_sq8,
+        "batch": grp_batch,
+        "skew": grp_skew,
+    }
+    key_to_group: dict[str, str] = {}
+    for gname, gfn in one_shot_groups.items():
+        vals = gfn()
+        per_query.update(vals)
+        key_to_group.update({k: gname for k in vals})
 
     # Artifact defense (VERDICT r5 item 2, automating the manual
     # adjudication loop of ROADMAP.md "final BENCH_FULL refresh"): a
     # contended host — the driver's or the builder's — makes unrelated
     # keys read uniformly 1.5-5x slow and would publish false
     # regressions over byte-identical code (it happened in r4 and again
-    # to the r5 driver refresh). Before writing BENCH_FULL, every
-    # REGISTRY key that deviates >1.5x in either direction from the
-    # last COMMITTED artifact is re-measured at the end of the run, one
-    # key at a time (1 warmup + median of 3 — the isolated-median
-    # protocol), and the isolated number is what gets published. The
-    # adjudication table rides along in the artifact so a reader can
-    # see which keys were contested and what the sweep had said.
+    # to the r5 driver refresh). Before writing BENCH_FULL, every key
+    # that deviates >1.5x in either direction from the last COMMITTED
+    # artifact is re-measured at the end of the run in isolation, and
+    # the isolated number is what gets published: registry keys one at
+    # a time (1 warmup + median of 3 — the isolated-median protocol),
+    # bench-internal one-shot cells by re-running their owning harness
+    # group once (VERDICT r6 item 2; each harness already carries its
+    # own warmup+median protocol). The adjudication table rides along
+    # in the artifact so a reader can see which keys were contested and
+    # what the sweep had said.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     committed = _reference_queries(_committed_bench(repo_dir), sf_val)
     adjudicated: dict[str, dict[str, float]] = {}
     if committed and os.environ.get("SPARK_GRAFT_BENCH_DEFEND", "1") != "0":
         registry_fns = _q.spark_queries()
-        for key in _deviant_keys(per_query, committed):
-            fn = registry_fns.get(key)
-            if fn is None:
-                continue  # bench-internal cells keep their range notes
+        deviants = _deviant_keys(per_query, committed)
+        per_key_redo, regroup = _defense_plan(
+            deviants, set(registry_fns), key_to_group
+        )
+        for key in per_key_redo:
+            fn = registry_fns[key]
             try:
                 time.sleep(1)  # let straggler tasks/GC settle
                 iso = round(
@@ -240,6 +290,31 @@ def main() -> None:
                 flush=True,
             )
             per_query[key] = iso
+        for gname in regroup:
+            try:
+                time.sleep(1)
+                fresh = one_shot_groups[gname]()
+            except Exception as e:
+                print(f"# defend group {gname} failed: {e}", file=sys.stderr)
+                continue
+            for key, iso in fresh.items():
+                if key not in deviants:
+                    continue  # only contested cells get republished
+                adjudicated[key] = {
+                    "sweep": per_query[key],
+                    "committed": committed[key],
+                    "isolated": iso,
+                }
+                print(
+                    f"# defend {key} (group {gname}): "
+                    f"sweep={per_query[key]} committed={committed[key]} "
+                    f"isolated={iso}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                per_query[key] = iso
+
+    latency = per_query["ivf_search_nprobe1_cached"]
 
     # The driver tail-captures stdout, so the FINAL line must stay compact
     # (round 1's 98-query dict overflowed the capture -> "parsed": null).

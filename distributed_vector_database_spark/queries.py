@@ -9383,6 +9383,58 @@ def q_stream_hdr_value_quantiles(spark, sf_dir):
     )
 
 
+import os as _os
+
+_FIXTURES_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "fixtures",
+)
+_W2V_FIXTURE = _os.path.join(_FIXTURES_DIR, "w2v_vocab_micros.parquet")
+
+
+@register(
+    "w2v_doc_embed_transform",
+    f"""
+WITH vocab AS (SELECT word, dim, val_micros
+               FROM '{_W2V_FIXTURE}'),
+toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+tok AS (SELECT doc_id, len(t)::BIGINT AS n_tok, unnest(t) AS word
+        FROM toks)
+SELECT tok.doc_id AS doc_id, vocab.dim AS dim,
+       floor(sum(vocab.val_micros) * 1.0 / max(tok.n_tok))::BIGINT
+         AS mean_micros,
+       count(*)::BIGINT AS n_invocab,
+       max(tok.n_tok)::BIGINT AS n_tokens
+FROM tok JOIN vocab USING (word)
+GROUP BY tok.doc_id, vocab.dim
+""",
+)
+def q_w2v_doc_embed_transform(spark, sf_dir):
+    """The trainable-embedding rung's TRANSFORM, oracle-exact (VERDICT r6
+    item 7): the committed fixtures/w2v_vocab_micros.parquet table — an
+    MLlib Word2Vec model trained ONCE offline (scripts/make_w2v_fixture.py:
+    sf0.001, dim=8, seed=7, single partition, top-24 words kept so larger
+    corpora exercise real OOV tokens) frozen as (word, dim, val_micros) —
+    applied to the corpus: doc vector = in-vocab token-vector sum over
+    TOTAL token count, Word2VecModel.transform's measured semantics
+    (`functions.embed.doc_embed_from_vocab_micros`, proven equivalent).
+    Training itself stays invariant-tested
+    (§7.3, same policy as A2 KMeans); everything after the fit is now a
+    driver row. Integer-micro components make every partial sum exact —
+    bit-identical across engines and partitionings. Plan: broadcast the
+    192-row model table, explode tokens, one partial-agg groupBy on
+    (doc, dim) — the corpus never shuffles before the aggregate."""
+    from distributed_vector_database_spark.functions.embed import (
+        doc_embed_from_vocab_micros,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    vocab = spark.read.parquet(_W2V_FIXTURE)
+    return doc_embed_from_vocab_micros(docs, vocab)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 7).
 #

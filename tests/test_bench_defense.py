@@ -54,3 +54,31 @@ def test_defense_skips_cross_sf_comparison():
     assert _reference_queries(full, 0.1) == {"a": 1.0}
     assert _reference_queries(full, 0.001) == {}
     assert _reference_queries({}, 0.1) == {}
+
+
+def test_defense_plan_routes_one_shot_cells_to_group_rerun():
+    """VERDICT r6 item 2: bench-internal one-shot cells (topk768_*,
+    sq768_encode, pq768_encode, batch100, skewjoin_*) must no longer be
+    skipped by the defense — they re-run via their owning harness group,
+    each group at most once even when several of its cells deviated."""
+    from bench import _defense_plan
+
+    key_to_group = {
+        "topk768_expr": "highdim",
+        "topk768_arrow": "highdim",
+        "topk768_pq_adc": "pq",
+        "pq768_encode": "pq",
+        "sq768_encode": "sq8",
+        "ivf_search_nprobe1_cached": "headline",
+    }
+    registry = {"topk_cosine", "dedup_minhash_lsh"}
+    per_key, groups = _defense_plan(
+        ["topk768_expr", "topk768_arrow", "pq768_encode", "topk_cosine"],
+        registry,
+        key_to_group,
+    )
+    assert per_key == ["topk_cosine"]
+    # highdim listed once despite two deviant cells; pq for its one cell
+    assert groups == ["highdim", "pq"]
+    # no deviants -> nothing to do
+    assert _defense_plan([], registry, key_to_group) == ([], [])

@@ -128,3 +128,68 @@ def test_word2vec_embeddings_compose_with_ivf_search(spark):
     got = topk(emb, list(rows_e[1]), k=5)
     ids = [r["vec_id"] for r in got.collect()]
     assert set(ids) <= set(range(8))  # all results from the query's topic
+
+
+def test_doc_embed_from_vocab_micros_matches_mllib_transform(spark):
+    """The relational transform reproduces Word2VecModel.transform's exact
+    semantics — in-vocab vector sum over TOTAL token count (MLlib divides
+    by sentence length: measured, an OOV-bearing doc discriminates the
+    two denominators) — within the fixture's micro quantization."""
+    from pyspark.ml.functions import vector_to_array
+
+    from distributed_vector_database_spark.functions.embed import (
+        doc_embed_from_vocab_micros,
+        word2vec_doc_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c"),
+            (2, "b c b c a"),
+            (3, "a b rare"),  # 'rare' below minCount -> OOV, n_tokens=3
+            (4, "c a c b a"),
+        ],
+        "doc_id long, text string",
+    )
+    model, emb = word2vec_doc_embeddings(docs, dim=4, min_count=2, seed=7)
+    vocab = (
+        model.getVectors()
+        .select("word", F.posexplode(vector_to_array("vector"))
+                .alias("dim", "_v"))
+        .select(
+            "word",
+            F.col("dim").cast("int"),
+            F.round(F.col("_v") * 1e6).cast("long").alias("val_micros"),
+        )
+    )
+    got = {
+        (r["doc_id"], r["dim"]): r
+        for r in doc_embed_from_vocab_micros(docs, vocab).collect()
+    }
+    exp = {r["doc_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert len(got) == 16  # 4 docs x 4 dims, every doc has in-vocab tokens
+    for (did, dim), r in got.items():
+        # micros quantization (0.5e-6/component) + floor (1e-6)
+        assert abs(r["mean_micros"] / 1e6 - exp[did][dim]) < 3e-6
+    # the OOV doc: 2 in-vocab tokens, denominator 3 (MLlib semantics)
+    assert got[(3, 0)]["n_invocab"] == 2
+    assert got[(3, 0)]["n_tokens"] == 3
+
+
+def test_w2v_fixture_is_committed_and_well_formed():
+    """The frozen model table the w2v_doc_embed_transform row depends on:
+    24 words x 8 dims, long format, integer micros, no nulls."""
+    import os
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "fixtures", "w2v_vocab_micros.parquet")
+    assert os.path.exists(path), "run scripts/make_w2v_fixture.py"
+    df = pd.read_parquet(path)
+    assert list(df.columns) == ["word", "dim", "val_micros"]
+    assert df.word.nunique() == 24 and sorted(df.dim.unique()) == list(
+        range(8)
+    )
+    assert len(df) == 192 and not df.isna().any().any()
+    assert str(df.val_micros.dtype) == "int64"
