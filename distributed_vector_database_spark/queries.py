@@ -9383,6 +9383,104 @@ def q_stream_hdr_value_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "winnow_screen_dedup_stats",
+    """
+WITH toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t)-3, 1)),
+          i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4])) AS gh
+      FROM toks),
+fp AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(gh)-2, 2)),
+           j -> list_aggregate(list_slice(gh, j, j+3), 'min')))) AS fp
+       FROM g WHERE len(gh) > 0),
+own AS (SELECT fp, min(doc_id) AS owner FROM fp GROUP BY fp),
+dropd AS (SELECT f.doc_id FROM fp f JOIN own USING (fp)
+          GROUP BY f.doc_id
+          HAVING sum(CASE WHEN own.owner < f.doc_id THEN 1 ELSE 0 END) >= 3),
+fp2 AS (SELECT * FROM fp
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropd)),
+own2 AS (SELECT fp, min(doc_id) AS owner FROM fp2 GROUP BY fp),
+resid AS (SELECT f.doc_id FROM fp2 f JOIN own2 USING (fp)
+          GROUP BY f.doc_id
+          HAVING sum(CASE WHEN own2.owner < f.doc_id THEN 1 ELSE 0 END) >= 3)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM dropd)::BIGINT AS docs_dropped,
+       ((SELECT count(*) FROM documents)
+        - (SELECT count(*) FROM dropd))::BIGINT AS docs_kept,
+       (SELECT sum(len(t)) FROM toks)::BIGINT AS tokens_before,
+       (SELECT coalesce(sum(len(t)), 0) FROM toks
+        JOIN dropd USING (doc_id))::BIGINT AS tokens_removed,
+       (SELECT count(*) FROM resid)::BIGINT AS residual_flagged
+""",
+)
+def q_winnow_screen_dedup_stats(spark, sf_dir):
+    """The SCALABLE substring-dedup path a 100-TB user actually runs
+    (VERDICT r6 item 4): `dedup.winnow_owner_dup_flags` screens the
+    corpus (flat plan — partial-agg ownership on the fingerprint key, no
+    pair mining), flagged docs are dropped via one broadcast-scale
+    anti-join, and the screen re-runs on the survivors. One audit row:
+    corpus size, docs dropped/kept, token mass before/removed, and the
+    residual flag count — which is 0 BY CONSTRUCTION (dropping docs only
+    removes fingerprints, so a surviving doc's owners can only move UP;
+    its owned-elsewhere count can only shrink), making this a closed
+    loop like the exact excision row but on the flat screen law, not the
+    pair law. Contrast `substring_dedup_excised_stats`, which pays pair
+    mining + run verification to cut only the duplicated SPANS — that's
+    the surgical path; this is the throughput path."""
+    from distributed_vector_database_spark.functions.text import tokens
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    flags = _dd.winnow_owner_dup_flags(
+        docs, k=5, window=4, min_shared=3
+    )
+    # tiny (flagged ids only), three consumers (drop anti-join, count,
+    # removed-token join) and behind the screen's shuffles -> checkpoint
+    to_drop = (
+        flags.filter(F.col("is_span_dup"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    cleaned = docs.join(F.broadcast(to_drop), "doc_id", "left_anti")
+    residual = (
+        _dd.winnow_owner_dup_flags(cleaned, k=5, window=4, min_shared=3)
+        .filter(F.col("is_span_dup"))
+        .agg(F.count("*").cast("long").alias("residual_flagged"))
+    )
+    ntok = F.size(tokens("text"))
+    nd = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    dd = to_drop.agg(F.count("*").cast("long").alias("docs_dropped"))
+    tb = docs.agg(F.sum(ntok).cast("long").alias("tokens_before"))
+    tr = (
+        docs.join(F.broadcast(to_drop), "doc_id")
+        .agg(
+            F.coalesce(F.sum(ntok), F.lit(0))
+            .cast("long")
+            .alias("tokens_removed")
+        )
+    )
+    return (
+        nd.crossJoin(dd)
+        .crossJoin(tb)
+        .crossJoin(tr)
+        .crossJoin(residual)
+        .select(
+            "n_docs",
+            "docs_dropped",
+            (F.col("n_docs") - F.col("docs_dropped"))
+            .cast("long")
+            .alias("docs_kept"),
+            "tokens_before",
+            "tokens_removed",
+            "residual_flagged",
+        )
+    )
+
+
 import os as _os
 
 _FIXTURES_DIR = _os.path.join(
