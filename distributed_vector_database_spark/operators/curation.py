@@ -101,6 +101,86 @@ def decontaminate(
     return train.join(bad, id_col, "left_anti")
 
 
+def bloom_screened_contaminated_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    ngram: int = 3,
+    bits_per_gram: int = 16,
+    num_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_gram_stats: bool = False,
+):
+    """EXACT contamination flags at sketch-screen cost — the protocol
+    SCALING.md's round-7 Bloom measurement implies for 100 TB: the eval
+    gram dictionary's Bloom filter screens the distinct train grams
+    (broadcast probe, shuffle-free), and ONLY the maybe-present
+    remainder — all true leaks plus ~FPR of the rest (measured 0.24% at
+    16 bits/gram) — joins the exact dictionary. No false negatives by
+    Bloom construction, false positives removed by the exact verify, so
+    the output is IDENTICAL to `contaminated_doc_ids` row for row while
+    the exact dictionary join probes ~400x fewer gram rows. Flagging
+    directly off the filter is NOT equivalent (doc-level FPR amplifies
+    gram FPR by grams-per-doc — 11% of docs at sf1.0x, SCALING.md).
+
+    Returns the (doc_id, n_shared) flags frame; with
+    ``with_gram_stats=True`` returns ``(flags, stats)`` where stats is
+    one row (grams_probed, grams_maybe, grams_contaminated) — the
+    screen's work ledger.
+    """
+    from distributed_vector_database_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    eval_sh = (
+        eval_docs.select(
+            F.explode(_shingles(text_col, ngram)).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; read by count + build + verify
+    )
+    num_bits = max(bits_per_gram * eval_sh.count(), 1024)
+    bloom = bloom_build(
+        eval_sh, "shingle", num_bits=num_bits, num_hashes=num_hashes
+    )
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, ngram)).alias("shingle"),
+    )
+    probe = train_sh.select("shingle").distinct()
+    if with_gram_stats:
+        # the stats mode reads probe three times (count, maybe, leaked) —
+        # pin the gram dictionary once so the corpus scans exactly twice
+        # (dictionary build + final flag join), same as the exact path
+        probe = probe.localCheckpoint(eager=True)
+    maybe = bloom_contains(
+        bloom, probe, "shingle", num_bits=num_bits, num_hashes=num_hashes
+    ).filter(F.col("maybe_present")).select("shingle")
+    # exact verify of the maybe-present remainder only; tiny -> broadcast
+    leaked = maybe.join(F.broadcast(eval_sh), "shingle", "left_semi")
+    flags = (
+        train_sh.join(F.broadcast(leaked), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    if not with_gram_stats:
+        return flags
+    stats = (
+        probe.agg(F.count("*").cast("long").alias("grams_probed"))
+        .crossJoin(
+            maybe.agg(F.count("*").cast("long").alias("grams_maybe"))
+        )
+        .crossJoin(
+            leaked.agg(
+                F.count("*").cast("long").alias("grams_contaminated")
+            )
+        )
+    )
+    return flags, stats
+
+
 def pack_sequences(
     docs: DataFrame,
     *,

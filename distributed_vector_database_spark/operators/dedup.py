@@ -422,6 +422,175 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimates(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-candidate-pair MinHash Jaccard ESTIMATE next to the EXACT
+    shingle Jaccard — the error audit that tells you whether
+    ``num_hashes`` is big enough for the threshold you filter at (the
+    estimator is the mean of ``num_hashes`` Bernoulli(J) draws:
+    stderr = sqrt(J(1-J)/num_hashes) ~ 0.17 at J=0.5, k=8 — wide, which
+    is exactly why the production dedup paths VERIFY with exact Jaccard
+    and use MinHash only to generate candidates).
+
+    Candidates come from the same LSH banding as
+    `minhash_candidate_pairs`; the signature frame (1 row/doc, computed
+    once, checkpointed — three consumers: band build + both estimate
+    sides) also supplies the estimate, so the shingle kernel runs once
+    for signatures and once for the exact verify. Returns
+    (doc_id_a, doc_id_b, est_jaccard, jaccard, abs_err), floats rounded
+    to 6dp.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        docs, num_hashes, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    stacked = (
+        sig.select(F.col(id_col), *band_cols)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_ix"),
+                            F.col(f"band{b}").alias("bv"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(F.col(id_col), F.col("bb.band_ix"), F.col("bb.bv"))
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("doc_id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("doc_id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(num_hashes)],
+    )
+    agree = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(num_hashes)
+        ],
+    )
+    sh = _shingled(docs, text_col, id_col, n)
+    sh_a = sh.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("na"),
+    )
+    sh_b = sh.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(sig_a, "doc_id_a")
+        .join(sig_b, "doc_id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(agree.cast("double") / F.lit(float(num_hashes)), 6),
+        )
+        .join(sh_a, "doc_id_a")
+        .join(sh_b, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double"),
+                6,
+            ),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            "jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+def minhash_band_stats(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 2,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-band LSH bucket-size audit — the operational guard EVERY
+    banded-LSH join at scale needs BEFORE launching the self-join:
+    (band_ix, n_buckets, n_docs, max_bucket, pairs_upper_bound) where
+    ``pairs_upper_bound = sum over buckets of c*(c-1)/2`` is exactly the
+    candidate-pair volume the band's equi-join will emit. A skewed or
+    degenerate signature distribution (see SCALING.md's adaptive-LSH
+    section — dense embedding piles put 96% of rows in 2 buckets) shows
+    up here as max_bucket ~ n_docs and a quadratic pairs bound, BEFORE
+    you pay for it. All integers — bit-exact cross-engine.
+
+    Scale: one partial-agg groupBy on the uniform (band, bucket) key,
+    then a per-band rollup of at most #buckets rows — no pair fan-out
+    anywhere in the audit itself.
+    """
+    buckets = minhash_band_buckets(
+        docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
+    )
+    per_bucket = buckets.groupBy("band_ix", "bv").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_bucket.groupBy("band_ix")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(
+                (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+            )
+            .cast("long")
+            .alias("pairs_upper_bound"),
+        )
+        .orderBy("band_ix")
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

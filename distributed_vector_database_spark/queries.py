@@ -9533,6 +9533,178 @@ def q_w2v_doc_embed_transform(spark, sf_dir):
     return doc_embed_from_vocab_micros(docs, vocab)
 
 
+def _minhash_est_sql(num_hashes: int = 8, bands: int = 2) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_ix, band{b} AS bv FROM banded"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+st AS ({stacked}),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM st a JOIN st b
+           ON a.band_ix = b.band_ix AND a.bv = b.bv
+          AND a.doc_id < b.doc_id),
+j AS (SELECT c.da, c.db,
+        round(({agree}) * 1.0 / {num_hashes}, 6) AS est_jaccard,
+        round(len(list_intersect(ha.s, hb.s)) * 1.0
+              / (len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s))),
+              6) AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.da
+      JOIN sig sb ON sb.doc_id = c.db
+      JOIN sh ha ON ha.doc_id = c.da
+      JOIN sh hb ON hb.doc_id = c.db)
+SELECT da AS doc_id_a, db AS doc_id_b, est_jaccard, jaccard,
+       round(abs(est_jaccard - jaccard), 6) AS abs_err
+FROM j
+"""
+
+
+@register("minhash_jaccard_estimate", _minhash_est_sql())
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """Per-candidate-pair MinHash Jaccard estimate vs exact Jaccard
+    (`dedup.minhash_jaccard_estimates`) — the estimator-error audit
+    behind the dedup family's verify-with-exact policy: at k=8 hashes
+    the estimate's stderr is ~0.17 at J=0.5, so LSH is a candidate
+    GENERATOR here, never the dedup verdict. Signature frame computed
+    once and checkpointed (band build + both estimate sides read it)."""
+    return _dd.minhash_jaccard_estimates(
+        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+    )
+
+
+def _minhash_band_stats_sql(num_hashes: int = 8, bands: int = 2) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_ix, band{b} AS bv FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+st AS ({stacked}),
+bk AS (SELECT band_ix, bv, count(*) AS c FROM st GROUP BY band_ix, bv)
+SELECT band_ix, count(*)::BIGINT AS n_buckets,
+       sum(c)::BIGINT AS n_docs,
+       max(c)::BIGINT AS max_bucket,
+       (sum(c * (c - 1)) // 2)::BIGINT AS pairs_upper_bound
+FROM bk GROUP BY band_ix ORDER BY band_ix
+"""
+
+
+@register("minhash_band_bucket_stats", _minhash_band_stats_sql())
+def q_minhash_band_bucket_stats(spark, sf_dir):
+    """Per-band LSH bucket-size audit (`dedup.minhash_band_stats`) — run
+    BEFORE any banded self-join at scale: pairs_upper_bound = sum of
+    c*(c-1)/2 over buckets is exactly the pair volume the band's
+    equi-join will emit, and max_bucket ~ n_docs is the degenerate-
+    signature signature (SCALING.md's dense-pile LSH failure found this
+    the expensive way; this row is the cheap detector). Two partial-agg
+    shuffles on uniform hash keys, integers only."""
+    return _dd.minhash_band_stats(
+        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+    )
+
+
+@register(
+    "bloom_screened_decontaminate_stats",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE {_EVAL_PRED}),
+nb AS (SELECT greatest(16 * count(*), 1024)::BIGINT AS m FROM ev),
+bloom AS (SELECT DISTINCT
+            ('0x' || substr(md5(r.i::VARCHAR || ':' || ev.g), 1, 12))::BIGINT
+              % (SELECT m FROM nb) AS pos
+          FROM ev, range(0, 4) r(i)),
+trg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT ({_EVAL_PRED})),
+gdict AS (SELECT DISTINCT g FROM trg),
+hits AS (SELECT p.g FROM
+           (SELECT g, ('0x' || substr(md5(r.i::VARCHAR || ':' || g), 1, 12))
+                        ::BIGINT % (SELECT m FROM nb) AS pos
+            FROM gdict, range(0, 4) r(i)) p
+         JOIN bloom USING (pos)
+         GROUP BY p.g HAVING count(*) = 4),
+leak AS (SELECT hits.g FROM hits JOIN ev ON hits.g = ev.g),
+fe AS (SELECT DISTINCT doc_id FROM trg JOIN leak USING (g))
+SELECT (SELECT count(*) FROM fe)::BIGINT AS flagged_docs,
+       ((SELECT count(*) FROM documents WHERE NOT ({_EVAL_PRED}))
+        - (SELECT count(*) FROM fe))::BIGINT AS clean_docs,
+       (SELECT count(*) FROM gdict)::BIGINT AS grams_probed,
+       (SELECT count(*) FROM hits)::BIGINT AS grams_maybe,
+       (SELECT count(*) FROM leak)::BIGINT AS grams_contaminated
+""",
+)
+def q_bloom_screened_decontaminate_stats(spark, sf_dir):
+    """The scale protocol SCALING.md round-7 measured into existence:
+    Bloom-SCREEN the train gram dictionary, exact-verify only the
+    maybe-present remainder (`curation.bloom_screened_contaminated_ids`)
+    — flags identical to exact decontamination (the oracle computes the
+    EXACT flag count; the Spark side arrives at it THROUGH the screen,
+    so the equality is the proof), while the exact dictionary join
+    probes only grams_maybe rows (~0.24% of grams_probed plus true
+    leaks) instead of all of them. Work ledger rides along:
+    grams_probed / grams_maybe / grams_contaminated."""
+    from distributed_vector_database_spark.operators.curation import (
+        bloom_screened_contaminated_ids,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    ev = docs.filter(F.expr(_EVAL_PRED))
+    tr = docs.filter(~F.expr(_EVAL_PRED))
+    flags, stats = bloom_screened_contaminated_ids(
+        tr, ev, ngram=3, bits_per_gram=16, num_hashes=4,
+        with_gram_stats=True,
+    )
+    fd = flags.agg(F.count("*").cast("long").alias("flagged_docs"))
+    nt = tr.agg(F.count("*").cast("long").alias("_n_train"))
+    return (
+        fd.crossJoin(nt)
+        .crossJoin(stats)
+        .select(
+            "flagged_docs",
+            (F.col("_n_train") - F.col("flagged_docs"))
+            .cast("long")
+            .alias("clean_docs"),
+            "grams_probed",
+            "grams_maybe",
+            "grams_contaminated",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 7).
 #
