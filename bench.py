@@ -12,6 +12,14 @@ of timed runs. Two layers:
      costs 21-27 s/query; one Spark job over the same scale is ~0.1-1 s.
 
 Usage: python bench.py   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+POLICY (the r6/r7 lesson, institutionalized): the COMMITTED BENCH_FULL.json
+must only ever be refreshed from a quiet machine. A run whose artifact
+defense adjudicates an unusually large slice of keys (see
+`_contention_guard`) was itself contended — its numbers, even the isolated
+re-measures, are suspect; the run prints a loud warning and stamps
+`contention_warning` into the artifact so it is never silently committed
+as the new reference.
 """
 
 from __future__ import annotations
@@ -87,12 +95,19 @@ def _deviant_keys(
     measured: dict[str, float],
     committed: dict[str, float],
     *,
-    ratio: float = 1.5,
+    ratio: float = 1.25,
 ) -> list[str]:
     """Keys whose sweep value moved >ratio in EITHER direction vs the
     committed artifact — candidates for isolated re-measurement. Keys
     absent from the committed file (new this round) or failed (<= 0 on
-    either side) are skipped."""
+    either side) are skipped.
+
+    ratio=1.25 (was 1.5 through round 7): VERDICT r7 found 13 keys riding
+    through at 1.3-1.48x on code untouched all round — pure host
+    contention passing under the old bar, silently accumulating in the
+    published artifact round over round. 1.25 puts those inside the
+    defense; the extra isolated re-measures cost ~1-3 min on a typical
+    sweep (VERDICT r7 item 4)."""
     out = []
     for k, v in measured.items():
         ref = committed.get(k)
@@ -111,12 +126,34 @@ def _defense_plan(
     """Route contested keys to their isolated re-measure path: registry
     keys re-run one at a time; bench-internal one-shot cells re-run via
     their owning harness group (each group at most once, however many of
-    its cells deviated). A deviant key in neither set (shouldn't happen —
-    every published key is one or the other) is silently left at its
-    sweep value, which the adjudication table's absence makes visible."""
+    its cells deviated). The two routes are DISJOINT: a key on the
+    per-key path is excluded from the group set, else the later group
+    re-run would overwrite its isolated number and record the isolated
+    value in the adjudication 'sweep' field (ADVICE r7). A deviant key in
+    neither set (shouldn't happen — every published key is one or the
+    other) is silently left at its sweep value, which the adjudication
+    table's absence makes visible."""
     per_key = [k for k in deviants if k in registry_keys]
-    groups = sorted({key_to_group[k] for k in deviants if k in key_to_group})
+    per_key_set = set(per_key)
+    groups = sorted(
+        {
+            key_to_group[k]
+            for k in deviants
+            if k in key_to_group and k not in per_key_set
+        }
+    )
     return per_key, groups
+
+
+def _contention_guard(
+    n_adjudicated: int, n_keys: int, *, frac: float = 0.10, floor: int = 15
+) -> bool:
+    """True when a run adjudicated so many keys that the RUN ITSELF was
+    contended (module-docstring policy): past max(floor, frac*n_keys)
+    contested keys the defense is re-measuring a machine problem, not key
+    noise, and the artifact must not become the committed reference. The
+    r6 driver refresh adjudicated 31/228 — exactly this signature."""
+    return n_adjudicated > max(floor, int(frac * n_keys))
 
 
 def main() -> None:
@@ -298,8 +335,9 @@ def main() -> None:
                 print(f"# defend group {gname} failed: {e}", file=sys.stderr)
                 continue
             for key, iso in fresh.items():
-                if key not in deviants:
-                    continue  # only contested cells get republished
+                if key not in deviants or key in per_key_redo:
+                    continue  # only contested cells not already
+                    # adjudicated per-key get republished
                 adjudicated[key] = {
                     "sweep": per_query[key],
                     "committed": committed[key],
@@ -329,6 +367,17 @@ def main() -> None:
     }
     if adjudicated:
         full["adjudicated"] = adjudicated
+        if _contention_guard(len(adjudicated), len(per_query)):
+            full["contention_warning"] = (
+                f"{len(adjudicated)}/{len(per_query)} keys adjudicated — "
+                "this RUN was contended; do NOT commit this artifact as "
+                "the quiet-machine reference (bench.py module policy)"
+            )
+            print(
+                f"# WARNING: {full['contention_warning']}",
+                file=sys.stderr,
+                flush=True,
+            )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_FULL.json"),

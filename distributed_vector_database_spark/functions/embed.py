@@ -230,10 +230,17 @@ def doc_embed_from_vocab_micros(
     (closes VERDICT r6 item 7: the trainable rung now has an
     oracle-checkable row for everything except the fit itself).
     """
-    tok = docs.select(
-        F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("_ntok"),
-        F.explode(tokens(text_col)).alias("word"),
+    # project the token array ONCE, then size/explode the projected
+    # column — Catalyst does no common-subexpression elimination across
+    # expressions, so inlining tokens(text_col) into both size() and
+    # explode() would run the split+filter kernel twice per row
+    tok = (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.size("_toks").cast("long").alias("_ntok"),
+            F.explode("_toks").alias("word"),
+        )
     )
     j = tok.join(F.broadcast(vocab), "word")
     return j.groupBy(id_col, "dim").agg(

@@ -442,10 +442,12 @@ def minhash_jaccard_estimates(
     Candidates come from the same LSH banding as
     `minhash_candidate_pairs`; the signature frame (1 row/doc, computed
     once, checkpointed — three consumers: band build + both estimate
-    sides) also supplies the estimate, so the shingle kernel runs once
-    for signatures and once for the exact verify. Returns
-    (doc_id_a, doc_id_b, est_jaccard, jaccard, abs_err), floats rounded
-    to 6dp.
+    sides) also supplies the estimate. The shingle frame feeding the
+    exact verify has two consumers too (the a and b join sides), so it
+    is cache()d — one kernel run when memory allows, recomputed under
+    eviction pressure (corpus-scale arrays, so no pinned checkpoint).
+    Returns (doc_id_a, doc_id_b, est_jaccard, jaccard, abs_err), floats
+    rounded to 6dp.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -505,7 +507,7 @@ def minhash_jaccard_estimates(
             for j in range(num_hashes)
         ],
     )
-    sh = _shingled(docs, text_col, id_col, n)
+    sh = _shingled(docs, text_col, id_col, n).cache()
     sh_a = sh.select(
         F.col(id_col).alias("doc_id_a"),
         F.col("shingles").alias("sh_a"),
@@ -1299,12 +1301,17 @@ def winnow_owner_dup_flags(
     )
 
     # two consumers (aggregate input + join probe side) and no exchange
-    # reuse across the self-join — checkpoint the small (doc_id, fp)
-    # frame so the fingerprint kernel runs once (same pattern as
-    # shared_span_pairs above)
+    # reuse across the self-join — cache() (NOT localCheckpoint) so the
+    # fingerprint kernel runs once when memory allows: the (doc_id, fp)
+    # frame is corpus-scale (~2/(window+1) of all gram hashes), so a
+    # checkpoint would pin it to executor storage unconditionally and make
+    # the API eager; a cache is lazy and EVICTABLE — under storage
+    # pressure at 100-TB scale Spark drops blocks and recomputes the
+    # kernel, the right degradation. Eager checkpoints stay reserved for
+    # genuinely tiny frames (e.g. to_drop in queries.py).
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    ).cache()
     owners = fps.groupBy("fp").agg(F.min(id_col).alias("_owner"))
     lost = F.sum(
         F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)

@@ -9705,78 +9705,174 @@ def q_bloom_screened_decontaminate_stats(spark, sf_dir):
     )
 
 
+@register(
+    "w2v_ivf_search",
+    f"""
+WITH vocab AS (SELECT word, dim, val_micros
+               FROM '{_W2V_FIXTURE}'),
+toks AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents),
+tok AS (SELECT doc_id, len(t)::BIGINT AS n_tok, unnest(t) AS word
+        FROM toks),
+dv AS (SELECT tok.doc_id AS doc_id, vocab.dim AS dim,
+              floor(sum(vocab.val_micros) * 1.0 / max(tok.n_tok))::BIGINT
+                AS m
+       FROM tok JOIN vocab USING (word)
+       GROUP BY tok.doc_id, vocab.dim),
+vec AS (SELECT doc_id, list(m::DOUBLE ORDER BY dim) AS v
+        FROM dv GROUP BY doc_id),
+cents AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS shard_id,
+                 v AS cv
+          FROM vec WHERE doc_id < 4),
+qv AS (SELECT v AS q FROM vec WHERE doc_id = 10),
+probe AS (SELECT shard_id FROM cents, qv
+          ORDER BY list_distance(cv, q) ASC, shard_id ASC LIMIT 2),
+assign AS (SELECT doc_id, shard_id FROM (
+    SELECT vec.doc_id, c.shard_id,
+           ROW_NUMBER() OVER (PARTITION BY vec.doc_id
+                              ORDER BY list_distance(vec.v, c.cv) ASC,
+                                       c.shard_id ASC) AS rn
+    FROM vec, cents c) t WHERE rn = 1)
+SELECT vec.doc_id AS vec_id, ROUND({_cos('vec.v', 'qv.q')}, 6) AS score
+FROM vec JOIN assign USING (doc_id), qv
+WHERE assign.shard_id IN (SELECT shard_id FROM probe)
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+""",
+)
+def q_w2v_ivf_search(spark, sf_dir):
+    """The reference's FULL lifecycle — embed texts, build the sharded
+    index, embed a query, route, search (reference: src/test.py:132-145)
+    — run end-to-end with a TRAINED embedder, oracle-checked (VERDICT r7
+    item 3; `doc_search_hashed` covers the same lifecycle on the hashing
+    rung). Embedder = the frozen fixtures/w2v_vocab_micros.parquet
+    Word2Vec model applied by `embed.doc_embed_from_vocab_micros` (exact
+    integer-micro transform, MLlib semantics); doc vectors stay in raw
+    micro units — cosine is scale-invariant, and integer-valued doubles
+    make every cross-engine product bit-exact. Centroids = the vectors of
+    the 4 lowest doc ids (injected, like `_fixed_centroids`); query = doc
+    10's vector; nprobe=2 of 4; k=5 cosine, 6dp, (score DESC, id ASC).
+
+    Plan: vocab broadcast + (doc,dim) partial agg (the transform), one
+    groupBy(doc) pivot to arrays (keyed shuffle, no skew — dims per doc
+    = model dim), vectors frame cached (three consumers: centroid
+    collect, query collect, search scan; at 100 TB this frame IS the
+    persisted index — built once, like IVFPQIndex — so the cache stands
+    in for the index build), then the standard IVF read path:
+    argmin-projection shard assign (narrow), probe-pruned filter,
+    per-partition TakeOrdered + driver merge."""
+    from distributed_vector_database_spark.functions.embed import (
+        doc_embed_from_vocab_micros,
+    )
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+        nearest_shards,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    vocab = spark.read.parquet(_W2V_FIXTURE)
+    dv = doc_embed_from_vocab_micros(docs, vocab)
+    vec = (
+        dv.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean_micros"))
+            ).alias("_s")
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.expr(
+                "transform(_s, x -> cast(x.mean_micros AS double))"
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    crows = (
+        vec.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in crows]
+    qrow = vec.filter(F.col("vec_id") == 10).select("embedding").head()
+    qv = [float(x) for x in qrow[0]]
+    shards = nearest_shards(qv, cents, nprobe=2)
+    cand = assign_shards(vec, cents).filter(F.col("shard_id").isin(shards))
+    return topk(cand, qv, k=5, metric="cosine")
+
+
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 7).
+# Registration-order rotation (round 8).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-7 window = ROADMAP's
-# round-7 ```next-window``` ledger (the 6 round-6 registrations never
-# driver-verified + the 13 round-1 refresh names displaced from round 6) +
-# the first 31 round-2 window names (CORRECTNESS_r02 order) per the
-# round-robin refresh schedule (ROADMAP.md "Rotation re-verification
-# schedule"): r7 = r2 names, r8 = r3 guards, r9 = r5 names, repeat. The 19
-# round-2 names that don't fit (ivf_centroid_update .. ivf_exact_equiv) are
-# refresh-only displacements — they stay driver-green on their r2 rows and
-# rejoin the cycle later.
+# each round rotates a window to the front. This round-8 window = ROADMAP's
+# round-8 ```next-window``` ledger (the 5 round-7 registrations never
+# driver-verified, fronted) + the first 45 round-3 subsystem-guard names
+# (CORRECTNESS_r03 order) per the round-robin refresh schedule (ROADMAP.md
+# "Rotation re-verification schedule"): r8 = r3 guards, r9 = r5 names,
+# repeat. The 5 round-3 names that don't fit (returned_item_customers,
+# important_part_values, top_supplier_revenue, promotion_part_suppliers,
+# ivf_recall_curve) are refresh-only displacements — they stay driver-green
+# on their r3 rows and rejoin the cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 8 before any refresh names.
+# ```next-window``` block so they front round 9 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 6 round-6 registrations never driver-verified (fronted) ---
-    "substring_dedup_excised_stats",
-    "bloom_decontaminate_stats",
-    "winnow_dup_flags",
-    "stream_winnow_dup_flags",
-    "hdr_value_quantiles",
-    "stream_hdr_value_quantiles",
-    # --- the 13 round-1 refresh names displaced from round 6's window ---
-    "asof_last_click_before_purchase",
-    "quantize_int8_recon",
-    "multimodal_payload_stats",
-    "customers_no_big_order",
-    "big_purchasers_never_erroring",
-    "shipping_priority",
-    "stateful_running_totals",
-    "range_clicks_before_purchase",
-    "event_cohort_cube",
-    "sql_topk_cosine",
-    "skewed_type_totals",
-    "multires_rollup",
-    "local_supplier_volume",
-    # --- round-robin refresh: the first 31 round-2 window names, in their
-    # CORRECTNESS_r02 order (rotation schedule, ROADMAP.md) ---
-    "kmv_distinct_users_by_type",
-    "hash_sample_docs",
-    "brand_revenue",
-    "vector_json_roundtrip",
-    "event_value_pivot",
-    "moving_avg_value",
-    "curation_funnel",
-    "lang_confusion",
-    "pq_encode_recon",
-    "pq_adc_topk",
-    "csv_roundtrip_orders",
-    "json_roundtrip_events",
-    "event_gaps",
-    "salted_event_enrichment",
-    "ivfpq_search",
-    "term_frequencies",
-    "doc_tfidf_top_terms",
-    "stream_dedup_counts",
-    "zorder_curve_stats",
-    "stream_tumbling_counts",
-    "udaf_mean_cents_by_type",
-    "orders_above_global_avg",
-    "customer_max_order",
-    "pq_adc_batch_topk",
-    "dedup_clusters",
-    "pq_rerank_topk",
-    "user_spend_quartiles",
-    "forecast_revenue_change",
-    "train_val_test_split",
-    "late_orders_by_priority",
-    "large_volume_customers",
+    # --- the 5 round-7 registrations never driver-verified (fronted) ---
+    "w2v_doc_embed_transform",
+    "winnow_screen_dedup_stats",
+    "minhash_jaccard_estimate",
+    "minhash_band_bucket_stats",
+    "bloom_screened_decontaminate_stats",
+    # --- round-robin refresh: the first 45 round-3 subsystem-guard names,
+    # in their CORRECTNESS_r03 order (rotation schedule, ROADMAP.md) ---
+    "ivfpq_residual_search",
+    "opq_rotated_adc_topk",
+    "binary_rerank_search",
+    "matryoshka_rerank_search",
+    "knn_graph_exact",
+    "ivf_shard_rebalance",
+    "bm25_topk",
+    "late_interaction_search",
+    "hybrid_search_rrf",
+    "doc_chunks",
+    "chunk_search_hashed",
+    "semantic_dedup",
+    "minhash_dedup_flags",
+    "stream_minhash_dedup_flags",
+    "dedup_simhash_pairs",
+    "dedup_keep_best",
+    "paragraph_dedup_stats",
+    "snm_candidate_pairs",
+    "fuzzy_dup_pairs",
+    "bigram_lm_ppl",
+    "bpe_pair_counts",
+    "doc_perplexity_filter",
+    "stream_bigram_lm_counts",
+    "merge_into_orders",
+    "mor_upsert_read",
+    "mor_delete_read",
+    "mor_changes_feed",
+    "mor_time_travel",
+    "sqlite_store_scan",
+    "sqlite_store_point_lookup",
+    "footer_minmax_stats",
+    "dq_violations_report",
+    "dq_quarantined_events",
+    "sole_failing_suppliers",
+    "supplier_diversity_by_part",
+    "priority_shipping_split",
+    "disjunctive_brand_revenue",
+    "idle_rich_customers",
+    "customer_order_distribution",
+    "small_quantity_part_revenue",
+    "nation_market_share",
+    "volume_shipping",
+    "promo_revenue_monthly",
+    "min_cost_supplier",
+    "nation_profit_by_year",
 ]
 
 

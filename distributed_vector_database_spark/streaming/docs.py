@@ -368,8 +368,13 @@ def read_winnow_flags(
     flags_path = os.path.join(state_dir, "winnow_flags")
     raw = spark.read.parquet(flags_path)
     val_cols = [c for c in raw.columns if c not in (id_col, "batch")]
+    # cast the partition column explicitly: with
+    # spark.sql.sources.partitionColumnTypeInference.enabled=false the
+    # `batch` directory value reads as STRING, and '10' < '9' would pick
+    # a stale decision as "latest"
+    latest_key = F.col("batch").cast("long")
     return (
         raw.groupBy(id_col)
-        .agg(F.max(F.struct("batch", *val_cols)).alias("_latest"))
+        .agg(F.max(F.struct(latest_key.alias("batch"), *val_cols)).alias("_latest"))
         .select(id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols])
     )

@@ -14,9 +14,9 @@ from bench import _committed_bench, _deviant_keys
 def test_deviant_keys_both_directions_and_skips():
     committed = {"a": 1.0, "b": 1.0, "c": 1.0, "d": -1.0, "f": 1.0}
     measured = {
-        "a": 1.6,    # >1.5x slower -> deviant
-        "b": 0.5,    # >1.5x faster -> deviant
-        "c": 1.4,    # inside the band
+        "a": 1.6,    # >1.25x slower -> deviant
+        "b": 0.5,    # >1.25x faster -> deviant
+        "c": 1.2,    # inside the band
         "d": 2.0,    # committed failed -> skip
         "e": 9.9,    # new key, no committed value -> skip
         "f": -1.0,   # measured failed -> skip
@@ -25,6 +25,10 @@ def test_deviant_keys_both_directions_and_skips():
     assert _deviant_keys(measured, {}) == []
     # custom band
     assert _deviant_keys({"a": 1.4}, {"a": 1.0}, ratio=1.3) == ["a"]
+    assert _deviant_keys({"a": 1.3}, {"a": 1.0}, ratio=1.35) == []
+    # default band is 1.25 (VERDICT r7 item 4: the 13 keys that rode
+    # through at 1.3-1.48x on untouched code must now be adjudicated)
+    assert _deviant_keys({"a": 1.35}, {"a": 1.0}) == ["a"]
 
 
 def test_committed_bench_reads_head_artifact(tmp_path):
@@ -82,3 +86,31 @@ def test_defense_plan_routes_one_shot_cells_to_group_rerun():
     assert groups == ["highdim", "pq"]
     # no deviants -> nothing to do
     assert _defense_plan([], registry, key_to_group) == ([], [])
+
+
+def test_defense_plan_routes_are_disjoint():
+    """ADVICE r7: a key in BOTH the registry and key_to_group must take
+    the per-key path ONLY — double-routing would let the later group
+    re-run overwrite the per-key isolated number and record it as the
+    adjudication 'sweep' value."""
+    from bench import _defense_plan
+
+    key_to_group = {"shared": "grp", "cell": "grp2"}
+    registry = {"shared", "other"}
+    per_key, groups = _defense_plan(
+        ["shared", "cell"], registry, key_to_group
+    )
+    assert per_key == ["shared"]
+    assert groups == ["grp2"]  # grp NOT re-run for the per-key'd key
+
+
+def test_contention_guard_thresholds():
+    """Module-policy guard: a run that adjudicates an outsized slice of
+    keys is itself contended and must stamp the artifact."""
+    from bench import _contention_guard
+
+    assert not _contention_guard(0, 228)
+    assert not _contention_guard(15, 228)   # at the floor, not past it
+    assert not _contention_guard(22, 228)   # 22 <= max(15, 22)
+    assert _contention_guard(31, 228)       # the r6 driver-refresh case
+    assert _contention_guard(16, 100)       # past the floor on small sweeps
