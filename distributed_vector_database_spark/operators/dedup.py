@@ -19,6 +19,7 @@ so every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -591,6 +592,81 @@ def minhash_band_stats(
         )
         .orderBy("band_ix")
     )
+
+
+def minhash_operating_points(
+    docs: DataFrame,
+    configs: Sequence[tuple[int, int]] = ((8, 2), (8, 4), (16, 4), (16, 8)),
+    threshold: float = 0.5,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The LSH TUNING artifact (VERDICT r7 item 6 — the banding
+    counterpart of `eval.ivf_recall_curve_df`): for each
+    (num_hashes, bands) configuration, candidate-pair recall AND
+    precision against the EXACT Jaccard >= threshold pair set, as exact
+    integer counts. One row per config:
+    (num_hashes, bands, n_candidates, n_true, n_hits, recall, precision)
+    where n_hits = |candidates ∩ truth|, recall = n_hits/n_true,
+    precision = n_hits/n_candidates (6dp; null when the denominator is
+    0). Banding theory says a config's match probability at Jaccard s is
+    1-(1-s^r)^b (r = num_hashes/bands): more bands at fixed num_hashes
+    shifts the s-curve left (recall up, precision down). This row
+    measures where YOUR corpus actually lands on that curve.
+
+    Truth = `jaccard_pairs_prefix(threshold)` — exact by the prefix
+    theorem, sub-quadratic, computed ONCE and checkpointed (it is a
+    pairs-at-threshold frame: small, every config reads it). Per config
+    the candidate frame is consumed once (a single left join carries
+    both the candidate count and the hit count), so nothing corpus-scale
+    is pinned. Scale: the expensive inputs are the banding self-joins
+    the production flags pay anyway; the audit adds one broadcast join
+    per config against the small truth frame.
+    """
+    truth = (
+        jaccard_pairs_prefix(
+            docs, threshold, n=n, text_col=text_col, id_col=id_col
+        )
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    t_marked = truth.withColumn("_t", F.lit(1))
+    out = None
+    for num_hashes, bands in configs:
+        cand = minhash_candidate_pairs(
+            docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
+        )
+        counts = (
+            cand.join(
+                F.broadcast(t_marked), ["doc_id_a", "doc_id_b"], "left"
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_candidates"),
+                F.count("_t").cast("long").alias("n_hits"),
+            )
+            .crossJoin(
+                truth.agg(F.count("*").cast("long").alias("n_true"))
+            )
+        )
+        row = counts.select(
+            F.lit(num_hashes).cast("long").alias("num_hashes"),
+            F.lit(bands).cast("long").alias("bands"),
+            "n_candidates",
+            "n_true",
+            "n_hits",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hits") / F.col("n_true"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_hits") / F.col("n_candidates"), 6),
+            ).alias("precision"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def simhash_fingerprints(

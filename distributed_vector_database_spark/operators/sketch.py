@@ -36,6 +36,10 @@ __all__ = [
     "hdr_hist_merge",
     "hdr_quantiles",
     "hdr_bucket_lo",
+    "hll_build",
+    "hll_merge",
+    "hll_estimate",
+    "hll_alpha_numerator",
     "hash_sample",
     "hash_topk_sample",
     "hash_split",
@@ -665,4 +669,149 @@ def hdr_quantiles(
         .agg(
             F.min(hdr_bucket_lo(F.col("e"), F.col("sub"))).alias("est")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007): the industry-standard
+# fixed-size distinct counter, built on the same md5 convention so the
+# ESTIMATE is bit-comparable across engines (the module docstring's "HLL is
+# engine-specific" caveat applies to native implementations — this one is
+# relational and exact in its register states). vs KMV (above): KMV keeps k
+# hash VALUES (exact set algebra, union/intersect), HLL keeps 2^p integer
+# RANK registers — max-mergeable, which is IDEMPOTENT: re-delivering a
+# partial sketch cannot corrupt it (CMS/HDR sums can double-count under
+# at-least-once replay; HLL max cannot), the right default for streaming
+# register maintenance. Register = max leading-zero rank of a 48-bit md5
+# slice, bucketed by an independent md5 slice; rank extraction is the same
+# binary-string-length integer trick the HDR buckets use. The register SUM
+# for the estimate is kept as an exact integer (sum of 2^(49-rank) — at
+# most 56 bits), so cross-engine float drift cannot enter before the single
+# final division.
+# ---------------------------------------------------------------------------
+
+_HLL_MAX_RANK = 49  # 48 hash bits -> ranks 1..48; rank 49 = all-zero word
+
+
+def hll_alpha_numerator(p: int) -> float:
+    """The constant numerator alpha_m * m^2 * 2^49 of the raw estimate,
+    computed ONCE in python and embedded as the same literal in Spark and
+    the SQL oracle (float product order is fixed here, not re-derived
+    per engine)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << _HLL_MAX_RANK)
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HLL registers over ``key_col``: (*group_cols, reg, rank) with
+    reg in [0, 2^p) and rank in [1, 49], at most 2^p rows per group.
+    One partial-aggregated max shuffle; duplicate keys are absorbed by
+    the max (no pre-distinct needed). DuckDB mirror of the register
+    expressions:
+    ``('0x' || substr(md5('r:' || key), 1, 12))::BIGINT % m`` and
+    ``CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END`` for
+    ``w = ('0x' || substr(md5('q:' || key), 1, 12))::BIGINT``."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    groups = group_cols or []
+    key = F.col(key_col).cast("string")
+    reg = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("r"), key)), 1, _HEX_DIGITS
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(m),
+    )
+    w = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("q"), key)), 1, _HEX_DIGITS
+        ),
+        16,
+        10,
+    ).cast("long")
+    rank = (
+        F.when(w == F.lit(0), F.lit(_HLL_MAX_RANK))
+        .otherwise(F.lit(_HLL_MAX_RANK) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*groups, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*groups, "reg")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Fold register frames: union + max per register. Associative,
+    commutative AND idempotent — folding the same partial twice is a
+    no-op, so at-least-once delivery needs no overwrite protocol. Same
+    grouped-sketch guard as the other mergeable families."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    groups = group_cols or []
+    expected = {*groups, "reg", "rank"}
+    for s in sketches:
+        if set(s.columns) != expected:
+            raise ValueError(
+                f"sketch columns {sorted(s.columns)} != expected "
+                f"{sorted(expected)}; pass group_cols matching the build"
+            )
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*groups, "reg").agg(F.max("rank").alias("rank"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    *,
+    p: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate per group: (*group_cols, hll_distinct)
+    (double, 6dp). Standard estimator with the small-range linear-count
+    correction: raw = alpha*m^2 / sum(2^-rank_j) over ALL m registers
+    (absent register = rank 0 contributes 1); if raw <= 2.5m and empty
+    registers V > 0, estimate = m * ln(m/V). The register sum is the
+    exact integer sum(2^(49-rank)) (<= 2^56) scaled by 2^49, so the only
+    float steps are one division, one ln, and the 6dp round —
+    deterministic and oracle-bit-comparable. Relative error ~1.04/sqrt(m)
+    (~6.5% at p=8). Register-sized work: one <=2^p-row aggregate per
+    group."""
+    m = 1 << p
+    groups = group_cols or []
+    two49 = 1 << _HLL_MAX_RANK
+    s = F.sum(
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.lit(_HLL_MAX_RANK) - F.col("rank"),
+        )
+    ).cast("long")
+    agg = sketch.groupBy(*groups).agg(
+        s.alias("_s"), F.count("*").cast("long").alias("_nreg")
+    )
+    v = F.lit(m).cast("long") - F.col("_nreg")
+    raw = F.lit(hll_alpha_numerator(p)) / (
+        F.col("_s") + v * F.lit(two49).cast("long")
+    ).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *groups, F.round(est, 6).alias("hll_distinct")
     )

@@ -9802,6 +9802,148 @@ def q_w2v_ivf_search(spark, sf_dir):
     return topk(cand, qv, k=5, metric="cosine")
 
 
+def _minhash_op_points_sql(
+    configs: tuple = ((8, 2), (8, 4), (16, 4), (16, 8)),
+    threshold: float = 0.5,
+) -> str:
+    blocks, selects = [], []
+    for ci, (nh, b) in enumerate(configs):
+        rows = nh // b
+        mins = ", ".join(
+            f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(nh)
+        )
+        band_exprs = ", ".join(
+            "md5("
+            + " || ".join(f"mh{bb * rows + r}" for r in range(rows))
+            + f") AS band{bb}"
+            for bb in range(b)
+        )
+        stacked = " UNION ALL ".join(
+            f"SELECT doc_id, {bb} AS band_ix, band{bb} AS bv"
+            f" FROM banded{ci}"
+            for bb in range(b)
+        )
+        blocks.append(
+            f"""
+sig{ci} AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded{ci} AS (SELECT doc_id, {band_exprs} FROM sig{ci}),
+st{ci} AS ({stacked}),
+cand{ci} AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             FROM st{ci} a JOIN st{ci} b
+               ON a.band_ix = b.band_ix AND a.bv = b.bv
+              AND a.doc_id < b.doc_id)"""
+        )
+        selects.append(
+            f"""
+SELECT {nh}::BIGINT AS num_hashes, {b}::BIGINT AS bands,
+       (SELECT count(*) FROM cand{ci})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand{ci} c
+         JOIN truth t ON c.da = t.da AND c.db = t.db)::BIGINT AS n_hits"""
+        )
+    inter = "len(list_intersect(ha.s, hb.s))"
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+cpair AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+          FROM ex x JOIN ex y ON x.sg = y.sg AND x.doc_id < y.doc_id),
+truth AS (SELECT da, db FROM cpair
+          JOIN sh ha ON ha.doc_id = cpair.da
+          JOIN sh hb ON hb.doc_id = cpair.db
+          WHERE round({inter} * 1.0
+                / (len(ha.s) + len(hb.s) - {inter}), 6) >= {threshold}),
+{','.join(blocks)},
+base AS ({' UNION ALL '.join(selects)})
+SELECT num_hashes, bands, n_candidates, n_true, n_hits,
+       CASE WHEN n_true > 0
+            THEN round(n_hits * 1.0 / n_true, 6) END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN round(n_hits * 1.0 / n_candidates, 6) END AS "precision"
+FROM base
+"""
+
+
+def _hll_sql(p: int = 8) -> str:
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_alpha_numerator,
+    )
+
+    m = 1 << p
+    two49 = 1 << 49
+    return f"""
+WITH w0 AS (SELECT event_type, user_id,
+        ('0x' || substr(md5('r:' || user_id::VARCHAR), 1, 12))::BIGINT
+          % {m} AS reg,
+        ('0x' || substr(md5('q:' || user_id::VARCHAR), 1, 12))::BIGINT AS w
+      FROM events),
+regs AS (SELECT event_type, reg,
+           max(CASE WHEN w = 0 THEN 49
+                    ELSE 49 - length(bin(w)) END) AS rnk
+         FROM w0 GROUP BY 1, 2),
+agg AS (SELECT event_type,
+          sum(1::BIGINT << (49 - rnk))::BIGINT AS s,
+          count(*)::BIGINT AS nreg
+        FROM regs GROUP BY 1),
+est AS (SELECT event_type, ({m} - nreg) AS v,
+          {hll_alpha_numerator(p)!r}
+            / (s + ({m} - nreg) * {two49})::DOUBLE AS raw
+        FROM agg),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       FROM events GROUP BY 1)
+SELECT est.event_type AS event_type,
+       round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE raw END, 6) AS hll_distinct,
+       ex.exact_distinct AS exact_distinct
+FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+
+@register("hll_distinct_users_by_type", _hll_sql())
+def q_hll_distinct_users_by_type(spark, sf_dir):
+    """Portable HyperLogLog distinct-user estimate per event type, exact
+    count(distinct) alongside (`sketch.hll_build/hll_estimate`) — the
+    fixed-size industry-standard distinct counter joining the mergeable
+    family (frequency CMS, distinct-set KMV, membership Bloom, quantile
+    HDR). Registers are exact integer max-ranks on the portable md5
+    hash, so the estimate is bit-comparable across engines; max-merge is
+    IDEMPOTENT (safe under at-least-once replay without the overwrite
+    protocol the sum-merged sketches need). Plan: one partial-agg max
+    shuffle to <= 2^p register rows per group, one register-sized
+    aggregate — the corpus is scanned once, nothing corpus-scale
+    shuffles."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    sk = hll_build(ev, "user_id", p=8, group_cols=["event_type"])
+    est = hll_estimate(sk, p=8, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_distinct", "exact_distinct"
+    )
+
+
+@register("minhash_operating_points", _minhash_op_points_sql())
+def q_minhash_operating_points(spark, sf_dir):
+    """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —
+    the `ivf_recall_curve` of the dedup family): candidate-pair recall
+    and precision of each (num_hashes, bands) configuration against the
+    EXACT Jaccard >= 0.5 pair set, exact integer counts
+    (`dedup.minhash_operating_points`). Truth = the prefix-filtered
+    exact pairs kernel, computed once; each config adds one banding
+    self-join (the cost its production flags pay anyway) + one broadcast
+    join against the small truth frame. More bands at fixed num_hashes
+    moves along the 1-(1-s^r)^b s-curve: recall up, precision down —
+    this row pins where the corpus actually sits."""
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return _dd.minhash_operating_points(docs)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 8).
 #

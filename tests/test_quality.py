@@ -580,3 +580,34 @@ def test_winnow_owner_flags_plan_is_partial_agg_not_window(spark):
     flags = {r["doc_id"]: r["is_span_dup"] for r in out.collect()}
     assert flags[1] is False  # lowest id owns the boilerplate fps
     assert all(flags[i] for i in range(2, 41))  # everyone else flagged
+
+
+def test_minhash_operating_points_exact_dups_and_bounds(spark):
+    """VERDICT r7 item 6: identical docs have identical signatures, so
+    EVERY (num_hashes, bands) config must catch them (recall 1.0 when
+    truth is exactly the identical pairs); counts obey
+    n_hits <= min(n_candidates, n_true)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        minhash_operating_points,
+    )
+
+    rows = []
+    # 10 exact-dup pairs (J = 1.0, >= 0.5 -> in truth)
+    for i in range(10):
+        text = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))
+    # distinct fillers sharing nothing (J = 0 with everything)
+    for i in range(20, 40):
+        rows.append((i, f"solo{i}a solo{i}b solo{i}c solo{i}d solo{i}e"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_operating_points(
+        docs, configs=((8, 2), (8, 4), (16, 4)), threshold=0.5
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_true"] == 10
+        assert r["n_hits"] == 10, (r["num_hashes"], r["bands"], r["n_hits"])
+        assert r["recall"] == 1.0
+        assert r["n_hits"] <= r["n_candidates"]
+        assert 0.0 <= r["precision"] <= 1.0

@@ -550,3 +550,78 @@ def test_stream_hdr_equals_batch_build(spark, tmp_path):
     qa = hdr_quantiles(streamed, [0.5, 0.99], group_cols=["event_type"])
     qb = hdr_quantiles(batch, [0.5, 0.99], group_cols=["event_type"])
     assert as_set(qa) == as_set(qb)
+
+
+def test_hll_registers_merge_and_idempotence(spark):
+    """Registers are exact integer max-ranks; merge is union+max —
+    associative AND idempotent (folding a partial twice is a no-op,
+    unlike the sum-merged CMS/HDR registers)."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_merge,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    even = hll_build(df.filter(F.col("k") % 2 == 0), "k", p=6)
+    odd = hll_build(df.filter(F.col("k") % 2 == 1), "k", p=6)
+    full = hll_build(df, "k", p=6)
+
+    def as_set(s):
+        return {tuple(r) for r in s.collect()}
+
+    merged = hll_merge(even, odd)
+    assert as_set(merged) == as_set(full)
+    # idempotent: re-folding a constituent changes nothing
+    assert as_set(hll_merge(merged, even)) == as_set(full)
+    # register domain: reg < 2^p, 1 <= rank <= 49, at most 2^p rows
+    rows = full.collect()
+    assert len(rows) <= 64
+    assert all(0 <= r["reg"] < 64 and 1 <= r["rank"] <= 49 for r in rows)
+
+
+def test_hll_estimate_accuracy_band_and_duplicates(spark):
+    """Estimate within a generous 4-sigma band (~1.04/sqrt(m)) of truth
+    across regimes, and duplicate keys do not move it (max absorbs)."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    p, m = 10, 1024
+    for n in (100, 1000, 5000):
+        df = spark.range(0, n).select(F.col("id").alias("k"))
+        est = hll_estimate(hll_build(df, "k", p=p), p=p).collect()[0][
+            "hll_distinct"
+        ]
+        tol = max(4 * 1.04 / (m**0.5), 0.10)  # linear-count regime floor
+        assert abs(est - n) / n < tol, (n, est)
+    # duplicates: 3 copies of every key == one copy (max absorbs)
+    one = spark.range(0, 777).select(F.col("id").alias("k"))
+    tripled = one.unionByName(one).unionByName(one)
+    e1 = hll_estimate(hll_build(one, "k", p=p), p=p).collect()[0][0]
+    e3 = hll_estimate(hll_build(tripled, "k", p=p), p=p).collect()[0][0]
+    assert e1 == e3
+
+
+def test_hll_guards(spark):
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_merge,
+    )
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match=r"p must be"):
+        hll_build(df, "k", p=3)
+    with pytest.raises(ValueError, match=r"p must be"):
+        hll_build(df, "k", p=17)
+    with pytest.raises(ValueError, match="needs at least one"):
+        hll_merge()
+    grouped = hll_build(
+        df.withColumn("g", F.lit("a")), "k", p=6, group_cols=["g"]
+    )
+    # a grouped sketch merged without its group_cols must refuse (it
+    # would take max ACROSS groups)
+    with pytest.raises(ValueError, match="group_cols"):
+        hll_merge(grouped)
