@@ -9928,6 +9928,88 @@ def q_hll_distinct_users_by_type(spark, sf_dir):
     )
 
 
+_HLL_STATE_CACHE: dict[str, str] = {}
+
+
+def _hll_global_sql(p: int = 8) -> str:
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_alpha_numerator,
+    )
+
+    m = 1 << p
+    two49 = 1 << 49
+    return f"""
+WITH w0 AS (SELECT
+        ('0x' || substr(md5('r:' || user_id::VARCHAR), 1, 12))::BIGINT
+          % {m} AS reg,
+        ('0x' || substr(md5('q:' || user_id::VARCHAR), 1, 12))::BIGINT AS w
+      FROM events),
+regs AS (SELECT reg,
+           max(CASE WHEN w = 0 THEN 49
+                    ELSE 49 - length(bin(w)) END) AS rnk
+         FROM w0 GROUP BY 1),
+agg AS (SELECT sum(1::BIGINT << (49 - rnk))::BIGINT AS s,
+               count(*)::BIGINT AS nreg
+        FROM regs),
+est AS (SELECT ({m} - nreg) AS v,
+          {hll_alpha_numerator(p)!r}
+            / (s + ({m} - nreg) * {two49})::DOUBLE AS raw
+        FROM agg)
+SELECT round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE raw END, 6) AS hll_distinct,
+       (SELECT count(DISTINCT user_id)::BIGINT FROM events)
+         AS exact_distinct
+FROM est
+"""
+
+
+@register("stream_hll_distinct_users", _hll_global_sql())
+def q_stream_hll_distinct_users(spark, sf_dir):
+    """The STREAM-maintained twin of the HLL row: the event log replayed
+    as unordered micro-batches, each APPENDING its batch-local register
+    partial — no overwrite protocol, because max-merge is IDEMPOTENT (a
+    re-delivered partial is absorbed; the sum-merged CMS/HDR streams need
+    per-batch overwrite dirs to stay at-least-once-safe). The merged
+    registers must equal the one-shot batch build exactly, so the oracle
+    is the plain batch SQL regardless of chunking. Ingest runs once per
+    process; repeat calls query the live state (`read_hll`)."""
+    import tempfile
+
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_estimate,
+    )
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        read_hll,
+        stream_hll_registers,
+    )
+
+    state = _HLL_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        sketch = read_hll(spark, state)
+    else:
+        d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+        if d is None:
+            src = _read(spark, sf_dir, "events")
+            d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+            src.repartition(4).write.mode("overwrite").parquet(d)
+            _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+        state = tempfile.mkdtemp(prefix="dvdb_hllstate_")
+        sketch = stream_hll_registers(
+            read_event_stream(spark, d, max_files_per_trigger=2),
+            state,
+            key_col="user_id",
+            p=8,
+        )
+        _HLL_STATE_CACHE[sf_dir] = state
+    est = hll_estimate(sketch, p=8)
+    exact = _read(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
 @register("minhash_operating_points", _minhash_op_points_sql())
 def q_minhash_operating_points(spark, sf_dir):
     """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —

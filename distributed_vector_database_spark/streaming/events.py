@@ -513,3 +513,71 @@ def read_hdr_hist(
         .groupBy(*groups, "e", "sub")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_hll_registers(
+    event_stream: DataFrame,
+    state_dir: str,
+    *,
+    key_col: str = "user_id",
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally-maintained HyperLogLog registers over an event
+    stream — the distinct-count member of the streaming sketch family
+    (CMS `stream_cms_counts`, HDR `stream_hdr_hist`), and the one with
+    the STRONGEST delivery guarantee: registers merge by MAX, which is
+    idempotent, so per-batch partials are written with plain APPEND — an
+    at-least-once foreachBatch retry appends a duplicate partial and the
+    merge-on-read max absorbs it. No per-batch overwrite dirs, no batch
+    bookkeeping (the sum-merged sketches need both). stream == batch for
+    ANY chunking because max is associative/commutative/idempotent.
+
+    Returns the merged register frame after running the stream to
+    completion; a live pipeline queries :func:`read_hll` without
+    touching the ingest.
+    """
+    import os
+
+    from distributed_vector_database_spark.operators.sketch import hll_build
+
+    spark = event_stream.sparkSession
+    regs_path = os.path.join(state_dir, "hll_registers")
+    ckpt_path = os.path.join(state_dir, "_hll_checkpoint")
+    groups = group_cols or []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hll_build(batch_df, key_col, p=p, group_cols=groups).write.mode(
+            "append"
+        ).parquet(regs_path)
+
+    q = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_hll(spark, state_dir, group_cols=groups)
+
+
+def read_hll(
+    spark: SparkSession,
+    state_dir: str,
+    *,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge-on-read view of the stream-maintained HLL: max per register
+    over every appended partial — `sketch.hll_merge` semantics over one
+    flat directory."""
+    import os
+
+    groups = group_cols or []
+    regs_path = os.path.join(state_dir, "hll_registers")
+    return (
+        spark.read.parquet(regs_path)
+        .groupBy(*groups, "reg")
+        .agg(F.max("rank").alias("rank"))
+    )

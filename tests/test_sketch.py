@@ -625,3 +625,40 @@ def test_hll_guards(spark):
     # would take max ACROSS groups)
     with pytest.raises(ValueError, match="group_cols"):
         hll_merge(grouped)
+
+
+def test_stream_hll_equals_batch_and_tolerates_redelivery(spark, tmp_path):
+    """Stream-maintained registers == one-shot batch build for any
+    chunking (max is associative/commutative), AND a duplicated partial
+    (at-least-once redelivery) is a no-op — the property that lets the
+    stream write plain appends with no overwrite protocol."""
+    from distributed_vector_database_spark.operators.sketch import hll_build
+    from distributed_vector_database_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        read_hll,
+        stream_hll_registers,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+    streamed = stream_hll_registers(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        state,
+        key_col="user_id",
+        p=7,
+    )
+    batch = hll_build(ev, "user_id", p=7)
+
+    def as_set(s):
+        return {tuple(r) for r in s.collect()}
+
+    assert as_set(streamed) == as_set(batch)
+    # simulate an at-least-once redelivery: append one batch's partial
+    # AGAIN directly into the state dir — merged view must not move
+    hll_build(ev.limit(50), "user_id", p=7).write.mode("append").parquet(
+        f"{state}/hll_registers"
+    )
+    assert as_set(read_hll(spark, state)) == as_set(batch)
