@@ -99,3 +99,75 @@ def test_chunks_cover_every_token(spark):
         assert r["covered_to"] == n_tok[r["doc_id"]]
         # stride 7: last start within one stride of the end
         assert r["last_start"] > n_tok[r["doc_id"]] - 7
+
+
+def test_cdc_chunks_reconstruct_and_expected_length(spark):
+    """Chunks tile the doc exactly (concatenation round-trips) and the
+    mean chunk length sits near 2^mask_bits tokens."""
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(300))
+    docs = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    ch = sorted(
+        cdc_chunk_documents(docs, mask_bits=4).collect(),
+        key=lambda r: r["chunk_ix"],
+    )
+    assert " ".join(r["chunk_text"] for r in ch) == base
+    assert sum(r["n_chunk_tokens"] for r in ch) == 300
+    mean = 300 / len(ch)
+    assert 4 <= mean <= 64  # 2^4 expected, generous band
+    # start/length bookkeeping is consistent
+    pos = 1
+    for r in ch:
+        assert r["start_token"] == pos
+        pos += r["n_chunk_tokens"]
+
+
+def test_cdc_shift_resistance_beats_fixed_window(spark):
+    """THE content-defined property (LBFS): a 2-token prepend perturbs
+    only the chunk it lands in — boundaries resynchronize and every
+    later chunk keeps its hash. The fixed-window chunker loses (almost)
+    all chunk identities under the same edit."""
+    from collections import Counter
+
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+        chunk_documents,
+    )
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "ins0 ins1 " + base)], "doc_id long, text string"
+    )
+    ch = cdc_chunk_documents(docs, mask_bits=4).collect()
+    c1 = Counter(r["chunk_hash"] for r in ch if r["doc_id"] == 1)
+    c2 = Counter(r["chunk_hash"] for r in ch if r["doc_id"] == 2)
+    n1 = sum(c1.values())
+    shared_cdc = sum((c1 & c2).values())
+    assert shared_cdc >= n1 - 2  # at most the first chunk(s) perturbed
+
+    fx = chunk_documents(docs, chunk_tokens=16, overlap_tokens=0)
+    rows = fx.collect()
+    f1 = Counter(r["chunk_text"] for r in rows if r["doc_id"] == 1)
+    f2 = Counter(r["chunk_text"] for r in rows if r["doc_id"] == 2)
+    shared_fixed = sum((f1 & f2).values())
+    assert shared_fixed <= 2  # every window shifted by the prepend
+    assert shared_cdc > shared_fixed
+
+
+def test_cdc_mask_bits_guard_and_empty_docs(spark):
+    import pytest
+
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "   ")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="mask_bits"):
+        cdc_chunk_documents(docs, mask_bits=0)
+    out = cdc_chunk_documents(docs, mask_bits=2).collect()
+    assert {r["doc_id"] for r in out} == {1}  # zero-token doc absent
