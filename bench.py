@@ -424,6 +424,12 @@ def main() -> None:
     #   stream_click_purchase_join  ~2.6-4.5 s  (two-stream micro-batch
     #                               replay harness; isolated median 3.8 s,
     #                               sweep spread 2.6-7.1 s)
+    #   minhash_operating_points    ~14-25 s    (deliberately the most
+    #                               expensive key: FOUR banding self-joins
+    #                               + the exact prefix-Jaccard truth kernel
+    #                               per run — a one-off TUNING artifact,
+    #                               not a production-path cost; see
+    #                               RECALL.md round-8 table)
     headline_keys = [
         "ivf_search_nprobe1_cached",
         "topk768_expr",
