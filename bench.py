@@ -146,14 +146,35 @@ def _defense_plan(
 
 
 def _contention_guard(
-    n_adjudicated: int, n_keys: int, *, frac: float = 0.10, floor: int = 15
+    n_slow_adjudicated: int,
+    n_keys: int,
+    *,
+    frac: float = 0.10,
+    floor: int = 15,
 ) -> bool:
-    """True when a run adjudicated so many keys that the RUN ITSELF was
-    contended (module-docstring policy): past max(floor, frac*n_keys)
-    contested keys the defense is re-measuring a machine problem, not key
-    noise, and the artifact must not become the committed reference. The
-    r6 driver refresh adjudicated 31/228 — exactly this signature."""
-    return n_adjudicated > max(floor, int(frac * n_keys))
+    """True when a run adjudicated so many SLOWER-than-committed keys
+    that the RUN ITSELF was contended (module-docstring policy): past
+    max(floor, frac*n_keys) slow-deviant keys the defense is re-measuring
+    a machine problem, not key noise, and the artifact must not become
+    the committed reference. The r6 driver refresh had 31 slow-deviants
+    of 228 — exactly this signature. Only SLOW deviations count:
+    faster-than-committed adjudications mean the COMMITTED reference was
+    inflated (a prior contended refresh) and this quieter run is
+    restoring truth — the round-8 first run under the 1.25x band
+    adjudicated 55 keys, 42 of them FASTER, 13 slower: a quiet machine
+    correcting an inflated reference, not a contended one."""
+    return n_slow_adjudicated > max(floor, int(frac * n_keys))
+
+
+def _slow_adjudicated(adjudicated: dict, *, ratio: float = 1.25) -> int:
+    """Count adjudications whose SWEEP read slower than committed by
+    more than the band — the contention signature `_contention_guard`
+    keys on."""
+    return sum(
+        1
+        for a in adjudicated.values()
+        if a["sweep"] > a["committed"] * ratio
+    )
 
 
 def main() -> None:
@@ -367,11 +388,13 @@ def main() -> None:
     }
     if adjudicated:
         full["adjudicated"] = adjudicated
-        if _contention_guard(len(adjudicated), len(per_query)):
+        n_slow = _slow_adjudicated(adjudicated)
+        if _contention_guard(n_slow, len(per_query)):
             full["contention_warning"] = (
-                f"{len(adjudicated)}/{len(per_query)} keys adjudicated — "
-                "this RUN was contended; do NOT commit this artifact as "
-                "the quiet-machine reference (bench.py module policy)"
+                f"{n_slow}/{len(per_query)} keys adjudicated SLOWER than "
+                "committed — this RUN was contended; do NOT commit this "
+                "artifact as the quiet-machine reference (bench.py module "
+                "policy)"
             )
             print(
                 f"# WARNING: {full['contention_warning']}",

@@ -106,11 +106,23 @@ def test_defense_plan_routes_are_disjoint():
 
 def test_contention_guard_thresholds():
     """Module-policy guard: a run that adjudicates an outsized slice of
-    keys is itself contended and must stamp the artifact."""
-    from bench import _contention_guard
+    keys SLOWER than committed is itself contended and must stamp the
+    artifact; faster-than-committed adjudications never trip it."""
+    from bench import _contention_guard, _slow_adjudicated
 
     assert not _contention_guard(0, 228)
     assert not _contention_guard(15, 228)   # at the floor, not past it
     assert not _contention_guard(22, 228)   # 22 <= max(15, 22)
     assert _contention_guard(31, 228)       # the r6 driver-refresh case
     assert _contention_guard(16, 100)       # past the floor on small sweeps
+
+    # only slow deviations count toward the guard: a quiet run correcting
+    # an inflated committed reference adjudicates many FAST keys (r8 saw
+    # 42 fast / 13 slow of 55) and must not stamp the artifact
+    adj = {
+        "fast1": {"sweep": 0.5, "committed": 1.0, "isolated": 0.5},
+        "fast2": {"sweep": 0.7, "committed": 1.0, "isolated": 0.7},
+        "slow1": {"sweep": 1.5, "committed": 1.0, "isolated": 1.4},
+        "inband": {"sweep": 1.2, "committed": 1.0, "isolated": 1.1},
+    }
+    assert _slow_adjudicated(adj) == 1
