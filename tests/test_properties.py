@@ -308,3 +308,84 @@ def test_excise_spans_matches_python_reference(spark, n_tokens, raw_spans):
     expect = " ".join(t for i, t in enumerate(toks) if i not in cut)
     assert got[1] == expect
     assert got[2] == "untouched doc text"
+
+
+tok_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(tok_word, min_size=1, max_size=120),
+    prefix=st.lists(tok_word, min_size=0, max_size=5),
+)
+def test_cdc_chunks_reconstruct_and_resync_property(spark, toks, prefix):
+    """For ANY token list: CDC chunks tile the doc exactly, and a
+    prefix insertion preserves every chunk after the first boundary
+    (shift resistance — the content-defined contract)."""
+    from collections import Counter
+
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    base = " ".join(toks)
+    edited = " ".join(prefix + toks)
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunk_documents(docs, mask_bits=2).collect()
+    ch1 = sorted(
+        (r for r in rows if r["doc_id"] == 1), key=lambda r: r["chunk_ix"]
+    )
+    # lossless tiling
+    assert " ".join(r["chunk_text"] for r in ch1) == base
+    assert sum(r["n_chunk_tokens"] for r in ch1) == len(toks)
+    # shift resistance: doc2 = prefix ++ toks. Every chunk of doc1 that
+    # starts AFTER doc1's first boundary must also be a chunk of doc2
+    # (boundaries depend only on local content, so they re-align once
+    # past the edit region).
+    if len(ch1) > 1:
+        tail1 = Counter(r["chunk_hash"] for r in ch1[1:])
+        ch2 = Counter(
+            r["chunk_hash"] for r in rows if r["doc_id"] == 2
+        )
+        assert tail1 & ch2 == tail1, "a post-boundary chunk lost identity"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300
+    ),
+    pivot=st.integers(min_value=0, max_value=10_000),
+)
+def test_hll_split_merge_and_duplicate_invariance_property(
+    spark, keys, pivot
+):
+    """For ANY key multiset and ANY 2-way split: registers of the merge
+    equal registers of the whole; duplicating the input changes nothing
+    (the max-absorption that makes the streaming twin append-safe)."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_merge,
+    )
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    lo = df.filter(F.col("k") <= pivot)
+    hi = df.filter(F.col("k") > pivot)
+
+    def as_set(s):
+        return {tuple(r) for r in s.collect()}
+
+    whole = as_set(hll_build(df, "k", p=5))
+    parts = [p for p in (lo, hi) if p.count() > 0]
+    merged = as_set(hll_merge(*[hll_build(p, "k", p=5) for p in parts]))
+    assert merged == whole
+    doubled = as_set(hll_build(df.unionByName(df), "k", p=5))
+    assert doubled == whole
