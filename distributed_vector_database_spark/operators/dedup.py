@@ -650,20 +650,27 @@ def minhash_operating_points(
                 truth.agg(F.count("*").cast("long").alias("n_true"))
             )
         )
+        # 6dp ratio rounding in EXACT integer arithmetic ((2e6*num + den)
+        # div (2*den) = half-up of the exact rational): rounding the
+        # DOUBLE quotient diverges across engines when the exact value
+        # sits ON a 6dp boundary (the KN-ppl lesson, lm.py)
+        def ratio6(num: str, den: str):
+            return F.when(
+                F.col(den) > 0,
+                F.expr(
+                    f"(2000000 * {num} + {den}) div (2 * {den})"
+                ).cast("double")
+                / F.lit(1e6),
+            )
+
         row = counts.select(
             F.lit(num_hashes).cast("long").alias("num_hashes"),
             F.lit(bands).cast("long").alias("bands"),
             "n_candidates",
             "n_true",
             "n_hits",
-            F.when(
-                F.col("n_true") > 0,
-                F.round(F.col("n_hits") / F.col("n_true"), 6),
-            ).alias("recall"),
-            F.when(
-                F.col("n_candidates") > 0,
-                F.round(F.col("n_hits") / F.col("n_candidates"), 6),
-            ).alias("precision"),
+            ratio6("n_hits", "n_true").alias("recall"),
+            ratio6("n_hits", "n_candidates").alias("precision"),
         )
         out = row if out is None else out.unionByName(row)
     return out

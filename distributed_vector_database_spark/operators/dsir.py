@@ -267,8 +267,14 @@ def target_cross_entropy(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),
-            F.round(F.sum("nlp_micro") / F.count("*") / F.lit(1e6), 6).alias(
-                "xent"
-            ),
+            # exact-integer 6dp rounding (same hazard class as the LM
+            # rows: rounding the DOUBLE quotient diverges across engines
+            # when the exact rational sits ON a 6dp boundary)
+            (
+                F.expr(
+                    "(2 * sum(nlp_micro) + count(*)) div (2 * count(*))"
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("xent"),
         )
     )

@@ -34,6 +34,7 @@ from distributed_vector_database_spark.functions.text import tokens
 __all__ = [
     "bigram_counts",
     "doc_bigram_cross_entropy",
+    "doc_bigram_kn_cross_entropy",
     "source_unigram_kl",
 ]
 
@@ -138,7 +139,15 @@ def doc_bigram_cross_entropy(
             .alias("_mic"),
         )
     )
-    h = F.round((-F.col("_m") / F.lit(1e6)) / F.col("n_bigrams"), 6)
+    # 6dp rounding done in EXACT integer arithmetic: -_m (micro sum) and
+    # n_bigrams are integers, so h's correctly-rounded micro value is
+    # (2*(-_m) + n) div (2*n) — half-up on the exact rational. Rounding
+    # the double quotient instead diverges across engines when the exact
+    # value sits ON a 6dp boundary (found live: doc 488 at sf0.001,
+    # -m/n = 3.4223245 exactly — DuckDB ROUND said .422325, Spark round
+    # of the double said .422324).
+    h_mic = F.expr("(2 * (-_m) + n_bigrams) div (2 * n_bigrams)")
+    h = h_mic.cast("double") / F.lit(1e6)
     return (
         joined.groupBy(id_col)
         .agg(
@@ -202,5 +211,119 @@ def source_unigram_kl(
             F.col("n_s").cast("long").alias("n_tokens"),
             F.col("n_terms").cast("long").alias("n_terms"),
             F.round(F.col("_m") / F.lit(1e6), 6).alias("kl_nats"),
+        )
+    )
+
+
+def doc_bigram_kn_cross_entropy(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    *,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an INTERPOLATED KNESER-NEY bigram
+    LM (Kneser & Ney ICASSP'95; Chen & Goodman '98 eq. 4.26) — the
+    smoothing every serious count-based perplexity filter (KenLM/CCNet)
+    actually uses, next to `doc_bigram_cross_entropy`'s add-alpha form:
+
+      p(w2|w1) = max(c(w1,w2) - d, 0)/c(w1.)
+                 + d * N1+(w1.)/c(w1.) * Pcont(w2)       [seen context]
+      p(w2|w1) = Pcont(w2)                               [unseen context]
+      Pcont(w2) = (N1+(.w2) + 1) / (N1+(..) + V)
+
+    where N1+(w1.) = distinct continuations of w1, N1+(.w2) = distinct
+    left-contexts of w2, N1+(..) = distinct bigram types, V = unigram
+    vocabulary — the +1/+V on the continuation distribution is add-one
+    smoothing so held-out OOV words score the deterministic floor
+    instead of log(0) (documented deviation from textbook KN, which is
+    undefined off-vocabulary). Compared against an independent pure-
+    python reference in tests.
+
+    Every count is an exact integer; d=0.75 and the c-d differences are
+    binary-exact; per-bigram log-probs are rounded to integer MICROS and
+    summed as longs (the repo-wide float-sum-order rule), so the 6dp
+    result is engine- and partitioning-independent.
+
+    Scale: identical plan family to the add-alpha scorer — count tables
+    are |bigram-vocab|-sized partial aggregates, scoring is hash joins
+    on the n-gram key (AQE broadcasts while the LM is small), the two
+    scalars (N1+(..), V) enter as literals like the IVF centroids.
+    Output (id, n_bigrams, cross_entropy, ppl)."""
+    lm = lm_docs if lm_docs is not None else docs
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    c12 = bigram_counts(lm, text_col=text_col, id_col=id_col)
+    c1 = c12.groupBy("w1").agg(
+        F.sum("n").alias("c1"),
+        F.count("*").cast("long").alias("n1p_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n1p_back")
+    )
+    scalars = c12.agg(
+        F.count("*").cast("long").alias("nbig")
+    ).head()
+    nbig = int(scalars["nbig"])
+    v = int(
+        lm.select(F.explode(tokens(text_col)).alias("_t"))
+        .agg(F.countDistinct("_t"))
+        .head()[0]
+    )
+
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(_bigram_pairs(tokens(text_col))).alias("_bg"),
+    ).select(
+        id_col,
+        F.substring_index("_bg", " ", 1).alias("w1"),
+        F.substring_index("_bg", " ", -1).alias("w2"),
+    )
+    pcont = (
+        F.coalesce(F.col("n1p_back"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(nbig + v))
+    seen = F.col("c1").isNotNull()
+    p = F.when(
+        seen,
+        (
+            F.greatest(
+                F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            + F.lit(d) * F.col("n1p_fwd").cast("double") * pcont
+        )
+        / F.col("c1").cast("double"),
+    ).otherwise(pcont)
+    joined = (
+        bg.join(c12.withColumnRenamed("n", "c12"), ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(cont, "w2", "left")
+        .select(
+            F.col(id_col),
+            F.round(F.log(p) * F.lit(1e6)).cast("long").alias("_mic"),
+        )
+    )
+    # 6dp rounding done in EXACT integer arithmetic: -_m (micro sum) and
+    # n_bigrams are integers, so h's correctly-rounded micro value is
+    # (2*(-_m) + n) div (2*n) — half-up on the exact rational. Rounding
+    # the double quotient instead diverges across engines when the exact
+    # value sits ON a 6dp boundary (found live: doc 488 at sf0.001,
+    # -m/n = 3.4223245 exactly — DuckDB ROUND said .422325, Spark round
+    # of the double said .422324).
+    h_mic = F.expr("(2 * (-_m) + n_bigrams) div (2 * n_bigrams)")
+    h = h_mic.cast("double") / F.lit(1e6)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_mic").alias("_m"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            h.alias("cross_entropy"),
+            F.round(F.exp(h), 6).alias("ppl"),
         )
     )

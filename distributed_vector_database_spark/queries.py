@@ -5421,7 +5421,7 @@ nlp AS (SELECT u.bucket,
                           * 1e6) AS BIGINT) AS nlp_micro
         FROM u LEFT JOIN tc ON u.bucket = tc.bucket, tt)
 SELECT f.doc_id AS doc_id, count(*)::BIGINT AS n_feats,
-       ROUND(sum(nlp_micro) / count(*) / 1e6, 6) AS xent
+       ((2 * sum(nlp_micro) + count(*)) // (2 * count(*))) / 1e6 AS xent
 FROM f JOIN nlp ON f.bucket = nlp.bucket
 WHERE NOT (f.doc_id % 50 = 0)
 GROUP BY f.doc_id
@@ -6343,8 +6343,9 @@ term AS (
 agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(mic)::BIGINT AS m
         FROM term GROUP BY 1)
 SELECT doc_id, n_bigrams,
-       ROUND((-m / 1e6) / n_bigrams, 6) AS cross_entropy,
-       ROUND(exp(ROUND((-m / 1e6) / n_bigrams, 6)), 6) AS ppl
+       ((2 * (-m) + n_bigrams) // (2 * n_bigrams)) / 1e6 AS cross_entropy,
+       ROUND(exp(((2 * (-m) + n_bigrams) // (2 * n_bigrams)) / 1e6), 6)
+         AS ppl
 FROM agg
 """,
 )
@@ -6359,6 +6360,55 @@ def q_bigram_lm_ppl(spark, sf_dir):
 
     return doc_bigram_cross_entropy(
         _spread(_read(spark, sf_dir, "documents")), alpha=1.0
+    )
+
+
+@register(
+    "bigram_kn_ppl",
+    f"""
+WITH {_BG_CTE},
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_fwd
+       FROM c12 GROUP BY 1),
+cont AS (SELECT w2, count(*)::BIGINT AS n1p_back FROM c12 GROUP BY 1),
+s AS (SELECT ((SELECT count(*) FROM c12)
+        + (SELECT count(DISTINCT x)
+           FROM (SELECT unnest(t) AS x FROM toks)))::DOUBLE AS denom),
+term AS (
+  SELECT bg.doc_id,
+         round(ln(
+           (greatest(c12.c12 - 0.75, 0)
+            + 0.75 * c1.n1p_fwd
+              * ((cont.n1p_back + 1.0) / s.denom))
+           / c1.c1) * 1e6)::BIGINT AS mic
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+          JOIN cont USING (w2), s),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(mic)::BIGINT AS m
+        FROM term GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       ((2 * (-m) + n_bigrams) // (2 * n_bigrams)) / 1e6 AS cross_entropy,
+       ROUND(exp(((2 * (-m) + n_bigrams) // (2 * n_bigrams)) / 1e6), 6)
+         AS ppl
+FROM agg
+""",
+)
+def q_bigram_kn_ppl(spark, sf_dir):
+    """Per-doc cross-entropy/perplexity under an INTERPOLATED KNESER-NEY
+    bigram LM (`lm.doc_bigram_kn_cross_entropy`, d=0.75, add-one
+    continuation floor) — the smoothing KenLM/CCNet filters actually
+    use, next to `bigram_lm_ppl`'s add-alpha rung; proven against an
+    independent python reference in tests/test_lm_tokenizer.py. All
+    counts exact integers; the c-0.75 differences are binary-exact;
+    per-bigram log-probs round to integer micros and sum as longs, so
+    the 6dp result survives any partial-agg order. Same plan family:
+    |bigram-vocab| count tables, hash joins on the n-gram key, two
+    literal scalars."""
+    from distributed_vector_database_spark.operators.lm import (
+        doc_bigram_kn_cross_entropy,
+    )
+
+    return doc_bigram_kn_cross_entropy(
+        _spread(_read(spark, sf_dir, "documents")), discount=0.75
     )
 
 
@@ -9856,9 +9906,12 @@ truth AS (SELECT da, db FROM cpair
 base AS ({' UNION ALL '.join(selects)})
 SELECT num_hashes, bands, n_candidates, n_true, n_hits,
        CASE WHEN n_true > 0
-            THEN round(n_hits * 1.0 / n_true, 6) END AS recall,
+            THEN ((2000000 * n_hits + n_true) // (2 * n_true)) / 1e6
+       END AS recall,
        CASE WHEN n_candidates > 0
-            THEN round(n_hits * 1.0 / n_candidates, 6) END AS "precision"
+            THEN ((2000000 * n_hits + n_candidates)
+                  // (2 * n_candidates)) / 1e6
+       END AS "precision"
 FROM base
 """
 

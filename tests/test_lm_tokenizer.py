@@ -198,3 +198,85 @@ def test_segment_word_always_reconstructs(word, pairs):
 @settings(max_examples=100, deadline=None)
 def test_segment_word_no_merges_is_chars(word):
     assert segment_word(word, {}) == list(word) + [END_TOKEN]
+
+
+def test_kn_cross_entropy_matches_python_reference(spark):
+    """Interpolated KN with add-one continuation, checked bigram-by-bigram
+    against an independent pure-python implementation (incl. micro
+    rounding), on a corpus with seen/discounted/backed-off cases."""
+    import math
+    from collections import Counter
+
+    from distributed_vector_database_spark.operators.lm import (
+        doc_bigram_kn_cross_entropy,
+    )
+
+    lm_texts = ["a b a c a b", "b c a b d", "d a c"]
+    score_texts = {10: "a b c", 11: "a q b", 12: "z z"}
+    lm = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lm_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        list(score_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in doc_bigram_kn_cross_entropy(docs, lm).collect()
+    }
+
+    # independent reference
+    d = 0.75
+    bigrams = Counter()
+    for t in lm_texts:
+        w = t.split()
+        bigrams.update(zip(w, w[1:]))
+    c1 = Counter()
+    n1p_fwd = Counter()
+    n1p_back = Counter()
+    for (w1, w2), n in bigrams.items():
+        c1[w1] += n
+        n1p_fwd[w1] += 1
+        n1p_back[w2] += 1
+    nbig = len(bigrams)
+    vocab = {w for t in lm_texts for w in t.split()}
+    v = len(vocab)
+
+    def p(w1, w2):
+        pc = (n1p_back.get(w2, 0) + 1) / (nbig + v)
+        if w1 not in c1:
+            return pc
+        return (
+            max(bigrams.get((w1, w2), 0) - d, 0.0)
+            + d * n1p_fwd[w1] * pc
+        ) / c1[w1]
+
+    for did, text in score_texts.items():
+        w = text.split()
+        mics = [round(math.log(p(a, b)) * 1e6) for a, b in zip(w, w[1:])]
+        h = round((-sum(mics) / 1e6) / len(mics), 6)
+        assert got[did]["n_bigrams"] == len(mics)
+        assert got[did]["cross_entropy"] == h, (did, got[did], h)
+        assert got[did]["ppl"] == round(math.exp(h), 6)
+
+
+def test_kn_prefers_in_distribution_text(spark):
+    """The quality-filter contract: text drawn from the LM's distribution
+    scores lower perplexity than the same tokens in scrambled order."""
+    from distributed_vector_database_spark.operators.lm import (
+        doc_bigram_kn_cross_entropy,
+    )
+
+    base = ("the cat sat on the mat and the dog sat on the rug " * 8).strip()
+    toks = base.split()
+    scrambled = " ".join(
+        toks[i] for i in sorted(range(len(toks)), key=lambda i: (i * 37) % len(toks))
+    )
+    lm = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, base), (2, scrambled)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in doc_bigram_kn_cross_entropy(docs, lm).collect()
+    }
+    assert got[1] < got[2]
