@@ -33,6 +33,8 @@ __all__ = [
     "euclidean_distance",
     "squared_euclidean",
     "round_score",
+    "ratio_6dp_exact",
+    "micros_mean_6dp_exact",
 ]
 
 
@@ -127,3 +129,43 @@ def round_score(c: Column, digits: int = 6) -> Column:
     vectors) while keeping 6 significant decimals of the score.
     """
     return F.round(c, digits)
+
+
+def ratio_6dp_exact(num_col: str, den_col: str) -> Column:
+    """Half-away-from-zero 6dp rounding of an integer ratio num/den
+    (den > 0) in EXACT 64-bit arithmetic:
+    sign(num) * (2e6*|num| + den) div (2*den), then /1e6.
+
+    Why not ``F.round(num/den, 6)``: when the exact rational sits ON a
+    6dp boundary the nearest double is fractionally off it, and Spark's
+    round of that double disagrees with DuckDB's ROUND (which rounds the
+    shortest decimal repr) — found live on bigram_kn_ppl (doc 488,
+    exactly 3.4223245). Takes column NAMES because exactness needs the
+    JVM's integer ``div``, reachable only through an expr string. Both
+    engines mirror: ``sign(num) * ((2000000*abs(num) + den) // (2*den))
+    / 1e6`` (all operands must stay non-negative inside the div so
+    Spark's truncate-toward-zero and DuckDB's floor agree)."""
+    return (
+        F.expr(
+            f"sign({num_col}) * ((2000000 * abs(cast({num_col} AS bigint))"
+            f" + {den_col}) div (2 * {den_col}))"
+        ).cast("double")
+        / F.lit(1e6)
+    )
+
+
+def micros_mean_6dp_exact(sum_micros_col: str, cnt_col: str) -> Column:
+    """Half-away-from-zero 6dp mean of an exact integer-micro sum:
+    round(sum/cnt) micros, computed as
+    sign(sum) * (2*|sum| + cnt) div (2*cnt), then /1e6 — the
+    exact-integer twin of ``F.round(sum/cnt/1e6, 6)`` (same boundary
+    hazard as :func:`ratio_6dp_exact`). DuckDB mirror:
+    ``sign(s) * ((2*abs(s) + n) // (2*n)) / 1e6``."""
+    return (
+        F.expr(
+            f"sign({sum_micros_col}) *"
+            f" ((2 * abs(cast({sum_micros_col} AS bigint)) + {cnt_col})"
+            f" div (2 * {cnt_col}))"
+        ).cast("double")
+        / F.lit(1e6)
+    )

@@ -34,6 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.vector import (
+    ratio_6dp_exact,
+)
 from distributed_vector_database_spark.functions.text import (
     tokens,
     word_shingles_arrow,
@@ -488,8 +491,13 @@ def doc_boilerplate_frac(
         .agg(
             F.count("*").alias("n_shingles"),
             boiler.alias("n_boiler"),
-            F.round(
-                boiler.cast("double") / F.count("*"), 6
-            ).alias("boiler_frac"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_boiler",
+            # exact-integer 6dp (boundary-safe across engines, see
+            # functions.vector.ratio_6dp_exact)
+            ratio_6dp_exact("n_boiler", "n_shingles").alias("boiler_frac"),
         )
     )

@@ -23,6 +23,10 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.vector import (
+    micros_mean_6dp_exact,
+)
+
 from distributed_vector_database_spark.operators.topk import batch_topk
 
 __all__ = [
@@ -312,11 +316,10 @@ def label_prototypes(
         for i in range(dim)
     ]
     agg = emb.groupBy(label_col).agg(F.count("*").alias("_n"), *sums)
+    # exact-integer 6dp per component (boundary-safe across engines,
+    # see functions.vector.micros_mean_6dp_exact)
     proto = F.array(
-        *[
-            F.round(F.col(f"_s{i}") / F.col("_n") / F.lit(1e6), 6)
-            for i in range(dim)
-        ]
+        *[micros_mean_6dp_exact(f"_s{i}", "_n") for i in range(dim)]
     )
     return agg.select(F.col(label_col), proto.alias("prototype"))
 

@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from distributed_vector_database_spark.functions.vector import (
+    ratio_6dp_exact,
+)
 from distributed_vector_database_spark.functions.text import (
     tokens,
     doc_fingerprint,
@@ -423,9 +426,9 @@ def oov_rates(
             id_col,
             "n_tokens",
             "n_oov",
-            F.round(
-                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
-            ).alias("oov_rate"),
+            # exact-integer 6dp (boundary-safe across engines, see
+            # functions.vector.ratio_6dp_exact)
+            ratio_6dp_exact("n_oov", "n_tokens").alias("oov_rate"),
         )
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from distributed_vector_database_spark.functions.vector import (
     cosine_similarity,
     l2_norm,
+    micros_mean_6dp_exact,
     round_score,
 )
 from distributed_vector_database_spark.operators.topk import topk, batch_topk
@@ -2843,7 +2844,9 @@ def q_stream_tumbling_counts(spark, sf_dir):
     "udaf_mean_cents_by_type",
     """
 SELECT event_type,
-       ROUND(sum(round(value * 100)) / count(*), 6) AS mean_cents
+       sign(sum(round(value * 100)))
+         * ((2000000 * abs(sum(round(value * 100))::BIGINT) + count(*))
+            // (2 * count(*))) / 1e6 AS mean_cents
 FROM events GROUP BY event_type
 """,
 )
@@ -2856,13 +2859,18 @@ def q_udaf_mean_cents_by_type(spark, sf_dir):
     # under postponed annotations with a function-local pandas import
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def mean_cents(v):
-        cents = (v * 100).round().astype("int64")
-        return float(cents.sum()) / float(len(cents))
+        # exact-integer 6dp half-away rounding in python ints (the
+        # ratio_6dp_exact convention — rounding the float quotient
+        # diverges across engines ON a 6dp boundary)
+        s = int((v * 100).round().astype("int64").sum())
+        n = len(v)
+        sign = -1 if s < 0 else 1
+        return sign * ((2_000_000 * abs(s) + n) // (2 * n)) / 1e6
 
     spark.udf.register("mean_cents", mean_cents)
     ev = _read(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(mean_cents(F.col("value")), 6).alias("mean_cents")
+        mean_cents(F.col("value")).alias("mean_cents")
     )
 
 
@@ -4013,7 +4021,8 @@ x AS (
   JOIN assign a ON e.vec_id = a.vec_id
   CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t)
 SELECT shard_id, pos::BIGINT AS pos,
-       ROUND(sum(vmic) / count(*) / 1e6, 6) AS mean_val
+       sign(sum(vmic)) * ((2 * abs(sum(vmic))::BIGINT + count(*))
+                          // (2 * count(*))) / 1e6 AS mean_val
 FROM x GROUP BY shard_id, pos
 """,
 )
@@ -4047,9 +4056,13 @@ def q_ivf_centroid_update(spark, sf_dir):
         )
         .groupBy("shard_id", "pos")
         .agg(
-            F.round(
-                F.sum("vmic") / F.count("*") / F.lit(1e6), 6
-            ).alias("mean_val")
+            F.sum("vmic").alias("_s"), F.count("*").alias("_n")
+        )
+        .select(
+            "shard_id",
+            "pos",
+            # exact-integer 6dp (boundary-safe across engines)
+            micros_mean_6dp_exact("_s", "_n").alias("mean_val"),
         )
     )
 
@@ -4736,8 +4749,8 @@ j AS (SELECT d.doc_id, v.term IS NOT NULL AS iv
       FROM terms d LEFT JOIN vocab v ON d.term = v.term)
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
        sum(CASE WHEN iv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
-       ROUND(sum(CASE WHEN iv THEN 0 ELSE 1 END)::DOUBLE / count(*), 6)
-         AS oov_rate
+       ((2000000 * sum(CASE WHEN iv THEN 0 ELSE 1 END)::BIGINT
+          + count(*)) // (2 * count(*))) / 1e6 AS oov_rate
 FROM j GROUP BY doc_id
 """,
 )
@@ -4952,7 +4965,9 @@ WITH x AS (SELECT e.label, t.pos,
                     AS vmic
            FROM embeddings e
            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) t),
-p AS (SELECT label, pos, ROUND(sum(vmic) / count(*) / 1e6, 6) AS m
+p AS (SELECT label, pos,
+             sign(sum(vmic)) * ((2 * abs(sum(vmic))::BIGINT + count(*))
+                                // (2 * count(*))) / 1e6 AS m
       FROM x GROUP BY label, pos),
 pr AS (SELECT label, list(m ORDER BY pos) AS proto FROM p GROUP BY label)
 SELECT e.vec_id AS vec_id, e.label AS label,
@@ -6517,8 +6532,8 @@ freq AS (SELECT source, shingle, count(DISTINCT doc_id)::BIGINT AS nd
          FROM bsh GROUP BY 1, 2)
 SELECT doc_id, count(*)::BIGINT AS n_shingles,
        sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
-       ROUND(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
-         AS boiler_frac
+       ((2000000 * sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END)::BIGINT
+          + count(*)) // (2 * count(*))) / 1e6 AS boiler_frac
 FROM bsh JOIN freq USING (source, shingle)
 GROUP BY doc_id
 """,

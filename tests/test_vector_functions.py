@@ -143,3 +143,54 @@ def test_l2_normalize_unit_norm_and_zero_guard(spark):
     assert norms[2] == 0.0  # zero vector passes through
     row = {r["vec_id"]: r["embedding"] for r in out.collect()}
     assert row[1] == [0.6, 0.8]
+
+
+def test_exact_6dp_rounding_on_boundaries(spark):
+    """The bigram_kn_ppl incident class: exact rationals ON a 6dp
+    boundary must round half-away-from-zero identically in Spark and
+    DuckDB. 232718066/68 micros = 3.4223245 exactly — the double is
+    fractionally BELOW, so float rounding says .422324; the exact
+    integer form must say .422325 in both engines."""
+    import duckdb
+
+    from distributed_vector_database_spark.functions.vector import (
+        micros_mean_6dp_exact,
+        ratio_6dp_exact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (232718066, 68),     # exact boundary (the live incident)
+            (-232718066, 68),    # negative twin: half-away -> -3.422325
+            (1, 3),              # plain value: 0.333333
+            (0, 5),              # zero
+            (1, 1600000),        # ratio boundary: 0.625e-6 -> 0.000001
+        ],
+        "s long, n long",
+    )
+    got = df.select(
+        micros_mean_6dp_exact("s", "n").alias("mean6"),
+        ratio_6dp_exact("s", "n").alias("ratio6"),
+    ).collect()
+    assert [r["mean6"] for r in got] == [
+        3.422325,
+        -3.422325,
+        0.0,
+        0.0,
+        0.0,
+    ]
+    assert got[2]["ratio6"] == 0.333333
+    assert got[4]["ratio6"] == 1e-06  # 1/1.6e6 = 0.000000625 -> .000001
+
+    # DuckDB mirror agrees bit-for-bit on every case
+    con = duckdb.connect()
+    duck = con.sql(
+        """
+        SELECT sign(s) * ((2 * abs(s) + n) // (2 * n)) / 1e6 AS mean6,
+               sign(s) * ((2000000 * abs(s) + n) // (2 * n)) / 1e6 AS ratio6
+        FROM (VALUES (232718066::BIGINT, 68::BIGINT),
+                     (-232718066, 68), (1, 3), (0, 5), (1, 1600000)) t(s, n)
+        """
+    ).fetchall()
+    assert [d[0] for d in duck] == [r["mean6"] for r in got]
+    assert [d[1] for d in duck] == [r["ratio6"] for r in got]
