@@ -1740,3 +1740,53 @@ def excise_spans(
         for c in docs.columns
     ]
     return docs.join(spans, id_col, "left").select(*out_cols)
+
+
+def cdc_chunk_dup_flags(
+    docs: DataFrame,
+    *,
+    mask_bits: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-pass CHUNK-level dup decision without pair mining — the
+    content-defined-chunking member of the owner-screen family
+    (`minhash_bucket_dup_flags` for whole docs, `winnow_owner_dup_flags`
+    for substrings): every CDC chunk hash (`chunking.cdc_chunk_documents`)
+    is owned by the LOWEST doc id containing it; a doc is flagged when at
+    least ``min_shared`` of its chunks are owned by smaller ids. Because
+    CDC boundaries survive edits, a revised copy of an earlier doc still
+    flags on its unchanged chunks — the property fixed-window chunk
+    hashing loses.
+
+    ``(id, n_chunks, n_owned_elsewhere, is_chunk_dup)``. Order-free
+    (ownership is a corpus min), so the same decision is computable
+    incrementally (`streaming.docs.stream_cdc_chunk_dedup`) and by a SQL
+    oracle. Scale: ownership is partial-agg ``groupBy(hash).agg(min)``
+    + join-back on the uniform md5 key — no window (a ubiquitous chunk
+    collapses map-side; the round-7 de-skew rule), no pair fan-out. Docs
+    with zero tokens are absent (no chunks).
+    """
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    # two consumers (owner agg + join probe) — cache(), not checkpoint:
+    # corpus-scale frame, evictable (same policy as winnow_owner_dup_flags)
+    ch = cdc_chunk_documents(
+        docs, mask_bits=mask_bits, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), "chunk_hash").cache()
+    owners = ch.groupBy("chunk_hash").agg(F.min(id_col).alias("_owner"))
+    lost = F.sum(
+        F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+    )
+    return (
+        ch.join(owners, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            lost.cast("long").alias("n_owned_elsewhere"),
+            (lost >= min_shared).alias("is_chunk_dup"),
+        )
+    )

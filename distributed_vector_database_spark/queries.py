@@ -10145,6 +10145,90 @@ def q_cdc_chunk_dedup_stats(spark, sf_dir):
     )
 
 
+_CDC_FLAGS_SQL = f"""
+WITH {_TOKS_CTE},
+tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+bs AS (SELECT doc_id, t, n,
+         list_prepend(1, list_transform(
+           list_filter(range(1, n + 1),
+             p -> p < n AND
+                  ('0x' || substr(md5('c:' || t[p]), 1, 12))::BIGINT
+                    % 16 = 0),
+           p -> p + 1)) AS starts
+       FROM tt),
+ch AS (SELECT doc_id,
+         md5(array_to_string(
+           t[u.c.s : coalesce(starts[u.c.ix + 2] - 1, n)], ' ')) AS h
+       FROM bs, unnest(list_transform(starts,
+              (s, i) -> {{'ix': i - 1, 's': s}})) AS u(c)),
+own AS (SELECT h, min(doc_id) AS owner FROM ch GROUP BY 1)
+SELECT ch.doc_id AS doc_id, count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN own.owner < ch.doc_id THEN 1 ELSE 0 END)::BIGINT
+         AS n_owned_elsewhere,
+       (sum(CASE WHEN own.owner < ch.doc_id THEN 1 ELSE 0 END) >= 1)
+         AS is_chunk_dup
+FROM ch JOIN own USING (h)
+GROUP BY ch.doc_id
+"""
+
+
+@register("cdc_chunk_dup_flags", _CDC_FLAGS_SQL)
+def q_cdc_chunk_dup_flags(spark, sf_dir):
+    """Chunk-level dup DECISION without pair mining
+    (`dedup.cdc_chunk_dup_flags`): every CDC chunk hash owned by the
+    lowest doc id containing it; a doc flags when >= 1 of its chunks is
+    owned by a smaller id — the owner-screen rule at storage granularity
+    (the minhash/winnow screens' CDC sibling). Edit-stable: a revised
+    copy still flags on its unchanged chunks. Plan: narrow chunker, one
+    partial-agg min on the uniform md5 key + join-back — no window, no
+    pair fan-out."""
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_chunk_dup_flags,
+    )
+
+    return cdc_chunk_dup_flags(
+        _spread(_read(spark, sf_dir, "documents")), mask_bits=4
+    )
+
+
+_CDC_STATE_CACHE: dict[str, str] = {}
+
+
+@register("stream_cdc_chunk_dup_flags", _CDC_FLAGS_SQL)
+def q_stream_cdc_chunk_dup_flags(spark, sf_dir):
+    """The STREAM-maintained twin of `cdc_chunk_dup_flags`
+    (`streaming.docs.stream_cdc_chunk_dedup`): the corpus replayed as
+    id-ordered micro-batches against an incremental (chunk_hash ->
+    lowest owner) index — the live dedup-store directory. For ordered
+    arrival the accumulated decisions equal the batch form under any
+    chunking of the stream, so the oracle is the same batch SQL. Ingest
+    runs once per process; repeat calls read the maintained state
+    (`read_cdc_flags`)."""
+    from distributed_vector_database_spark.streaming.docs import (
+        read_cdc_flags,
+        read_document_stream,
+        stream_cdc_chunk_dedup,
+    )
+
+    state = _CDC_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        out = read_cdc_flags(spark, state)
+    else:
+        import tempfile
+
+        d = _ordered_two_chunk_replay_dir(spark, sf_dir)
+        state = tempfile.mkdtemp(prefix="dvdb_cdcstate_")
+        out = stream_cdc_chunk_dedup(
+            read_document_stream(spark, d, max_files_per_trigger=1),
+            state,
+            mask_bits=4,
+        )
+        _CDC_STATE_CACHE[sf_dir] = state
+    return out.select(
+        "doc_id", "n_chunks", "n_owned_elsewhere", "is_chunk_dup"
+    )
+
+
 @register("minhash_operating_points", _minhash_op_points_sql())
 def q_minhash_operating_points(spark, sf_dir):
     """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —

@@ -48,6 +48,9 @@ __all__ = [
     "stream_winnow_dedup",
     "read_winnow_flags",
     "read_fp_owners",
+    "stream_cdc_chunk_dedup",
+    "read_chunk_owners",
+    "read_cdc_flags",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -377,4 +380,135 @@ def read_winnow_flags(
         raw.groupBy(id_col)
         .agg(F.max(F.struct(latest_key.alias("batch"), *val_cols)).alias("_latest"))
         .select(id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols])
+    )
+
+
+def stream_cdc_chunk_dedup(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    mask_bits: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental CHUNK-level dedup: the streaming twin of
+    `dedup.cdc_chunk_dup_flags`. Maintained state = the (chunk_hash ->
+    lowest owner id) index — the live dedup-store directory a
+    storage-granularity pipeline keeps; because CDC boundaries survive
+    edits, a revised re-upload of an earlier doc still flags on its
+    unchanged chunks as it streams in.
+
+    Identical protocol to `stream_winnow_dedup` (per-batch: chunk ->
+    owner = min(prior, batch min) -> flags; per-batch overwrite dirs for
+    decisions, duplicate owner appends absorbed by the min()
+    merge-on-read), so it inherits the same at-least-once safety and the
+    same ordered-arrival equivalence: for doc-id-ordered arrival the
+    accumulated decisions equal the batch form under ANY chunking of the
+    stream.
+    """
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    spark = doc_stream.sparkSession
+    owners_path = os.path.join(state_dir, "chunk_owners")
+    flags_path = os.path.join(state_dir, "cdc_flags")
+    ckpt_path = os.path.join(state_dir, "_cdc_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ch = (
+            cdc_chunk_documents(
+                batch_df,
+                mask_bits=mask_bits,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .select(F.col(id_col), "chunk_hash")
+            .cache()
+        )
+        batch_min = ch.groupBy("chunk_hash").agg(
+            F.min(id_col).alias("owner")
+        )
+        prior = read_chunk_owners(spark, state_dir)
+        owner = (
+            batch_min.withColumnRenamed("owner", "_bmin")
+            .join(
+                prior.withColumnRenamed("owner", "_prior"),
+                "chunk_hash",
+                "left",
+            )
+            .select(
+                "chunk_hash",
+                F.least(
+                    F.col("_bmin"),
+                    F.coalesce(F.col("_prior"), F.col("_bmin")),
+                ).alias("_owner"),
+            )
+        )
+        lost = F.sum(
+            F.when(F.col("_owner") < F.col(id_col), 1).otherwise(0)
+        )
+        flags = (
+            ch.join(owner, "chunk_hash")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("long").alias("n_chunks"),
+                lost.cast("long").alias("n_owned_elsewhere"),
+                (lost >= min_shared).alias("is_chunk_dup"),
+            )
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_path, f"batch={batch_id}")
+        )
+        batch_min.write.mode("append").parquet(owners_path)
+        ch.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_cdc_flags(spark, state_dir)
+
+
+def read_chunk_owners(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge-on-read (chunk_hash, owner) index: min over the appended
+    batch minima; empty frame before the first batch."""
+    owners_path = os.path.join(state_dir, "chunk_owners")
+    if not os.path.exists(owners_path):
+        return spark.createDataFrame(
+            [], "chunk_hash string, owner long"
+        )
+    return (
+        spark.read.parquet(owners_path)
+        .groupBy("chunk_hash")
+        .agg(F.min("owner").alias("owner"))
+    )
+
+
+def read_cdc_flags(
+    spark: SparkSession, state_dir: str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Accumulated per-doc chunk-dup decisions; keeps the LATEST decision
+    per doc (max batch id, cast to long — the read_winnow_flags
+    partition-type guard)."""
+    flags_path = os.path.join(state_dir, "cdc_flags")
+    raw = spark.read.parquet(flags_path)
+    val_cols = [c for c in raw.columns if c not in (id_col, "batch")]
+    latest_key = F.col("batch").cast("long")
+    return (
+        raw.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(latest_key.alias("batch"), *val_cols)
+            ).alias("_latest")
+        )
+        .select(
+            id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols]
+        )
     )

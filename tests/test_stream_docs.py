@@ -228,3 +228,46 @@ def test_read_winnow_flags_dedupes_redelivered_docs(spark, tmp_path):
     assert got[7]["is_span_dup"] is True  # the max-batch decision wins
     assert got[7]["n_owned_elsewhere"] == 3
     assert got[1]["is_span_dup"] is False and got[9]["is_span_dup"] is False
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stream_cdc_chunk_equals_batch_flags(documents, tmp_path, n_chunks):
+    """The incremental chunk-hash owner index reproduces the batch CDC
+    dup decision exactly for id-ordered arrival, any chunking — and a
+    re-delivered owner partial (at-least-once) does not move it."""
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_chunk_dup_flags,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_cdc_flags,
+        stream_cdc_chunk_dedup,
+    )
+
+    docs = documents.limit(200)
+    d = str(tmp_path / f"creplay{n_chunks}")
+    os.makedirs(d)
+    _write_chunks(docs, n_chunks, d)
+    state = str(tmp_path / f"cstate{n_chunks}")
+    out = stream_cdc_chunk_dedup(
+        read_document_stream(
+            docs.sparkSession, d, max_files_per_trigger=1
+        ),
+        state,
+        mask_bits=4,
+    )
+    batch = cdc_chunk_dup_flags(docs, mask_bits=4)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # at-least-once: re-append one batch's owner minima — min() absorbs
+    ch = cdc_chunk_documents(docs.limit(50), mask_bits=4)
+    ch.groupBy("chunk_hash").agg(
+        F.min("doc_id").alias("owner")
+    ).write.mode("append").parquet(f"{state}/chunk_owners")
+    again = read_cdc_flags(docs.sparkSession, state)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
