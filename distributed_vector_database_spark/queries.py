@@ -10229,6 +10229,79 @@ def q_stream_cdc_chunk_dup_flags(spark, sf_dir):
     )
 
 
+_KMV_STATE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_kmv_distinct_users",
+    """
+WITH d AS (SELECT DISTINCT user_id FROM events),
+h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+               / 281474976710656.0 AS _h
+      FROM d),
+r AS (SELECT _h, row_number() OVER (ORDER BY _h ASC) AS _rn FROM h),
+a AS (SELECT count(*) AS _ns,
+             max(CASE WHEN _rn = 64 THEN _h END) AS _hk
+      FROM r WHERE _rn <= 64)
+SELECT (CASE WHEN _ns < 64 THEN _ns
+             ELSE round(63.0 / _hk)::BIGINT END)::BIGINT AS kmv_distinct,
+       (SELECT count(DISTINCT user_id)::BIGINT FROM events)
+         AS exact_distinct
+FROM a
+""",
+)
+def q_stream_kmv_distinct_users(spark, sf_dir):
+    """The STREAM-maintained KMV distinct sketch
+    (`streaming.events.stream_kmv_values`) — with this row every member
+    of the mergeable sketch family has a streaming twin (CMS/HDR sums,
+    HLL max, KMV k-smallest). Per-batch k-smallest partials are PLAIN
+    APPENDS (distinct-union merge is idempotent — same delivery story as
+    the HLL twin); the merged top-k equals the batch sketch for ANY
+    chunking because every global k-smallest hash is in its own batch's
+    k-smallest. Estimator is the SKETCH-ONLY form (n < k -> exact n,
+    else (k-1)/h_k — the classic KMV rule; unlike `kmv_distinct`'s
+    full-data `_nd` it never peeks past the sketch, which is all a
+    stream ever has). Exact count rides alongside. Ingest once per
+    process; repeat calls read the maintained state."""
+    import tempfile
+
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        read_kmv,
+        stream_kmv_values,
+    )
+
+    state = _KMV_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        sketch = read_kmv(spark, state, k=64)
+    else:
+        d = _STREAM_INPUT_CACHE.get(f"{sf_dir}#full")
+        if d is None:
+            src = _read(spark, sf_dir, "events")
+            d = tempfile.mkdtemp(prefix="dvdb_streamfull_")
+            src.repartition(4).write.mode("overwrite").parquet(d)
+            _STREAM_INPUT_CACHE[f"{sf_dir}#full"] = d
+        state = tempfile.mkdtemp(prefix="dvdb_kmvstate_")
+        sketch = stream_kmv_values(
+            read_event_stream(spark, d, max_files_per_trigger=2),
+            state,
+            key_col="user_id",
+            k=64,
+        )
+        _KMV_STATE_CACHE[sf_dir] = state
+    agg = sketch.agg(
+        F.count("*").alias("_ns"),
+        F.max(F.col("_h")).alias("_hmax"),
+    )
+    est = F.when(F.col("_ns") < 64, F.col("_ns").cast("long")).otherwise(
+        F.round(F.lit(63.0) / F.col("_hmax")).cast("long")
+    )
+    exact = _read(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return agg.select(est.alias("kmv_distinct")).crossJoin(exact)
+
+
 @register("minhash_operating_points", _minhash_op_points_sql())
 def q_minhash_operating_points(spark, sf_dir):
     """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —

@@ -581,3 +581,70 @@ def read_hll(
         .groupBy(*groups, "reg")
         .agg(F.max("rank").alias("rank"))
     )
+
+
+def stream_kmv_values(
+    event_stream: DataFrame,
+    state_dir: str,
+    *,
+    key_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Incrementally-maintained KMV distinct sketch over an event stream —
+    the last member of the streaming sketch family (CMS sums, HDR sums,
+    HLL max, now KMV k-smallest): each micro-batch APPENDS its
+    batch-local k smallest distinct hash fractions; the merged view keeps
+    the k smallest distinct values over all partials. Like the HLL twin,
+    the merge (distinct union + top-k) is IDEMPOTENT, so plain appends
+    are at-least-once safe with no overwrite protocol — a re-delivered
+    partial is absorbed by the distinct.
+
+    Correctness: every one of the GLOBAL k smallest hashes is among its
+    own batch's k smallest, so the merged top-k equals the batch-built
+    sketch exactly for ANY chunking. Returns the merged sketch after
+    running the stream to completion; live pipelines read
+    :func:`read_kmv`.
+    """
+    import os
+
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_sketch,
+    )
+
+    spark = event_stream.sparkSession
+    vals_path = os.path.join(state_dir, "kmv_values")
+    ckpt_path = os.path.join(state_dir, "_kmv_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_sketch(batch_df, key_col, k=k).write.mode("append").parquet(
+            vals_path
+        )
+
+    q = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_kmv(spark, state_dir, k=k)
+
+
+def read_kmv(
+    spark: SparkSession, state_dir: str, *, k: int = 64
+) -> DataFrame:
+    """Merge-on-read KMV sketch: k smallest DISTINCT hash fractions over
+    every appended partial (TakeOrderedAndProject — never a global
+    sort)."""
+    import os
+
+    vals_path = os.path.join(state_dir, "kmv_values")
+    return (
+        spark.read.parquet(vals_path)
+        .select("_h")
+        .distinct()
+        .orderBy(F.asc("_h"))
+        .limit(k)
+    )

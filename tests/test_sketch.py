@@ -662,3 +662,39 @@ def test_stream_hll_equals_batch_and_tolerates_redelivery(spark, tmp_path):
         f"{state}/hll_registers"
     )
     assert as_set(read_hll(spark, state)) == as_set(batch)
+
+
+def test_stream_kmv_equals_batch_and_tolerates_redelivery(spark, tmp_path):
+    """Stream-maintained k-smallest == one-shot batch sketch for any
+    chunking (every global k-smallest hash is in its batch's top-k), and
+    a re-delivered partial is absorbed by the distinct-union merge."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_sketch,
+    )
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        read_kmv,
+        stream_kmv_values,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    state = str(tmp_path / "state")
+    streamed = stream_kmv_values(
+        read_event_stream(spark, src, max_files_per_trigger=1),
+        state,
+        key_col="user_id",
+        k=32,
+    )
+    batch = kmv_sketch(ev, "user_id", k=32)
+
+    def as_list(s):
+        return sorted(r["_h"] for r in s.collect())
+
+    assert as_list(streamed) == as_list(batch)
+    # at-least-once: append one batch's partial again — distinct absorbs
+    kmv_sketch(ev.limit(40), "user_id", k=32).write.mode(
+        "append"
+    ).parquet(f"{state}/kmv_values")
+    assert as_list(read_kmv(spark, state, k=32)) == as_list(batch)
