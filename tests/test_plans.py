@@ -192,3 +192,42 @@ def test_grouped_topk_single_scan(spark):
     # rank <= 3 is pushed below the shuffle: each partition pre-truncates
     # to its local per-label top-3 before exchanging
     assert "WindowGroupLimit" in txt.split("Exchange")[1], txt
+
+
+def test_cdc_owner_screen_plan_shape(spark, documents):
+    """The round-7 de-skew rule holds for the CDC owner screen: ownership
+    is a partial-agg groupBy + join-back, never a window; and the CDC
+    chunker itself plans with NO Exchange before the chunk rows exist
+    (pure narrow array work)."""
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_chunk_dup_flags,
+    )
+    from distributed_vector_database_spark.plans.inspect import plan_text
+
+    chunk_plan = plan_text(cdc_chunk_documents(documents, mask_bits=4))
+    assert "Exchange" not in chunk_plan, "CDC chunker must be shuffle-free"
+    assert "Window" not in chunk_plan
+
+    flags_plan = plan_text(cdc_chunk_dup_flags(documents, mask_bits=4))
+    assert "Window" not in flags_plan, "ownership regressed to a window"
+    assert (
+        "partial_min" in flags_plan
+        or "partial min" in flags_plan.lower()
+    )
+
+
+def test_hll_register_plan_is_partial_agg(spark, documents):
+    """HLL registers must be a map-side-combined max aggregate (a
+    ubiquitous key collapses before the shuffle) — no window, one
+    exchange."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+    )
+    from distributed_vector_database_spark.plans.inspect import plan_text
+
+    plan = plan_text(hll_build(documents, "doc_id", p=8))
+    assert "Window" not in plan
+    assert "partial_max" in plan or "partial max" in plan.lower()
