@@ -802,7 +802,11 @@ def hll_estimate(
         )
     ).cast("long")
     agg = sketch.groupBy(*groups).agg(
-        s.alias("_s"), F.count("*").cast("long").alias("_nreg")
+        # coalesce: an EMPTY ungrouped sketch still yields one global-agg
+        # row (sum=NULL, count=0) — it must estimate 0, not NULL (with
+        # _s=0 and v=m the linear-count branch gives m*ln(m/m) = 0)
+        F.coalesce(s, F.lit(0).cast("long")).alias("_s"),
+        F.count("*").cast("long").alias("_nreg"),
     )
     v = F.lit(m).cast("long") - F.col("_nreg")
     raw = F.lit(hll_alpha_numerator(p)) / (

@@ -641,9 +641,14 @@ def read_kmv(
     import os
 
     vals_path = os.path.join(state_dir, "kmv_values")
+    try:
+        raw = spark.read.parquet(vals_path)
+    except Exception:
+        # no batch has landed yet — empty sketch (same guard as
+        # read_bucket_owners / read_fp_owners)
+        return spark.createDataFrame([], "_h double")
     return (
-        spark.read.parquet(vals_path)
-        .select("_h")
+        raw.select("_h")
         .distinct()
         .orderBy(F.asc("_h"))
         .limit(k)

@@ -698,3 +698,19 @@ def test_stream_kmv_equals_batch_and_tolerates_redelivery(spark, tmp_path):
         "append"
     ).parquet(f"{state}/kmv_values")
     assert as_list(read_kmv(spark, state, k=32)) == as_list(batch)
+
+
+def test_hll_and_kmv_empty_state_edges(spark, tmp_path):
+    """An empty HLL sketch estimates 0 (not NULL); reading KMV stream
+    state before any batch yields an empty sketch (not an error)."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+    from distributed_vector_database_spark.streaming.events import read_kmv
+
+    empty = spark.createDataFrame([], "k long")
+    est = hll_estimate(hll_build(empty, "k", p=6), p=6).collect()
+    assert len(est) == 1 and est[0]["hll_distinct"] == 0.0
+    sk = read_kmv(spark, str(tmp_path / "nostate"), k=8)
+    assert sk.count() == 0
