@@ -1790,3 +1790,88 @@ def cdc_chunk_dup_flags(
             (lost >= min_shared).alias("is_chunk_dup"),
         )
     )
+
+
+def cdc_shared_chunk_pairs(
+    docs: DataFrame,
+    *,
+    mask_bits: int = 4,
+    max_df: int = 10,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document PAIRS sharing >= ``min_shared`` content-defined chunks —
+    the pair-evidence complement of `cdc_chunk_dup_flags` (which only
+    says "someone smaller owns my chunks", this says WHO): partial-copy
+    and shared-boilerplate detection at storage granularity, edit-stable
+    because CDC chunk identities survive revisions.
+
+    Returns (doc_id_a, doc_id_b, n_shared, containment) where
+    ``n_shared`` counts shared DISTINCT chunk hashes and ``containment``
+    = n_shared / min(|chunks_a|, |chunks_b|) (6dp, exact-integer
+    rounding) — 1.0 means the smaller doc's chunk set is entirely inside
+    the larger's (the verbatim-subset signal).
+
+    Scale shape: chunk hashes with document frequency > ``max_df`` are
+    dropped BEFORE the self-join (a boilerplate chunk would contribute
+    df^2/2 pairs), so per-chunk pair work is bounded by max_df^2 — the
+    same bounded-block discipline as `shared_span_pairs` and the
+    MinHash/SimHash candidate generators. Per-doc chunk sets are
+    DISTINCT (within-doc repeats collapse), so containment is a set
+    measure. The frequent chunks the cap drops are exactly what the
+    owner SCREEN already flags — the two operators split the work:
+    screen for ubiquitous content, pairs for targeted provenance.
+    """
+    from distributed_vector_database_spark.functions.vector import (
+        ratio_6dp_exact,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    # three consumers (df filter + both join sides) + the per-doc size
+    # frame — cache() the distinct (doc, hash) set (corpus-scale,
+    # evictable; same policy as the other screens)
+    ch = (
+        cdc_chunk_documents(
+            docs, mask_bits=mask_bits, text_col=text_col, id_col=id_col
+        )
+        .select(F.col(id_col), "chunk_hash")
+        .distinct()
+        .cache()
+    )
+    sizes = ch.groupBy(id_col).agg(F.count("*").alias("_nc"))
+    keep = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("chunk_hash")
+    )
+    kept = ch.join(keep, "chunk_hash")
+    a = kept.select(F.col("chunk_hash"), F.col(id_col).alias("doc_id_a"))
+    b = kept.select(F.col("chunk_hash"), F.col(id_col).alias("doc_id_b"))
+    pairs = (
+        a.join(b, "chunk_hash")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_id_a"), F.col("_nc").alias("_na")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_id_b"), F.col("_nc").alias("_nb")
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("_mn", F.least("_na", "_nb"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_shared",
+            ratio_6dp_exact("n_shared", "_mn").alias("containment"),
+        )
+    )

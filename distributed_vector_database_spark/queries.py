@@ -10302,6 +10302,57 @@ def q_stream_kmv_distinct_users(spark, sf_dir):
     return agg.select(est.alias("kmv_distinct")).crossJoin(exact)
 
 
+@register(
+    "cdc_shared_chunk_pairs",
+    f"""
+WITH {_TOKS_CTE},
+tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+bs AS (SELECT doc_id, t, n,
+         list_prepend(1, list_transform(
+           list_filter(range(1, n + 1),
+             p -> p < n AND
+                  ('0x' || substr(md5('c:' || t[p]), 1, 12))::BIGINT
+                    % 16 = 0),
+           p -> p + 1)) AS starts
+       FROM tt),
+ch AS (SELECT DISTINCT doc_id,
+         md5(array_to_string(
+           t[u.c.s : coalesce(starts[u.c.ix + 2] - 1, n)], ' ')) AS h
+       FROM bs, unnest(list_transform(starts,
+              (s, i) -> {{'ix': i - 1, 's': s}})) AS u(c)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS nc FROM ch GROUP BY 1),
+keep AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= 10),
+kept AS (SELECT ch.doc_id, ch.h FROM ch JOIN keep USING (h)),
+pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 count(*)::BIGINT AS n_shared
+          FROM kept a JOIN kept b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 1)
+SELECT pairs.da AS doc_id_a, pairs.db AS doc_id_b, pairs.n_shared,
+       ((2000000 * pairs.n_shared + least(sa.nc, sb.nc))
+        // (2 * least(sa.nc, sb.nc))) / 1e6 AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = pairs.da
+           JOIN sizes sb ON sb.doc_id = pairs.db
+""",
+)
+def q_cdc_shared_chunk_pairs(spark, sf_dir):
+    """Document pairs sharing content-defined chunks
+    (`dedup.cdc_shared_chunk_pairs`, max_df=10) — partial-copy
+    provenance at storage granularity, the WHO to the owner screen's
+    that-someone-owns-it; containment = shared / min chunk-set size
+    (exact-integer 6dp), 1.0 = the smaller doc's chunks are a subset.
+    df-capped before the self-join (bounded-block discipline: a
+    boilerplate chunk never fans out; the screen covers that regime)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_shared_chunk_pairs,
+    )
+
+    return cdc_shared_chunk_pairs(
+        _spread(_read(spark, sf_dir, "documents")), mask_bits=4, max_df=10
+    )
+
+
 @register("minhash_operating_points", _minhash_op_points_sql())
 def q_minhash_operating_points(spark, sf_dir):
     """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —

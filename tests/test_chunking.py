@@ -171,3 +171,40 @@ def test_cdc_mask_bits_guard_and_empty_docs(spark):
         cdc_chunk_documents(docs, mask_bits=0)
     out = cdc_chunk_documents(docs, mask_bits=2).collect()
     assert {r["doc_id"] for r in out} == {1}  # zero-token doc absent
+
+
+def test_cdc_shared_chunk_pairs_semantics(spark):
+    """A doc containing a verbatim block of another pairs with it at
+    containment 1.0 when the smaller doc's chunks are a subset; unrelated
+    docs never pair; a chunk shared by > max_df docs is dropped before
+    the self-join (bounded-block discipline)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_shared_chunk_pairs,
+    )
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(200))
+    rows = [
+        (1, base),
+        (2, base + " tail0 tail1 tail2"),   # superset of doc 1's content
+        (3, "solo3a solo3b solo3c solo3d"),  # unrelated
+    ]
+    # 12 docs all sharing one boilerplate block -> its chunks exceed
+    # max_df=10 and must NOT fan out into pairs
+    boiler = " ".join(f"bp{i}" for i in range(40))
+    rows += [(10 + i, boiler) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_id_a"], r["doc_id_b"]): r
+        for r in cdc_shared_chunk_pairs(
+            docs, mask_bits=4, max_df=10
+        ).collect()
+    }
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    # doc 1's chunk set is contained in doc 2's (the suffix can only
+    # perturb doc 2's LAST chunk, which doc 1 may or may not share)
+    assert r["containment"] >= 0.9
+    assert all(3 not in p for p in out)
+    assert not any(a >= 10 or b >= 10 for a, b in out), (
+        "df-capped boilerplate chunks fanned out into pairs"
+    )
