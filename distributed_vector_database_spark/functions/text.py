@@ -25,6 +25,7 @@ __all__ = [
     "word_shingles_arrow",
     "normalize_ws",
     "doc_fingerprint",
+    "doc_fingerprint_alnum",
     "md5_hash",
     "minhash_value",
 ]
@@ -125,3 +126,18 @@ def minhash_value(shingle: Column, seed: int) -> Column:
     murmur variants.
     """
     return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+def doc_fingerprint_alnum(text: Column | str) -> Column:
+    """Punctuation-insensitive content fingerprint: lower -> strip every
+    non-[a-z0-9 whitespace] char -> collapse whitespace -> trim -> md5.
+    Catches the trivially-reformatted exact copies (`"Hello, world!"` ==
+    `"hello world"`) that the whitespace-only `doc_fingerprint` misses —
+    the aggressive normalization rung real pipelines run FIRST, before
+    any near-dup machinery. DuckDB mirror:
+    ``md5(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9\\s]+', '', 'g'), '\\s+', ' ', 'g')))``."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]+", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.md5(F.trim(c))

@@ -10353,6 +10353,50 @@ def q_cdc_shared_chunk_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_exact_alnum",
+    """
+WITH h AS (SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]+', '', 'g'), '\\s+', ' ', 'g'))) AS hh
+           FROM documents),
+g AS (SELECT hh, min(doc_id) AS rep, count(*)::BIGINT AS n
+      FROM h GROUP BY 1)
+SELECT h.doc_id AS doc_id, g.rep AS rep_doc_id, g.n AS dup_count,
+       h.doc_id <> g.rep AS is_dropped
+FROM h JOIN g USING (hh)
+""",
+)
+def q_dedup_exact_alnum(spark, sf_dir):
+    """Punctuation-insensitive EXACT dedup
+    (`functions.text.doc_fingerprint_alnum`: lower, strip non-alnum,
+    collapse whitespace, md5) — the aggressive-normalization rung real
+    pipelines run before any near-dup machinery: `"Hello, world!"` and
+    `"hello world"` collapse to one fingerprint where the
+    whitespace-only `dedup_exact` keeps both. Keep-lowest-id per group;
+    (doc_id, rep_doc_id, dup_count, is_dropped). One partial-agg hash
+    shuffle + join-back on the md5 key — flat at 100 TB like every
+    owner screen."""
+    from distributed_vector_database_spark.functions.text import (
+        doc_fingerprint_alnum,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    h = docs.select(
+        F.col("doc_id"), doc_fingerprint_alnum("text").alias("hh")
+    )
+    g = h.groupBy("hh").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").cast("long").alias("dup_count"),
+    )
+    return h.join(g, "hh").select(
+        "doc_id",
+        "rep_doc_id",
+        "dup_count",
+        (F.col("doc_id") != F.col("rep_doc_id")).alias("is_dropped"),
+    )
+
+
 @register("minhash_operating_points", _minhash_op_points_sql())
 def q_minhash_operating_points(spark, sf_dir):
     """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —

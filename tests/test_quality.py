@@ -611,3 +611,30 @@ def test_minhash_operating_points_exact_dups_and_bounds(spark):
         assert r["recall"] == 1.0
         assert r["n_hits"] <= r["n_candidates"]
         assert 0.0 <= r["precision"] <= 1.0
+
+
+def test_alnum_fingerprint_collapses_reformatted_copies(spark):
+    """'Hello, world!' == 'hello world' under the alnum fingerprint but
+    NOT under the whitespace-only one; distinct content never collides."""
+    from distributed_vector_database_spark.functions.text import (
+        doc_fingerprint,
+        doc_fingerprint_alnum,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, world!"),
+            (2, "hello   world"),
+            (3, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        doc_fingerprint("text").alias("ws"),
+        doc_fingerprint_alnum("text").alias("al"),
+    ).collect()
+    ws = {r["doc_id"]: r["ws"] for r in rows}
+    al = {r["doc_id"]: r["al"] for r in rows}
+    assert al[1] == al[2] and ws[1] != ws[2]
+    assert al[3] not in (al[1],)
