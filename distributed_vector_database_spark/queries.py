@@ -10397,6 +10397,130 @@ def q_dedup_exact_alnum(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_modality_agreement",
+    f"""
+WITH {_SHINGLE_CTE},
+eh AS (SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]+', '', 'g'), '\\s+', ' ', 'g'))) AS hh
+       FROM documents),
+eg AS (SELECT hh, min(doc_id) AS rep FROM eh GROUP BY 1),
+ef AS (SELECT eh.doc_id, eh.doc_id <> eg.rep AS fx
+       FROM eh JOIN eg USING (hh)),
+ex2 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id,
+        {', '.join(f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(8))}
+        FROM ex2 GROUP BY doc_id),
+banded AS (SELECT doc_id, md5(mh0 || mh1 || mh2 || mh3) AS band0,
+                  md5(mh4 || mh5 || mh6 || mh7) AS band1 FROM sig),
+st AS (SELECT doc_id, 0 AS band_ix, band0 AS bv FROM banded
+       UNION ALL
+       SELECT doc_id, 1 AS band_ix, band1 AS bv FROM banded),
+mown AS (SELECT band_ix, bv, min(doc_id) AS owner FROM st GROUP BY 1, 2),
+mf AS (SELECT st.doc_id,
+              max(CASE WHEN mown.owner < st.doc_id THEN 1 ELSE 0 END) = 1
+                AS fm
+       FROM st JOIN mown USING (band_ix, bv) GROUP BY st.doc_id),
+tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+bs AS (SELECT doc_id, t, n,
+         list_prepend(1, list_transform(
+           list_filter(range(1, n + 1),
+             p -> p < n AND
+                  ('0x' || substr(md5('c:' || t[p]), 1, 12))::BIGINT
+                    % 16 = 0),
+           p -> p + 1)) AS starts
+       FROM tt),
+cch AS (SELECT doc_id,
+         md5(array_to_string(
+           t[u.c.s : coalesce(starts[u.c.ix + 2] - 1, n)], ' ')) AS h
+        FROM bs, unnest(list_transform(starts,
+               (s, i) -> {{'ix': i - 1, 's': s}})) AS u(c)),
+cown AS (SELECT h, min(doc_id) AS owner FROM cch GROUP BY 1),
+cf AS (SELECT cch.doc_id,
+              max(CASE WHEN cown.owner < cch.doc_id THEN 1 ELSE 0 END) = 1
+                AS fc
+       FROM cch JOIN cown USING (h) GROUP BY cch.doc_id),
+j AS (SELECT ef.doc_id, ef.fx,
+             coalesce(mf.fm, false) AS fm,
+             coalesce(cf.fc, false) AS fc
+      FROM ef LEFT JOIN mf USING (doc_id) LEFT JOIN cf USING (doc_id))
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN fx THEN 1 ELSE 0 END)::BIGINT AS flagged_exact,
+       sum(CASE WHEN fm THEN 1 ELSE 0 END)::BIGINT AS flagged_minhash,
+       sum(CASE WHEN fc THEN 1 ELSE 0 END)::BIGINT AS flagged_cdc,
+       sum(CASE WHEN fx AND fm THEN 1 ELSE 0 END)::BIGINT
+         AS exact_and_minhash,
+       sum(CASE WHEN fx AND fc THEN 1 ELSE 0 END)::BIGINT AS exact_and_cdc,
+       sum(CASE WHEN fm AND fc THEN 1 ELSE 0 END)::BIGINT
+         AS minhash_and_cdc,
+       sum(CASE WHEN fx AND fm AND fc THEN 1 ELSE 0 END)::BIGINT
+         AS all_three
+FROM j
+""",
+)
+def q_dedup_modality_agreement(spark, sf_dir):
+    """The dedup-modality dashboard in one row: how many docs each
+    keep-lowest-id screen flags — punctuation-insensitive EXACT
+    (`doc_fingerprint_alnum`), near-dup MinHash-LSH buckets
+    (`minhash_bucket_dup_flags`, 8 hashes / 2 bands), and
+    content-defined CHUNK overlap (`cdc_chunk_dup_flags`) — plus every
+    pairwise overlap and the triple intersection. The containment chain
+    the counts should (and at sf0.01 do) respect: an exact copy shares
+    all chunks and all bands, so exact ⊆ the others up to banding
+    probability; the gaps BETWEEN the counts are each modality's
+    exclusive catch (reformatting → exact-alnum only; partial copies →
+    CDC only; fuzzy rewrites → MinHash only). Plan: three independent
+    owner screens (each one partial-agg min + join-back on an md5 key)
+    + two doc-keyed left joins + one global rollup — no pair fan-out
+    anywhere, flat at 100 TB."""
+    from distributed_vector_database_spark.functions.text import (
+        doc_fingerprint_alnum,
+    )
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_chunk_dup_flags,
+        minhash_bucket_dup_flags,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    h = docs.select(
+        F.col("doc_id"), doc_fingerprint_alnum("text").alias("hh")
+    )
+    g = h.groupBy("hh").agg(F.min("doc_id").alias("rep"))
+    ef = h.join(g, "hh").select(
+        "doc_id", (F.col("doc_id") != F.col("rep")).alias("fx")
+    )
+    mf = minhash_bucket_dup_flags(docs, num_hashes=8, bands=2).select(
+        "doc_id", F.col("is_dup").alias("fm")
+    )
+    cf = cdc_chunk_dup_flags(docs, mask_bits=4).select(
+        "doc_id", F.col("is_chunk_dup").alias("fc")
+    )
+    j = (
+        ef.join(mf, "doc_id", "left")
+        .join(cf, "doc_id", "left")
+        .select(
+            "fx",
+            F.coalesce("fm", F.lit(False)).alias("fm"),
+            F.coalesce("fc", F.lit(False)).alias("fc"),
+        )
+    )
+
+    def cnt(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cnt(F.col("fx"), "flagged_exact"),
+        cnt(F.col("fm"), "flagged_minhash"),
+        cnt(F.col("fc"), "flagged_cdc"),
+        cnt(F.col("fx") & F.col("fm"), "exact_and_minhash"),
+        cnt(F.col("fx") & F.col("fc"), "exact_and_cdc"),
+        cnt(F.col("fm") & F.col("fc"), "minhash_and_cdc"),
+        cnt(F.col("fx") & F.col("fm") & F.col("fc"), "all_three"),
+    )
+
+
 @register("minhash_operating_points", _minhash_op_points_sql())
 def q_minhash_operating_points(spark, sf_dir):
     """The LSH banding TUNING curve as a driver row (VERDICT r7 item 6 —
