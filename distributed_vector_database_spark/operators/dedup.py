@@ -311,11 +311,30 @@ def minhash_band_buckets(
     shared front half of pair mining (`minhash_candidate_pairs`), bucket
     dup-flagging (`minhash_bucket_dup_flags`), and the streaming index
     (`streaming.docs.stream_minhash_dedup`)."""
-    assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sig = minhash_signatures(
         docs, num_hashes, n=n, text_col=text_col, id_col=id_col
     )
+    return _band_buckets_from_signatures(sig, num_hashes, bands, id_col=id_col)
+
+
+def _band_buckets_from_signatures(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band-bucket membership derived from an EXISTING signature frame
+    (``(id, mh0..mh{k-1})`` with ``k >= num_hashes``). Because hash j is
+    seed-indexed (``minhash_value(sg, j)`` — the seed is part of the
+    hashed bytes), the first ``num_hashes`` columns of a wider signature
+    frame are bit-identical to a ``minhash_signatures(docs, num_hashes)``
+    run, so one corpus pass at ``max(num_hashes)`` can serve every
+    narrower config by slicing (VERDICT r8 item 2: the operating-point
+    audit was paying the shingle-explode-groupBy corpus pass once PER
+    config)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
     band_cols = [
         F.md5(
             F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)])
@@ -407,6 +426,16 @@ def minhash_candidate_pairs(
     stacked = minhash_band_buckets(
         docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
     )
+    return _candidate_pairs_from_buckets(stacked, id_col=id_col)
+
+
+def _candidate_pairs_from_buckets(
+    stacked: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """The banding self-join half of `minhash_candidate_pairs`, taking a
+    pre-built ``(id, band_ix, bv)`` bucket frame so callers that already
+    hold one (the operating-point audit slicing a shared signature frame)
+    skip the corpus pass."""
     a, b = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -618,12 +647,18 @@ def minhash_operating_points(
 
     Truth = `jaccard_pairs_prefix(threshold)` — exact by the prefix
     theorem, sub-quadratic, computed ONCE and checkpointed (it is a
-    pairs-at-threshold frame: small, every config reads it). Per config
-    the candidate frame is consumed once (a single left join carries
-    both the candidate count and the hit count), so nothing corpus-scale
-    is pinned. Scale: the expensive inputs are the banding self-joins
-    the production flags pay anyway; the audit adds one broadcast join
-    per config against the small truth frame.
+    pairs-at-threshold frame: small, every config reads it). The corpus
+    signature pass (shingle explode + groupBy min) ALSO runs once, at
+    ``max(num_hashes)``, and is cached: hash j is seed-indexed, so every
+    config's bands derive from column slices of that one frame,
+    bit-identical to a per-config run (`_band_buckets_from_signatures` —
+    VERDICT r8 item 2; the previous form paid the corpus pass once per
+    config, 4x here). Per config the candidate frame is consumed once
+    (a single left join carries both the candidate count and the hit
+    count), so nothing corpus-scale is pinned beyond the one evictable
+    cached signature frame. Scale: one corpus pass + per-config banding
+    self-joins (the cost its production flags pay anyway) + one
+    broadcast join per config against the small truth frame.
     """
     truth = (
         jaccard_pairs_prefix(
@@ -633,10 +668,20 @@ def minhash_operating_points(
         .localCheckpoint(eager=True)
     )
     t_marked = truth.withColumn("_t", F.lit(1))
+    sig = minhash_signatures(
+        docs,
+        max(nh for nh, _ in configs),
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    ).cache()
     out = None
     for num_hashes, bands in configs:
-        cand = minhash_candidate_pairs(
-            docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
+        cand = _candidate_pairs_from_buckets(
+            _band_buckets_from_signatures(
+                sig, num_hashes, bands, id_col=id_col
+            ),
+            id_col=id_col,
         )
         counts = (
             cand.join(

@@ -10538,76 +10538,75 @@ def q_minhash_operating_points(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 8).
+# Registration-order rotation (round 9).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-8 window = ROADMAP's
-# round-8 ```next-window``` ledger (the 5 round-7 registrations never
-# driver-verified, fronted) + the first 45 round-3 subsystem-guard names
-# (CORRECTNESS_r03 order) per the round-robin refresh schedule (ROADMAP.md
-# "Rotation re-verification schedule"): r8 = r3 guards, r9 = r5 names,
-# repeat. The 5 round-3 names that don't fit (returned_item_customers,
-# important_part_values, top_supplier_revenue, promotion_part_suppliers,
-# ivf_recall_curve) are refresh-only displacements — they stay driver-green
-# on their r3 rows and rejoin the cycle later.
+# each round rotates a window to the front. This round-9 window = ROADMAP's
+# round-9 ```next-window``` ledger (the 12 round-8 registrations never
+# driver-verified, fronted) + the first 38 round-5 window names
+# (CORRECTNESS_r05 order) per the round-robin refresh schedule (ROADMAP.md
+# "Rotation re-verification schedule"): r9 = r5 names, repeat. The 12
+# round-5 names that don't fit (retention_cohorts .. stream_sliding_counts)
+# are refresh-only displacements — they stay driver-green on their r5 rows
+# and rejoin the cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 9 before any refresh names.
+# ```next-window``` block so they front round 10 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 5 round-7 registrations never driver-verified (fronted) ---
-    "w2v_doc_embed_transform",
-    "winnow_screen_dedup_stats",
-    "minhash_jaccard_estimate",
-    "minhash_band_bucket_stats",
-    "bloom_screened_decontaminate_stats",
-    # --- round-robin refresh: the first 45 round-3 subsystem-guard names,
-    # in their CORRECTNESS_r03 order (rotation schedule, ROADMAP.md) ---
-    "ivfpq_residual_search",
-    "opq_rotated_adc_topk",
-    "binary_rerank_search",
-    "matryoshka_rerank_search",
-    "knn_graph_exact",
-    "ivf_shard_rebalance",
-    "bm25_topk",
-    "late_interaction_search",
-    "hybrid_search_rrf",
-    "doc_chunks",
-    "chunk_search_hashed",
-    "semantic_dedup",
-    "minhash_dedup_flags",
-    "stream_minhash_dedup_flags",
-    "dedup_simhash_pairs",
-    "dedup_keep_best",
-    "paragraph_dedup_stats",
-    "snm_candidate_pairs",
-    "fuzzy_dup_pairs",
-    "bigram_lm_ppl",
-    "bpe_pair_counts",
-    "doc_perplexity_filter",
-    "stream_bigram_lm_counts",
-    "merge_into_orders",
-    "mor_upsert_read",
-    "mor_delete_read",
-    "mor_changes_feed",
-    "mor_time_travel",
-    "sqlite_store_scan",
-    "sqlite_store_point_lookup",
-    "footer_minmax_stats",
-    "dq_violations_report",
+    # --- the 12 round-8 registrations never driver-verified (fronted) ---
+    "w2v_ivf_search",
+    "hll_distinct_users_by_type",
+    "stream_hll_distinct_users",
+    "cdc_chunk_dedup_stats",
+    "bigram_kn_ppl",
+    "cdc_chunk_dup_flags",
+    "stream_cdc_chunk_dup_flags",
+    "stream_kmv_distinct_users",
+    "cdc_shared_chunk_pairs",
+    "dedup_exact_alnum",
+    "dedup_modality_agreement",
+    "minhash_operating_points",
+    # --- round-robin refresh: the first 38 round-5 window names,
+    # in their CORRECTNESS_r05 order (rotation schedule, ROADMAP.md) ---
     "dq_quarantined_events",
-    "sole_failing_suppliers",
-    "supplier_diversity_by_part",
-    "priority_shipping_split",
-    "disjunctive_brand_revenue",
-    "idle_rich_customers",
-    "customer_order_distribution",
-    "small_quantity_part_revenue",
-    "nation_market_share",
-    "volume_shipping",
-    "promo_revenue_monthly",
-    "min_cost_supplier",
-    "nation_profit_by_year",
+    "sq8_encode_recon",
+    "sq8_adc_topk",
+    "sq8_rerank_topk",
+    "ivf_sq8_search",
+    "binary_hamming_topk",
+    "knn_triangle_stats",
+    "knn_two_hop_reach",
+    "hard_negatives_join_topk",
+    "hard_negative_mining",
+    "purchase_negative_samples",
+    "label_prototype_cos",
+    "ann_lsh_ndcg",
+    "diversified_topk",
+    "embedding_drift",
+    "vector_dim_stats",
+    "pii_redaction_stats",
+    "doc_oov_rate",
+    "dsir_log_weights",
+    "dsir_gumbel_sample",
+    "temperature_lang_mix",
+    "source_unigram_kl",
+    "boilerplate_report",
+    "doc_boilerplate_frac",
+    "repeated_span_report",
+    "doc_repeated_span_stats",
+    "pmi_top_pairs",
+    "corpus_card",
+    "multimodal_frame_sample",
+    "asof_next_purchase_after_click",
+    "event_grouping_sets",
+    "click_purchase_reconcile",
+    "value_range_window",
+    "hourly_gap_fill",
+    "value_quartiles_by_type",
+    "user_value_ewma",
+    "event_zscore_outliers",
+    "conversion_funnel",
 ]
 
 

@@ -613,6 +613,31 @@ def test_minhash_operating_points_exact_dups_and_bounds(spark):
         assert 0.0 <= r["precision"] <= 1.0
 
 
+def test_band_buckets_from_sliced_signatures_bit_identical(spark):
+    """The shared-signature optimization (VERDICT r8 item 2) must be a
+    pure refactor: buckets derived by slicing a 16-hash signature frame
+    == buckets from a direct 8-hash run, row for row (hash j is
+    seed-indexed, so mh0..mh7 of the wide frame ARE the 8-hash frame)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        _band_buckets_from_signatures,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    rows = [
+        (i, f"tok{i} tok{i + 1} tok{i + 2} tok{i % 7} shared alpha beta")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = minhash_signatures(docs, 16)
+    for num_hashes, bands in ((8, 2), (8, 4), (16, 4)):
+        direct = minhash_band_buckets(docs, num_hashes, bands)
+        sliced = _band_buckets_from_signatures(wide, num_hashes, bands)
+        a = sorted(map(tuple, direct.collect()))
+        b = sorted(map(tuple, sliced.collect()))
+        assert a == b, (num_hashes, bands)
+
+
 def test_alnum_fingerprint_collapses_reformatted_copies(spark):
     """'Hello, world!' == 'hello world' under the alnum fingerprint but
     NOT under the whitespace-only one; distinct content never collides."""
