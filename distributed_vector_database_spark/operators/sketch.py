@@ -758,7 +758,16 @@ def hll_merge(
     """Fold register frames: union + max per register. Associative,
     commutative AND idempotent — folding the same partial twice is a
     no-op, so at-least-once delivery needs no overwrite protocol. Same
-    grouped-sketch guard as the other mergeable families."""
+    grouped-sketch guard as the other mergeable families.
+
+    Callers MUST merge sketches built with the SAME ``p`` — the register
+    schema carries no p, so a mixed-p merge cannot be detected here
+    (register ids from a larger p simply overlap the smaller range).
+    :func:`hll_estimate` raises at execution time when it sees a
+    register id >= 2^p (a larger-p sketch leaked in); the converse
+    (merging a SMALLER-p sketch into a larger-p estimate) is
+    undetectable by construction — keep p with the state directory, as
+    `streaming.events.stream_hll_counts` does."""
     if not sketches:
         raise ValueError("hll_merge needs at least one sketch")
     groups = group_cols or []
@@ -786,36 +795,54 @@ def hll_estimate(
     correction: raw = alpha*m^2 / sum(2^-rank_j) over ALL m registers
     (absent register = rank 0 contributes 1); if raw <= 2.5m and empty
     registers V > 0, estimate = m * ln(m/V). The register sum is the
-    exact integer sum(2^(49-rank)) (<= 2^56) scaled by 2^49, so the only
-    float steps are one division, one ln, and the 6dp round —
-    deterministic and oracle-bit-comparable. Relative error ~1.04/sqrt(m)
-    (~6.5% at p=8). Register-sized work: one <=2^p-row aggregate per
-    group."""
+    exact integer sum(2^(49-rank)) scaled by 2^49, accumulated as
+    DECIMAL(38,0) — at p=16 the sum alone can reach 2^64 and the
+    empty-register term 2^65, both past int64 (a long accumulator wraps
+    negative under non-ANSI Spark while the DuckDB mirror errors —
+    ADVICE r8) — so the only float steps are one division, one ln, and
+    the 6dp round: deterministic and oracle-bit-comparable for every p
+    in hll_build's [4, 16]. Relative error ~1.04/sqrt(m) (~6.5% at
+    p=8). Register-sized work: one <=2^p-row aggregate per group.
+
+    Raises (at execution time) when the sketch holds a register id
+    >= 2^p: that sketch was built with a larger p than the estimate was
+    asked for — the mixed-p merge hll_merge cannot see."""
     m = 1 << p
     groups = group_cols or []
     two49 = 1 << _HLL_MAX_RANK
+    dec = "decimal(38,0)"
     s = F.sum(
         F.call_function(
             "shiftleft",
             F.lit(1).cast("long"),
             F.lit(_HLL_MAX_RANK) - F.col("rank"),
-        )
-    ).cast("long")
+        ).cast(dec)
+    )
     agg = sketch.groupBy(*groups).agg(
         # coalesce: an EMPTY ungrouped sketch still yields one global-agg
         # row (sum=NULL, count=0) — it must estimate 0, not NULL (with
         # _s=0 and v=m the linear-count branch gives m*ln(m/m) = 0)
-        F.coalesce(s, F.lit(0).cast("long")).alias("_s"),
+        F.coalesce(s, F.lit(0).cast(dec)).alias("_s"),
         F.count("*").cast("long").alias("_nreg"),
+        F.max("reg").alias("_maxreg"),
     )
     v = F.lit(m).cast("long") - F.col("_nreg")
     raw = F.lit(hll_alpha_numerator(p)) / (
-        F.col("_s") + v * F.lit(two49).cast("long")
+        F.col("_s") + v.cast(dec) * F.lit(two49).cast(dec)
     ).cast("double")
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
-    return agg.select(
-        *groups, F.round(est, 6).alias("hll_distinct")
-    )
+    guarded = F.when(
+        F.col("_maxreg") >= F.lit(m),
+        F.raise_error(
+            F.format_string(
+                "hll_estimate(p=%s): register id %s >= 2^p — sketch was "
+                "built (or merged) with a larger p",
+                F.lit(str(p)),
+                F.col("_maxreg").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.round(est, 6))
+    return agg.select(*groups, guarded.alias("hll_distinct"))

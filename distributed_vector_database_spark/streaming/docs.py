@@ -496,8 +496,16 @@ def read_cdc_flags(
 ) -> DataFrame:
     """Accumulated per-doc chunk-dup decisions; keeps the LATEST decision
     per doc (max batch id, cast to long — the read_winnow_flags
-    partition-type guard)."""
+    partition-type guard). Empty frame before the first batch lands
+    (same guard as read_chunk_owners), so a live pipeline can query the
+    flags at any time."""
     flags_path = os.path.join(state_dir, "cdc_flags")
+    if not os.path.exists(flags_path):
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, n_chunks long, n_owned_elsewhere long, "
+            "is_chunk_dup boolean",
+        )
     raw = spark.read.parquet(flags_path)
     val_cols = [c for c in raw.columns if c not in (id_col, "batch")]
     latest_key = F.col("batch").cast("long")

@@ -571,16 +571,22 @@ def read_hll(
 ) -> DataFrame:
     """Merge-on-read view of the stream-maintained HLL: max per register
     over every appended partial — `sketch.hll_merge` semantics over one
-    flat directory."""
+    flat directory. Before the first batch lands the state directory does
+    not exist — return an EMPTY register frame (same guard as
+    :func:`read_kmv` / `docs.read_bucket_owners`), so a live pipeline can
+    query the estimate at any time."""
     import os
 
     groups = group_cols or []
     regs_path = os.path.join(state_dir, "hll_registers")
-    return (
-        spark.read.parquet(regs_path)
-        .groupBy(*groups, "reg")
-        .agg(F.max("rank").alias("rank"))
-    )
+    try:
+        raw = spark.read.parquet(regs_path)
+    except Exception:
+        schema = ", ".join(
+            [f"{g} string" for g in groups] + ["reg long", "rank int"]
+        )
+        return spark.createDataFrame([], schema)
+    return raw.groupBy(*groups, "reg").agg(F.max("rank").alias("rank"))
 
 
 def stream_kmv_values(

@@ -627,6 +627,67 @@ def test_hll_guards(spark):
         hll_merge(grouped)
 
 
+def test_hll_estimate_no_overflow_at_large_p(spark):
+    """ADVICE r8 (medium): at p>=14 the long-arithmetic estimator
+    overflowed int64 (empty-register term v*2^49 > 2^63) and wrapped to
+    a garbage/negative estimate under non-ANSI Spark. The decimal(38,0)
+    accumulator must give a sane positive estimate across the whole
+    [4,16] bound of hll_build."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 1000
+    df = spark.range(0, n).select(F.col("id").alias("k"))
+    for p in (14, 15, 16):
+        est = hll_estimate(hll_build(df, "k", p=p), p=p).collect()[0][
+            "hll_distinct"
+        ]
+        # linear-count regime at m >> n: tight accuracy expected
+        assert est > 0, (p, est)
+        assert abs(est - n) / n < 0.10, (p, est)
+
+
+def test_hll_estimate_rejects_larger_p_sketch(spark):
+    """ADVICE r8 (low): a sketch built at p=10 holds register ids up to
+    1023; asking hll_estimate for p=6 (m=64) must raise at execution
+    time instead of silently misinterpreting the register space."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    sk = hll_build(df, "k", p=10)
+    with pytest.raises(Exception, match="larger p"):
+        hll_estimate(sk, p=6).collect()
+
+
+def test_read_hll_empty_state_returns_empty_frame(spark, tmp_path):
+    """ADVICE r8 (low): querying live HLL state before the first batch
+    lands must return an empty register frame (like read_kmv), not
+    throw on the missing path."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_estimate,
+    )
+    from distributed_vector_database_spark.streaming.events import read_hll
+
+    sk = read_hll(spark, str(tmp_path / "nonexistent"))
+    assert sk.count() == 0
+    assert set(sk.columns) == {"reg", "rank"}
+    # and the estimate of the empty sketch is 0, not NULL
+    est = hll_estimate(sk, p=8).collect()[0]["hll_distinct"]
+    assert est == 0.0
+    grouped = read_hll(
+        spark, str(tmp_path / "nonexistent2"), group_cols=["event_type"]
+    )
+    assert grouped.count() == 0
+    assert set(grouped.columns) == {"event_type", "reg", "rank"}
+
+
 def test_stream_hll_equals_batch_and_tolerates_redelivery(spark, tmp_path):
     """Stream-maintained registers == one-shot batch build for any
     chunking (max is associative/commutative), AND a duplicated partial

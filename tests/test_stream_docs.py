@@ -271,3 +271,21 @@ def test_stream_cdc_chunk_equals_batch_flags(documents, tmp_path, n_chunks):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_read_cdc_flags_empty_state_returns_empty_frame(spark, tmp_path):
+    """ADVICE r8 (low): querying live CDC-dedup flags before the first
+    batch lands must return an empty typed frame (like
+    read_chunk_owners), not throw on the missing path."""
+    from distributed_vector_database_spark.streaming.docs import (
+        read_cdc_flags,
+    )
+
+    out = read_cdc_flags(spark, str(tmp_path / "nonexistent"))
+    assert out.count() == 0
+    assert list(out.columns) == [
+        "doc_id",
+        "n_chunks",
+        "n_owned_elsewhere",
+        "is_chunk_dup",
+    ]
