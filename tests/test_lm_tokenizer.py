@@ -131,6 +131,27 @@ def test_train_bpe_learns_expected_merges(spark):
     assert merges[2] == ("low", END_TOKEN)
 
 
+def test_train_bpe_top_v_cap(spark, documents):
+    """VERDICT r8 item 3: the driver-side vocab collect is capped.
+    top_v=None (uncapped bypass) == a top_v bigger than the true vocab;
+    a tiny top_v trains only on the head words; top_v<1 refuses."""
+    import pytest
+
+    # cap >= true vocab: merges identical to the uncapped run
+    sample = documents.limit(50)
+    uncapped = train_bpe(sample, n_merges=5, top_v=None)
+    headroom = train_bpe(sample, n_merges=5, top_v=10_000_000)
+    assert uncapped == headroom
+    # tiny cap trains on the head only: "low" x5 dominates, and with
+    # top_v=1 the rarer "zzz" word cannot contribute pairs
+    df = _docs(spark, [(1, " ".join(["low"] * 5 + ["zzz"] * 2))])
+    merges = train_bpe(df, n_merges=10, top_v=1)
+    flat = {s for m in merges for s in m}
+    assert "z" not in flat and "zz" not in flat
+    with pytest.raises(ValueError, match="top_v"):
+        train_bpe(df, n_merges=1, top_v=0)
+
+
 def test_train_bpe_first_merge_is_pair_counts_argmax(documents):
     top = (
         bpe_pair_counts(documents)
