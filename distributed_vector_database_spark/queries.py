@@ -10537,9 +10537,7 @@ def q_minhash_operating_points(spark, sf_dir):
     return _dd.minhash_operating_points(docs)
 
 
-@register(
-    "cdc_chunk_search_hashed",
-    f"""
+_CDC_CHUNK_SEARCH_SQL = f"""
 WITH {_TOKS_CTE},
 tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 bs AS (SELECT doc_id, t, n,
@@ -10572,8 +10570,10 @@ SELECT n2.doc_id AS doc_id, n2.chunk_ix::BIGINT AS chunk_ix,
 FROM nrm n2 LEFT JOIN dotp USING (doc_id, chunk_ix)
 ORDER BY score DESC, doc_id ASC, chunk_ix ASC
 LIMIT 10
-""",
-)
+"""
+
+
+@register("cdc_chunk_search_hashed", _CDC_CHUNK_SEARCH_SQL)
 def q_cdc_chunk_search_hashed(spark, sf_dir):
     """The RAG read path at CDC-chunk granularity (VERDICT r8 item 7 —
     the retrieval composition of `chunking.cdc_chunk_documents`,
@@ -10615,6 +10615,66 @@ def q_cdc_chunk_search_hashed(spark, sf_dir):
             docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
         ).head()["embedding"]
     ]
+    out = topk(dense, qv, k=10, vector_col="embedding", id_col="chunk_key")
+    return out.select(
+        (F.col("chunk_key") / 65536).cast("long").alias("doc_id"),
+        (F.col("chunk_key") % 65536).cast("long").alias("chunk_ix"),
+        "score",
+    )
+
+
+_CDC_INDEX_STATE_CACHE: dict[str, str] = {}
+
+
+@register("stream_cdc_chunk_search", _CDC_CHUNK_SEARCH_SQL)
+def q_stream_cdc_chunk_search(spark, sf_dir):
+    """Search over the STREAM-MAINTAINED chunk embedding index
+    (`streaming.docs.stream_cdc_chunk_index`) — the incremental half of
+    the `cdc_chunk_search_hashed` lifecycle: documents arrive as
+    micro-batches, each batch chunk-embeds only its OWN docs into the
+    persisted index, and the read path searches the maintained state
+    with no corpus re-scan. Chunk embedding is per-doc-deterministic
+    (CDC boundaries + hash buckets, no cross-doc state), so the
+    maintained index == the batch index for ANY chunking of the stream
+    and the oracle is the same batch SQL. Redelivery-safe twice over:
+    per-batch overwrite dirs absorb a batch re-run; a doc re-delivered
+    in a later batch resolves latest-batch-wins at read. Ingest runs
+    once per process; repeat calls read the maintained state."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_cdc_chunk_index,
+        read_document_stream,
+        stream_cdc_chunk_index,
+    )
+
+    state = _CDC_INDEX_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        idx = read_cdc_chunk_index(spark, state)
+    else:
+        import tempfile
+
+        d = _ordered_two_chunk_replay_dir(spark, sf_dir)
+        state = tempfile.mkdtemp(prefix="dvdb_cdcidx_")
+        idx = stream_cdc_chunk_index(
+            read_document_stream(spark, d, max_files_per_trigger=1),
+            state,
+            mask_bits=4,
+            dim=64,
+        )
+        _CDC_INDEX_STATE_CACHE[sf_dir] = state
+    docs = _read(spark, sf_dir, "documents")
+    qv = [
+        float(x)
+        for x in hashing_embed(
+            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
+        ).head()["embedding"]
+    ]
+    dense = idx.select(
+        (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
+        "embedding",
+    )
     out = topk(dense, qv, k=10, vector_col="embedding", id_col="chunk_key")
     return out.select(
         (F.col("chunk_key") / 65536).cast("long").alias("doc_id"),

@@ -51,6 +51,8 @@ __all__ = [
     "stream_cdc_chunk_dedup",
     "read_chunk_owners",
     "read_cdc_flags",
+    "stream_cdc_chunk_index",
+    "read_cdc_chunk_index",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -519,4 +521,101 @@ def read_cdc_flags(
         .select(
             id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols]
         )
+    )
+
+
+def stream_cdc_chunk_index(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    mask_bits: int = 4,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally-maintained CDC chunk EMBEDDING index — the
+    streaming half of the `cdc_chunk_search_hashed` lifecycle: each
+    micro-batch chunks its own documents (content-defined boundaries,
+    so an edited re-upload re-embeds ONLY its perturbed chunks' rows)
+    and hash-embeds them; the maintained state IS the vector index the
+    read path searches, no corpus re-scan ever.
+
+    Chunk embedding is per-document-deterministic (no cross-doc state),
+    so replay == batch for ANY chunking of the stream. Each batch writes
+    its rows under an OVERWRITE ``batch={id}`` dir (at-least-once-safe:
+    a re-run of batch N replaces batch N); a doc re-delivered in a LATER
+    batch is resolved at read time by latest-batch-wins per doc
+    (`read_cdc_chunk_index`), the `read_winnow_flags` protocol.
+
+    Returns the merged index after running the stream to completion;
+    live pipelines read :func:`read_cdc_chunk_index`.
+    """
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    spark = doc_stream.sparkSession
+    index_path = os.path.join(state_dir, "chunk_index")
+    ckpt_path = os.path.join(state_dir, "_index_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ch = cdc_chunk_documents(
+            batch_df, mask_bits=mask_bits, text_col=text_col, id_col=id_col
+        ).select(
+            (F.col(id_col) * 65536 + F.col("chunk_ix")).alias("_ck"),
+            "chunk_text",
+        )
+        emb = hashing_embed(
+            ch,
+            dim=dim,
+            normalize=False,
+            text_col="chunk_text",
+            id_col="_ck",
+        )
+        emb.select(
+            (F.col("_ck") / 65536).cast("long").alias(id_col),
+            (F.col("_ck") % 65536).cast("long").alias("chunk_ix"),
+            "embedding",
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_cdc_chunk_index(spark, state_dir, id_col=id_col)
+
+
+def read_cdc_chunk_index(
+    spark: SparkSession, state_dir: str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge-on-read chunk embedding index: (doc_id, chunk_ix,
+    embedding), latest batch per DOC winning (a re-delivered doc's whole
+    chunk set comes from one batch — taking max per (doc, chunk) row
+    instead could stitch chunks from two revisions together). Empty
+    typed frame before the first batch lands. Partial-agg max + one
+    doc-keyed semi join — state-sized, skew-free."""
+    index_path = os.path.join(state_dir, "chunk_index")
+    if not os.path.exists(index_path):
+        return spark.createDataFrame(
+            [], f"{id_col} long, chunk_ix long, embedding array<double>"
+        )
+    raw = spark.read.parquet(index_path)
+    latest = raw.groupBy(id_col).agg(
+        F.max(F.col("batch").cast("long")).alias("_latest_batch")
+    )
+    return (
+        raw.withColumn("_b", F.col("batch").cast("long"))
+        .join(latest, id_col)
+        .filter(F.col("_b") == F.col("_latest_batch"))
+        .select(id_col, "chunk_ix", "embedding")
     )

@@ -289,3 +289,98 @@ def test_read_cdc_flags_empty_state_returns_empty_frame(spark, tmp_path):
         "n_owned_elsewhere",
         "is_chunk_dup",
     ]
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stream_cdc_chunk_index_equals_batch(documents, tmp_path, n_chunks):
+    """The stream-maintained chunk embedding index == the one-shot batch
+    chunk-embed for any chunking of the stream (chunk embedding is
+    per-doc-deterministic; no cross-doc state)."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        stream_cdc_chunk_index,
+    )
+
+    docs = documents.limit(120)
+    d = str(tmp_path / f"ireplay{n_chunks}")
+    os.makedirs(d)
+    _write_chunks(docs, n_chunks, d)
+    state = str(tmp_path / f"istate{n_chunks}")
+    out = stream_cdc_chunk_index(
+        read_document_stream(
+            docs.sparkSession, d, max_files_per_trigger=1
+        ),
+        state,
+        mask_bits=4,
+        dim=32,
+    )
+    ch = cdc_chunk_documents(docs, mask_bits=4).select(
+        (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("_ck"),
+        "chunk_text",
+    )
+    batch = hashing_embed(
+        ch, dim=32, normalize=False, text_col="chunk_text", id_col="_ck"
+    ).select(
+        (F.col("_ck") / 65536).cast("long").alias("doc_id"),
+        (F.col("_ck") % 65536).cast("long").alias("chunk_ix"),
+        "embedding",
+    )
+    got = sorted((r[0], r[1], tuple(r[2])) for r in out.collect())
+    exp = sorted((r[0], r[1], tuple(r[2])) for r in batch.collect())
+    assert got == exp
+
+
+def test_stream_cdc_chunk_index_latest_batch_wins(spark, tmp_path):
+    """A doc re-delivered in a LATER batch (e.g. a revision) must be
+    served entirely from that batch — never a stitch of old and new
+    chunk rows — and the empty-state read returns a typed empty frame."""
+    from distributed_vector_database_spark.streaming.docs import (
+        read_cdc_chunk_index,
+    )
+
+    empty = read_cdc_chunk_index(spark, str(tmp_path / "none"))
+    assert empty.count() == 0
+    assert list(empty.columns) == ["doc_id", "chunk_ix", "embedding"]
+
+    state = str(tmp_path / "redeliver")
+    long_text = " ".join(f"w{i}" for i in range(120))
+    v1 = spark.createDataFrame(
+        [(7, long_text)], "doc_id long, text string"
+    )
+    v2 = spark.createDataFrame(
+        [(7, "short revision")], "doc_id long, text string"
+    )
+    # simulate two foreachBatch invocations by writing batch dirs the
+    # way the stream does
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+
+    for batch_id, frame in ((0, v1), (5, v2)):
+        ch = cdc_chunk_documents(frame, mask_bits=4).select(
+            (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("_ck"),
+            "chunk_text",
+        )
+        hashing_embed(
+            ch, dim=16, normalize=False, text_col="chunk_text",
+            id_col="_ck",
+        ).select(
+            (F.col("_ck") / 65536).cast("long").alias("doc_id"),
+            (F.col("_ck") % 65536).cast("long").alias("chunk_ix"),
+            "embedding",
+        ).write.mode("overwrite").parquet(
+            f"{state}/chunk_index/batch={batch_id}"
+        )
+    idx = read_cdc_chunk_index(spark, state)
+    rows = idx.collect()
+    # v1 of doc 7 had many chunks; the revision has exactly one — only
+    # the revision's rows may survive
+    assert len(rows) == 1 and rows[0]["chunk_ix"] == 0
