@@ -32,6 +32,7 @@ __all__ = [
     "oov_rates",
     "pmi_pairs",
     "bm25_search",
+    "novelty_scores",
     "LANG_MARKERS",
 ]
 
@@ -565,4 +566,45 @@ def pmi_pairs(
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against every earlier (lower-id)
+    document: ``(id, n_grams, n_novel, novelty)`` where ``n_grams`` is
+    the doc's distinct word n-gram count, ``n_novel`` counts grams whose
+    corpus-wide minimum owner id IS this doc, and ``novelty`` is their
+    exact-6dp ratio. The curation signal behind "prefer fresh text":
+    boilerplate-heavy or recycled docs score near 0, first occurrences
+    near 1 — the scoring complement of the dedup owner screens (same
+    min-owner machinery, but graded instead of flagged). Docs with no
+    n-grams (fewer than ``n`` tokens) are absent.
+
+    Scale: one shingle explode + partial-agg min on the uniform gram
+    key + join back + per-doc agg — the flat owner-screen shape; no
+    pair fan-out, nothing corpus-scale pinned.
+    """
+    from distributed_vector_database_spark.operators.dedup import _shingled
+
+    sh = _shingled(docs, text_col, id_col, n)
+    grams = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    owner = grams.groupBy("g").agg(F.min(id_col).alias("_owner"))
+    return (
+        grams.join(owner, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_owner") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", ratio_6dp_exact("n_novel", "n_grams"))
     )

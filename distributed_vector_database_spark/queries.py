@@ -10683,6 +10683,41 @@ def q_stream_cdc_chunk_search(spark, sf_dir):
     )
 
 
+@register(
+    "doc_novelty_ngram",
+    f"""
+WITH {_TOKS_CTE},
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       FROM toks),
+g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+own AS (SELECT g, min(doc_id) AS owner FROM g GROUP BY 1),
+per AS (SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+               sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)
+                 AS n_novel
+        FROM g JOIN own USING (g) GROUP BY 1)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_novel::BIGINT AS n_novel,
+       ((2000000 * n_novel + n_grams) // (2 * n_grams)) / 1e6 AS novelty
+FROM per
+""",
+)
+def q_doc_novelty_ngram(spark, sf_dir):
+    """Per-doc 3-gram NOVELTY vs every earlier (lower-id) document
+    (`text_analysis.novelty_scores`) — the graded curation complement of
+    the dedup owner screens: recycled/boilerplate-heavy docs score near
+    0, first occurrences near 1 ("prefer fresh text" selection, the
+    scoring view of what `winnow_dup_flags`/`dedup_exact` decide).
+    Exact-integer 6dp ratio on both engines (the KN-ppl rounding
+    lesson). Plan: one shingle explode + partial-agg min on the uniform
+    gram key + join back + per-doc agg — the flat owner-screen shape,
+    no pair fan-out, same cost family at 100 TB as the screens already
+    measured flat in SCALING.md."""
+    return _ta.novelty_scores(
+        _spread(_read(spark, sf_dir, "documents")), n=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

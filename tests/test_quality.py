@@ -663,3 +663,32 @@ def test_alnum_fingerprint_collapses_reformatted_copies(spark):
     al = {r["doc_id"]: r["al"] for r in rows}
     assert al[1] == al[2] and ws[1] != ws[2]
     assert al[3] not in (al[1],)
+
+
+def test_novelty_scores_semantics(spark):
+    """Novelty = fraction of a doc's distinct 3-grams first seen in it:
+    an exact copy of an earlier doc scores 0.0, fully fresh text 1.0,
+    and a half-recycled doc the exact 6dp ratio; short docs (<3 tokens)
+    are absent."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        novelty_scores,
+    )
+
+    first = "alpha beta gamma delta epsilon"
+    fresh = "zeta eta theta iota kappa"
+    # 4 tokens recycled from `first` + 4 fresh ones -> grams mix
+    half = "alpha beta gamma delta nu xi omicron pi"
+    docs = spark.createDataFrame(
+        [(1, first), (2, first), (3, fresh), (4, half), (5, "too short")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in novelty_scores(docs, n=3).collect()}
+    assert set(rows) == {1, 2, 3, 4}  # doc 5 has no 3-grams
+    assert rows[1]["novelty"] == 1.0
+    assert rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0
+    r4 = rows[4]
+    # grams of doc 4: 6 total; 'alpha beta gamma' and 'beta gamma delta'
+    # are owned by doc 1 -> 4 novel of 6
+    assert (r4["n_grams"], r4["n_novel"]) == (6, 4)
+    assert r4["novelty"] == 0.666667
