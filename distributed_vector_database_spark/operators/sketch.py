@@ -39,6 +39,7 @@ __all__ = [
     "hll_build",
     "hll_merge",
     "hll_estimate",
+    "hll_set_estimates",
     "hll_alpha_numerator",
     "hash_sample",
     "hash_topk_sample",
@@ -846,3 +847,44 @@ def hll_estimate(
         ).cast("double"),
     ).otherwise(F.round(est, 6))
     return agg.select(*groups, guarded.alias("hll_distinct"))
+
+
+def hll_set_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, p: int
+) -> DataFrame:
+    """Set algebra in HLL register space [Flajolet et al. 2007]: one row
+    ``(hll_a, hll_b, hll_union, hll_intersect)`` from two ungrouped
+    same-p sketches. Union is EXACT in sketch space (the max-merged
+    registers ARE the union's sketch — the property that makes HLL the
+    distributed-count workhorse); intersection is inclusion–exclusion
+    over the three estimates, clamped at 0 (I-E can go negative at
+    small overlaps; its error compounds the three estimates' — for
+    high-precision small intersections prefer the KMV twin
+    `kmv_set_estimates`, which estimates overlap from sampled hashes).
+
+    Register-sized work throughout: two <=2^p-row estimates, one
+    <=2*2^p-row merge, a 3-way crossJoin of single-row frames.
+    """
+    ea = hll_estimate(sketch_a, p=p).select(
+        F.col("hll_distinct").alias("hll_a")
+    )
+    eb = hll_estimate(sketch_b, p=p).select(
+        F.col("hll_distinct").alias("hll_b")
+    )
+    eu = hll_estimate(hll_merge(sketch_a, sketch_b), p=p).select(
+        F.col("hll_distinct").alias("hll_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .withColumn(
+            "hll_intersect",
+            F.round(
+                F.greatest(
+                    F.col("hll_a") + F.col("hll_b") - F.col("hll_union"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )

@@ -10718,6 +10718,94 @@ def q_doc_novelty_ngram(spark, sf_dir):
     )
 
 
+def _hll_overlap_sql(p: int = 8) -> str:
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_alpha_numerator,
+    )
+
+    m = 1 << p
+    two49 = 1 << 49
+    est = (
+        "round(CASE WHEN raw <= {lim!r} AND v > 0"
+        "           THEN {mf!r} * ln({mf!r} / v)"
+        "           ELSE raw END, 6)"
+    ).format(lim=2.5 * m, mf=float(m))
+    block = (
+        "(SELECT {est} FROM"
+        " (SELECT ({m} - nreg) AS v,"
+        "         {alpha!r} / (s + ({m} - nreg) * {two49})::DOUBLE AS raw"
+        "  FROM (SELECT sum(1::BIGINT << (49 - rnk))::BIGINT AS s,"
+        "               count(*)::BIGINT AS nreg FROM {src})))"
+    )
+
+    def estimate(src: str) -> str:
+        return block.format(
+            est=est, m=m, alpha=hll_alpha_numerator(p), two49=two49, src=src
+        )
+
+    return f"""
+WITH w0 AS (SELECT o_custkey AS k, year(o_orderdate) AS y,
+        ('0x' || substr(md5('r:' || o_custkey::VARCHAR), 1, 12))::BIGINT
+          % {m} AS reg,
+        ('0x' || substr(md5('q:' || o_custkey::VARCHAR), 1, 12))::BIGINT AS w
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+ra AS (SELECT reg, max(CASE WHEN w = 0 THEN 49
+                            ELSE 49 - length(bin(w)) END) AS rnk
+       FROM w0 WHERE y = 1995 GROUP BY 1),
+rb AS (SELECT reg, max(CASE WHEN w = 0 THEN 49
+                            ELSE 49 - length(bin(w)) END) AS rnk
+       FROM w0 WHERE y = 1996 GROUP BY 1),
+ru AS (SELECT reg, max(rnk) AS rnk
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+e AS (SELECT {estimate('ra')} AS hll_a,
+             {estimate('rb')} AS hll_b,
+             {estimate('ru')} AS hll_union)
+SELECT hll_a, hll_b, hll_union,
+       round(greatest(hll_a + hll_b - hll_union, 0.0), 6) AS hll_intersect,
+       (SELECT count(DISTINCT k) FROM w0)::BIGINT AS exact_union,
+       (SELECT count(*) FROM (SELECT k FROM w0 GROUP BY k
+                              HAVING count(DISTINCT y) = 2))::BIGINT
+         AS exact_intersect
+FROM e
+"""
+
+
+@register("hll_order_year_overlap", _hll_overlap_sql())
+def q_hll_order_year_overlap(spark, sf_dir):
+    """Customer-set overlap across adjacent order years in HLL REGISTER
+    space (`sketch.hll_set_estimates`) — the HLL twin of
+    `kmv_order_year_overlap`, closing the set-algebra story for the max-
+    merge sketch: the union estimate is EXACT in sketch space (max-merged
+    registers ARE the union's sketch — what makes per-shard HLL partials
+    composable at 100 TB with no re-scan), and intersection is
+    inclusion–exclusion over the three estimates, clamped at 0. Exact
+    union/intersection counts ride alongside so the estimate error is an
+    auditable column, not an assumption. Register-sized work: two
+    2^8-register builds from year-filtered scans, one max-merge, a
+    single-row crossJoin."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_set_estimates,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    a = orders.filter(year == 1995).select("o_custkey")
+    b = orders.filter(year == 1996).select("o_custkey")
+    ests = hll_set_estimates(
+        hll_build(a, "o_custkey", p=8), hll_build(b, "o_custkey", p=8), p=8
+    )
+    exact_u = a.union(b).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_union")
+    )
+    exact_i = (
+        a.distinct()
+        .join(b.distinct(), "o_custkey", "left_semi")
+        .agg(F.count("*").cast("long").alias("exact_intersect"))
+    )
+    return ests.crossJoin(exact_u).crossJoin(exact_i)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

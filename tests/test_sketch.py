@@ -775,3 +775,35 @@ def test_hll_and_kmv_empty_state_edges(spark, tmp_path):
     assert len(est) == 1 and est[0]["hll_distinct"] == 0.0
     sk = read_kmv(spark, str(tmp_path / "nostate"), k=8)
     assert sk.count() == 0
+
+
+def test_hll_set_estimates_union_exact_in_sketch_space(spark):
+    """The merged registers ARE the union's sketch: hll_union from
+    hll_set_estimates must BIT-equal the estimate of a sketch built
+    directly on A ∪ B; the I-E intersection lands within a generous
+    band of truth and never goes negative."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_set_estimates,
+    )
+
+    p = 10
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))  # 1000 shared
+    row = hll_set_estimates(
+        hll_build(a, "k", p=p), hll_build(b, "k", p=p), p=p
+    ).collect()[0]
+    direct = hll_estimate(
+        hll_build(a.unionByName(b), "k", p=p), p=p
+    ).collect()[0]["hll_distinct"]
+    assert row["hll_union"] == direct
+    # ~3.25% stderr at p=10; I-E compounds three estimates — 4-sigma-ish
+    assert abs(row["hll_intersect"] - 1000) < 400
+    assert row["hll_intersect"] >= 0.0
+    # disjoint sets: clamped at 0, never negative
+    c = spark.range(50000, 52000).select(F.col("id").alias("k"))
+    row2 = hll_set_estimates(
+        hll_build(a, "k", p=p), hll_build(c, "k", p=p), p=p
+    ).collect()[0]
+    assert row2["hll_intersect"] >= 0.0
