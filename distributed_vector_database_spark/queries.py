@@ -10806,6 +10806,84 @@ def q_hll_order_year_overlap(spark, sf_dir):
     return ests.crossJoin(exact_u).crossJoin(exact_i)
 
 
+def _hll_rollup_sql(p: int = 8) -> str:
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_alpha_numerator,
+    )
+
+    m = 1 << p
+    two49 = 1 << 49
+    est = (
+        "round(CASE WHEN raw <= {lim!r} AND v > 0"
+        "           THEN {mf!r} * ln({mf!r} / v)"
+        "           ELSE raw END, 6)"
+    ).format(lim=2.5 * m, mf=float(m))
+    return f"""
+WITH w0 AS (SELECT event_type, user_id,
+        ('0x' || substr(md5('r:' || user_id::VARCHAR), 1, 12))::BIGINT
+          % {m} AS reg,
+        ('0x' || substr(md5('q:' || user_id::VARCHAR), 1, 12))::BIGINT AS w
+      FROM events),
+regs AS (SELECT event_type, reg,
+           max(CASE WHEN w = 0 THEN 49
+                    ELSE 49 - length(bin(w)) END) AS rnk
+         FROM w0 GROUP BY 1, 2),
+lv AS (SELECT event_type, reg, rnk FROM regs
+       UNION ALL
+       SELECT 'ALL' AS event_type, reg, max(rnk) AS rnk
+       FROM regs GROUP BY reg),
+agg AS (SELECT event_type,
+          sum(1::BIGINT << (49 - rnk))::BIGINT AS s,
+          count(*)::BIGINT AS nreg
+        FROM lv GROUP BY 1),
+e AS (SELECT event_type, ({m} - nreg) AS v,
+        {hll_alpha_numerator(p)!r}
+          / (s + ({m} - nreg) * {two49})::DOUBLE AS raw
+      FROM agg),
+ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+       FROM events GROUP BY 1
+       UNION ALL
+       SELECT 'ALL', count(DISTINCT user_id)::BIGINT FROM events)
+SELECT e.event_type AS event_type, {est} AS hll_distinct,
+       ex.exact_distinct AS exact_distinct
+FROM e JOIN ex ON e.event_type = ex.event_type
+"""
+
+
+@register("hll_rollup_distinct_users", _hll_rollup_sql())
+def q_hll_rollup_distinct_users(spark, sf_dir):
+    """Distinct-user ROLLUP from ONE sketch pass: build grouped HLL
+    registers per event type, then derive the grand-total estimate by
+    max-merging the per-type sketches IN REGISTER SPACE — the corpus is
+    scanned once and every rollup level re-aggregates <= groups * 2^p
+    register rows (why HLL is the distinct-count workhorse of OLAP cube
+    layers: COUNT(DISTINCT) cannot re-aggregate, its sketch can). Exact
+    counts ride alongside per level. One partial-agg register shuffle +
+    register-sized rollup; the same two frames at 100 TB."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    regs = hll_build(ev, "user_id", p=8, group_cols=["event_type"]).cache()
+    total = regs.groupBy("reg").agg(F.max("rank").alias("rank"))
+    est_by_type = hll_estimate(regs, p=8, group_cols=["event_type"])
+    est_all = hll_estimate(total, p=8).select(
+        F.lit("ALL").alias("event_type"), "hll_distinct"
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").cast("long").alias("exact_distinct")
+            ).select(F.lit("ALL").alias("event_type"), "exact_distinct")
+        )
+    )
+    return est_by_type.unionByName(est_all).join(exact, "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

@@ -807,3 +807,25 @@ def test_hll_set_estimates_union_exact_in_sketch_space(spark):
         hll_build(a, "k", p=p), hll_build(c, "k", p=p), p=p
     ).collect()[0]
     assert row2["hll_intersect"] >= 0.0
+
+
+def test_hll_grouped_rollup_equals_direct_global_build(spark):
+    """Max-merging per-group registers gives BIT-identical registers to
+    a direct ungrouped build — the re-aggregability that lets a cube
+    layer roll distinct counts up from one sketch pass."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 700, ["a", "b", "c"][i % 3]) for i in range(3000)],
+        "k long, g string",
+    )
+    grouped = hll_build(df, "k", p=9, group_cols=["g"])
+    rolled = grouped.groupBy("reg").agg(F.max("rank").alias("rank"))
+    direct = hll_build(df, "k", p=9)
+    as_set = lambda d: {(r["reg"], r["rank"]) for r in d.collect()}  # noqa: E731
+    assert as_set(rolled) == as_set(direct)
+    est = hll_estimate(rolled, p=9).collect()[0]["hll_distinct"]
+    assert abs(est - 700) / 700 < 0.2
