@@ -10683,9 +10683,7 @@ def q_stream_cdc_chunk_search(spark, sf_dir):
     )
 
 
-@register(
-    "doc_novelty_ngram",
-    f"""
+_DOC_NOVELTY_SQL = f"""
 WITH {_TOKS_CTE},
 sh AS (SELECT doc_id,
               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
@@ -10700,8 +10698,10 @@ per AS (SELECT g.doc_id AS doc_id, count(*) AS n_grams,
 SELECT doc_id, n_grams::BIGINT AS n_grams, n_novel::BIGINT AS n_novel,
        ((2000000 * n_novel + n_grams) // (2 * n_grams)) / 1e6 AS novelty
 FROM per
-""",
-)
+"""
+
+
+@register("doc_novelty_ngram", _DOC_NOVELTY_SQL)
 def q_doc_novelty_ngram(spark, sf_dir):
     """Per-doc 3-gram NOVELTY vs every earlier (lower-id) document
     (`text_analysis.novelty_scores`) — the graded curation complement of
@@ -10882,6 +10882,43 @@ def q_hll_rollup_distinct_users(spark, sf_dir):
         )
     )
     return est_by_type.unionByName(est_all).join(exact, "event_type")
+
+
+_NOVELTY_STATE_CACHE: dict[str, str] = {}
+
+
+@register("stream_doc_novelty", _DOC_NOVELTY_SQL)
+def q_stream_doc_novelty(spark, sf_dir):
+    """Novelty scoring AT INGEST TIME (`streaming.docs.
+    stream_doc_novelty`): each arriving micro-batch of documents is
+    scored against the maintained gram -> lowest-owner index — the live
+    "is this fresh text?" admission gate, no corpus re-scan. For
+    id-ordered arrival the at-arrival score is final (a later, larger
+    id can never take ownership below an earlier doc), so the
+    accumulated rows equal `doc_novelty_ngram`'s batch form for any
+    chunking and the oracle is the same batch SQL. Ingest runs once per
+    process; repeat calls read the maintained state (`read_novelty`)."""
+    from distributed_vector_database_spark.streaming.docs import (
+        read_document_stream,
+        read_novelty,
+        stream_doc_novelty,
+    )
+
+    state = _NOVELTY_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        out = read_novelty(spark, state)
+    else:
+        import tempfile
+
+        d = _ordered_two_chunk_replay_dir(spark, sf_dir)
+        state = tempfile.mkdtemp(prefix="dvdb_novstate_")
+        out = stream_doc_novelty(
+            read_document_stream(spark, d, max_files_per_trigger=1),
+            state,
+            n=3,
+        )
+        _NOVELTY_STATE_CACHE[sf_dir] = state
+    return out.select("doc_id", "n_grams", "n_novel", "novelty")
 
 
 # ---------------------------------------------------------------------------

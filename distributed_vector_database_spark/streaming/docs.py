@@ -53,6 +53,9 @@ __all__ = [
     "read_cdc_flags",
     "stream_cdc_chunk_index",
     "read_cdc_chunk_index",
+    "stream_doc_novelty",
+    "read_novelty",
+    "read_gram_owners",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -618,4 +621,134 @@ def read_cdc_chunk_index(
         .join(latest, id_col)
         .filter(F.col("_b") == F.col("_latest_batch"))
         .select(id_col, "chunk_ix", "embedding")
+    )
+
+
+def read_gram_owners(
+    spark: SparkSession, state_dir: str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge-on-read (gram -> lowest owner id) index: min over the
+    appended batch minima; empty frame before the first batch."""
+    owners_path = os.path.join(state_dir, "gram_owners")
+    if not os.path.exists(owners_path):
+        return spark.createDataFrame([], "g string, owner long")
+    return (
+        spark.read.parquet(owners_path)
+        .groupBy("g")
+        .agg(F.min("owner").alias("owner"))
+    )
+
+
+def stream_doc_novelty(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental n-gram NOVELTY scoring at ingest time — the streaming
+    twin of `text_analysis.novelty_scores`: each arriving document is
+    scored against everything already ingested (the maintained
+    gram -> lowest-owner index) WITHOUT re-scanning the corpus — the
+    live "is this fresh text?" gate a 100-TB/day curation pipeline
+    runs before admitting a document.
+
+    Per micro-batch: the batch's distinct (doc, gram) rows, owner =
+    min(prior owner, batch minimum) — so two batch docs sharing a new
+    gram resolve exactly as the batch operator does — then per-doc
+    novel-gram counts and the exact-6dp ratio. For id-ordered arrival
+    the at-arrival decision is FINAL (a later, larger id can never
+    become an owner below an earlier doc), so the accumulated frame
+    equals the batch operator on the full corpus for any chunking —
+    same argument as `stream_cdc_chunk_dedup`.
+
+    State writes are at-least-once-safe: per-batch OVERWRITE dirs for
+    the novelty rows, plain appends for the owner minima (absorbed by
+    the min() merge-on-read)."""
+    from distributed_vector_database_spark.functions.vector import (
+        ratio_6dp_exact,
+    )
+    from distributed_vector_database_spark.operators.dedup import _shingled
+
+    spark = doc_stream.sparkSession
+    owners_path = os.path.join(state_dir, "gram_owners")
+    rows_path = os.path.join(state_dir, "novelty")
+    ckpt_path = os.path.join(state_dir, "_novelty_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        grams = (
+            _shingled(batch_df, text_col, id_col, n)
+            .select(F.col(id_col), F.explode("shingles").alias("g"))
+            .cache()
+        )
+        batch_min = grams.groupBy("g").agg(F.min(id_col).alias("owner"))
+        prior = read_gram_owners(spark, state_dir, id_col=id_col)
+        owner = (
+            batch_min.withColumnRenamed("owner", "_bmin")
+            .join(prior.withColumnRenamed("owner", "_prior"), "g", "left")
+            .select(
+                "g",
+                F.least(
+                    F.col("_bmin"),
+                    F.coalesce(F.col("_prior"), F.col("_bmin")),
+                ).alias("_owner"),
+            )
+        )
+        out = (
+            grams.join(owner, "g")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("long").alias("n_grams"),
+                F.sum(
+                    F.when(F.col("_owner") == F.col(id_col), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_novel"),
+            )
+            .withColumn("novelty", ratio_6dp_exact("n_novel", "n_grams"))
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(rows_path, f"batch={batch_id}")
+        )
+        batch_min.write.mode("append").parquet(owners_path)
+        grams.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_novelty(spark, state_dir, id_col=id_col)
+
+
+def read_novelty(
+    spark: SparkSession, state_dir: str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Accumulated per-doc novelty rows, latest batch winning per doc
+    (the read_winnow_flags protocol, incl. the partition-type cast);
+    empty typed frame before the first batch."""
+    rows_path = os.path.join(state_dir, "novelty")
+    if not os.path.exists(rows_path):
+        return spark.createDataFrame(
+            [],
+            f"{id_col} long, n_grams long, n_novel long, novelty double",
+        )
+    raw = spark.read.parquet(rows_path)
+    val_cols = [c for c in raw.columns if c not in (id_col, "batch")]
+    latest_key = F.col("batch").cast("long")
+    return (
+        raw.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(latest_key.alias("batch"), *val_cols)
+            ).alias("_latest")
+        )
+        .select(
+            id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols]
+        )
     )

@@ -384,3 +384,49 @@ def test_stream_cdc_chunk_index_latest_batch_wins(spark, tmp_path):
     # v1 of doc 7 had many chunks; the revision has exactly one — only
     # the revision's rows may survive
     assert len(rows) == 1 and rows[0]["chunk_ix"] == 0
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stream_doc_novelty_equals_batch(documents, tmp_path, n_chunks):
+    """At-arrival novelty == batch novelty for id-ordered arrival, any
+    chunking; a re-appended owner partial (at-least-once redelivery) is
+    absorbed by the min() merge."""
+    from distributed_vector_database_spark.operators.dedup import _shingled
+    from distributed_vector_database_spark.operators.text_analysis import (
+        novelty_scores,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_novelty,
+        stream_doc_novelty,
+    )
+
+    docs = documents.limit(150)
+    d = str(tmp_path / f"nreplay{n_chunks}")
+    os.makedirs(d)
+    _write_chunks(docs, n_chunks, d)
+    state = str(tmp_path / f"nstate{n_chunks}")
+    out = stream_doc_novelty(
+        read_document_stream(
+            docs.sparkSession, d, max_files_per_trigger=1
+        ),
+        state,
+        n=3,
+    )
+    batch = novelty_scores(docs, n=3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # redelivery: re-append the first 40 docs' gram minima — min absorbs
+    g = _shingled(docs.limit(40), "text", "doc_id", 3).select(
+        F.col("doc_id"), F.explode("shingles").alias("g")
+    )
+    g.groupBy("g").agg(F.min("doc_id").alias("owner")).write.mode(
+        "append"
+    ).parquet(f"{state}/gram_owners")
+    again = read_novelty(docs.sparkSession, state)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # empty state reads as a typed empty frame
+    empty = read_novelty(docs.sparkSession, str(tmp_path / "no-such"))
+    assert empty.count() == 0
