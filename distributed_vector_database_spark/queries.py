@@ -10921,6 +10921,117 @@ def q_stream_doc_novelty(spark, sf_dir):
     return out.select("doc_id", "n_grams", "n_novel", "novelty")
 
 
+@register(
+    "cdc_chunk_ivf_search",
+    f"""
+WITH {_TOKS_CTE},
+tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+bs AS (SELECT doc_id, t, n,
+         list_prepend(1, list_transform(
+           list_filter(range(1, n + 1),
+             p -> p < n AND
+                  ('0x' || substr(md5('c:' || t[p]), 1, 12))::BIGINT
+                    % 16 = 0),
+           p -> p + 1)) AS starts
+       FROM tt),
+ch AS (SELECT doc_id, u.c.ix AS chunk_ix,
+         t[u.c.s : coalesce(starts[u.c.ix + 2] - 1, n)] AS ct
+       FROM bs, unnest(list_transform(starts,
+              (s, i) -> {{'ix': i - 1, 's': s}})) AS u(c)),
+tk AS (SELECT doc_id, chunk_ix, unnest(ct) AS tok FROM ch),
+sp AS (SELECT doc_id, chunk_ix, {_bucket_sql('tok')} AS bucket,
+              count(*) AS cnt
+       FROM tk GROUP BY 1, 2, 3),
+keys AS (SELECT DISTINCT doc_id, chunk_ix FROM sp),
+grid AS (SELECT k.doc_id, k.chunk_ix, t.d FROM keys k, range(0, 64) t(d)),
+dense AS (SELECT g.doc_id, g.chunk_ix,
+            list(coalesce(sp.cnt, 0)::DOUBLE ORDER BY g.d) AS v
+          FROM grid g LEFT JOIN sp
+            ON sp.doc_id = g.doc_id AND sp.chunk_ix = g.chunk_ix
+           AND sp.bucket = g.d
+          GROUP BY 1, 2),
+cents AS (SELECT ROW_NUMBER() OVER (ORDER BY doc_id, chunk_ix) - 1
+                   AS shard_id,
+                 v AS cv
+          FROM dense ORDER BY doc_id, chunk_ix LIMIT 4),
+qd AS (SELECT {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+       FROM (SELECT unnest(t) AS tok FROM toks WHERE doc_id = 0)
+       GROUP BY 1),
+qv AS (SELECT list(coalesce(qd.cnt, 0)::DOUBLE ORDER BY t.d) AS q
+       FROM range(0, 64) t(d) LEFT JOIN qd ON qd.bucket = t.d),
+probe AS (SELECT shard_id FROM cents, qv
+          ORDER BY list_distance(cv, q) ASC, shard_id ASC LIMIT 2),
+assign AS (SELECT doc_id, chunk_ix, shard_id FROM (
+    SELECT d.doc_id, d.chunk_ix, c.shard_id,
+           ROW_NUMBER() OVER (PARTITION BY d.doc_id, d.chunk_ix
+                              ORDER BY list_distance(d.v, c.cv) ASC,
+                                       c.shard_id ASC) AS rn
+    FROM dense d, cents c) t WHERE rn = 1)
+SELECT d.doc_id AS doc_id, d.chunk_ix::BIGINT AS chunk_ix,
+       ROUND({_cos('d.v', 'qv.q')}, 6) AS score
+FROM dense d JOIN assign USING (doc_id, chunk_ix), qv
+WHERE assign.shard_id IN (SELECT shard_id FROM probe)
+ORDER BY score DESC, doc_id ASC, chunk_ix ASC
+LIMIT 10
+""",
+)
+def q_cdc_chunk_ivf_search(spark, sf_dir):
+    """PRUNED chunk-granularity search — the IVF routing the linear
+    chunk scan of `cdc_chunk_search_hashed` needs at scale (the
+    SCALING.md round-9 note, closed): the chunk embedding frame IS an
+    IVF-shardable vector index, so the standard read path applies
+    unchanged — inject centroids (the 4 lowest chunk keys' vectors),
+    `assign_shards` argmin routing, nprobe=2 pruned filter, top-10
+    cosine for the doc-0 query. At 100 TB the assign is the write-time
+    partition key (partitionBy(shard_id), as IVFIndex lays out) and the
+    probe-pruned filter becomes partition pruning — the scan touches
+    nprobe/nlist of the corpus instead of all of it.
+
+    Plan: narrow CDC chunker -> hash-embed aggs -> cached index frame
+    (3 consumers: centroid collect, assign scan, search scan) ->
+    argmin-projection assign (narrow) -> pruned TakeOrdered."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+        nearest_shards,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    ch = cdc_chunk_documents(docs, mask_bits=4).select(
+        (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
+        "chunk_text",
+    )
+    dense = hashing_embed(
+        ch, dim=64, normalize=False, text_col="chunk_text",
+        id_col="chunk_key",
+    ).withColumnRenamed("chunk_key", "vec_id").cache()
+    crows = (
+        dense.orderBy("vec_id").select("embedding").limit(4).collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in crows]
+    qv = [
+        float(x)
+        for x in hashing_embed(
+            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
+        ).head()["embedding"]
+    ]
+    shards = nearest_shards(qv, cents, nprobe=2)
+    cand = assign_shards(dense, cents).filter(
+        F.col("shard_id").isin(shards)
+    )
+    out = topk(cand, qv, k=10, metric="cosine")
+    return out.select(
+        (F.col("vec_id") / 65536).cast("long").alias("doc_id"),
+        (F.col("vec_id") % 65536).cast("long").alias("chunk_ix"),
+        "score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

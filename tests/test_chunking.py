@@ -253,3 +253,52 @@ def test_cdc_chunk_search_index_survives_edits(spark):
         by_key.setdefault(h, {})[doc] = list(r["embedding"])
     for h in shared:
         assert by_key[h]["1"] == by_key[h]["2"]
+
+
+def test_cdc_chunk_ivf_full_probe_equals_brute_force(spark):
+    """The §5.3 exactness invariant at chunk granularity: probing ALL
+    shards of the chunk index returns exactly the unpruned top-k."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.operators.chunking import (
+        cdc_chunk_documents,
+    )
+    from distributed_vector_database_spark.operators.ivf import (
+        assign_shards,
+        nearest_shards,
+    )
+    from distributed_vector_database_spark.operators.topk import topk
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    ch = cdc_chunk_documents(docs, mask_bits=4).select(
+        (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
+        "chunk_text",
+    )
+    dense = hashing_embed(
+        ch, dim=32, normalize=False, text_col="chunk_text",
+        id_col="chunk_key",
+    ).withColumnRenamed("chunk_key", "vec_id").cache()
+    cents = [
+        [float(x) for x in r[0]]
+        for r in dense.orderBy("vec_id").select("embedding").limit(4).collect()
+    ]
+    qv = [
+        float(x)
+        for x in hashing_embed(
+            docs.filter(F.col("doc_id") == 1), dim=32, normalize=False
+        ).head()["embedding"]
+    ]
+    shards = nearest_shards(qv, cents, nprobe=4)
+    pruned = topk(
+        assign_shards(dense, cents).filter(F.col("shard_id").isin(shards)),
+        qv, k=10, metric="cosine",
+    )
+    brute = topk(dense, qv, k=10, metric="cosine")
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
