@@ -389,3 +389,45 @@ def test_hll_split_merge_and_duplicate_invariance_property(
     assert merged == whole
     doubled = as_set(hll_build(df.unionByName(df), "k", p=5))
     assert doubled == whole
+
+
+def test_novelty_scores_match_python_reference(spark):
+    """Property: novelty_scores == a brute-force python reference on a
+    randomized corpus (distinct 3-grams; owner = min doc id; exact
+    half-away 6dp ratio)."""
+    import random
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        novelty_scores,
+    )
+
+    rng = random.Random(97)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for d in range(60)
+    ]
+
+    def grams(text):
+        t = [x for x in text.split() if x]
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    owner = {}
+    for d, text in rows:
+        for g in grams(text):
+            owner.setdefault(g, d)  # rows are id-ordered
+    expected = {}
+    for d, text in rows:
+        gs = grams(text)
+        if not gs:
+            continue
+        novel = sum(1 for g in gs if owner[g] == d)
+        ratio = (2 * 10**6 * novel + len(gs)) // (2 * len(gs)) / 1e6
+        expected[d] = (len(gs), novel, ratio)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in novelty_scores(df, n=3).collect()
+    }
+    assert got == expected

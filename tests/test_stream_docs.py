@@ -430,3 +430,43 @@ def test_stream_doc_novelty_equals_batch(documents, tmp_path, n_chunks):
     # empty state reads as a typed empty frame
     empty = read_novelty(docs.sparkSession, str(tmp_path / "no-such"))
     assert empty.count() == 0
+
+
+def test_gram_owner_state_compaction_preserves_novelty(spark, tmp_path):
+    """Operational loop for the append-only owner state: after many
+    small batch appends, `compact_layout` folds the gram_owners files
+    and the merge-on-read novelty decisions are unchanged — the
+    periodic-compaction story the module docstring promises, proven at
+    the newest state directory."""
+    from distributed_vector_database_spark.operators.dedup import _shingled
+    from distributed_vector_database_spark.sources.compaction import (
+        compact_layout,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_gram_owners,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i%5} shared alpha beta")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    g = _shingled(docs, "text", "doc_id", 3).select(
+        F.col("doc_id"), F.explode("shingles").alias("g")
+    )
+    # many small appends (one per 10-doc slice)
+    for lo in range(0, 40, 10):
+        part = g.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+        )
+        part.groupBy("g").agg(F.min("doc_id").alias("owner")).coalesce(
+            1
+        ).write.mode("append").parquet(f"{state}/gram_owners")
+    before = sorted(map(tuple, read_gram_owners(spark, state).collect()))
+    summary = compact_layout(
+        spark, f"{state}/gram_owners", target_file_bytes=1 << 30
+    )
+    assert summary["files_after"] < summary["files_before"]
+    after = sorted(map(tuple, read_gram_owners(spark, state).collect()))
+    assert before == after
