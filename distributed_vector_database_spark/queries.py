@@ -11032,6 +11032,100 @@ def q_cdc_chunk_ivf_search(spark, sf_dir):
     )
 
 
+def _hll_sliding_sql(p: int = 8, days: int = 7) -> str:
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_alpha_numerator,
+    )
+
+    m = 1 << p
+    two49 = 1 << 49
+    return f"""
+WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  user_id,
+        ('0x' || substr(md5('r:' || user_id::VARCHAR), 1, 12))::BIGINT
+          % {m} AS reg,
+        ('0x' || substr(md5('q:' || user_id::VARCHAR), 1, 12))::BIGINT AS w
+      FROM events),
+regs AS (SELECT day, reg,
+           max(CASE WHEN w = 0 THEN 49
+                    ELSE 49 - length(bin(w)) END) AS rnk
+         FROM e GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM regs),
+pairs AS (SELECT w.day AS wday, m.day AS day
+          FROM days w JOIN days m
+            ON date_diff('day', w.day::DATE, m.day::DATE)
+               BETWEEN 0 AND {days - 1}),
+merged AS (SELECT p.wday, r.reg, max(r.rnk) AS rnk
+           FROM pairs p JOIN regs r USING (day) GROUP BY 1, 2),
+agg AS (SELECT wday,
+          sum(1::BIGINT << (49 - rnk))::BIGINT AS s,
+          count(*)::BIGINT AS nreg
+        FROM merged GROUP BY 1),
+est AS (SELECT wday, ({m} - nreg) AS v,
+          {hll_alpha_numerator(p)!r}
+            / (s + ({m} - nreg) * {two49})::DOUBLE AS raw
+        FROM agg),
+ex AS (SELECT p.wday, count(DISTINCT e.user_id)::BIGINT AS exact_distinct
+       FROM pairs p JOIN e USING (day) GROUP BY 1)
+SELECT est.wday AS window_start,
+       round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE raw END, 6) AS hll_distinct,
+       ex.exact_distinct AS exact_distinct
+FROM est JOIN ex ON est.wday = ex.wday
+"""
+
+
+@register("hll_sliding_distinct_users", _hll_sliding_sql())
+def q_hll_sliding_distinct_users(spark, sf_dir):
+    """SLIDING-window distinct users from daily HLL partials: for every
+    day, the 7-day forward window's distinct count is estimated by
+    max-merging the member days' registers — the events are scanned
+    ONCE to build the daily partials and every window is register-sized
+    set algebra (30 windows x 7 members x <= 2^p rows here; at 100 TB
+    the daily partials are what a metrics pipeline persists, and any
+    window — 7-day, 28-day, MTD — derives from them with no re-scan,
+    which COUNT(DISTINCT) fundamentally cannot do across overlapping
+    windows). Exact counts ride alongside per window. Day keys are ISO
+    strings (the DATE-dtype driver pitfall). Plan: one corpus scan +
+    partial-agg max per (day, reg); the window join fans out only the
+    tiny (days x window) x registers frame."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    regs = hll_build(ev, "user_id", p=8, group_cols=["day"]).cache()
+    days = regs.select("day").distinct()
+    pairs = (
+        days.alias("w")
+        .join(
+            days.alias("m"),
+            F.datediff(
+                F.to_date(F.col("m.day")), F.to_date(F.col("w.day"))
+            ).between(0, 6),
+        )
+        .select(F.col("w.day").alias("wday"), F.col("m.day").alias("day"))
+    )
+    merged = (
+        pairs.join(regs, "day")
+        .groupBy("wday", "reg")
+        .agg(F.max("rank").alias("rank"))
+        .withColumnRenamed("wday", "window_start")
+    )
+    est = hll_estimate(merged, p=8, group_cols=["window_start"])
+    exact = (
+        pairs.join(ev.select("day", "user_id"), "day")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+        .withColumnRenamed("wday", "window_start")
+    )
+    return est.join(exact, "window_start")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

@@ -829,3 +829,21 @@ def test_hll_grouped_rollup_equals_direct_global_build(spark):
     assert as_set(rolled) == as_set(direct)
     est = hll_estimate(rolled, p=9).collect()[0]["hll_distinct"]
     assert abs(est - 700) / 700 < 0.2
+
+
+def test_hll_sliding_window_merge_equals_direct_window_build(spark):
+    """Window-in-sketch-space: merging daily registers over a window
+    gives BIT-identical registers to building the sketch on the
+    window's raw rows directly — the overlap-window re-aggregation
+    COUNT(DISTINCT) cannot do from daily results."""
+    from distributed_vector_database_spark.operators.sketch import hll_build
+
+    rows = [(d, u) for d in range(10) for u in range(d * 30, d * 30 + 80)]
+    df = spark.createDataFrame(rows, "day long, k long")
+    daily = hll_build(df, "k", p=9, group_cols=["day"])
+    # 3-day window starting at day 2
+    member = daily.filter(F.col("day").isin(2, 3, 4))
+    merged = member.groupBy("reg").agg(F.max("rank").alias("rank"))
+    direct = hll_build(df.filter(F.col("day").isin(2, 3, 4)), "k", p=9)
+    as_set = lambda d: {(r["reg"], r["rank"]) for r in d.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(direct)
