@@ -11076,6 +11076,70 @@ FROM est JOIN ex ON est.wday = ex.wday
 """
 
 
+@register(
+    "cdc_dup_clusters",
+    f"""
+WITH RECURSIVE {_TOKS_CTE},
+tt AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+bs AS (SELECT doc_id, t, n,
+         list_prepend(1, list_transform(
+           list_filter(range(1, n + 1),
+             p -> p < n AND
+                  ('0x' || substr(md5('c:' || t[p]), 1, 12))::BIGINT
+                    % 16 = 0),
+           p -> p + 1)) AS starts
+       FROM tt),
+ch AS (SELECT DISTINCT doc_id,
+         md5(array_to_string(
+           t[u.c.s : coalesce(starts[u.c.ix + 2] - 1, n)], ' ')) AS h
+       FROM bs, unnest(list_transform(starts,
+              (s, i) -> {{'ix': i - 1, 's': s}})) AS u(c)),
+keep AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= 10),
+kept AS (SELECT ch.doc_id, ch.h FROM ch JOIN keep USING (h)),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+          FROM kept a JOIN kept b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= 2),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+walk(n, m) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT w.n, e.b FROM walk w JOIN e ON w.m = e.a)
+SELECT n AS doc_id, min(m)::BIGINT AS cluster_id FROM walk GROUP BY n
+""",
+)
+def q_cdc_dup_clusters(spark, sf_dir):
+    """Shared-content FAMILIES at storage granularity: CDC pair evidence
+    (docs sharing >= 2 content-defined chunks, df-capped) closed into
+    connected components — the chunk-granularity sibling of
+    `dedup_clusters` (Jaccard) and the composition the provenance row
+    feeds: pairs say WHO shares, components say which docs form one
+    copy-family (cluster_id = the canonical lowest id). Cross-subsystem
+    composition: chunking -> dedup pairs -> graph. Scale: pair volume is
+    max_df-bounded; label propagation converges in diameter rounds, one
+    uniform edge-join shuffle each (lineage checkpointed inside
+    `connected_components`)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        cdc_shared_chunk_pairs,
+    )
+    from distributed_vector_database_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = cdc_shared_chunk_pairs(
+        _spread(_read(spark, sf_dir, "documents")),
+        mask_bits=4,
+        max_df=10,
+        min_shared=2,
+    ).select("doc_id_a", "doc_id_b")
+    cc = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 @register("hll_sliding_distinct_users", _hll_sliding_sql())
 def q_hll_sliding_distinct_users(spark, sf_dir):
     """SLIDING-window distinct users from daily HLL partials: for every
