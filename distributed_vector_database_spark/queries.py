@@ -11140,6 +11140,83 @@ def q_cdc_dup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "hdr_sliding_value_quantiles",
+    """
+WITH c AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+b AS (SELECT day,
+             length(bin(c)) - 1 AS e,
+             (c >> greatest(length(bin(c)) - 1 - 4, 0)) & 15 AS sub,
+             count(*) AS cnt
+      FROM c GROUP BY 1, 2, 3),
+days AS (SELECT DISTINCT day FROM b),
+pairs AS (SELECT w.day AS wday, m.day AS day
+          FROM days w JOIN days m
+            ON date_diff('day', w.day::DATE, m.day::DATE) BETWEEN 0 AND 6),
+merged AS (SELECT p.wday, b.e, b.sub, sum(b.cnt) AS cnt
+           FROM pairs p JOIN b USING (day) GROUP BY 1, 2, 3),
+cum AS (SELECT wday, e, sub,
+             sum(cnt) OVER (PARTITION BY wday ORDER BY e, sub) AS cum,
+             sum(cnt) OVER (PARTITION BY wday) AS total
+        FROM merged),
+qs AS (SELECT unnest([0.5, 0.99]) AS q)
+SELECT wday AS window_start, q::DOUBLE AS q,
+       min(CASE WHEN e < 4 THEN sub::BIGINT
+                ELSE (16 + sub)::BIGINT << (e - 4) END)::BIGINT
+         AS est_cents
+FROM cum, qs
+WHERE cum >= greatest(CAST(ceil(q * total) AS BIGINT), 1)
+GROUP BY 1, 2
+""",
+)
+def q_hdr_sliding_value_quantiles(spark, sf_dir):
+    """SLIDING-window p50/p99 spend from daily HDR partials — the
+    quantile member of the window-in-sketch-space pair (distinct ->
+    `hll_sliding_distinct_users`, quantiles -> this row): one corpus
+    scan builds per-day histograms; every 7-day window's quantiles
+    derive by SUMMING the member days' registers (percentile_approx /
+    exact percentiles must re-scan per overlapping window; histogram
+    partials re-aggregate — what a latency/spend dashboard persists).
+    All-integer registers and estimates — bit-exact cross-engine.
+    Plan: one partial-agg register shuffle; the window join fans out
+    only (days x 7) x <= ~960 register rows."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_hist_build,
+        hdr_quantiles,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = hdr_hist_build(ev, "cents", group_cols=["day"]).cache()
+    days = daily.select("day").distinct()
+    pairs = (
+        days.alias("w")
+        .join(
+            days.alias("m"),
+            F.datediff(
+                F.to_date(F.col("m.day")), F.to_date(F.col("w.day"))
+            ).between(0, 6),
+        )
+        .select(F.col("w.day").alias("wday"), F.col("m.day").alias("day"))
+    )
+    merged = (
+        pairs.join(daily, "day")
+        .groupBy("wday", "e", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumnRenamed("wday", "window_start")
+    )
+    return (
+        hdr_quantiles(merged, [0.5, 0.99], group_cols=["window_start"])
+        .select(
+            "window_start", "q", F.col("est").cast("long").alias("est_cents")
+        )
+    )
+
+
 @register("hll_sliding_distinct_users", _hll_sliding_sql())
 def q_hll_sliding_distinct_users(spark, sf_dir):
     """SLIDING-window distinct users from daily HLL partials: for every

@@ -847,3 +847,31 @@ def test_hll_sliding_window_merge_equals_direct_window_build(spark):
     direct = hll_build(df.filter(F.col("day").isin(2, 3, 4)), "k", p=9)
     as_set = lambda d: {(r["reg"], r["rank"]) for r in d.collect()}  # noqa: E731
     assert as_set(merged) == as_set(direct)
+
+
+def test_hdr_sliding_window_merge_equals_direct_window_build(spark):
+    """Summing daily HDR registers over a window == building the
+    histogram on the window's raw rows — the quantile counterpart of
+    the HLL window-merge invariant."""
+    from distributed_vector_database_spark.operators.sketch import (
+        hdr_hist_build,
+        hdr_quantiles,
+    )
+
+    rows = [(d, 10 + 7 * d * (i % 13) + i) for d in range(6)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "day long, v long")
+    daily = hdr_hist_build(df, "v", group_cols=["day"])
+    merged = (
+        daily.filter(F.col("day").isin(1, 2, 3))
+        .groupBy("e", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = hdr_hist_build(df.filter(F.col("day").isin(1, 2, 3)), "v")
+    as_set = lambda d: {  # noqa: E731
+        (r["e"], r["sub"], r["cnt"]) for r in d.collect()
+    }
+    assert as_set(merged) == as_set(direct)
+    qm = {r["q"]: r["est"] for r in hdr_quantiles(merged, [0.5, 0.99]).collect()}
+    qd = {r["q"]: r["est"] for r in hdr_quantiles(direct, [0.5, 0.99]).collect()}
+    assert qm == qd
