@@ -29,6 +29,7 @@ __all__ = [
     "cms_merge",
     "cms_lookup",
     "cms_bucket",
+    "cms_inner_product",
     "bloom_build",
     "bloom_merge",
     "bloom_contains",
@@ -887,4 +888,56 @@ def hll_set_estimates(
                 6,
             ),
         )
+    )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, depth: int
+) -> DataFrame:
+    """JOIN-SIZE estimation from two Count-Min sketches [AMS'96 /
+    Cormode-Muthukrishnan'05]: |A ⋈ B on k| = Σ_k f_A(k)·f_B(k), and
+    the CMS estimate is ``min over hash rows i of
+    Σ_b cntA[i][b]·cntB[i][b]`` — an upper bound that never
+    underestimates (collisions only ADD mass), tightest at the min row.
+    The planner-adjacent question at 100 TB — "will this join blow up?"
+    — answered from two register frames without touching either table:
+    the sketches are what a catalog keeps per column, and the estimate
+    costs depth·width register multiplies.
+
+    Both sketches must share (depth, width) and the ungrouped
+    ``(row, bucket, cnt)`` schema. Products are accumulated in
+    DECIMAL(38,0) (two 10-digit counts already exceed int64), and the
+    returned ``cms_join_size`` stays exact-integer up to 38 digits.
+    """
+    for s in (sketch_a, sketch_b):
+        if set(s.columns) != {"row", "bucket", "cnt"}:
+            raise ValueError(
+                f"ungrouped (row, bucket, cnt) sketch expected, got "
+                f"{sorted(s.columns)}"
+            )
+    dec = "decimal(38,0)"
+    a = sketch_a.select(
+        "row", "bucket", F.col("cnt").cast(dec).alias("_ca")
+    )
+    b = sketch_b.select(
+        "row", "bucket", F.col("cnt").cast(dec).alias("_cb")
+    )
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    # a hash row with NO shared buckets has inner product 0 — it must
+    # participate in the min (the estimate is 0), so fill absent rows
+    rows = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        rows.join(per_row, "row", "left")
+        .agg(
+            F.min(F.coalesce(F.col("_ip"), F.lit(0).cast(dec))).alias(
+                "_m"
+            )
+        )
+        .select(F.col("_m").cast(dec).alias("cms_join_size"))
     )

@@ -11141,6 +11141,65 @@ def q_cdc_dup_clusters(spark, sf_dir):
 
 
 @register(
+    "cms_join_size_estimate",
+    """
+WITH ra AS (SELECT t.i AS i,
+              ('0x' || substr(md5(t.i::VARCHAR || ':' || user_id::VARCHAR),
+                              1, 12))::BIGINT % 64 AS bucket,
+              count(*)::BIGINT AS cnt
+            FROM events, range(4) t(i) GROUP BY 1, 2),
+rb AS (SELECT t.i AS i,
+              ('0x' || substr(md5(t.i::VARCHAR || ':' ||
+                                  o_custkey::VARCHAR), 1, 12))::BIGINT
+                % 64 AS bucket,
+              count(*)::BIGINT AS cnt
+       FROM orders, range(4) t(i) GROUP BY 1, 2),
+prod AS (SELECT ra.i AS i, sum(ra.cnt * rb.cnt) AS ip
+         FROM ra JOIN rb ON ra.i = rb.i AND ra.bucket = rb.bucket
+         GROUP BY 1),
+allrows AS (SELECT t.i, coalesce(p.ip, 0) AS ip
+            FROM range(4) t(i) LEFT JOIN prod p ON p.i = t.i)
+SELECT (SELECT min(ip) FROM allrows)::BIGINT AS cms_join_size,
+       (SELECT count(*) FROM events e
+        JOIN orders o ON e.user_id = o.o_custkey)::BIGINT
+         AS exact_join_size
+""",
+)
+def q_cms_join_size_estimate(spark, sf_dir):
+    """JOIN-SIZE estimation from per-column sketches
+    (`sketch.cms_inner_product`, AMS'96 / Cormode-Muthukrishnan'05):
+    |events ⋈ orders ON user_id = o_custkey| estimated as the CMS
+    inner product min_i Σ_b cntA[i][b]·cntB[i][b] — the planner-adjacent
+    "will this join blow up?" answered from two register frames WITHOUT
+    touching either table (the sketches are what a catalog keeps per
+    column; at 100 TB this is how you price a join before paying its
+    shuffle). Never underestimates (collisions only add mass) — the
+    exact join count rides alongside so the overestimate is an audited
+    column. width=64 < 150 live keys here, so the collision regime is
+    real, not vacuous. All-integer register math, bit-exact both
+    engines; products accumulate in decimal(38,0) (two large counts
+    overflow int64), emitted as BIGINT."""
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    orders = _read(spark, sf_dir, "orders")
+    ska = cms_build(ev, "user_id", depth=4, width=64)
+    skb = cms_build(orders, "o_custkey", depth=4, width=64)
+    est = cms_inner_product(ska, skb, depth=4).select(
+        F.col("cms_join_size").cast("long").alias("cms_join_size")
+    )
+    exact = (
+        ev.select(F.col("user_id").alias("k"))
+        .join(orders.select(F.col("o_custkey").alias("k")), "k")
+        .agg(F.count("*").cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)
+
+
+@register(
     "hdr_sliding_value_quantiles",
     """
 WITH c AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

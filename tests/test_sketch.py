@@ -875,3 +875,45 @@ def test_hdr_sliding_window_merge_equals_direct_window_build(spark):
     qm = {r["q"]: r["est"] for r in hdr_quantiles(merged, [0.5, 0.99]).collect()}
     qd = {r["q"]: r["est"] for r in hdr_quantiles(direct, [0.5, 0.99]).collect()}
     assert qm == qd
+
+
+def test_cms_inner_product_join_size(spark):
+    """AMS/CMS join-size estimate: never underestimates, exact when the
+    width is collision-free, and refuses grouped sketches."""
+    import pytest
+
+    from distributed_vector_database_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 11,) for i in range(400)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(i % 17,) for i in range(300)], "k long"
+    )
+    exact = (
+        a.join(b, "k").count()
+    )
+    # wide: no collisions over 11+17 keys -> exact
+    wide = cms_inner_product(
+        cms_build(a, "k", depth=4, width=4096),
+        cms_build(b, "k", depth=4, width=4096),
+        depth=4,
+    ).collect()[0][0]
+    assert int(wide) == exact
+    # narrow: collision regime -> still an upper bound
+    narrow = cms_inner_product(
+        cms_build(a, "k", depth=4, width=8),
+        cms_build(b, "k", depth=4, width=8),
+        depth=4,
+    ).collect()[0][0]
+    assert int(narrow) >= exact
+    grouped = cms_build(
+        a.withColumn("g", F.lit("x")), "k", depth=4, width=8,
+        group_cols=["g"],
+    )
+    with pytest.raises(ValueError, match="ungrouped"):
+        cms_inner_product(grouped, cms_build(b, "k", depth=4, width=8),
+                          depth=4)
