@@ -91,17 +91,27 @@ def compact_layout(
     ``max(min_files, ideal)`` data files down to
     ``ideal = ceil(total_bytes / target_file_bytes)`` files.
 
+    A FLAT directory (no ``key=value`` subdirs, data files at the root —
+    the shape of the streaming owner-state appends: gram_owners,
+    chunk_owners, minhash owners) is treated as a single partition, so
+    the periodic-compaction story those modules promise applies to them
+    too (round 9; previously the flat root was silently skipped).
+
     Row-preserving (verified in tests): the rewrite is read -> coalesce ->
     write of the same rows; partition-column values are carried by the
     directory name, untouched. Returns a summary dict
     ``{partitions_compacted, files_before, files_after}``.
     """
-    fs, _ = _fs(spark, path)
+    fs, hroot = _fs(spark, path)
     jvm = spark._jvm
     hPath = jvm.org.apache.hadoop.fs.Path
     compacted = files_before = files_after = 0
 
-    for d in _list_partition_dirs(spark, path):
+    dirs = _list_partition_dirs(spark, path)
+    if not dirs and _data_files(fs, jvm, path):
+        dirs = [hroot.toString()]
+
+    for d in dirs:
         files = _data_files(fs, jvm, d)
         total = sum(n for _, n in files)
         ideal = max(1, math.ceil(total / target_file_bytes))
