@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 
 from distributed_vector_database_spark.functions.vector import round_score
 
-__all__ = ["rrf_fuse", "ranked", "late_interaction_topk", "mmr_rerank"]
+__all__ = [
+    "rrf_fuse",
+    "ranked",
+    "late_interaction_topk",
+    "mmr_rerank",
+    "rocchio_expanded_topk",
+]
 
 
 def ranked(
@@ -244,3 +250,83 @@ def mmr_rerank(
         ],
         schema,
     )
+
+
+def rocchio_expanded_topk(
+    dense: DataFrame,
+    query_vector: Sequence[float],
+    *,
+    k_feedback: int = 5,
+    alpha: int = 4,
+    beta: int = 3,
+    k: int = 10,
+    vector_col: str = "embedding",
+    id_col: str = "doc_id",
+    exclude_ids: Sequence | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback search (Rocchio, 1971; Manning et al.,
+    IIR ch. 9): retrieve k_feedback docs for the raw query, expand the
+    query toward their centroid, re-search with the expanded query:
+
+        q' = alpha * q + beta * mean(top-k_feedback vectors)
+
+    Implemented scale-invariantly in EXACT integer arithmetic when the
+    input vectors are integer counts (the hashing embedder with
+    normalize=False): q' is computed as
+
+        alpha * k_feedback * q  +  beta * sum(feedback vectors)
+
+    which is k_feedback * (alpha*q + beta*mean) — a positive scalar
+    multiple, so every cosine is unchanged while all coordinates stay
+    integers (bit-identical across engines; no float mean).
+
+    Beyond-reference surface: the reference serves single-shot vector
+    search only (`reference: src/compute_server.py:107-138`); curation
+    and retrieval stacks use PRF to recover vocabulary-mismatch recall
+    without a trained reranker.
+
+    Scale shape: two TakeOrderedAndProject corpus scans (the two
+    searches) + one k_feedback-row driver collect (bounded below) — no
+    extra shuffle, no crossJoin; at 100 TB both scans stay the standard
+    pruned top-k path.
+
+    Returns the final (id_col, score) top-k, ordered (score DESC, id ASC).
+    """
+    from distributed_vector_database_spark.operators.topk import topk
+
+    if not (1 <= k_feedback <= 64):
+        raise ValueError(
+            f"k_feedback must be in [1, 64] (it is collected to the "
+            f"driver and folded into the expanded query), got {k_feedback}"
+        )
+    if alpha < 0 or beta < 0 or (alpha == 0 and beta == 0):
+        raise ValueError("alpha/beta must be non-negative, not both zero")
+    cand = dense
+    if exclude_ids:
+        cand = dense.filter(~F.col(id_col).isin(list(exclude_ids)))
+    fb = topk(
+        cand,
+        query_vector,
+        k=k_feedback,
+        vector_col=vector_col,
+        id_col=id_col,
+    )
+    # k_feedback rows, each dim floats — a bounded driver collect (same
+    # discipline as the PQ codebook / centroid seeds).
+    fb_rows = (
+        fb.select(id_col)
+        .join(dense.select(id_col, vector_col), id_col)
+        .select(vector_col)
+        .collect()
+    )
+    dim = len(query_vector)
+    sums = [0.0] * dim
+    for r in fb_rows:
+        v = r[0]
+        for i in range(dim):
+            sums[i] += float(v[i])
+    q2 = [
+        float(alpha * k_feedback) * float(query_vector[i]) + float(beta) * sums[i]
+        for i in range(dim)
+    ]
+    return topk(dense, q2, k=k, vector_col=vector_col, id_col=id_col)

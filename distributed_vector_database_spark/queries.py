@@ -11326,6 +11326,72 @@ def q_hll_sliding_distinct_users(spark, sf_dir):
     return est.join(exact, "window_start")
 
 
+@register(
+    "rocchio_expanded_search",
+    f"""
+WITH {_TOKS_CTE},
+tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+sp AS (SELECT doc_id, {_bucket_sql('tok')} AS bucket, count(*) AS cnt
+       FROM tk GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)::DOUBLE) AS n FROM sp GROUP BY doc_id),
+qd AS (SELECT bucket, cnt FROM sp WHERE doc_id = 0),
+d1 AS (SELECT sp.doc_id, sum(sp.cnt * qd.cnt)::DOUBLE AS dp
+       FROM sp JOIN qd ON sp.bucket = qd.bucket
+       WHERE sp.doc_id <> 0 GROUP BY sp.doc_id),
+fb AS (SELECT n2.doc_id,
+              ROUND(COALESCE(d1.dp, 0.0)
+                    / (n2.n * (SELECT n FROM nrm WHERE doc_id = 0)), 6) AS score
+       FROM nrm n2 LEFT JOIN d1 ON n2.doc_id = d1.doc_id
+       WHERE n2.doc_id <> 0
+       ORDER BY score DESC, n2.doc_id ASC LIMIT 5),
+fbsum AS (SELECT bucket, sum(cnt) AS s FROM sp
+          WHERE doc_id IN (SELECT doc_id FROM fb) GROUP BY bucket),
+q2 AS (SELECT COALESCE(qd.bucket, fbsum.bucket) AS bucket,
+              20 * COALESCE(qd.cnt, 0) + 3 * COALESCE(fbsum.s, 0) AS c
+       FROM qd FULL OUTER JOIN fbsum ON qd.bucket = fbsum.bucket),
+q2n AS (SELECT sqrt(sum(c * c)::DOUBLE) AS n FROM q2),
+d2 AS (SELECT sp.doc_id, sum(sp.cnt * q2.c)::DOUBLE AS dp
+       FROM sp JOIN q2 ON sp.bucket = q2.bucket GROUP BY sp.doc_id)
+SELECT n2.doc_id AS doc_id,
+       ROUND(COALESCE(d2.dp, 0.0) / (n2.n * (SELECT n FROM q2n)), 6) AS score
+FROM nrm n2 LEFT JOIN d2 ON n2.doc_id = d2.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def q_rocchio_expanded_search(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971; IIR ch. 9):
+    hash-embed the corpus, search with doc 0's raw vector, expand the query
+    toward the top-5 feedback docs' centroid IN EXACT INTEGER SPACE
+    (q' = 20q + 3*sum5 = 5*(4q + 3*mean5); cosine is scale-invariant, so no
+    float mean ever forms), then re-search for the final top-10. The oracle
+    rebuilds q' from the sparse counts — bit-identical coordinates — and
+    recomputes both searches relationally. Scale: two TakeOrdered scans +
+    one 5-row driver collect (operators/fusion.rocchio_expanded_topk)."""
+    from distributed_vector_database_spark.functions.embed import hashing_embed
+    from distributed_vector_database_spark.operators.fusion import (
+        rocchio_expanded_topk,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    dense = hashing_embed(docs, dim=64, normalize=False)
+    qv = [
+        float(x)
+        for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]
+    ]
+    return rocchio_expanded_topk(
+        dense,
+        qv,
+        k_feedback=5,
+        alpha=4,
+        beta=3,
+        k=10,
+        vector_col="embedding",
+        id_col="doc_id",
+        exclude_ids=[0],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

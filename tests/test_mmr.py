@@ -90,3 +90,98 @@ def test_mmr_shortlist_cap_raises(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="shortlist exceeds"):
         mmr_rerank(short, [1.0, 0.0], k=2)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback (fusion.rocchio_expanded_topk)
+# ---------------------------------------------------------------------------
+
+from distributed_vector_database_spark.operators.fusion import (  # noqa: E402
+    rocchio_expanded_topk,
+)
+
+
+def _corpus(spark):
+    # integer-count "hashing embed" style vectors
+    vecs = [
+        [4.0, 0.0, 1.0],   # 0: the query doc
+        [3.0, 0.0, 3.0],   # 1: near the query, heavy on dim 2
+        [3.0, 0.0, 4.0],   # 2: near the query, heavy on dim 2
+        [0.0, 5.0, 0.0],   # 3: off-topic
+        [0.0, 0.0, 6.0],   # 4: pulled in only by feedback drift
+        [1.0, 1.0, 0.0],   # 5: raw-query tail, orthogonal to feedback
+    ]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "doc_id long, embedding array<double>",
+    )
+
+
+def test_rocchio_scale_invariance(spark):
+    """(alpha, beta) and (2*alpha, 2*beta) give the identical ranking —
+    the expanded query is only defined up to positive scale."""
+    df = _corpus(spark)
+    q = [4.0, 0.0, 1.0]
+    a = rocchio_expanded_topk(
+        df, q, k_feedback=2, alpha=4, beta=3, k=6,
+        vector_col="embedding", id_col="doc_id", exclude_ids=[0],
+    ).collect()
+    b = rocchio_expanded_topk(
+        df, q, k_feedback=2, alpha=8, beta=6, k=6,
+        vector_col="embedding", id_col="doc_id", exclude_ids=[0],
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_rocchio_beta_zero_is_plain_search(spark):
+    df = _corpus(spark)
+    q = [4.0, 0.0, 1.0]
+    out = rocchio_expanded_topk(
+        df, q, k_feedback=2, alpha=1, beta=0, k=6,
+        vector_col="embedding", id_col="doc_id",
+    ).collect()
+    plain = topk(
+        df, q, k=6, vector_col="embedding", id_col="doc_id"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+
+
+def test_rocchio_feedback_moves_the_ranking(spark):
+    """A doc aligned with the feedback centroid (doc 4, pure dim 2) must
+    overtake a raw-query-tail doc orthogonal to it (doc 5) once the top-2
+    feedback docs (1, 2 — both heavy on dim 2) expand the query."""
+    df = _corpus(spark)
+    q = [4.0, 0.0, 1.0]
+    plain = [
+        r["doc_id"]
+        for r in topk(df, q, k=6, vector_col="embedding", id_col="doc_id")
+        .collect()
+    ]
+    expanded = [
+        r["doc_id"]
+        for r in rocchio_expanded_topk(
+            df, q, k_feedback=2, alpha=1, beta=30, k=6,
+            vector_col="embedding", id_col="doc_id", exclude_ids=[0],
+        ).collect()
+    ]
+    assert plain.index(5) < plain.index(4)
+    assert expanded.index(4) < expanded.index(5)
+
+
+def test_rocchio_exclude_and_validation(spark):
+    df = _corpus(spark)
+    q = [4.0, 0.0, 1.0]
+    # excluded id may still appear in the FINAL results
+    out = rocchio_expanded_topk(
+        df, q, k_feedback=2, alpha=4, beta=3, k=6,
+        vector_col="embedding", id_col="doc_id", exclude_ids=[0],
+    ).collect()
+    assert 0 in {r["doc_id"] for r in out}
+    with pytest.raises(ValueError, match="k_feedback"):
+        rocchio_expanded_topk(df, q, k_feedback=0)
+    with pytest.raises(ValueError, match="alpha/beta"):
+        rocchio_expanded_topk(df, q, alpha=0, beta=0)
