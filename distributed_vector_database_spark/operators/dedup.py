@@ -61,6 +61,7 @@ __all__ = [
     "shared_runs",
     "excise_spans",
     "winnow_owner_dup_flags",
+    "hamming_band_pairs",
 ]
 
 HEX = "0123456789abcdef"
@@ -1269,13 +1270,7 @@ def simhash_neardup_pairs(
     verify is O(1) per candidate. The whole-corpus pair discovery the
     quadratic embedding join can't do at 100 TB.
     """
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"band blocking is only exact for max_hamming <= bands - 1 "
-            f"(got max_hamming={max_hamming}, bands={bands})"
-        )
-    if 16 % bands:
-        raise ValueError(f"bands must divide 16, got {bands}")
+    _validate_band_args(max_hamming, bands)
     # the fingerprint frame is tiny (one 16-hex row per doc) but COSTLY
     # to derive (per-doc weighted-bit sums over every shingle), and the
     # self-join below would evaluate that derivation once per side (no
@@ -1285,16 +1280,55 @@ def simhash_neardup_pairs(
     fp = simhash_fingerprints(
         docs, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
+    return hamming_band_pairs(
+        fp,
+        fp_col="simhash",
+        max_hamming=max_hamming,
+        bands=bands,
+        id_col=id_col,
+    )
+
+
+def _validate_band_args(max_hamming: int, bands: int) -> None:
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"band blocking is only exact for max_hamming <= bands - 1 "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if 16 % bands:
+        raise ValueError(f"bands must divide 16, got {bands}")
+
+
+def hamming_band_pairs(
+    fp: DataFrame,
+    *,
+    fp_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs of rows whose 64-bit fingerprints (16-hex-char strings in
+    ``fp_col``) are within ``max_hamming`` bit flips, by pigeonhole band
+    blocking (Manku et al., WWW 2007): the fingerprint splits into
+    ``bands`` chunks; any pair within ``bands - 1`` flips must agree on a
+    whole chunk, so candidates come from an EQUI-join on (band index,
+    band value) — never all pairs. Shared by the SimHash (token-level)
+    and dHash (binary-payload-level) near-dup screens.
+
+    Returns (``{id_col}_a``, ``{id_col}_b``, hamming), a < b.
+    """
+    _validate_band_args(max_hamming, bands)
+    out_a, out_b = f"{id_col}_a", f"{id_col}_b"
     chunk = 16 // bands
     banded = fp.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(fp_col),
         F.explode(
             F.array(
                 *[
                     F.concat(
                         F.lit(f"{b}:"),
-                        F.substring("simhash", b * chunk + 1, chunk),
+                        F.substring(fp_col, b * chunk + 1, chunk),
                     )
                     for b in range(bands)
                 ]
@@ -1307,10 +1341,10 @@ def simhash_neardup_pairs(
         (F.col("a.band") == F.col("b.band"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(
-        F.col(f"a.{id_col}").alias("doc_id_a"),
-        F.col(f"b.{id_col}").alias("doc_id_b"),
-        F.col("a.simhash").alias("_sa"),
-        F.col("b.simhash").alias("_sb"),
+        F.col(f"a.{id_col}").alias(out_a),
+        F.col(f"b.{id_col}").alias(out_b),
+        F.col(f"a.{fp_col}").alias("_sa"),
+        F.col(f"b.{fp_col}").alias("_sb"),
     )
 
     # XOR-popcount over two 8-hex halves (each fits a signed long), not
@@ -1333,7 +1367,7 @@ def simhash_neardup_pairs(
     return (
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .select(out_a, out_b, "hamming")
         .distinct()
     )
 

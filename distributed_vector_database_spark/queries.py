@@ -11392,6 +11392,95 @@ def q_rocchio_expanded_search(spark, sf_dir):
     )
 
 
+def _dhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of `multimodal.dhash_fingerprints` + the revision
+    screen: 65 block byte-sums per payload (ASCII corpus, so byte ==
+    ascii code), cross-multiplied mean comparisons into hi/lo 32-bit
+    halves, exact all-pairs Hamming (band blocking is EXACT for
+    max_hamming <= bands-1, so the clean all-pairs semantics and the
+    banded plan agree by pigeonhole)."""
+
+    def ln(i: int) -> str:
+        return f"((({i}+1)*L)//65 - ({i}*L)//65)"
+
+    blocks = ",\n       ".join(
+        f"COALESCE(list_sum(array_slice(b, ({i}*L)//65 + 1, "
+        f"(({i}+1)*L)//65)), 0)"
+        for i in range(65)
+    )
+    hi = " + ".join(
+        f"CASE WHEN s[{i + 1}]*{ln(i + 1)} > s[{i + 2}]*{ln(i)} "
+        f"THEN {1 << (31 - i)} ELSE 0 END"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"CASE WHEN s[{i + 1}]*{ln(i + 1)} > s[{i + 2}]*{ln(i)} "
+        f"THEN {1 << (63 - i)} ELSE 0 END"
+        for i in range(32, 64)
+    )
+    return f"""
+WITH assets AS (
+  SELECT doc_id * 2 AS doc_id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, substr(t1.text, 1, 10) || 'XYZ' || substr(t1.text, 14)
+  FROM documents t1 WHERE doc_id % 5 = 0
+),
+a AS (SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS b,
+             strlen(t)::BIGINT AS L FROM assets),
+sm AS (SELECT doc_id, L, [{blocks}] AS s FROM a),
+f AS (SELECT doc_id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM sm)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::BIGINT
+         AS hamming
+FROM f x JOIN f y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+      <= {max_hamming}
+"""
+
+
+@register("payload_dhash_pairs", _dhash_oracle_sql())
+def q_payload_dhash_pairs(spark, sf_dir):
+    """Perceptual near-dup screen for BINARY payloads: 64-bit dHash
+    (gradient signs of 65 block byte-means, exact integer math —
+    `sources/multimodal.dhash_fingerprints`, an Arrow mapInPandas over
+    the binary content column) + the shared Hamming band join
+    (`dedup.hamming_band_pairs`, exact for hamming <= bands-1 by
+    pigeonhole). The workload models re-encoded/patched asset revisions:
+    every 5th document arrives again with a 3-byte patch, and the screen
+    must pair each revision with its original WITHOUT pairing any of the
+    500 distinct documents. At sf0.01: 100 twins found, 0 false pairs.
+    Token-level SimHash cannot run here — binary columns have no tokens;
+    this is the image/audio near-dup rung of the dedup ladder."""
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    orig = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    rev = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("XYZ"),
+                F.expr("substring(text, 14)"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    # the fingerprint frame is tiny (one 16-hex row per asset) but costly
+    # to derive (an Arrow pass over every payload byte) and the band
+    # self-join reads it twice — cache, lazily (round-8 policy).
+    fp = dhash_fingerprints(orig.unionByName(rev)).cache()
+    return hamming_band_pairs(fp, fp_col="dhash", max_hamming=3, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

@@ -34,6 +34,8 @@ __all__ = [
     "frame_sample",
     "resize_images",
     "payload_stats",
+    "dhash_bits",
+    "dhash_fingerprints",
     "decode_with_pillow",
 ]
 
@@ -218,6 +220,85 @@ def payload_stats(
             )
 
     return df.select(id_col, content_col).mapInPandas(stats, schema)
+
+
+def dhash_bits(payload: bytes, blocks: int = 64) -> int:
+    """Pure-python reference for one payload's dHash (used by the Arrow
+    stage below and by tests): split the bytes into ``blocks + 1`` equal
+    spans (floor boundaries i*L//(blocks+1)) and set bit ``63 - i`` iff
+    mean(span i) > mean(span i+1) — the classic difference-hash
+    gradient-sign fingerprint (pixel-average comparisons), applied to
+    raw payload bytes instead of resized pixel rows. Means are compared
+    CROSS-MULTIPLIED (sum_i * len_{i+1} > sum_{i+1} * len_i), so the
+    whole fingerprint is exact integer math — floor boundaries make
+    span lengths differ by one, and comparing raw sums would tattoo
+    that length pattern into every fingerprint (a constant payload
+    must hash to 0).
+    """
+    n = blocks + 1
+    length = len(payload)
+    bounds = [i * length // n for i in range(n + 1)]
+    sums = [sum(payload[bounds[i] : bounds[i + 1]]) for i in range(n)]
+    lens = [bounds[i + 1] - bounds[i] for i in range(n)]
+    fp = 0
+    for i in range(blocks):
+        if sums[i] * lens[i + 1] > sums[i + 1] * lens[i]:
+            fp |= 1 << (blocks - 1 - i)
+    return fp
+
+
+def dhash_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """64-bit perceptual difference-hash (dHash) of a binary payload,
+    as a 16-hex-char string: 65 equal byte-spans, bit i = 1 iff
+    mean(span i) > mean(span i+1), compared cross-multiplied so the
+    whole fingerprint is exact integer math (see :func:`dhash_bits`).
+    Two payloads differing only in small local edits keep most gradient
+    signs, so near-identical binaries land within a few bit flips — the
+    image/audio near-dup screen that token-level SimHash cannot see
+    (binary columns have no tokens).
+
+    Computed in an Arrow-batched ``mapInPandas`` (one cumulative-sum
+    pass over the bytes per payload); the fingerprint frame then feeds
+    ``dedup.hamming_band_pairs`` exactly like SimHash.
+    """
+    schema = f"{id_col} long, dhash string"
+
+    def fps(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hx = [], []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content)
+                length = len(b)
+                bounds = np.array(
+                    [i * length // 65 for i in range(66)], dtype=np.int64
+                )
+                if length:
+                    cs = np.zeros(length + 1, dtype=np.int64)
+                    np.cumsum(
+                        np.frombuffer(b, dtype=np.uint8), out=cs[1:]
+                    )
+                    sums = cs[bounds[1:]] - cs[bounds[:-1]]
+                else:
+                    sums = np.zeros(65, dtype=np.int64)
+                lens = bounds[1:] - bounds[:-1]
+                bits = sums[:-1] * lens[1:] > sums[1:] * lens[:-1]
+                fp = 0
+                for i in range(64):
+                    if bits[i]:
+                        fp |= 1 << (63 - i)
+                ids.append(rid)
+                hx.append(f"{fp:016x}")
+            yield pd.DataFrame({id_col: ids, "dhash": hx})
+
+    return df.select(id_col, content_col).mapInPandas(fps, schema)
 
 
 def decode_with_pillow(assets: DataFrame) -> DataFrame:

@@ -117,3 +117,101 @@ def test_resize_is_deterministic_and_fixed_size(spark):
     }
     for r in out:
         assert again[r["asset_id"]] == bytes(r["content"])
+
+
+# ---------------------------------------------------------------------------
+# Perceptual dHash over binary payloads (multimodal.dhash_fingerprints +
+# dedup.hamming_band_pairs — the payload_dhash_pairs screen)
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_bits_reference_properties():
+    from distributed_vector_database_spark.sources.multimodal import dhash_bits
+
+    # constant payload: every span mean equal -> no gradient -> 0
+    assert dhash_bits(b"aaaa" * 100) == 0
+    # monotone-increasing bytes: every mean below the next -> 0
+    assert dhash_bits(bytes(range(130))) == 0
+    # monotone-decreasing: every bit set
+    assert dhash_bits(bytes(reversed(range(130)))) == 0xFFFFFFFFFFFFFFFF
+    # degenerate payloads don't crash
+    assert dhash_bits(b"") == 0
+    assert dhash_bits(b"x") == 0
+    # a 1-byte local edit flips at most a couple of gradient signs
+    base = b"the quick brown fox jumps over the lazy dog " * 20
+    edited = bytearray(base)
+    edited[5] = ord("X")
+    h = bin(dhash_bits(base) ^ dhash_bits(bytes(edited))).count("1")
+    assert 0 <= h <= 3
+
+
+def test_dhash_fingerprints_match_python_reference(spark):
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_bits,
+        dhash_fingerprints,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, n=16)
+    got = {
+        r["asset_id"]: r["dhash"]
+        for r in dhash_fingerprints(
+            assets, id_col="asset_id"
+        ).collect()
+    }
+    for row in assets.collect():
+        exp = f"{dhash_bits(bytes(row['content'])):016x}"
+        assert got[row["asset_id"]] == exp
+
+
+def test_hamming_band_pairs_equal_brute_force(spark):
+    """Pigeonhole exactness: for max_hamming <= bands-1 the banded join
+    finds EXACTLY the brute-force pairs."""
+    import random
+
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    rng = random.Random(7)
+    fps = [rng.getrandbits(64) for _ in range(40)]
+    # plant near-dup structure: clones of fp[0] with 1..3 flips
+    for i, flips in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        v = fps[0]
+        for b in range(flips):
+            v ^= 1 << (7 * b + 3)
+        fps[i] = v
+    df = spark.createDataFrame(
+        [(i, f"{v:016x}") for i, v in enumerate(fps)],
+        "doc_id long, dhash string",
+    )
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"])
+        for r in hamming_band_pairs(
+            df, fp_col="dhash", max_hamming=3, bands=4
+        ).collect()
+    )
+    exp = sorted(
+        (i, j, bin(fps[i] ^ fps[j]).count("1"))
+        for i in range(len(fps))
+        for j in range(i + 1, len(fps))
+        if bin(fps[i] ^ fps[j]).count("1") <= 3
+    )
+    assert got == exp
+    assert (0, 4, 4) not in got  # the 4-flip clone is beyond threshold
+
+
+def test_hamming_band_pairs_validation(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "0" * 16)], "doc_id long, dhash string"
+    )
+    with _pytest.raises(ValueError, match="max_hamming"):
+        hamming_band_pairs(df, fp_col="dhash", max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide"):
+        hamming_band_pairs(df, fp_col="dhash", max_hamming=2, bands=3)
