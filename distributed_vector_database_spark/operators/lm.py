@@ -35,6 +35,8 @@ __all__ = [
     "bigram_counts",
     "doc_bigram_cross_entropy",
     "doc_bigram_kn_cross_entropy",
+    "trigram_counts",
+    "doc_trigram_kn_cross_entropy",
     "source_unigram_kl",
 ]
 
@@ -323,6 +325,188 @@ def doc_bigram_kn_cross_entropy(
         .select(
             id_col,
             "n_bigrams",
+            h.alias("cross_entropy"),
+            F.round(F.exp(h), 6).alias("ppl"),
+        )
+    )
+
+
+def _trigram_triples(toks):
+    """Array of 'w1 w2 w3' trigram strings (single-space join, same
+    convention as `_bigram_pairs`)."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i.cast("int")),
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_counts(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus trigram table ``(w1, w2, w3, n)``.
+
+    Same shape as `bigram_counts` one order up: explode -> hash-agg, the
+    shuffle carries |trigram-vocab| map-side partials; trigrams never
+    cross document boundaries.
+    """
+    tg = docs.select(
+        F.explode(_trigram_triples(tokens(text_col))).alias("_tg")
+    )
+    mid = F.substring_index(
+        F.substring_index("_tg", " ", 2), " ", -1
+    )
+    return (
+        tg.select(
+            F.substring_index("_tg", " ", 1).alias("w1"),
+            mid.alias("w2"),
+            F.substring_index("_tg", " ", -1).alias("w3"),
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def doc_trigram_kn_cross_entropy(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    *,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under an INTERPOLATED KNESER-NEY
+    TRIGRAM LM (Chen & Goodman '98 §4.1.6) — the full three-layer
+    recursion above `doc_bigram_kn_cross_entropy`'s bigram rung, with
+    CONTINUATION counts at the lower orders (the defining KN property:
+    the backoff distribution asks "how many contexts does this n-gram
+    complete?", not "how often does it occur?"):
+
+      p(w3|w1w2) = max(c(w1w2w3)-d, 0)/c(w1w2·)
+                   + d·N1+(w1w2·)/c(w1w2·) · p(w3|w2)   [seen context]
+                 = p(w3|w2)                              [else]
+      p(w3|w2)   = max(N1+(·w2w3)-d, 0)/N1+(·w2·)
+                   + d·N1+(w2·*)/N1+(·w2·) · Pcont(w3)   [seen middle]
+                 = Pcont(w3)                             [else]
+      Pcont(w3)  = (N1+(·w3) + 1) / (N1+(··) + V)
+
+    where N1+(·w2w3) counts distinct w1 preceding (w2,w3), N1+(·w2·) =
+    Σ_w3 N1+(·w2w3), N1+(w2·*) = distinct w3 with N1+(·w2w3) > 0,
+    N1+(·w3) = distinct w2 preceding w3 (middle-layer types), N1+(··) =
+    total middle-layer types, V = unigram vocabulary. The +1/+V add-one
+    floor on the continuation base is the same documented deviation as
+    the bigram rung (held-out OOV scores the floor, never log(0)).
+    Proven against an independent pure-python reference in tests.
+
+    Exactness: every count is an exact integer; d and the c-d
+    differences are binary-exact; both engines evaluate the identical
+    double expression tree; per-trigram log-probs round to integer
+    MICROS and sum as longs, and the final 6dp division is exact
+    integer half-away rounding — partial-agg order cannot move it.
+
+    Scale: count tables are |trigram-vocab|-sized partial aggregates,
+    scoring is five hash joins on n-gram keys (AQE broadcasts while the
+    LM is small), two literal scalars. Docs with < 3 tokens have no
+    trigrams and are omitted. Output (id, n_trigrams, cross_entropy,
+    ppl)."""
+    lm = lm_docs if lm_docs is not None else docs
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    # c123 feeds ctx/mid AND the scoring join; mid feeds midctx/base/
+    # N1+(..) — cache both (lazy, evictable; the Spark-side twin of the
+    # oracle's AS MATERIALIZED hint) so the corpus explode runs once.
+    c123 = trigram_counts(lm, text_col=text_col, id_col=id_col).cache()
+    ctx = c123.groupBy("w1", "w2").agg(
+        F.sum("n").alias("cctx"),
+        F.count("*").cast("long").alias("n1p_ctx"),
+    )
+    mid = c123.groupBy("w2", "w3").agg(
+        F.count("*").cast("long").alias("n1p_mid")
+    ).cache()
+    midctx = mid.groupBy("w2").agg(
+        F.sum("n1p_mid").alias("nmidctx"),
+        F.count("*").cast("long").alias("n1p_midfwd"),
+    )
+    base = mid.groupBy("w3").agg(
+        F.count("*").cast("long").alias("n1p_base")
+    )
+    nmid_types = int(mid.count())
+    v = int(
+        lm.select(F.explode(tokens(text_col)).alias("_t"))
+        .agg(F.countDistinct("_t"))
+        .head()[0]
+    )
+
+    tgs = docs.select(
+        F.col(id_col),
+        F.explode(_trigram_triples(tokens(text_col))).alias("_tg"),
+    ).select(
+        id_col,
+        F.substring_index("_tg", " ", 1).alias("w1"),
+        F.substring_index(
+            F.substring_index("_tg", " ", 2), " ", -1
+        ).alias("w2"),
+        F.substring_index("_tg", " ", -1).alias("w3"),
+    )
+    pcont = (
+        F.coalesce(F.col("n1p_base"), F.lit(0)).cast("double") + F.lit(1.0)
+    ) / F.lit(float(nmid_types + v))
+    pmid = F.when(
+        F.col("nmidctx").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("n1p_mid"), F.lit(0)).cast("double")
+                - F.lit(d),
+                F.lit(0.0),
+            )
+            + F.lit(d) * F.col("n1p_midfwd").cast("double") * pcont
+        )
+        / F.col("nmidctx").cast("double"),
+    ).otherwise(pcont)
+    p = F.when(
+        F.col("cctx").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            + F.lit(d) * F.col("n1p_ctx").cast("double") * pmid
+        )
+        / F.col("cctx").cast("double"),
+    ).otherwise(pmid)
+    joined = (
+        tgs.join(
+            c123.withColumnRenamed("n", "c3"), ["w1", "w2", "w3"], "left"
+        )
+        .join(ctx, ["w1", "w2"], "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(midctx, "w2", "left")
+        .join(base, "w3", "left")
+        .select(
+            F.col(id_col),
+            F.round(F.log(p) * F.lit(1e6)).cast("long").alias("_mic"),
+        )
+    )
+    # exact-integer half-away 6dp (see doc_bigram_kn_cross_entropy)
+    h_mic = F.expr("(2 * (-_m) + n_trigrams) div (2 * n_trigrams)")
+    h = h_mic.cast("double") / F.lit(1e6)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("_mic").alias("_m"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
             h.alias("cross_entropy"),
             F.round(F.exp(h), 6).alias("ppl"),
         )

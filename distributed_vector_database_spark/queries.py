@@ -11392,6 +11392,78 @@ def q_rocchio_expanded_search(spark, sf_dir):
     )
 
 
+@register(
+    "trigram_kn_ppl",
+    f"""
+WITH {_TOKS_CTE},
+tgp AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tgs
+        FROM toks),
+tg AS (SELECT doc_id, split_part(tgs, ' ', 1) AS w1,
+              split_part(tgs, ' ', 2) AS w2,
+              split_part(tgs, ' ', 3) AS w3 FROM tgp),
+c123 AS MATERIALIZED (
+  SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM tg GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, sum(c3)::BIGINT AS cctx, count(*)::BIGINT AS n1p_ctx
+        FROM c123 GROUP BY 1, 2),
+mid AS MATERIALIZED (
+  SELECT w2, w3, count(*)::BIGINT AS n1p_mid FROM c123 GROUP BY 1, 2),
+midctx AS (SELECT w2, sum(n1p_mid)::BIGINT AS nmidctx,
+                  count(*)::BIGINT AS n1p_midfwd FROM mid GROUP BY 1),
+base AS (SELECT w3, count(*)::BIGINT AS n1p_base FROM mid GROUP BY 1),
+s AS MATERIALIZED (SELECT ((SELECT count(*) FROM mid)
+        + (SELECT count(DISTINCT x)
+           FROM (SELECT unnest(t) AS x FROM toks)))::DOUBLE AS denom),
+term AS (
+  SELECT tg.doc_id,
+         round(ln(
+           (greatest(c123.c3 - 0.75, 0)
+            + 0.75 * ctx.n1p_ctx
+              * ((greatest(mid.n1p_mid - 0.75, 0)
+                  + 0.75 * midctx.n1p_midfwd
+                    * ((base.n1p_base + 1.0) / s.denom))
+                 / midctx.nmidctx))
+           / ctx.cctx) * 1e6)::BIGINT AS mic
+  FROM tg JOIN c123 USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+          JOIN mid USING (w2, w3) JOIN midctx USING (w2)
+          JOIN base USING (w3), s),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams, sum(mic)::BIGINT AS m
+        FROM term GROUP BY 1)
+SELECT doc_id, n_trigrams,
+       ((2 * (-m) + n_trigrams) // (2 * n_trigrams)) / 1e6 AS cross_entropy,
+       ROUND(exp(((2 * (-m) + n_trigrams) // (2 * n_trigrams)) / 1e6), 6)
+         AS ppl
+FROM agg
+""",
+)
+def q_trigram_kn_ppl(spark, sf_dir):
+    """Per-doc cross-entropy/perplexity under the full three-layer
+    INTERPOLATED KNESER-NEY TRIGRAM LM (`lm.doc_trigram_kn_cross_entropy`,
+    d=0.75, continuation counts at the lower orders, add-one continuation
+    floor) — completing the LM ladder above `bigram_lm_ppl` (add-alpha)
+    and `bigram_kn_ppl` (bigram KN); proven against an independent python
+    reference in tests/test_lm_tokenizer.py. All counts exact integers;
+    per-trigram log-probs round to integer micros and sum as longs; the
+    final 6dp division is exact integer half-away rounding. Self-scored
+    here, so every doc trigram is in the LM and the oracle inner-joins
+    (the operator's left joins + backoff branches serve held-out
+    scoring).
+
+    Oracle note: c123/mid/s are AS MATERIALIZED — without the hint,
+    DuckDB inlines the scalar-subquery CTE `s` into the 6-relation join
+    and re-derives the whole mid pipeline PER PROBE ROW (measured: the
+    0.1 s query runs > 10 min at sf0.001) — the cross-engine twin of
+    Spark's "cache the frame the self-join reads twice" rule."""
+    from distributed_vector_database_spark.operators.lm import (
+        doc_trigram_kn_cross_entropy,
+    )
+
+    return doc_trigram_kn_cross_entropy(
+        _spread(_read(spark, sf_dir, "documents")), discount=0.75
+    )
+
+
 def _dhash_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB mirror of `multimodal.dhash_fingerprints` + the revision
     screen: 65 block byte-sums per payload (ASCII corpus, so byte ==

@@ -301,3 +301,133 @@ def test_kn_prefers_in_distribution_text(spark):
         for r in doc_bigram_kn_cross_entropy(docs, lm).collect()
     }
     assert got[1] < got[2]
+
+
+def test_trigram_kn_matches_python_reference(spark):
+    """Three-layer interpolated KN with continuation counts at the lower
+    orders, checked trigram-by-trigram against an independent pure-python
+    implementation (incl. micro rounding), on a corpus exercising the
+    seen / discounted / middle-backoff / OOV-floor cases."""
+    import math
+    from collections import Counter
+
+    from distributed_vector_database_spark.operators.lm import (
+        doc_trigram_kn_cross_entropy,
+    )
+
+    lm_texts = [
+        "a b c a b d a b c",
+        "b c a b d e",
+        "c a b c d",
+        "e a b",
+    ]
+    score_texts = {
+        10: "a b c a b",      # all trigrams seen
+        11: "a b q c",        # unseen trigram + OOV word
+        12: "z z z z",        # everything OOV -> pure floor
+        13: "d e a b c",      # mixture
+    }
+    lm = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lm_texts)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        list(score_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in doc_trigram_kn_cross_entropy(docs, lm).collect()
+    }
+
+    # independent reference
+    d = 0.75
+    tri = Counter()
+    for t in lm_texts:
+        w = t.split()
+        tri.update(zip(w, w[1:], w[2:]))
+    cctx = Counter()      # c(w1w2.)
+    n1p_ctx = Counter()   # N1+(w1w2.)
+    mid = Counter()       # N1+(.w2w3): distinct w1 per (w2,w3)
+    seen_mid = set()
+    for (w1, w2, w3), n in tri.items():
+        cctx[(w1, w2)] += n
+        n1p_ctx[(w1, w2)] += 1
+        if (w1, w2, w3) not in seen_mid:
+            seen_mid.add((w1, w2, w3))
+            mid[(w2, w3)] += 1
+    nmidctx = Counter()    # N1+(.w2.)
+    n1p_midfwd = Counter() # distinct w3 with N1+(.w2w3) > 0
+    base = Counter()       # N1+(.w3)
+    for (w2, w3), n in mid.items():
+        nmidctx[w2] += n
+        n1p_midfwd[w2] += 1
+        base[w3] += 1
+    nmid_types = len(mid)
+    v = len({w for t in lm_texts for w in t.split()})
+
+    def p(w1, w2, w3):
+        pc = (base.get(w3, 0) + 1) / (nmid_types + v)
+        if w2 in nmidctx:
+            pm = (
+                max(mid.get((w2, w3), 0) - d, 0.0)
+                + d * n1p_midfwd[w2] * pc
+            ) / nmidctx[w2]
+        else:
+            pm = pc
+        if (w1, w2) in cctx:
+            return (
+                max(tri.get((w1, w2, w3), 0) - d, 0.0)
+                + d * n1p_ctx[(w1, w2)] * pm
+            ) / cctx[(w1, w2)]
+        return pm
+
+    for did, text in score_texts.items():
+        w = text.split()
+        mics = [
+            round(math.log(p(a, b, c)) * 1e6)
+            for a, b, c in zip(w, w[1:], w[2:])
+        ]
+        h = round((-sum(mics) / 1e6) / len(mics), 6)
+        assert got[did]["n_trigrams"] == len(mics)
+        assert got[did]["cross_entropy"] == h, (did, got[did], h)
+        assert got[did]["ppl"] == round(math.exp(h), 6)
+
+
+def test_trigram_kn_prefers_in_distribution_text(spark):
+    from distributed_vector_database_spark.operators.lm import (
+        doc_trigram_kn_cross_entropy,
+    )
+
+    base = ("the cat sat on the mat and the dog sat on the rug " * 8).strip()
+    toks = base.split()
+    scrambled = " ".join(
+        toks[i]
+        for i in sorted(range(len(toks)), key=lambda i: (i * 37) % len(toks))
+    )
+    lm = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, base), (2, scrambled)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in doc_trigram_kn_cross_entropy(docs, lm).collect()
+    }
+    assert got[1] < got[2]
+
+
+def test_trigram_kn_short_docs_omitted_and_validation(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.lm import (
+        doc_trigram_kn_cross_entropy,
+    )
+
+    lm = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"] for r in doc_trigram_kn_cross_entropy(docs, lm).collect()}
+    assert out == {3}
+    with _pytest.raises(ValueError, match="discount"):
+        doc_trigram_kn_cross_entropy(docs, lm, discount=1.5)
