@@ -11464,6 +11464,93 @@ def q_trigram_kn_ppl(spark, sf_dir):
     )
 
 
+def _trigram_kn_heldout_sql() -> str:
+    """Held-out trigram-KN oracle: the full backoff CASE tree (seen
+    context / unseen context / unseen middle / OOV floor) in SQL. The
+    p-expressions are generated so the Spark and DuckDB double
+    expression trees are structurally identical."""
+    pcont = "((COALESCE(base.n1p_base, 0) + 1.0) / s.denom)"
+    pmid = (
+        "(CASE WHEN midctx.nmidctx IS NOT NULL THEN "
+        "(greatest(COALESCE(mid.n1p_mid, 0) - 0.75, 0) "
+        f"+ 0.75 * midctx.n1p_midfwd * {pcont}) / midctx.nmidctx "
+        f"ELSE {pcont} END)"
+    )
+    p = (
+        "(CASE WHEN ctx.cctx IS NOT NULL THEN "
+        "(greatest(COALESCE(c123.c3, 0) - 0.75, 0) "
+        f"+ 0.75 * ctx.n1p_ctx * {pmid}) / ctx.cctx "
+        f"ELSE {pmid} END)"
+    )
+    return f"""
+WITH {_TOKS_CTE},
+lmtoks AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 0),
+sctoks AS (SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1),
+tgp AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tgs
+        FROM sctoks),
+tg AS (SELECT doc_id, split_part(tgs, ' ', 1) AS w1,
+              split_part(tgs, ' ', 2) AS w2,
+              split_part(tgs, ' ', 3) AS w3 FROM tgp),
+ltgp AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tgs
+        FROM lmtoks),
+c123 AS MATERIALIZED (
+  SELECT split_part(tgs, ' ', 1) AS w1, split_part(tgs, ' ', 2) AS w2,
+         split_part(tgs, ' ', 3) AS w3, count(*)::BIGINT AS c3
+  FROM ltgp GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, sum(c3)::BIGINT AS cctx, count(*)::BIGINT AS n1p_ctx
+        FROM c123 GROUP BY 1, 2),
+mid AS MATERIALIZED (
+  SELECT w2, w3, count(*)::BIGINT AS n1p_mid FROM c123 GROUP BY 1, 2),
+midctx AS (SELECT w2, sum(n1p_mid)::BIGINT AS nmidctx,
+                  count(*)::BIGINT AS n1p_midfwd FROM mid GROUP BY 1),
+base AS (SELECT w3, count(*)::BIGINT AS n1p_base FROM mid GROUP BY 1),
+s AS MATERIALIZED (SELECT ((SELECT count(*) FROM mid)
+        + (SELECT count(DISTINCT x)
+           FROM (SELECT unnest(t) AS x FROM lmtoks)))::DOUBLE AS denom),
+term AS (
+  SELECT tg.doc_id, round(ln({p}) * 1e6)::BIGINT AS mic
+  FROM tg LEFT JOIN c123 USING (w1, w2, w3) LEFT JOIN ctx USING (w1, w2)
+          LEFT JOIN mid USING (w2, w3) LEFT JOIN midctx USING (w2)
+          LEFT JOIN base USING (w3), s),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams, sum(mic)::BIGINT AS m
+        FROM term GROUP BY 1)
+SELECT doc_id, n_trigrams,
+       ((2 * (-m) + n_trigrams) // (2 * n_trigrams)) / 1e6 AS cross_entropy,
+       ROUND(exp(((2 * (-m) + n_trigrams) // (2 * n_trigrams)) / 1e6), 6)
+         AS ppl
+FROM agg
+"""
+
+
+@register("trigram_kn_heldout_ppl", _trigram_kn_heldout_sql())
+def q_trigram_kn_heldout_ppl(spark, sf_dir):
+    """HELD-OUT trigram-KN scoring: odd doc_ids scored under the LM fit
+    on even doc_ids — the deploy shape of a perplexity filter (candidate
+    web data scored against a trusted-corpus LM), and the row that
+    oracle-checks the BACKOFF branches the self-scored `trigram_kn_ppl`
+    cannot reach. Measured branch mix at sf0.01: 8,081 of 13,519 scored
+    trigrams unseen (discount+interpolation), 1 unseen (w1,w2) context
+    (-> bigram layer), 1 unseen middle word (-> continuation floor); the
+    OOV add-one floor is pinned by the unit test's z-z-z doc. The oracle
+    mirrors the full CASE tree with left joins; both engines evaluate
+    the structurally identical double expression. Same exact-integer
+    micro-sum + half-away 6dp discipline."""
+    from distributed_vector_database_spark.operators.lm import (
+        doc_trigram_kn_cross_entropy,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return doc_trigram_kn_cross_entropy(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        discount=0.75,
+    )
+
+
 def _dhash_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB mirror of `multimodal.dhash_fingerprints` + the revision
     screen: 65 block byte-sums per payload (ASCII corpus, so byte ==
