@@ -1306,6 +1306,7 @@ def hamming_band_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     id_col: str = "doc_id",
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs of rows whose 64-bit fingerprints (16-hex-char strings in
     ``fp_col``) are within ``max_hamming`` bit flips, by pigeonhole band
@@ -1315,37 +1316,67 @@ def hamming_band_pairs(
     band value) — never all pairs. Shared by the SimHash (token-level)
     and dHash (binary-payload-level) near-dup screens.
 
+    ``against=None`` (default): self-join — all pairs within ``fp``.
+    ``against=index``: asymmetric — pairs between ``fp`` (e.g. a stream
+    micro-batch) and ``index`` (the maintained fingerprint index), ids
+    normalized to (min, max); pairs internal to ``against`` are NOT
+    emitted (the incremental-screen contract: each pair surfaces in the
+    batch where its later member arrives).
+
     Returns (``{id_col}_a``, ``{id_col}_b``, hamming), a < b.
     """
     _validate_band_args(max_hamming, bands)
     out_a, out_b = f"{id_col}_a", f"{id_col}_b"
     chunk = 16 // bands
-    banded = fp.select(
-        F.col(id_col),
-        F.col(fp_col),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}:"),
-                        F.substring(fp_col, b * chunk + 1, chunk),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias(out_a),
-        F.col(f"b.{id_col}").alias(out_b),
-        F.col(f"a.{fp_col}").alias("_sa"),
-        F.col(f"b.{fp_col}").alias("_sb"),
-    )
+
+    def _banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(fp_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{b}:"),
+                            F.substring(fp_col, b * chunk + 1, chunk),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+
+    a = _banded(fp).alias("a")
+    if against is None:
+        b = _banded(fp).alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            F.col(f"a.{fp_col}").alias("_sa"),
+            F.col(f"b.{fp_col}").alias("_sb"),
+        )
+    else:
+        b = _banded(against).alias("b")
+        # hamming is symmetric, so (min, max) normalization + the final
+        # distinct absorb both join orders of a batch-internal pair.
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.least(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias(out_a),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias(out_b),
+            F.col(f"a.{fp_col}").alias("_sa"),
+            F.col(f"b.{fp_col}").alias("_sb"),
+        )
 
     # XOR-popcount over two 8-hex halves (each fits a signed long), not
     # 16 nibble-wise conv(substring) pairs: 4 string conversions per

@@ -11640,6 +11640,92 @@ def q_payload_dhash_pairs(spark, sf_dir):
     return hamming_band_pairs(fp, fp_col="dhash", max_hamming=3, bands=4)
 
 
+_DHASH_STREAM_CACHE: dict[str, str] = {}
+
+
+def _asset_stream_replay_dir(spark, sf_dir) -> str:
+    """The payload_dhash asset frame (originals + every-5th-doc 3-byte
+    revisions, asset id = doc_id*2 / doc_id*2+1) split into two parquet
+    chunks with strictly increasing mtimes, so the file stream replays
+    in asset-id order. Built once per (process, sf_dir)."""
+    import os
+    import tempfile
+    import time
+
+    d = _DHASH_STREAM_CACHE.get(sf_dir)
+    if d is not None:
+        return d
+    docs = _read(spark, sf_dir, "documents")
+    orig = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("text")
+    )
+    rev = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("XYZ"),
+            F.expr("substring(text, 14)"),
+        ).alias("text"),
+    )
+    assets = orig.unionByName(rev)
+    mid = assets.agg(F.max("doc_id")).head()[0] // 2
+    d = tempfile.mkdtemp(prefix="dvdb_dhstream_")
+    assets.filter(F.col("doc_id") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    first = {f for f in os.listdir(d) if f.endswith(".parquet")}
+    assets.filter(F.col("doc_id") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    now = time.time()
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            ts = now if f in first else now + 10
+            os.utime(os.path.join(d, f), (ts, ts))
+    _DHASH_STREAM_CACHE[sf_dir] = d
+    return d
+
+
+_DHASH_STATE_CACHE: dict[str, str] = {}
+
+
+@register("stream_payload_dhash_pairs", _dhash_oracle_sql())
+def q_stream_payload_dhash_pairs(spark, sf_dir):
+    """The STREAM-maintained twin of `payload_dhash_pairs`
+    (`streaming.docs.stream_payload_dhash`): assets arrive as id-ordered
+    micro-batches; each batch dHashes its own payloads and band-joins
+    them against the maintained fingerprint index — each near-dup pair
+    surfaces exactly once, in the batch where its later member arrives,
+    so the accumulated pairs equal the batch screen under any chunking
+    and the oracle is the same all-pairs SQL. State is 16 hex chars per
+    asset (never the payloads). Ingest runs once per process; repeat
+    calls read the maintained state (`read_payload_pairs`)."""
+    from distributed_vector_database_spark.streaming.docs import (
+        read_document_stream,
+        read_payload_pairs,
+        stream_payload_dhash,
+    )
+
+    state = _DHASH_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        return read_payload_pairs(spark, state)
+    import tempfile
+
+    d = _asset_stream_replay_dir(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="dvdb_dhstate_")
+    out = stream_payload_dhash(
+        read_document_stream(
+            spark, d, max_files_per_trigger=1,
+            schema="doc_id long, text string",
+        ),
+        state,
+        max_hamming=3,
+        bands=4,
+    )
+    _DHASH_STATE_CACHE[sf_dir] = state
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 9).
 #

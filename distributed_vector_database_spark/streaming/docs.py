@@ -56,6 +56,9 @@ __all__ = [
     "stream_doc_novelty",
     "read_novelty",
     "read_gram_owners",
+    "stream_payload_dhash",
+    "read_payload_fps",
+    "read_payload_pairs",
 ]
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -752,3 +755,105 @@ def read_novelty(
             id_col, *[F.col(f"_latest.{c}").alias(c) for c in val_cols]
         )
     )
+
+
+def read_payload_fps(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current payload-fingerprint index (doc_id, dhash) — the append-only
+    state of `stream_payload_dhash`. Missing path -> empty frame (querying
+    live state before the first batch lands must not throw)."""
+    fps_path = os.path.join(state_dir, "fps")
+    try:
+        return spark.read.parquet(fps_path).select("doc_id", "dhash")
+    except Exception:
+        return spark.createDataFrame([], "doc_id long, dhash string")
+
+
+def read_payload_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Accumulated near-dup pairs from the stream state. Missing path ->
+    empty frame."""
+    pairs_path = os.path.join(state_dir, "pairs")
+    try:
+        return spark.read.parquet(pairs_path).select(
+            "doc_id_a", "doc_id_b", "hamming"
+        )
+    except Exception:
+        return spark.createDataFrame(
+            [], "doc_id_a long, doc_id_b long, hamming long"
+        )
+
+
+def stream_payload_dhash(
+    doc_stream: DataFrame,
+    state_dir: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental perceptual near-dup screen for binary payloads: the
+    streaming twin of `payload_dhash_pairs`. Per micro-batch
+    (foreachBatch — every step a plain batch plan):
+
+      1. dHash the batch's payloads (`multimodal.dhash_fingerprints`,
+         an Arrow pass over the batch only — no corpus access);
+      2. band-join the batch fingerprints against the maintained index
+         PLUS the batch itself (`dedup.hamming_band_pairs(against=...)`)
+         — each pair surfaces exactly once, in the batch where its
+         later member arrives;
+      3. overwrite the pairs into ``<state_dir>/pairs/batch=<id>`` and
+         append the batch fingerprints to ``<state_dir>/fps``.
+
+    At-least-once safety: a replayed batch overwrites its own pairs dir
+    (replaces, never duplicates), and duplicate fingerprint appends are
+    absorbed by the pair distinct (identical fingerprints produce the
+    identical pair rows).
+
+    The accumulated pairs equal the batch screen on the full corpus for
+    ANY chunking of an id-ordered stream. State is fingerprint-sized
+    (16 hex chars/doc), not corpus-sized — the live ingest shape at
+    100 TB/day.
+    """
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+
+    spark = doc_stream.sparkSession
+    fps_path = os.path.join(state_dir, "fps")
+    pairs_path = os.path.join(state_dir, "pairs")
+    ckpt_path = os.path.join(state_dir, "_checkpoint")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        payloads = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.encode(text_col, "UTF-8").alias("content"),
+        )
+        fp = dhash_fingerprints(payloads).cache()
+        index = read_payload_fps(spark, state_dir).unionByName(fp)
+        pairs = hamming_band_pairs(
+            fp,
+            fp_col="dhash",
+            max_hamming=max_hamming,
+            bands=bands,
+            id_col="doc_id",
+            against=index,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
+        fp.write.mode("append").parquet(fps_path)
+        fp.unpersist()
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_payload_pairs(spark, state_dir)

@@ -470,3 +470,158 @@ def test_gram_owner_state_compaction_preserves_novelty(spark, tmp_path):
     assert summary["files_after"] < summary["files_before"]
     after = sorted(map(tuple, read_gram_owners(spark, state).collect()))
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Streaming perceptual dHash screen (stream_payload_dhash)
+# ---------------------------------------------------------------------------
+
+
+def _dhash_batch_pairs(assets):
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+
+    fp = dhash_fingerprints(
+        assets.select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        )
+    )
+    return hamming_band_pairs(fp, fp_col="dhash", max_hamming=3, bands=4)
+
+
+def _asset_frame(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = []
+    for i in range(8):
+        t = f"doc {i} " * 30 + base[: 40 * (i + 3)]
+        rows.append((2 * i, t))
+        if i % 2 == 0:  # revision with a small patch
+            rows.append((2 * i + 1, t[:10] + "XYZ" + t[13:]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+def test_stream_payload_dhash_equals_batch(spark, tmp_path, n_chunks):
+    from distributed_vector_database_spark.streaming.docs import (
+        stream_payload_dhash,
+    )
+
+    assets = _asset_frame(spark)
+    d = str(tmp_path / f"in{n_chunks}")
+    os.makedirs(d)
+    _write_chunks(assets, n_chunks, d)
+    got = stream_payload_dhash(
+        read_document_stream(
+            spark, d, max_files_per_trigger=1,
+            schema="doc_id long, text string",
+        ),
+        str(tmp_path / f"state{n_chunks}"),
+    )
+    exp = _dhash_batch_pairs(assets)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    assert got.count() > 0  # the screen actually found the revisions
+
+
+def test_stream_payload_dhash_absorbs_redelivered_fps(spark, tmp_path):
+    """At-least-once: appending a duplicate fingerprint partial directly
+    into the state dir must not change the accumulated pairs."""
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_payload_fps,
+        read_payload_pairs,
+        stream_payload_dhash,
+    )
+
+    assets = _asset_frame(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_chunks(assets, 2, d)
+    state = str(tmp_path / "state")
+    before = sorted(
+        map(
+            tuple,
+            stream_payload_dhash(
+                read_document_stream(
+                    spark, d, max_files_per_trigger=1,
+                    schema="doc_id long, text string",
+                ),
+                state,
+            ).collect(),
+        )
+    )
+    # redeliver: append one asset's fingerprint again
+    dup = dhash_fingerprints(
+        assets.limit(1).select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        )
+    )
+    dup.write.mode("append").parquet(os.path.join(state, "fps"))
+    n_fps = read_payload_fps(spark, state).count()
+    assert n_fps == assets.count() + 1  # the dup row IS in the raw state
+    after = sorted(map(tuple, read_payload_pairs(spark, state).collect()))
+    assert after == before  # ...but the pair view is unchanged
+
+
+def test_payload_state_reads_before_first_batch_are_empty(spark, tmp_path):
+    from distributed_vector_database_spark.streaming.docs import (
+        read_payload_fps,
+        read_payload_pairs,
+    )
+
+    assert read_payload_fps(spark, str(tmp_path / "nope")).count() == 0
+    assert read_payload_pairs(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_hamming_band_pairs_against_index_matches_self_join(spark):
+    """Union-of-batches property: batch-vs-index pairs accumulated over an
+    ordered split equal the self-join over the whole frame."""
+    import random
+
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    rng = random.Random(11)
+    fps = [rng.getrandbits(64) for _ in range(30)]
+    for i in (1, 2, 9, 17):
+        fps[i] = fps[0] ^ (1 << (i % 13))  # plant near-dups
+    rows = [(i, f"{v:016x}") for i, v in enumerate(fps)]
+    full = spark.createDataFrame(rows, "doc_id long, dhash string")
+    exp = sorted(
+        map(
+            tuple,
+            hamming_band_pairs(
+                full, fp_col="dhash", max_hamming=3, bands=4
+            ).collect(),
+        )
+    )
+    acc = []
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        batch = spark.createDataFrame(
+            rows[lo:hi], "doc_id long, dhash string"
+        )
+        index = spark.createDataFrame(
+            rows[:hi], "doc_id long, dhash string"
+        )
+        acc.extend(
+            map(
+                tuple,
+                hamming_band_pairs(
+                    batch,
+                    fp_col="dhash",
+                    max_hamming=3,
+                    bands=4,
+                    against=index,
+                ).collect(),
+            )
+        )
+    assert sorted(acc) == exp
+    assert len(acc) == len(set(acc))  # no pair emitted twice
