@@ -625,3 +625,48 @@ def test_hamming_band_pairs_against_index_matches_self_join(spark):
         )
     assert sorted(acc) == exp
     assert len(acc) == len(set(acc))  # no pair emitted twice
+
+
+def test_payload_fp_state_compaction_preserves_pairs(spark, tmp_path):
+    """The fps state is append-only (one file per batch); compact_layout
+    folds it in place and the pair view must be unchanged — the periodic
+    maintenance story for the perceptual screen's live index."""
+    import glob
+
+    from distributed_vector_database_spark.sources.compaction import (
+        compact_layout,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_payload_fps,
+        read_payload_pairs,
+        stream_payload_dhash,
+    )
+
+    assets = _asset_frame(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_chunks(assets, 4, d)
+    state = str(tmp_path / "state")
+    before = sorted(
+        map(
+            tuple,
+            stream_payload_dhash(
+                read_document_stream(
+                    spark, d, max_files_per_trigger=1,
+                    schema="doc_id long, text string",
+                ),
+                state,
+            ).collect(),
+        )
+    )
+    fps_dir = os.path.join(state, "fps")
+    files_before = len(glob.glob(os.path.join(fps_dir, "*.parquet")))
+    assert files_before >= 4  # one append per batch
+    summary = compact_layout(spark, fps_dir, target_file_bytes=1 << 30)
+    files_after = len(glob.glob(os.path.join(fps_dir, "*.parquet")))
+    assert files_after < files_before
+    assert summary["files_after"] <= summary["files_before"]
+    fps = read_payload_fps(spark, state)
+    assert fps.count() == assets.count()
+    after = sorted(map(tuple, read_payload_pairs(spark, state).collect()))
+    assert after == before
