@@ -32,6 +32,7 @@ __all__ = [
     "oov_rates",
     "pmi_pairs",
     "bm25_search",
+    "bm25_prf_search",
     "novelty_scores",
     "LANG_MARKERS",
 ]
@@ -607,4 +608,75 @@ def novelty_scores(
             .alias("n_novel"),
         )
         .withColumn("novelty", ratio_6dp_exact("n_novel", "n_grams"))
+    )
+
+
+def bm25_prf_search(
+    docs: DataFrame,
+    query_terms,
+    *,
+    k_feedback: int = 5,
+    n_expansion: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback — the LEXICAL twin of
+    `fusion.rocchio_expanded_topk` (RM3-lite): retrieve ``k_feedback``
+    docs for the raw query, mine the ``n_expansion`` most frequent
+    non-query terms from them (total term frequency DESC, term ASC —
+    a deterministic, exactly-mirrorable criterion; full RM3 would
+    weight by the relevance model, which adds nothing at exact-oracle
+    granularity), union them into the query, re-run BM25.
+
+    Recovers vocabulary-mismatch recall: a doc using the feedback
+    docs' vocabulary but none of the original terms is invisible to
+    pass 1 and reachable in pass 2.
+
+    Scale: two BM25 passes (each explode-filters to its term set
+    BEFORE any shuffle) + two bounded driver collects (k_feedback ids,
+    n_expansion terms). Returns the final (id, score) top-k.
+    """
+    if not (1 <= k_feedback <= 64):
+        raise ValueError(
+            f"k_feedback must be in [1, 64], got {k_feedback}"
+        )
+    if not (1 <= n_expansion <= 64):
+        raise ValueError(
+            f"n_expansion must be in [1, 64], got {n_expansion}"
+        )
+    terms = [str(t) for t in query_terms]
+    fb = bm25_search(
+        docs,
+        terms,
+        k=k_feedback,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    fb_ids = [r[0] for r in fb.select(id_col).collect()]
+    expansion = [
+        r["term"]
+        for r in (
+            docs.filter(F.col(id_col).isin(fb_ids))
+            .select(F.explode(tokens(text_col)).alias("term"))
+            .filter(~F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("term"))
+            .limit(n_expansion)
+            .collect()
+        )
+    ]
+    return bm25_search(
+        docs,
+        terms + expansion,
+        k=k,
+        k1=k1,
+        b=b,
+        text_col=text_col,
+        id_col=id_col,
     )

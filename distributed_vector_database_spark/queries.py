@@ -11730,6 +11730,74 @@ def q_payload_dedup_agreement(spark, sf_dir):
     )
 
 
+@register(
+    "bm25_prf_topk",
+    f"""
+WITH {_TOKS_CTE},
+d AS (SELECT doc_id, len(t)::BIGINT AS dl, t FROM toks),
+st AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+              count(*)::BIGINT AS n FROM d),
+e AS MATERIALIZED (SELECT doc_id, dl, unnest(t) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       FROM e WHERE term IN ('scan', 'join', 'filter')
+       GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              CAST(round(
+                ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)
+                         / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))
+                * 1e6) AS BIGINT) AS mic
+      FROM tf JOIN dfreq USING (term)),
+fb AS (SELECT doc_id, ROUND(sum(mic) / 1e6, 6) AS s1 FROM sc GROUP BY 1
+       ORDER BY s1 DESC, doc_id ASC LIMIT 5),
+ex AS MATERIALIZED (
+  SELECT term FROM e
+  WHERE doc_id IN (SELECT doc_id FROM fb)
+    AND term NOT IN ('scan', 'join', 'filter')
+  GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT 3),
+tf2 AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+        FROM e WHERE term IN ('scan', 'join', 'filter')
+                  OR term IN (SELECT term FROM ex)
+        GROUP BY 1, 2, 3),
+dfreq2 AS (SELECT term, count(*)::BIGINT AS df FROM tf2 GROUP BY 1),
+sc2 AS (SELECT tf2.doc_id,
+              CAST(round(
+                ln(1.0 + (CAST((SELECT n FROM st) AS DOUBLE) - df + 0.5)
+                         / (df + 0.5))
+                * (tf * 2.2)
+                / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))
+                * 1e6) AS BIGINT) AS mic
+      FROM tf2 JOIN dfreq2 USING (term)),
+agg2 AS (SELECT doc_id, sum(mic) AS m FROM sc2 GROUP BY 1)
+SELECT doc_id, ROUND(m / 1e6, 6) AS score
+FROM agg2 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_bm25_prf_topk(spark, sf_dir):
+    """BM25 pseudo-relevance feedback (`text_analysis.bm25_prf_search`,
+    RM3-lite) — the LEXICAL twin of `rocchio_expanded_search`: top-5
+    feedback docs for {scan, join, filter}, the 3 most frequent
+    non-query terms mined from them (total tf DESC, term ASC — the
+    deterministic expansion criterion), BM25 re-run over the 6-term
+    query. Both passes keep the micro-rounded exact-long score sums;
+    the oracle replays both passes and the expansion mining. Recovers
+    vocabulary-mismatch recall the single-pass bm25_topk cannot."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        bm25_prf_search,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return bm25_prf_search(
+        docs,
+        ["scan", "join", "filter"],
+        k_feedback=5,
+        n_expansion=3,
+        k=10,
+    )
+
+
 _DHASH_STREAM_CACHE: dict[str, str] = {}
 
 

@@ -407,3 +407,55 @@ def test_pmi_pairs_hand_computed(spark):
         for r in pmi_pairs(docs2, min_pair_count=1).collect()
     }
     assert got2[("a", "b")] == 2
+
+
+def test_bm25_prf_recovers_vocabulary_mismatch(spark):
+    """A doc sharing only the feedback docs' vocabulary (none of the
+    original query terms) is invisible to pass 1 and retrieved by the
+    expanded pass 2."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        bm25_prf_search,
+        bm25_search,
+    )
+
+    rows = [
+        (0, "scan join filter exchange shuffle"),
+        (1, "scan join exchange exchange shuffle"),
+        (2, "scan filter exchange shuffle shuffle"),
+        (3, "exchange shuffle exchange shuffle"),   # vocabulary-mismatch doc
+        (4, "pad pad pad pad"),                      # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["scan", "join", "filter"]
+    plain = {r["doc_id"] for r in bm25_search(docs, q, k=10).collect()}
+    assert 3 not in plain
+    prf = {
+        r["doc_id"]
+        for r in bm25_prf_search(
+            docs, q, k_feedback=3, n_expansion=2, k=10
+        ).collect()
+    }
+    assert 3 in prf          # reached through expansion terms
+    assert 4 not in prf      # unrelated doc still invisible
+
+
+def test_bm25_prf_validation_and_expansion_determinism(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        bm25_prf_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "scan a b"), (1, "scan b a"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="k_feedback"):
+        bm25_prf_search(docs, ["scan"], k_feedback=0)
+    with _pytest.raises(ValueError, match="n_expansion"):
+        bm25_prf_search(docs, ["scan"], n_expansion=100)
+    # tf tie between 'a' and 'b' in the feedback docs -> term ASC wins;
+    # two runs must be identical (pure function of the corpus)
+    r1 = bm25_prf_search(docs, ["scan"], k_feedback=2, n_expansion=1).collect()
+    r2 = bm25_prf_search(docs, ["scan"], k_feedback=2, n_expansion=1).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
