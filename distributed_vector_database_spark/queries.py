@@ -11798,6 +11798,70 @@ def q_bm25_prf_topk(spark, sf_dir):
     )
 
 
+def _neardup_decontam_sql(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_ix, band{b} AS bv FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+st AS MATERIALIZED ({stacked}),
+cand AS (SELECT DISTINCT t.doc_id AS td, e.doc_id AS ed
+         FROM (SELECT * FROM st WHERE NOT ({_EVAL_PRED})) t
+         JOIN (SELECT * FROM st WHERE {_EVAL_PRED}) e
+           ON t.band_ix = e.band_ix AND t.bv = e.bv),
+j AS (SELECT c.td, c.ed,
+        round(len(list_intersect(ha.s, hb.s)) * 1.0
+              / (len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s))),
+              6) AS jaccard
+      FROM cand c
+      JOIN sh ha ON ha.doc_id = c.td
+      JOIN sh hb ON hb.doc_id = c.ed)
+SELECT td AS doc_id, ed AS eval_doc_id, jaccard
+FROM j WHERE jaccard >= {threshold}
+"""
+
+
+@register("neardup_decontaminate_pairs", _neardup_decontam_sql())
+def q_neardup_decontaminate_pairs(spark, sf_dir):
+    """NEAR-DUPLICATE decontamination
+    (`curation.neardup_contaminated_pairs`): training docs that are
+    near-duplicates (exact Jaccard >= 0.5 on word 3-gram sets) of the
+    held-out eval slice (doc_id % 50 = 0) — the paraphrased/edited leak
+    mode the exact n-gram screens (`decontaminate_report`,
+    `bloom_screened_decontaminate_stats`) see only as partial overlap.
+    Candidates come from the asymmetric train x eval MinHash band join
+    (8 hashes, 4 bands — never |train| x |eval|), then exact verify on
+    the candidate set only. At sf0.01 the screen surfaces the one
+    J=0.96 train-eval near-dup; the oracle mirrors banding + verify on
+    the portable md5 minhash convention."""
+    from distributed_vector_database_spark.operators.curation import (
+        neardup_contaminated_pairs,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    ev = docs.filter(F.expr(_EVAL_PRED))
+    tr = docs.filter(~F.expr(_EVAL_PRED))
+    return neardup_contaminated_pairs(
+        tr, ev, num_hashes=8, bands=4, n=3, threshold=0.5
+    )
+
+
 _DHASH_STREAM_CACHE: dict[str, str] = {}
 
 

@@ -459,3 +459,67 @@ def test_bm25_prf_validation_and_expansion_determinism(spark):
     r1 = bm25_prf_search(docs, ["scan"], k_feedback=2, n_expansion=1).collect()
     r2 = bm25_prf_search(docs, ["scan"], k_feedback=2, n_expansion=1).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate decontamination (curation.neardup_contaminated_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_neardup_decontamination_finds_planted_paraphrase(spark):
+    from distributed_vector_database_spark.operators.curation import (
+        neardup_contaminated_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    edited = "XX " + base[6:]      # near-dup of base (tiny edit)
+    other = "one two three four five six seven eight nine ten " * 4
+    train = spark.createDataFrame(
+        [(1, edited), (2, other), (3, "lambda mu nu xi omicron pi " * 5)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    got = neardup_contaminated_pairs(train, ev, threshold=0.5).collect()
+    assert [(r["doc_id"], r["eval_doc_id"]) for r in got] == [(1, 100)]
+    assert got[0]["jaccard"] >= 0.5
+
+
+def test_neardup_decontamination_subset_of_exact_verify(spark):
+    """Every emitted pair must pass the EXACT Jaccard bar (banding can
+    only lose candidates, never admit false ones past the verify)."""
+    from distributed_vector_database_spark.operators.curation import (
+        neardup_contaminated_pairs,
+    )
+    from distributed_vector_database_spark.operators.dedup import _shingled
+
+    rows = [(i, f"tok{i} " * 5 + "shared common words here " * 3) for i in range(8)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "shared common words here " * 3 + "evalish tail")],
+        "doc_id long, text string",
+    )
+    got = neardup_contaminated_pairs(train, ev, threshold=0.3).collect()
+    tsh = {
+        r["doc_id"]: set(r["shingles"])
+        for r in _shingled(train, "text", "doc_id", 3).collect()
+    }
+    esh = set(
+        _shingled(ev, "text", "doc_id", 3).collect()[0]["shingles"]
+    )
+    for r in got:
+        s = tsh[r["doc_id"]]
+        j = len(s & esh) / len(s | esh)
+        assert round(j, 6) >= 0.3
+        assert abs(round(j, 6) - r["jaccard"]) < 1e-9
+
+
+def test_neardup_decontamination_threshold_validation(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.curation import (
+        neardup_contaminated_pairs,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        neardup_contaminated_pairs(df, df, threshold=0.0)
