@@ -11798,6 +11798,50 @@ def q_bm25_prf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "mor_scd2_history",
+    """
+WITH e AS (SELECT vec_id,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS l2
+           FROM embeddings)
+SELECT vec_id, 1::BIGINT AS version, ROUND(l2 * 1, 6) AS val,
+       0::BIGINT AS valid_from_batch,
+       (CASE WHEN vec_id % 7 = 0 THEN 1
+             WHEN vec_id % 5 = 0 THEN 2 END)::BIGINT AS valid_to_batch,
+       (vec_id % 7 <> 0 AND vec_id % 5 <> 0) AS is_current
+FROM e
+UNION ALL
+SELECT vec_id, 2, ROUND(l2 * 2, 6), 1,
+       (CASE WHEN vec_id % 5 = 0 THEN 2 END)::BIGINT,
+       vec_id % 5 <> 0
+FROM e WHERE vec_id % 7 = 0
+UNION ALL
+SELECT vec_id, 4, ROUND(l2 * 4, 6), 3, NULL::BIGINT, true
+FROM e WHERE vec_id % 35 = 0
+""",
+)
+def q_mor_scd2_history(spark, sf_dir):
+    """SCD2 type-2 history over the tombstone store (`MorStore.history`):
+    every (id, version) interval with its validity batch range — v1
+    closes at the %7 upsert or the %5 delete, the %35 re-insert opens a
+    new current interval after its own tombstone. One lead() window per
+    id over base+deltas, no joins; deletes close intervals and emit no
+    row. The oracle derives the expected interval set from the store's
+    deterministic batch scheme (base@0, %7 upsert@1, %5 delete@2, %35
+    re-insert@3)."""
+    q_mor_delete_read(spark, sf_dir)  # ensure the cached store exists
+    store = _MOR_DEL_CACHE[sf_dir]
+    return store.history().select(
+        "vec_id",
+        "version",
+        "val",
+        "valid_from_batch",
+        "valid_to_batch",
+        "is_current",
+    )
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

@@ -211,6 +211,35 @@ class MorStore:
             .drop("_rn", _BATCH, _DELETED)
         )
 
+    def history(self) -> DataFrame:
+        """SCD2 (type-2 slowly-changing-dimension) view of the retained
+        change log: one row per (id, version interval) — the row columns
+        plus ``valid_from_batch``, ``valid_to_batch`` (null = open) and
+        ``is_current``. A delete CLOSES the previous interval and
+        contributes no row of its own; a later re-insert opens a new
+        interval. The warehouse-standard "as-was" dimension the
+        keep-latest ``read()`` collapses away.
+
+        Plan: one scan of base + deltas, one lead() window per id (the
+        same partitioning the merge window uses), no joins. History
+        older than the last ``compact()`` is folded into the base — the
+        folded row's ``valid_from_batch`` is the fold watermark, the
+        same retention contract as ``read(as_of_batch=...)``.
+        """
+        scan = self._scan()
+        w = Window.partitionBy(self.id_col).orderBy(F.asc(_BATCH))
+        # lead BEFORE dropping deletes: a tombstone's batch id is exactly
+        # the previous version's expiry.
+        return (
+            scan.withColumn(
+                "valid_to_batch", F.lead(_BATCH).over(w).cast("long")
+            )
+            .filter(~F.col(_DELETED))
+            .withColumn("valid_from_batch", F.col(_BATCH).cast("long"))
+            .withColumn("is_current", F.col("valid_to_batch").isNull())
+            .drop(_BATCH, _DELETED)
+        )
+
     def point_get(self, id_value) -> DataFrame:
         """Point lookup: the id predicate lands on BOTH scans before the
         merge window, so parquet row-group stats prune base and deltas."""

@@ -248,3 +248,55 @@ def test_vacuum_retain_all_is_noop(spark, tmp_path):
     out = store.vacuum(retain_last=5)
     assert out == {"folded_batches": 0, "watermark": 0}
     assert len(store._delta_dirs()) == 1
+
+
+def test_history_scd2_intervals(store, spark):
+    """Deletes close intervals and emit no row; re-inserts open new
+    current intervals; untouched ids stay open from batch 0."""
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    store.delete([2, 1])
+    store.append(
+        spark.createDataFrame([(1, "v3_1")], "id long, payload string")
+    )
+    h = {
+        (r["id"], r["valid_from_batch"]): (
+            r["payload"],
+            r["valid_to_batch"],
+            r["is_current"],
+        )
+        for r in store.history().collect()
+    }
+    # id 1: base [0,1) -> upsert [1,2) -> (delete @2) -> re-insert [3, open)
+    assert h[(1, 0)] == ("v0_1", 1, False)
+    assert h[(1, 1)] == ("v1_1", 2, False)
+    assert h[(1, 3)] == ("v3_1", None, True)
+    # id 2: deleted at 2, never re-inserted -> one closed interval
+    assert h[(2, 0)] == ("v0_2", 2, False)
+    assert not any(k[0] == 2 and v[2] for k, v in h.items())
+    # untouched id: one open interval from batch 0
+    assert h[(5, 0)] == ("v0_5", None, True)
+    # current rows of history == read()
+    cur = {
+        r["id"]: r["payload"]
+        for r in store.history().filter("is_current").collect()
+    }
+    assert cur == _as_dict(store.read())
+
+
+def test_history_after_compaction_folds(store, spark):
+    """compact() folds deltas into the base: pre-compaction versions are
+    no longer addressable and every surviving row is one open interval
+    at the fold watermark — the documented retention contract."""
+    store.append(
+        spark.createDataFrame([(3, "v1_3")], "id long, payload string")
+    )
+    store.delete([4])
+    store.compact()
+    h = store.history().collect()
+    assert all(r["is_current"] and r["valid_to_batch"] is None for r in h)
+    byid = {r["id"]: r for r in h}
+    assert 4 not in byid            # tombstoned rows folded away
+    assert byid[3]["payload"] == "v1_3"
+    assert byid[3]["valid_from_batch"] >= 2  # fold watermark, not batch 0
