@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "point_in_time_join"]
 
 
 def range_join(
@@ -162,3 +162,54 @@ def asof_join(
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    *,
+    keys: list[str],
+    at_col: str,
+    from_col: str = "valid_from_batch",
+    to_col: str = "valid_to_batch",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (PIT) join — the warehouse-standard companion of an
+    SCD2 dimension (`sources/mor.MorStore.history`): each fact row joins
+    the ONE dimension version valid at its as-of coordinate:
+
+        from_col <= fact.at_col < coalesce(to_col, +infinity)
+
+    By the SCD2 non-overlap invariant at most one version matches per
+    (fact, key), so the join never fans out. ``how='inner'`` drops facts
+    whose key was deleted (or not yet born) at their as-of point;
+    ``how='left'`` keeps them with null dimension columns — the two
+    deploy shapes of training-data labeling against a changing
+    dimension.
+
+    Scale: a plain equi-join on ``keys`` — the validity range rides the
+    same shuffle as a join residual, no extra exchange, no range
+    explosion (dim versions per key are few by construction).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    f, d = facts.alias("f"), dim_history.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}") == F.col(f"d.{k}")
+        cond = c if cond is None else (cond & c)
+    at = F.col(f"f.{at_col}")
+    cond = (
+        cond
+        & (F.col(f"d.{from_col}") <= at)
+        & (at < F.coalesce(F.col(f"d.{to_col}"), F.lit(2**62)))
+    )
+    dim_cols = [
+        c
+        for c in dim_history.columns
+        if c not in keys and c not in (from_col, to_col)
+    ]
+    return f.join(d, cond, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}") for c in dim_cols],
+    )

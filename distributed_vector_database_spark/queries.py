@@ -11842,6 +11842,55 @@ def q_mor_scd2_history(spark, sf_dir):
     )
 
 
+@register(
+    "mor_pit_read",
+    """
+WITH e AS (SELECT vec_id, vec_id % 4 AS b,
+                  sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])) AS l2
+           FROM embeddings),
+v AS (SELECT vec_id, b,
+        CASE WHEN vec_id % 35 = 0 THEN
+               (CASE WHEN b = 0 THEN 1 WHEN b = 1 THEN 2
+                     WHEN b = 3 THEN 4 END)
+             WHEN vec_id % 7 = 0 THEN (CASE WHEN b = 0 THEN 1 ELSE 2 END)
+             WHEN vec_id % 5 = 0 THEN (CASE WHEN b < 2 THEN 1 END)
+             ELSE 1 END AS ver,
+        l2
+      FROM e)
+SELECT vec_id, b::BIGINT AS as_of_batch, ver::BIGINT AS version,
+       ROUND(l2 * ver, 6) AS val
+FROM v WHERE ver IS NOT NULL
+""",
+)
+def q_mor_pit_read(spark, sf_dir):
+    """Point-in-time join against the SCD2 history
+    (`temporal.point_in_time_join` x `MorStore.history`): every vec_id
+    probed AS OF batch (vec_id % 4) joins the ONE version interval
+    covering that batch — ids dead at their as-of point (%5 ids probed
+    at b >= 2, unless the %35 re-insert) drop out under how='inner'.
+    The fact-side as-of spread exercises every batch state in one join;
+    per-batch slices equal `read(as_of_batch=...)` (unit-tested). Plain
+    equi-join on the key; the validity range is a join residual — no
+    extra exchange. Oracle derives alive-version-at-batch from the
+    store's deterministic batch scheme."""
+    from distributed_vector_database_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    q_mor_delete_read(spark, sf_dir)  # ensure the cached store exists
+    store = _MOR_DEL_CACHE[sf_dir]
+    facts = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", (F.col("vec_id") % 4).cast("long").alias("as_of_batch")
+    )
+    return point_in_time_join(
+        facts,
+        store.history(),
+        keys=["vec_id"],
+        at_col="as_of_batch",
+    ).select("vec_id", "as_of_batch", "version", "val")
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

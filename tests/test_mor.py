@@ -300,3 +300,52 @@ def test_history_after_compaction_folds(store, spark):
     assert 4 not in byid            # tombstoned rows folded away
     assert byid[3]["payload"] == "v1_3"
     assert byid[3]["valid_from_batch"] >= 2  # fold watermark, not batch 0
+
+
+def test_point_in_time_join_reconstructs_each_batch_state(store, spark):
+    """PIT join at a fixed batch == read(as_of_batch) for every batch —
+    the SCD2 history answers any time-travel read through one join."""
+    from distributed_vector_database_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    store.delete([2])
+    store.append(
+        spark.createDataFrame([(2, "v3_2")], "id long, payload string")
+    )
+    hist = store.history()
+    for b in range(4):
+        facts = spark.createDataFrame(
+            [(i, b) for i in range(20)], "id long, b long"
+        )
+        got = {
+            r["id"]: r["payload"]
+            for r in point_in_time_join(
+                facts, hist, keys=["id"], at_col="b"
+            ).collect()
+        }
+        exp = _as_dict(store.read(as_of_batch=b))
+        assert got == exp, f"batch {b}"
+
+
+def test_point_in_time_join_left_keeps_dead_facts(store, spark):
+    from distributed_vector_database_spark.operators.temporal import (
+        point_in_time_join,
+    )
+    import pytest as _pytest
+
+    store.delete([2])
+    hist = store.history()
+    facts = spark.createDataFrame([(2, 1)], "id long, b long")
+    inner = point_in_time_join(facts, hist, keys=["id"], at_col="b")
+    left = point_in_time_join(
+        facts, hist, keys=["id"], at_col="b", how="left"
+    )
+    assert inner.count() == 0
+    rows = left.collect()
+    assert len(rows) == 1 and rows[0]["payload"] is None
+    with _pytest.raises(ValueError, match="how"):
+        point_in_time_join(facts, hist, keys=["id"], at_col="b", how="full")
