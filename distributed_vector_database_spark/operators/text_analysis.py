@@ -33,6 +33,7 @@ __all__ = [
     "pmi_pairs",
     "bm25_search",
     "bm25_prf_search",
+    "ql_dirichlet_search",
     "novelty_scores",
     "LANG_MARKERS",
 ]
@@ -680,3 +681,97 @@ def bm25_prf_search(
         text_col=text_col,
         id_col=id_col,
     )
+
+
+def ql_dirichlet_search(
+    docs: DataFrame,
+    query_terms,
+    *,
+    k: int = 10,
+    mu: float = 2000.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR 2001) — the language-model ranking family next to
+    BM25's probabilistic one:
+
+        score(d) = sum_q ln( (tf(q,d) + mu * p_c(q)) / (dl + mu) )
+
+    where ``p_c(q) = cf(q) / |C|`` is the collection unigram model.
+    Unlike BM25, ABSENT query terms still contribute (the smoothed
+    collection probability), so every doc gets a finite score and the
+    ranking degrades gracefully for rare vocabularies. Query terms with
+    zero collection frequency contribute ln(mu*0 + tf=0 ...) = -inf and
+    are dropped up front (standard QL practice).
+
+    Plan shape: same as `bm25_search` — the explode filters to query
+    terms BEFORE any shuffle; collection stats enter as literals; the
+    per-(doc, term) tf frame left-joins back to EVERY doc via the
+    doc-length frame so absent terms score the smoothed floor. Per-term
+    log-probs round to integer MICROS and sum as exact longs.
+    """
+    terms = sorted({str(t) for t in query_terms})
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    dl = base.select(
+        F.col(id_col), F.size("_t").cast("long").alias("dl")
+    ).filter(F.col("dl") > 0)
+    ex = base.select(
+        F.col(id_col), F.explode("_t").alias("term")
+    ).filter(F.col("term").isin(terms))
+    coll_n = int(
+        base.agg(F.sum(F.size("_t")).cast("long").alias("s")).head()["s"]
+    )
+    cf = {
+        r["term"]: int(r["cf"])
+        for r in ex.groupBy("term").agg(F.count("*").alias("cf")).collect()
+    }
+    live = [t for t in terms if cf.get(t, 0) > 0]
+    if not live:
+        raise ValueError(
+            f"no query term occurs in the collection: {terms}"
+        )
+    tf = ex.filter(F.col("term").isin(live)).groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    # one row per (doc, live term): absent terms get tf = 0
+    probe = dl.crossJoin(
+        F.broadcast(
+            dl.sparkSession.createDataFrame(
+                [(t,) for t in live], "term string"
+            )
+        )
+    )
+    joined = probe.join(tf, [id_col, "term"], "left").select(
+        F.col(id_col),
+        F.col("dl"),
+        F.coalesce(F.col("tf"), F.lit(0)).cast("double").alias("tfd"),
+        F.col("term"),
+    )
+    # collection model as a literal map: term -> cf/|C| (index-build
+    # scalars, like the BM25 idf inputs)
+    pcol = F.element_at(
+        F.create_map(
+            *[
+                x
+                for t in live
+                for x in (F.lit(t), F.lit(float(cf[t]) / float(coll_n)))
+            ]
+        ),
+        F.col("term"),
+    )
+    term_score = F.log(
+        (F.col("tfd") + F.lit(mu) * pcol)
+        / (F.col("dl").cast("double") + F.lit(mu))
+    )
+    mic = F.round(term_score * F.lit(1e6)).cast("long")
+    scored = (
+        joined.select(F.col(id_col), mic.alias("_mic"))
+        .groupBy(id_col)
+        .agg(F.sum("_mic").alias("_m"))
+        .select(
+            F.col(id_col),
+            F.round(F.col("_m") / F.lit(1e6), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

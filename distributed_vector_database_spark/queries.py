@@ -11891,6 +11891,50 @@ def q_mor_pit_read(spark, sf_dir):
     ).select("vec_id", "as_of_batch", "version", "val")
 
 
+@register(
+    "ql_dirichlet_topk",
+    f"""
+WITH {_TOKS_CTE},
+d AS (SELECT doc_id, len(t)::BIGINT AS dl, t FROM toks WHERE len(t) > 0),
+cn AS (SELECT sum(dl)::BIGINT AS c FROM d),
+e AS (SELECT doc_id, unnest(t) AS term FROM d),
+q AS (SELECT term, count(*)::BIGINT AS cf FROM e
+      WHERE term IN ('scan', 'join', 'filter') GROUP BY 1),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e
+       WHERE term IN ('scan', 'join', 'filter') GROUP BY 1, 2),
+probe AS (SELECT d.doc_id, d.dl, q.term, q.cf FROM d, q),
+sc AS (SELECT probe.doc_id,
+         round(ln(
+           (COALESCE(tf.tf, 0)
+            + 2000.0 * (probe.cf / (SELECT c FROM cn)::DOUBLE))
+           / (probe.dl + 2000.0)) * 1e6)::BIGINT AS mic
+       FROM probe LEFT JOIN tf
+         ON tf.doc_id = probe.doc_id AND tf.term = probe.term),
+agg AS (SELECT doc_id, sum(mic) AS m FROM sc GROUP BY 1)
+SELECT doc_id, ROUND(m / 1e6, 6) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+)
+def q_ql_dirichlet_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval
+    (`text_analysis.ql_dirichlet_search`, Zhai & Lafferty SIGIR'01,
+    mu=2000) — the language-model ranking family next to bm25_topk's
+    probabilistic one, same query bag {scan, join, filter}. Absent
+    query terms still contribute the smoothed collection probability
+    (every doc scores finitely — the property BM25 lacks), so the probe
+    frame is doc-length x live-terms with tf left-joined in. Per-term
+    log-probs round to integer micros and sum as exact longs; the
+    collection model enters as a literal map (index-build scalars)."""
+    from distributed_vector_database_spark.operators.text_analysis import (
+        ql_dirichlet_search,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return ql_dirichlet_search(
+        docs, ["scan", "join", "filter"], k=10, mu=2000.0
+    )
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

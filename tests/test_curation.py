@@ -523,3 +523,63 @@ def test_neardup_decontamination_threshold_validation(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="threshold"):
         neardup_contaminated_pairs(df, df, threshold=0.0)
+
+
+def test_ql_dirichlet_matches_python_reference(spark):
+    """Dirichlet QL checked doc-by-doc against an independent reference
+    (incl. micro rounding); absent terms contribute the smoothed floor."""
+    import math
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        ql_dirichlet_search,
+    )
+
+    rows = [
+        (0, "scan scan join pad"),
+        (1, "scan " + "pad " * 20),
+        (2, "pad pad pad"),          # no query term: smoothed floor only
+        (3, "join filter scan"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["scan", "join", "filter"]
+    mu = 10.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ql_dirichlet_search(docs, q, k=10, mu=mu).collect()
+    }
+    toks = {i: t.split() for i, t in rows}
+    coll = sum(len(t) for t in toks.values())
+    cf = {t: sum(d.count(t) for d in toks.values()) for t in q}
+    exp = {}
+    for i, d in toks.items():
+        mics = [
+            round(
+                math.log(
+                    (d.count(t) + mu * (cf[t] / float(coll)))
+                    / (len(d) + mu)
+                )
+                * 1e6
+            )
+            for t in q
+            if cf[t] > 0
+        ]
+        exp[i] = round(sum(mics) / 1e6, 6)
+    assert got == exp
+    # every doc scored (even 2, which has no query terms) ...
+    assert set(got) == {0, 1, 2, 3}
+    # ... and docs carrying the terms outrank the floor-only doc
+    assert got[3] > got[2] and got[0] > got[2]
+
+
+def test_ql_dirichlet_rejects_all_oov_query(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.text_analysis import (
+        ql_dirichlet_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="no query term"):
+        ql_dirichlet_search(docs, ["zzz"], k=5)
