@@ -11935,6 +11935,79 @@ def q_ql_dirichlet_topk(spark, sf_dir):
     )
 
 
+@register(
+    "hourly_session_concurrency",
+    """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sx AS (
+  SELECT user_id, ts,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts ASC
+                             ROWS UNBOUNDED PRECEDING) AS session_ix
+  FROM s
+),
+sess AS (SELECT user_id, min(ts) AS st,
+                max(ts) + INTERVAL 30 MINUTE AS en
+         FROM sx GROUP BY user_id, session_ix),
+hrs AS (SELECT user_id,
+               unnest(generate_series(date_trunc('hour', st),
+                                      date_trunc('hour', en),
+                                      INTERVAL 1 HOUR)) AS hour
+        FROM sess)
+SELECT hour, count(*)::BIGINT AS n_sessions,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       (count(*) * (count(*) - 1) // 2)::BIGINT AS coactive_pairs
+FROM hrs GROUP BY hour
+""",
+)
+def q_hourly_session_concurrency(spark, sf_dir):
+    """Session concurrency per hour: each 30-min-gap session explodes to
+    the hour grid it covers (sequence of date_trunc'd hours — the
+    INTERVAL-TO-GRID pattern: grid explode + count, NEVER the quadratic
+    interval self-join, whose pair volume at sf0.1 is already 6.5M and
+    grows ~n² with concurrency), then per-hour session/user counts and
+    the co-active pair count n*(n-1)/2 DERIVED from the count — exact,
+    zero pair fan-out. Fan-out per session = its duration in hours
+    (bounded by the session gap semantics); output is one row per
+    active hour."""
+    from distributed_vector_database_spark.streaming.events import (
+        session_window_stats,
+    )
+
+    sess = session_window_stats(_read(spark, sf_dir, "events"))
+    hrs = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "session_start"),
+                F.date_trunc("hour", "session_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    return (
+        hrs.groupBy("hour")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            "hour",
+            "n_sessions",
+            "n_users",
+            F.expr("(n_sessions * (n_sessions - 1)) div 2").alias(
+                "coactive_pairs"
+            ),
+        )
+    )
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:
