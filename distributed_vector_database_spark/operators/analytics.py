@@ -33,6 +33,7 @@ __all__ = [
     "zscore_outliers",
     "conversion_funnel",
     "retention_cohorts",
+    "copurchase_rules",
 ]
 
 
@@ -190,4 +191,87 @@ def retention_cohorts(
         )
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def copurchase_rules(
+    items: DataFrame,
+    *,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant, VLDB'94 —
+    the pairwise slice): for every item pair co-occurring in >=
+    ``min_pair_support`` baskets,
+
+      confidence(a->b) = s(a,b) / s(a)
+      lift(a,b)        = N * s(a,b) / (s(a) * s(b))
+
+    with s() basket-level supports and N the basket count. Lift > 1 is
+    positive association; both ratios in exact-integer 6dp
+    (`ratio_6dp_exact` — products stay inside int64: N*s_ab and
+    s_a*s_b <= N^2).
+
+    Scale: baskets dedupe to (basket, item); the pair generator is an
+    equi-self-join ON THE BASKET KEY, so fan-out per basket is
+    C(k, 2) with k the basket size — bounded by order-line semantics
+    (TPC-H <= 7), i.e. LINEAR in baskets, never |items|^2. Supports are
+    |item-vocab| aggregates; N enters as a literal.
+
+    Returns (item_a, item_b, pair_support, support_a, support_b,
+    confidence_ab, lift), pair_support >= min_pair_support.
+    """
+    from distributed_vector_database_spark.functions.vector import (
+        ratio_6dp_exact,
+    )
+
+    if min_pair_support < 1:
+        raise ValueError(
+            f"min_pair_support must be >= 1, got {min_pair_support}"
+        )
+    b = items.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    n_baskets = int(b.select(F.countDistinct("_bk")).head()[0])
+    sup = b.groupBy("_it").agg(F.count("*").cast("long").alias("s"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x._bk") == F.col("y._bk"))
+            & (F.col("x._it") < F.col("y._it")),
+        )
+        .groupBy(
+            F.col("x._it").alias("item_a"), F.col("y._it").alias("item_b")
+        )
+        .agg(F.count("*").cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= min_pair_support)
+    )
+    out = (
+        pairs.join(
+            sup.select(
+                F.col("_it").alias("item_a"),
+                F.col("s").alias("support_a"),
+            ),
+            "item_a",
+        )
+        .join(
+            sup.select(
+                F.col("_it").alias("item_b"),
+                F.col("s").alias("support_b"),
+            ),
+            "item_b",
+        )
+        .withColumn("_liftnum", F.lit(n_baskets) * F.col("pair_support"))
+        .withColumn("_liftden", F.col("support_a") * F.col("support_b"))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_support",
+        "support_a",
+        "support_b",
+        ratio_6dp_exact("pair_support", "support_a").alias("confidence_ab"),
+        ratio_6dp_exact("_liftnum", "_liftden").alias("lift"),
     )

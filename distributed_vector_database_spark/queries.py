@@ -12008,6 +12008,49 @@ def q_hourly_session_concurrency(spark, sf_dir):
     )
 
 
+@register(
+    "copurchase_lift",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+n AS (SELECT count(DISTINCT bk)::BIGINT AS n FROM b),
+sup AS (SELECT it, count(*)::BIGINT AS s FROM b GROUP BY 1),
+p AS (SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS ps
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY 1, 2),
+f AS (SELECT p.item_a, p.item_b, p.ps,
+             sa.s AS support_a, sb.s AS support_b,
+             (SELECT n FROM n) * p.ps AS ln_, sa.s * sb.s AS ld_
+      FROM p JOIN sup sa ON sa.it = p.item_a
+             JOIN sup sb ON sb.it = p.item_b
+      WHERE p.ps >= 2)
+SELECT item_a, item_b, ps AS pair_support, support_a, support_b,
+       sign(ps) * ((2000000 * abs(ps) + support_a) // (2 * support_a))
+         / 1e6 AS confidence_ab,
+       sign(ln_) * ((2000000 * abs(ln_) + ld_) // (2 * ld_)) / 1e6 AS lift
+FROM f
+""",
+)
+def q_copurchase_lift(spark, sf_dir):
+    """Market-basket association rules (`analytics.copurchase_rules`):
+    part pairs co-purchased in >= 2 orders with exact-integer 6dp
+    confidence and lift. The pair generator self-joins on the ORDER KEY,
+    so fan-out per order is C(lines, 2) — bounded by order-line
+    semantics (TPC-H <= 7 lines/order), linear in orders, never
+    |parts|^2; supports are |part-vocab| aggregates and the basket
+    count enters as a literal."""
+    from distributed_vector_database_spark.operators.analytics import (
+        copurchase_rules,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return copurchase_rules(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_support=2,
+    )
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

@@ -116,3 +116,51 @@ def test_retention_cohorts_hand_case(spark):
         ("2024-01-02", 0): 1,
         ("2024-01-02", 1): 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (analytics.copurchase_rules)
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_rules_exact_counts_and_lift(spark):
+    from distributed_vector_database_spark.operators.analytics import (
+        copurchase_rules,
+    )
+
+    # 4 baskets; (a,b) together in 2 of them; c alone rides with a once;
+    # duplicate line (b1, a) must not inflate supports
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "d"),
+    ]
+    items = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in copurchase_rules(
+            items, basket_col="bk", item_col="it", min_pair_support=1
+        ).collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["pair_support"] == 2
+    assert (ab["support_a"], ab["support_b"]) == (3, 2)
+    assert ab["confidence_ab"] == round(2 / 3, 6)
+    assert ab["lift"] == round(4 * 2 / (3 * 2), 6)  # 1.333333
+    ac = got[("a", "c")]
+    assert ac["pair_support"] == 1 and ac["lift"] == round(4 / 3, 6)
+    assert ("a", "d") not in got  # never co-occur
+    # threshold filters
+    from distributed_vector_database_spark.operators.analytics import (
+        copurchase_rules as cr,
+    )
+
+    got2 = cr(
+        items, basket_col="bk", item_col="it", min_pair_support=2
+    ).collect()
+    assert {(r["item_a"], r["item_b"]) for r in got2} == {("a", "b")}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_pair_support"):
+        cr(items, basket_col="bk", item_col="it", min_pair_support=0)
