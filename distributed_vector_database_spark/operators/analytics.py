@@ -25,7 +25,7 @@ groupBys; outliers broadcast a |type|-row stats frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -34,6 +34,7 @@ __all__ = [
     "conversion_funnel",
     "retention_cohorts",
     "copurchase_rules",
+    "event_transition_matrix",
 ]
 
 
@@ -274,4 +275,59 @@ def copurchase_rules(
         "support_b",
         ratio_6dp_exact("pair_support", "support_a").alias("confidence_ab"),
         ratio_6dp_exact("_liftnum", "_liftden").alias("lift"),
+    )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_break_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition model of user behavior: for every
+    (event_type -> next event_type) pair within a user's time-ordered
+    stream, the transition count and the row-normalized probability
+
+        p(to | from) = n(from, to) / n(from, ·)
+
+    in exact-integer 6dp. Ties on the timestamp break on
+    ``order_break_col`` so the sequence (and therefore the counts) is
+    deterministic. Transitions never cross users.
+
+    Scale: one lead() window per user (the partitioning every
+    sessionization op already pays) + a |type x type| aggregate —
+    output is vocabulary-sized, never event-sized.
+
+    Returns (from_type, to_type, n, p) — the behavioral twin of the
+    token-level bigram LM fit (`lm.bigram_counts`).
+    """
+    from distributed_vector_database_spark.functions.vector import (
+        ratio_6dp_exact,
+    )
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(order_break_col)
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("_tot")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            ratio_6dp_exact("n", "_tot").alias("p"),
+        )
     )

@@ -12051,6 +12051,38 @@ def q_copurchase_lift(spark, sf_dir):
     )
 
 
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+pairs AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n)::BIGINT AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       sign(p.n) * ((2000000 * abs(p.n) + tot.t) // (2 * tot.t)) / 1e6 AS p
+FROM pairs p JOIN tot USING (from_type)
+""",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition model of user behavior
+    (`analytics.event_transition_matrix`): (event_type -> next
+    event_type) counts within each user's time-ordered stream (ties
+    break on event_id — deterministic sequences) and row-normalized
+    probabilities in exact-integer 6dp — the behavioral twin of the
+    token-level bigram LM fit. One lead() window per user + a
+    |type x type| aggregate; output is vocabulary-sized."""
+    from distributed_vector_database_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    return event_transition_matrix(_read(spark, sf_dir, "events"))
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

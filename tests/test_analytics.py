@@ -164,3 +164,59 @@ def test_copurchase_rules_exact_counts_and_lift(spark):
 
     with _pytest.raises(ValueError, match="min_pair_support"):
         cr(items, basket_col="bk", item_col="it", min_pair_support=0)
+
+
+def test_event_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from distributed_vector_database_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    t = datetime(2026, 1, 1)
+
+    def ts(sec):
+        return datetime(2026, 1, 1, 0, 0, sec)
+
+    rows = [
+        # user 1: a -> b -> a -> c
+        (1, 1, ts(0), "a"), (1, 2, ts(1), "b"),
+        (1, 3, ts(2), "a"), (1, 4, ts(3), "c"),
+        # user 2: a -> b  (transitions never cross users)
+        (2, 5, ts(0), "a"), (2, 6, ts(1), "b"),
+        # user 3: single event -> no transitions
+        (3, 7, ts(0), "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transition_matrix(ev).collect()
+    }
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "c")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", "a") not in got  # user 3's lone event emits nothing
+    # rows per from_type sum to 1 within rounding
+    assert abs(got[("a", "b")][1] + got[("a", "c")][1] - 1.0) < 2e-6
+
+
+def test_event_transition_matrix_tiebreak_is_deterministic(spark):
+    from datetime import datetime
+
+    from distributed_vector_database_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    # two events at the SAME timestamp: event_id breaks the tie
+    ev = spark.createDataFrame(
+        [(1, 10, t0, "x"), (1, 11, t0, "y")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    got = [
+        (r["from_type"], r["to_type"])
+        for r in event_transition_matrix(ev).collect()
+    ]
+    assert got == [("x", "y")]
