@@ -12083,6 +12083,93 @@ def q_event_transition_matrix(spark, sf_dir):
     return event_transition_matrix(_read(spark, sf_dir, "events"))
 
 
+_ETM_STREAM_CACHE: dict[str, str] = {}
+_ETM_STATE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "stream_event_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+pairs AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n)::BIGINT AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       sign(p.n) * ((2000000 * abs(p.n) + tot.t) // (2 * tot.t)) / 1e6 AS p
+FROM pairs p JOIN tot USING (from_type)
+""",
+)
+def q_stream_event_transitions(spark, sf_dir):
+    """The STREAM-maintained twin of `event_transition_matrix`
+    (`streaming.events.stream_event_transitions`): events arrive as
+    time-ordered micro-batches; each batch contributes its within-batch
+    lead() pairs PLUS the boundary transition (persisted last event per
+    user -> the batch's first event per user) — the pair a naive
+    per-batch window drops, so stream == batch under any chunking and
+    the oracle is the same batch SQL. Probabilities derive from the
+    accumulated counts at read time. Ingest runs once per process;
+    repeat calls read the maintained state."""
+    from distributed_vector_database_spark.functions.vector import (
+        ratio_6dp_exact,
+    )
+    from distributed_vector_database_spark.streaming.events import (
+        read_event_stream,
+        read_transition_counts,
+        stream_event_transitions,
+    )
+
+    state = _ETM_STATE_CACHE.get(sf_dir)
+    if state is not None:
+        counts = read_transition_counts(spark, state)
+    else:
+        import os
+        import tempfile
+        import time
+
+        d = _ETM_STREAM_CACHE.get(sf_dir)
+        if d is None:
+            ev = _read(spark, sf_dir, "events")
+            mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+            d = tempfile.mkdtemp(prefix="dvdb_etmstream_")
+            # events.parquet is ts-ordered by construction, so an
+            # event_id split IS a time split (verified in the module
+            # tests by the stream == batch assertion).
+            ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            first = {
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            }
+            ev.filter(F.col("event_id") > mid).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            now = time.time()
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    t = now if f in first else now + 10
+                    os.utime(os.path.join(d, f), (t, t))
+            _ETM_STREAM_CACHE[sf_dir] = d
+        state = tempfile.mkdtemp(prefix="dvdb_etmstate_")
+        counts = stream_event_transitions(
+            read_event_stream(spark, d, max_files_per_trigger=1), state
+        )
+        _ETM_STATE_CACHE[sf_dir] = state
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("_tot")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        ratio_6dp_exact("n", "_tot").alias("p"),
+    )
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

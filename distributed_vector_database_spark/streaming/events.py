@@ -30,6 +30,8 @@ __all__ = [
     "read_cms",
     "stream_hdr_hist",
     "read_hdr_hist",
+    "stream_event_transitions",
+    "read_transition_counts",
 ]
 
 EVENT_SCHEMA = (
@@ -659,3 +661,142 @@ def read_kmv(
         .orderBy(F.asc("_h"))
         .limit(k)
     )
+
+
+def read_transition_counts(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Merge-on-read view of the stream-maintained transition counts:
+    sum the per-batch (from_type, to_type) partials. Missing path ->
+    empty frame."""
+    import os
+
+    path = os.path.join(state_dir, "transitions")
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame(
+            [], "from_type string, to_type string, n long"
+        )
+    return (
+        raw.drop("batch")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def stream_event_transitions(
+    event_stream: DataFrame,
+    state_dir: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_break_col: str = "event_id",
+) -> DataFrame:
+    """Incrementally-maintained Markov transition counts over an event
+    stream — the streaming twin of `analytics.event_transition_matrix`,
+    and the op a naive per-batch window gets WRONG: the transition that
+    straddles a micro-batch boundary (user's last event of batch k ->
+    first event of batch k+1) belongs to the model too.
+
+    Per micro-batch (foreachBatch):
+      1. within-batch transitions: one lead() window over the batch;
+      2. boundary transitions: the persisted last-event-per-user state
+         (rows with ``_sbatch < batch_id`` — so a REPLAYED batch reads
+         the same prior it saw the first time) joined to the batch's
+         FIRST event per user;
+      3. the batch's pair counts overwrite ``transitions/batch=<id>``
+         (a retry replaces, never duplicates) and the batch's last
+         events append to ``last_events`` tagged with the batch id
+         (duplicate appends carry identical values; the max-per-user
+         merge absorbs them).
+
+    For time-ordered arrival the accumulated counts equal the batch
+    operator on the full stream under ANY chunking (proven in tests).
+    State is one row per (user, batch) — id-sized, never event-sized.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    spark = event_stream.sparkSession
+    trans_path = os.path.join(state_dir, "transitions")
+    last_path = os.path.join(state_dir, "last_events")
+    ckpt_path = os.path.join(state_dir, "_checkpoint")
+
+    def _prior_last(batch_id: int) -> DataFrame:
+        try:
+            raw = spark.read.parquet(last_path)
+        except Exception:
+            return spark.createDataFrame(
+                [],
+                f"{user_col} long, {ts_col} timestamp, "
+                f"{order_break_col} long, {type_col} string",
+            )
+        w = Window.partitionBy(user_col).orderBy(
+            F.desc(ts_col), F.desc(order_break_col)
+        )
+        return (
+            raw.filter(F.col("_sbatch") < batch_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(user_col, ts_col, order_break_col, type_col)
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [user_col, ts_col, order_break_col, type_col]
+        b = batch_df.select(*cols).cache()
+        w = Window.partitionBy(user_col).orderBy(
+            F.asc(ts_col), F.asc(order_break_col)
+        )
+        within = (
+            b.select(
+                F.col(type_col).alias("from_type"),
+                F.lead(type_col).over(w).alias("to_type"),
+            ).filter(F.col("to_type").isNotNull())
+        )
+        firsts = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(user_col),
+                F.col(type_col).alias("to_type"),
+            )
+        )
+        prior = _prior_last(batch_id).select(
+            F.col(user_col), F.col(type_col).alias("from_type")
+        )
+        boundary = prior.join(firsts, user_col).select(
+            "from_type", "to_type"
+        )
+        counts = (
+            within.unionByName(boundary)
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(trans_path, f"batch={batch_id}")
+        )
+        wl = Window.partitionBy(user_col).orderBy(
+            F.desc(ts_col), F.desc(order_break_col)
+        )
+        lasts = (
+            b.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("_sbatch", F.lit(batch_id).cast("long"))
+        )
+        lasts.write.mode("append").parquet(last_path)
+        b.unpersist()
+
+    q = (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt_path)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_transition_counts(spark, state_dir)

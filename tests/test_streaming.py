@@ -360,3 +360,150 @@ def test_stream_ingest_ivfpq_matches_batch_build(spark, tmp_path):
         for r in batch.search(qv, 5, nprobe=2).collect()
     ]
     assert a == b and len(a) == 5
+
+
+# ---------------------------------------------------------------------------
+# Streaming Markov transition counts (events.stream_event_transitions)
+# ---------------------------------------------------------------------------
+
+
+def _transitions_events(spark):
+    from datetime import datetime
+
+    rows = []
+    types = ["a", "b", "c"]
+    eid = 0
+    for u in range(6):
+        for i in range(7):
+            rows.append(
+                (
+                    eid,
+                    datetime(2026, 1, 1, 0, i, u),
+                    u,
+                    types[(u + 3 * i) % 3],
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _write_time_chunks(ev, n_chunks, directory):
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    ids = sorted(r[0] for r in ev.select("event_id").collect())
+    bounds = [
+        ids[min(len(ids) - 1, (i + 1) * len(ids) // n_chunks - 1)]
+        for i in range(n_chunks)
+    ]
+    now, written, lo = _time.time(), set(), None
+    for i, hi in enumerate(bounds):
+        chunk = ev.filter(F.col("event_id") <= hi)
+        if lo is not None:
+            chunk = chunk.filter(F.col("event_id") > lo)
+        chunk.coalesce(1).write.mode("append").parquet(directory)
+        newly = {
+            f
+            for f in os.listdir(directory)
+            if f.endswith(".parquet") and f not in written
+        }
+        for f in newly:
+            os.utime(
+                os.path.join(directory, f), (now + 10 * i, now + 10 * i)
+            )
+        written |= newly
+        lo = hi
+
+
+def _batch_transition_counts(ev):
+    from distributed_vector_database_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    return {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transition_matrix(ev).collect()
+    }
+
+
+@pytest.mark.parametrize("n_chunks", [1, 3])
+def test_stream_transitions_equal_batch(spark, tmp_path, n_chunks):
+    """Accumulated counts == the batch operator under any time-ordered
+    chunking — the boundary transitions are exactly what a naive
+    per-batch window would drop."""
+    import os
+
+    from distributed_vector_database_spark.streaming.events import (
+        stream_event_transitions,
+    )
+
+    ev = _transitions_events(spark)
+    # the synthetic stream is event_id == time ordered BY CONSTRUCTION,
+    # so an id split is a time split (the wrinkle: ts ties across users
+    # stay within one chunk's worth of each other)
+    d = str(tmp_path / f"in{n_chunks}")
+    os.makedirs(d)
+    _write_time_chunks(ev, n_chunks, d)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in stream_event_transitions(
+            read_event_stream(spark, d, max_files_per_trigger=1),
+            str(tmp_path / f"st{n_chunks}"),
+        ).collect()
+    }
+    assert got == _batch_transition_counts(ev)
+    # every user contributes exactly 6 pairs — with n_chunks > 1 some of
+    # them straddle a boundary, so dropping the stitching would lose counts
+    assert sum(got.values()) == 6 * (7 - 1)
+
+
+def test_stream_transitions_redelivered_state_absorbed(spark, tmp_path):
+    """A duplicated last-event append (at-least-once) must not change the
+    read: the max-per-user merge and the _sbatch < batch filter absorb it."""
+    import os
+
+    from distributed_vector_database_spark.streaming.events import (
+        read_transition_counts,
+        stream_event_transitions,
+    )
+
+    ev = _transitions_events(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_time_chunks(ev, 3, d)
+    state = str(tmp_path / "st")
+    before = dict(
+        (
+            (r["from_type"], r["to_type"]),
+            r["n"],
+        )
+        for r in stream_event_transitions(
+            read_event_stream(spark, d, max_files_per_trigger=1), state
+        ).collect()
+    )
+    # redeliver one batch's last-event rows verbatim
+    raw = spark.read.parquet(os.path.join(state, "last_events"))
+    raw.filter("_sbatch = 1").write.mode("append").parquet(
+        os.path.join(state, "last_events")
+    )
+    after = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in read_transition_counts(spark, state).collect()
+    }
+    assert after == before
+
+
+def test_read_transition_counts_empty_state(spark, tmp_path):
+    from distributed_vector_database_spark.streaming.events import (
+        read_transition_counts,
+    )
+
+    assert read_transition_counts(spark, str(tmp_path / "nope")).count() == 0
