@@ -431,3 +431,32 @@ def test_novelty_scores_match_python_reference(spark):
         for r in novelty_scores(df, n=3).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=8
+    )
+)
+def test_dhash_arrow_kernel_matches_python_reference(spark, payloads):
+    """The Arrow mapInPandas dHash (cumsum + cross-multiplied mean
+    comparisons over numpy int64) must agree bit-for-bit with the pure
+    python reference on ARBITRARY payloads — empty, shorter than the 65
+    spans, and longer — pinning the floor-boundary arithmetic both
+    implementations share."""
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_bits,
+        dhash_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, content binary",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in dhash_fingerprints(df).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == f"{dhash_bits(p):016x}", (i, len(p))
