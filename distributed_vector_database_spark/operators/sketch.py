@@ -25,6 +25,7 @@ __all__ = [
     "kmv_distinct",
     "kmv_sketch",
     "kmv_set_estimates",
+    "kmv_set_diff_estimates",
     "cms_build",
     "cms_merge",
     "cms_lookup",
@@ -415,6 +416,65 @@ def kmv_set_estimates(
         union_est.cast("long").alias("union_est"),
         F.round(jac * union_est).cast("long").alias("intersect_est"),
         F.round(jac, 6).alias("jaccard"),
+    )
+
+
+def kmv_set_diff_estimates(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, k: int = 64
+) -> DataFrame:
+    """One-row set-ALGEBRA frame from two same-k KMV sketches: per-side
+    cardinalities, the joint intersection, and both DIFFERENCES
+
+        diff_a_est = max(a_est - intersect_est, 0)     (churn: in A, not B)
+        diff_b_est = max(b_est - intersect_est, 0)     (new:   in B, not A)
+
+    — the year-over-year churn/new-customer question answered from two
+    k-row summaries, never the data. Per-side estimates use the
+    standard KMV estimator on each sketch alone (exact when a side has
+    < k distinct keys); the intersection comes from the joint pool
+    (`kmv_set_estimates` machinery); differences are exact integer
+    arithmetic on the rounded estimates, clamped at 0 (estimator noise
+    must not produce negative set sizes).
+
+    Returns (a_est, b_est, intersect_est, diff_a_est, diff_b_est).
+    """
+
+    def _side(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.count("*").alias(f"_n{name}"),
+            F.max("_h").alias(f"_hk{name}"),
+        )
+
+    def _est(n: str, hk: str):
+        return (
+            F.when(F.col(n) < k, F.col(n).cast("double"))
+            .otherwise(F.round(F.lit(float(k - 1)) / F.col(hk)))
+            .cast("long")
+        )
+
+    joint = kmv_set_estimates(sketch_a, sketch_b, k=k).select(
+        "intersect_est"
+    )
+    out = (
+        _side(sketch_a, "a")
+        .crossJoin(_side(sketch_b, "b"))
+        .crossJoin(joint)
+        .select(
+            _est("_na", "_hka").alias("a_est"),
+            _est("_nb", "_hkb").alias("b_est"),
+            F.col("intersect_est"),
+        )
+    )
+    return out.select(
+        "a_est",
+        "b_est",
+        "intersect_est",
+        F.greatest(
+            F.col("a_est") - F.col("intersect_est"), F.lit(0)
+        ).cast("long").alias("diff_a_est"),
+        F.greatest(
+            F.col("b_est") - F.col("intersect_est"), F.lit(0)
+        ).cast("long").alias("diff_b_est"),
     )
 
 

@@ -12170,6 +12170,101 @@ def q_stream_event_transitions(spark, sf_dir):
     )
 
 
+@register(
+    "kmv_order_year_churn",
+    """
+WITH ha AS (SELECT DISTINCT
+              ('0x' || substr(md5(o_custkey::VARCHAR), 1, 12))::BIGINT
+                / 281474976710656.0 AS _h
+            FROM orders WHERE year(o_orderdate) = 1995
+            ORDER BY _h ASC LIMIT 64),
+hb AS (SELECT DISTINCT
+              ('0x' || substr(md5(o_custkey::VARCHAR), 1, 12))::BIGINT
+                / 281474976710656.0 AS _h
+            FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY _h ASC LIMIT 64),
+sa AS (SELECT count(*) AS na, max(_h) AS hka FROM ha),
+sb AS (SELECT count(*) AS nb, max(_h) AS hkb FROM hb),
+pool AS (SELECT coalesce(ha._h, hb._h) AS _h,
+                (ha._h IS NOT NULL)::INT AS _a,
+                (hb._h IS NOT NULL)::INT AS _b
+         FROM ha FULL JOIN hb ON ha._h = hb._h),
+r AS (SELECT _h, _a, _b, row_number() OVER (ORDER BY _h ASC) AS _rn
+      FROM pool),
+kk AS (SELECT * FROM r WHERE _rn <= 64),
+agg AS (SELECT count(*) AS _n,
+               max(CASE WHEN _rn = 64 THEN _h END) AS _hk,
+               sum(_a * _b) AS _m
+        FROM kk),
+est AS (SELECT
+  (CASE WHEN sa.na < 64 THEN sa.na::DOUBLE
+        ELSE round(63.0 / sa.hka) END)::BIGINT AS a_est,
+  (CASE WHEN sb.nb < 64 THEN sb.nb::DOUBLE
+        ELSE round(63.0 / sb.hkb) END)::BIGINT AS b_est,
+  round((agg._m::DOUBLE / agg._n)
+        * (CASE WHEN agg._n < 64 THEN agg._n::DOUBLE
+                ELSE round(63.0 / agg._hk) END))::BIGINT AS intersect_est
+  FROM sa, sb, agg),
+exact AS (SELECT
+  (SELECT count(*) FROM
+     (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+  )::BIGINT AS exact_churned,
+  (SELECT count(*) FROM
+     (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+  )::BIGINT AS exact_new)
+SELECT a_est, b_est, intersect_est,
+       greatest(a_est - intersect_est, 0)::BIGINT AS diff_a_est,
+       greatest(b_est - intersect_est, 0)::BIGINT AS diff_b_est,
+       exact_churned, exact_new
+FROM est, exact
+""",
+)
+def q_kmv_order_year_churn(spark, sf_dir):
+    """Year-over-year customer CHURN from two k=64 KMV sketches
+    (`sketch.kmv_set_diff_estimates`): per-side cardinalities + joint
+    intersection + both set DIFFERENCES (churned = in 1995 not 1996;
+    new = in 1996 not 1995), clamped at 0 — completing the KMV set
+    algebra next to `kmv_order_year_overlap`'s union/intersect/Jaccard.
+    Exact EXCEPT counts audited alongside — and they SHOW the known
+    weakness of difference-of-estimates honestly: at sf0.01 the true
+    churn is a small fraction of either side (261 of ~1.5k), so the
+    combined estimator error of a_est and intersect_est dominates
+    (est 42); at sf0.1, where churn is ~20% of the side, the estimate
+    lands within the k=64 error band (2,058 vs 2,530). Size k to the
+    difference you need to resolve, not the sides. All sketch steps are
+    TakeOrdered k-row frames; the differences are exact integer
+    arithmetic on the rounded estimates."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_diff_estimates,
+        kmv_sketch,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    a = orders.filter(year == 1995).select("o_custkey")
+    b = orders.filter(year == 1996).select("o_custkey")
+    est = kmv_set_diff_estimates(
+        kmv_sketch(a, "o_custkey", k=64),
+        kmv_sketch(b, "o_custkey", k=64),
+        k=64,
+    )
+    exact = (
+        a.distinct()
+        .subtract(b.distinct())
+        .agg(F.count("*").cast("long").alias("exact_churned"))
+        .crossJoin(
+            b.distinct()
+            .subtract(a.distinct())
+            .agg(F.count("*").cast("long").alias("exact_new"))
+        )
+    )
+    return est.crossJoin(exact)
+
+
 def _neardup_decontam_sql(
     num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
 ) -> str:

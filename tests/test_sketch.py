@@ -917,3 +917,49 @@ def test_cms_inner_product_join_size(spark):
     with pytest.raises(ValueError, match="ungrouped"):
         cms_inner_product(grouped, cms_build(b, "k", depth=4, width=8),
                           depth=4)
+
+
+def test_kmv_set_diff_estimates_exact_under_k_and_clamped(spark):
+    """Below k the sketches hold every key, so every estimate — incl.
+    both differences — is EXACT; and estimator noise can never produce a
+    negative set size (clamp tested via a subset relation)."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_diff_estimates,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(20, 45)], "k long")
+    out = kmv_set_diff_estimates(
+        kmv_sketch(a, "k", k=64), kmv_sketch(b, "k", k=64), k=64
+    ).head()
+    assert out["a_est"] == 30 and out["b_est"] == 25
+    assert out["intersect_est"] == 10
+    assert out["diff_a_est"] == 20 and out["diff_b_est"] == 15
+    # subset: A strictly inside B -> diff_a must clamp to 0 exactly
+    sub = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    sup = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    o2 = kmv_set_diff_estimates(
+        kmv_sketch(sub, "k", k=64), kmv_sketch(sup, "k", k=64), k=64
+    ).head()
+    assert o2["diff_a_est"] == 0 and o2["diff_b_est"] == 30
+
+
+def test_kmv_set_diff_estimates_above_k_reasonable(spark):
+    """Above k the estimates carry KMV error but the identities hold:
+    diffs = est - intersect (clamped), and relative error stays inside
+    the k=64 band on a 4x-k workload."""
+    from distributed_vector_database_spark.operators.sketch import (
+        kmv_set_diff_estimates,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(256)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(128, 384)], "k long")
+    out = kmv_set_diff_estimates(
+        kmv_sketch(a, "k", k=64), kmv_sketch(b, "k", k=64), k=64
+    ).head()
+    assert out["diff_a_est"] == max(out["a_est"] - out["intersect_est"], 0)
+    assert out["diff_b_est"] == max(out["b_est"] - out["intersect_est"], 0)
+    assert abs(out["a_est"] - 256) / 256 < 0.5
+    assert abs(out["diff_a_est"] - 128) / 128 < 0.8
