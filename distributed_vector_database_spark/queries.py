@@ -12416,75 +12416,76 @@ def q_stream_payload_dhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 9).
+# Registration-order rotation (round 10).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-9 window = ROADMAP's
-# round-9 ```next-window``` ledger (the 12 round-8 registrations never
-# driver-verified, fronted) + the first 38 round-5 window names
-# (CORRECTNESS_r05 order) per the round-robin refresh schedule (ROADMAP.md
-# "Rotation re-verification schedule"): r9 = r5 names, repeat. The 12
-# round-5 names that don't fit (retention_cohorts .. stream_sliding_counts)
-# are refresh-only displacements — they stay driver-green on their r5 rows
+# each round rotates a window to the front. This round-10 window = ROADMAP's
+# round-10 ```next-window``` ledger (the 27 round-9 registrations never
+# driver-verified, fronted) + the first 23 round-6 window names
+# (CORRECTNESS_r06 order) per the round-robin refresh schedule (ROADMAP.md
+# "Rotation re-verification schedule"): r10 = r6 names, repeat. The 27
+# round-6 names that don't fit (doc_token_stats .. dedup_docs_to_drop)
+# are refresh-only displacements — they stay driver-green on their r6 rows
 # and rejoin the cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 10 before any refresh names.
+# ```next-window``` block so they front round 11 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 12 round-8 registrations never driver-verified (fronted) ---
-    "w2v_ivf_search",
-    "hll_distinct_users_by_type",
-    "stream_hll_distinct_users",
-    "cdc_chunk_dedup_stats",
-    "bigram_kn_ppl",
-    "cdc_chunk_dup_flags",
-    "stream_cdc_chunk_dup_flags",
-    "stream_kmv_distinct_users",
-    "cdc_shared_chunk_pairs",
-    "dedup_exact_alnum",
-    "dedup_modality_agreement",
-    "minhash_operating_points",
-    # --- round-robin refresh: the first 38 round-5 window names,
-    # in their CORRECTNESS_r05 order (rotation schedule, ROADMAP.md) ---
-    "dq_quarantined_events",
-    "sq8_encode_recon",
-    "sq8_adc_topk",
-    "sq8_rerank_topk",
-    "ivf_sq8_search",
-    "binary_hamming_topk",
-    "knn_triangle_stats",
-    "knn_two_hop_reach",
-    "hard_negatives_join_topk",
-    "hard_negative_mining",
-    "purchase_negative_samples",
-    "label_prototype_cos",
-    "ann_lsh_ndcg",
-    "diversified_topk",
-    "embedding_drift",
-    "vector_dim_stats",
-    "pii_redaction_stats",
-    "doc_oov_rate",
-    "dsir_log_weights",
-    "dsir_gumbel_sample",
-    "temperature_lang_mix",
-    "source_unigram_kl",
-    "boilerplate_report",
-    "doc_boilerplate_frac",
-    "repeated_span_report",
-    "doc_repeated_span_stats",
-    "pmi_top_pairs",
-    "corpus_card",
-    "multimodal_frame_sample",
-    "asof_next_purchase_after_click",
-    "event_grouping_sets",
-    "click_purchase_reconcile",
-    "value_range_window",
-    "hourly_gap_fill",
-    "value_quartiles_by_type",
-    "user_value_ewma",
-    "event_zscore_outliers",
-    "conversion_funnel",
+    # --- the 27 round-9 registrations never driver-verified (fronted,
+    # in the round-10 next-window ledger order) ---
+    "cdc_chunk_search_hashed",
+    "stream_cdc_chunk_search",
+    "doc_novelty_ngram",
+    "hll_order_year_overlap",
+    "hll_rollup_distinct_users",
+    "stream_doc_novelty",
+    "cdc_chunk_ivf_search",
+    "cdc_dup_clusters",
+    "cms_join_size_estimate",
+    "hdr_sliding_value_quantiles",
+    "hll_sliding_distinct_users",
+    "rocchio_expanded_search",
+    "payload_dhash_pairs",
+    "trigram_kn_ppl",
+    "trigram_kn_heldout_ppl",
+    "stream_payload_dhash_pairs",
+    "payload_dedup_agreement",
+    "bm25_prf_topk",
+    "neardup_decontaminate_pairs",
+    "mor_scd2_history",
+    "mor_pit_read",
+    "ql_dirichlet_topk",
+    "hourly_session_concurrency",
+    "copurchase_lift",
+    "event_transition_matrix",
+    "stream_event_transitions",
+    "kmv_order_year_churn",
+    # --- round-robin refresh: the first 23 round-6 window names,
+    # in their CORRECTNESS_r06 order (rotation schedule, ROADMAP.md) ---
+    "duplicate_paragraph_report",
+    "knn_graph_lsh",
+    "knn_graph_lsh_capped",
+    "dedup_embedding_cosine_lsh",
+    "cms_heavy_hitters",
+    "kmv_order_year_overlap",
+    "stream_cms_heavy_hitters",
+    "winnow_shared_span_pairs",
+    "shared_span_longest_run",
+    "binary_asym_topk",
+    "cms_merge_heavy_hitters",
+    "cms_top_spenders",
+    "fixed_k_sample_per_lang",
+    "topk_cosine",
+    "topk_euclidean",
+    "topk_dot",
+    "batch_topk_cosine",
+    "point_lookup",
+    "list_ids_stats",
+    "ivf_assign",
+    "ivf_count_per_shard",
+    "ivf_search_pruned",
+    "upsert_keep_latest",
 ]
 
 
