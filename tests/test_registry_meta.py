@@ -133,3 +133,22 @@ def test_no_oracle_emits_top_level_list_or_struct_column():
         "oracles returning top-level nested columns (driver canonicalizer "
         f"cannot sort these — flatten on both sides): {bad}"
     )
+
+
+def test_four_ledger_docs_contain_every_registered_name():
+    """Registration discipline, all four ledger docs (VERDICT r9 item 3):
+    every registered name must be grep-able in SURVEY.md, PLANS.md,
+    SCALING.md AND README.md. Narrative sections cover names selectively;
+    the auto-generated index block (scripts/sync_docs_index.py) guarantees
+    completeness — run that script after registering a query."""
+    names = list(q.registry())
+    stale: dict[str, list[str]] = {}
+    for doc in ("README.md", "SURVEY.md", "PLANS.md", "SCALING.md"):
+        text = (REPO / doc).read_text()
+        missing = [n for n in names if n not in text]
+        if missing:
+            stale[doc] = missing
+    assert not stale, (
+        "ledger docs missing registered names — run "
+        f"scripts/sync_docs_index.py: {stale}"
+    )
