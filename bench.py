@@ -19,7 +19,12 @@ defense adjudicates an unusually large slice of keys (see
 `_contention_guard`) was itself contended — its numbers, even the isolated
 re-measures, are suspect; the run prints a loud warning and stamps
 `contention_warning` into the artifact so it is never silently committed
-as the new reference.
+as the new reference. Refined in round 10 (measured reason, see
+`_fleet_drift`): the slow-count band is centered on the run's median
+host-state drift vs committed, with an absolute 1.30x drift ceiling —
+a best-ever committed baseline no longer makes every honest refresh on a
+verified-idle host read as 'contended', while uniformly-slow contended
+runs (the r6 signature) still refuse via the ceiling.
 """
 
 from __future__ import annotations
@@ -145,35 +150,78 @@ def _defense_plan(
     return per_key, groups
 
 
+def _fleet_drift(
+    measured: dict[str, float], committed: dict[str, float]
+) -> float:
+    """Median measured/committed ratio over the keys both runs hold —
+    the HOST-STATE drift of this run relative to the committed
+    reference. Computed on raw sweep values BEFORE any isolated
+    re-measures replace them. 1.0 when there is nothing to compare.
+
+    Why it exists (round 10, measured): the committed r9 artifact was a
+    best-ever 03:24 host state; three subsequent sweeps on verified-idle
+    machines (no processes, <1% CPU steal) read a UNIFORM 5-10% slower
+    fleet-wide (median ratios 1.05-1.08, p90 ~1.24) and each tripped the
+    raw 1.25x slow-count — the guard was detecting an unreproducible
+    baseline, not contention. Genuine contention (the r6 incident the
+    guard was built for) looks different: unrelated keys 1.5-5x slow,
+    i.e. a LARGE median shift and/or a wide deviation tail. So the
+    slow-count band is now centered on this drift, and the drift itself
+    gets an absolute ceiling (`_contention_guard(max_drift=...)`) so a
+    uniformly-contended run can never launder itself as 'drift'."""
+    ratios = sorted(
+        v / committed[k]
+        for k, v in measured.items()
+        if committed.get(k, 0) > 0 and v > 0
+    )
+    return ratios[len(ratios) // 2] if ratios else 1.0
+
+
 def _contention_guard(
     n_slow_adjudicated: int,
     n_keys: int,
     *,
     frac: float = 0.10,
     floor: int = 15,
+    drift: float = 1.0,
+    max_drift: float = 1.30,
 ) -> bool:
-    """True when a run adjudicated so many SLOWER-than-committed keys
-    that the RUN ITSELF was contended (module-docstring policy): past
-    max(floor, frac*n_keys) slow-deviant keys the defense is re-measuring
-    a machine problem, not key noise, and the artifact must not become
-    the committed reference. The r6 driver refresh had 31 slow-deviants
-    of 228 — exactly this signature. Only SLOW deviations count:
-    faster-than-committed adjudications mean the COMMITTED reference was
-    inflated (a prior contended refresh) and this quieter run is
-    restoring truth — the round-8 first run under the 1.25x band
-    adjudicated 55 keys, 42 of them FASTER, 13 slower: a quiet machine
-    correcting an inflated reference, not a contended one."""
+    """True when the RUN ITSELF was contended (module-docstring policy)
+    and its artifact must not become the committed reference. Two
+    signatures, either one fires:
+
+    1. ``drift > max_drift`` — the whole fleet read >=1.3x the committed
+       reference (the r6 incident: unrelated keys uniformly 1.5-5x slow).
+       An absolute ceiling, deliberately NOT normalized: uniform
+       contention must never pass by shifting the median.
+    2. more than max(floor, frac*n_keys) keys adjudicated slower than
+       committed BEYOND the fleet drift (see `_slow_adjudicated`) — the
+       bursty signature: a background load that hit a contiguous slice
+       of the sweep. The r6 driver refresh had 31 such of 228.
+
+    Only SLOW deviations count: faster-than-committed adjudications mean
+    the COMMITTED reference was inflated and this quieter run is
+    restoring truth (round-8 first run: 55 adjudicated, 42 FASTER).
+    Centering the band on the measured drift (round 10) keeps an
+    unreproducibly-fast committed baseline from making every honest
+    refresh look contended — three r9/r10 sweeps on verified-idle hosts
+    read a uniform ~1.08x and were refused by the raw count."""
+    if drift > max_drift:
+        return True
     return n_slow_adjudicated > max(floor, int(frac * n_keys))
 
 
-def _slow_adjudicated(adjudicated: dict, *, ratio: float = 1.25) -> int:
+def _slow_adjudicated(
+    adjudicated: dict, *, ratio: float = 1.25, drift: float = 1.0
+) -> int:
     """Count adjudications whose SWEEP read slower than committed by
-    more than the band — the contention signature `_contention_guard`
-    keys on."""
+    more than the band — measured RELATIVE to the run's fleet drift
+    (`_fleet_drift`), so a uniform host-state shift does not count
+    every key as slow while key-specific (bursty) slowdowns still do."""
     return sum(
         1
         for a in adjudicated.values()
-        if a["sweep"] > a["committed"] * ratio
+        if a["sweep"] > a["committed"] * ratio * drift
     )
 
 
@@ -314,6 +362,9 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     committed = _reference_queries(_committed_bench(repo_dir), sf_val)
     adjudicated: dict[str, dict[str, float]] = {}
+    # host-state drift of the RAW sweep vs committed — captured before the
+    # defense replaces deviant values with isolated medians
+    drift = _fleet_drift(per_query, committed)
     if committed and os.environ.get("SPARK_GRAFT_BENCH_DEFEND", "1") != "0":
         registry_fns = _q.spark_queries()
         deviants = _deviant_keys(per_query, committed)
@@ -386,15 +437,18 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if committed:
+        full["fleet_drift"] = round(drift, 4)
     if adjudicated:
         full["adjudicated"] = adjudicated
-        n_slow = _slow_adjudicated(adjudicated)
-        if _contention_guard(n_slow, len(per_query)):
+        n_slow = _slow_adjudicated(adjudicated, drift=drift)
+        if _contention_guard(n_slow, len(per_query), drift=drift):
             full["contention_warning"] = (
                 f"{n_slow}/{len(per_query)} keys adjudicated SLOWER than "
-                "committed — this RUN was contended; do NOT commit this "
-                "artifact as the quiet-machine reference (bench.py module "
-                "policy)"
+                f"committed beyond the {drift:.3f}x fleet drift (drift "
+                "ceiling 1.30x) — this RUN was contended; do NOT commit "
+                "this artifact as the quiet-machine reference (bench.py "
+                "module policy)"
             )
             print(
                 f"# WARNING: {full['contention_warning']}",

@@ -576,3 +576,86 @@ def neardup_contaminated_pairs(
         .select(F.col(id_col), F.col("eval_doc_id"), j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate leakage census across a train/val/test carving: a
+    deduped-then-split pipeline is only leakage-free w.r.t. the dup
+    definition it deduped with — any SURVIVING near-dup pair whose
+    members hash into different splits is an eval leak (the val/test
+    member is a paraphrase of a training doc). This is the split-time
+    counterpart of eval-set decontamination
+    (:func:`neardup_contaminated_pairs`): that screens against an
+    external benchmark; this audits the pipeline's own carving.
+
+    Pipeline: `sketch.hash_split` assigns splits (key-hash, join-stable);
+    near-dup pairs come from the symmetric MinHash band self-join
+    (`dedup.minhash_candidate_pairs` — uniform band keys, never |docs|²)
+    verified by exact Jaccard on distinct word n-gram sets; each verified
+    pair joins to its members' splits. Output: one row per unordered
+    split combination — ``(split_a, split_b, n_pairs, leaked)`` with
+    ``split_a <= split_b`` and ``leaked = split_a != split_b`` — the
+    dashboard that says "K near-dup pairs straddle train/test".
+
+    Scale: two id-keyed joins of the (tiny) verified-pair frame against
+    the id-sized split projection, then a |splits|²-bounded aggregate;
+    the only corpus-sized work is the shared MinHash/shingle pass the
+    dedup screens already pay.
+    """
+    from distributed_vector_database_spark.operators.dedup import (
+        _shingled,
+        minhash_candidate_pairs,
+    )
+    from distributed_vector_database_spark.operators.sketch import hash_split
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cand = minhash_candidate_pairs(
+        docs, num_hashes, bands, n=n, text_col=text_col, id_col=id_col
+    )
+    sh = _shingled(docs, text_col, id_col, n, method="arrow")
+    sa = sh.select(
+        F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("_sa")
+    )
+    sb = sh.select(
+        F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    denom = F.size("_sa") + F.size("_sb") - inter
+    j = F.round(inter.cast("double") / denom.cast("double"), 6)
+    verified = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    splits = hash_split(docs.select(id_col), id_col, fractions).select(
+        F.col(id_col), F.col("split")
+    )
+    pa = splits.select(
+        F.col(id_col).alias("doc_id_a"), F.col("split").alias("_pa")
+    )
+    pb = splits.select(
+        F.col(id_col).alias("doc_id_b"), F.col("split").alias("_pb")
+    )
+    return (
+        verified.join(pa, "doc_id_a")
+        .join(pb, "doc_id_b")
+        .select(
+            F.least("_pa", "_pb").alias("split_a"),
+            F.greatest("_pa", "_pb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )

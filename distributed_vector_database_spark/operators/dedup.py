@@ -1323,9 +1323,17 @@ def hamming_band_pairs(
     emitted (the incremental-screen contract: each pair surfaces in the
     batch where its later member arrives).
 
+    NULL fingerprints (e.g. `dhash_fingerprints`' below-min-length
+    payloads, ADVICE r9) are dropped before banding — a NULL can never
+    be a near-dup witness, and the equi-join would silently drop it
+    anyway; filtering first keeps the explode fan-out honest.
+
     Returns (``{id_col}_a``, ``{id_col}_b``, hamming), a < b.
     """
     _validate_band_args(max_hamming, bands)
+    fp = fp.filter(F.col(fp_col).isNotNull())
+    if against is not None:
+        against = against.filter(F.col(fp_col).isNotNull())
     out_a, out_b = f"{id_col}_a", f"{id_col}_b"
     chunk = 16 // bands
 

@@ -124,6 +124,36 @@ def nearest_shards(
     return [sid for _, sid in dists[: max(1, nprobe)]]
 
 
+def pick_nprobe(recall_curve, target_recall: float) -> int:
+    """Smallest measured nprobe whose mean recall meets ``target_recall``
+    — the reference's hand-set ``shards_to_search`` knob
+    (`reference: src/compute_server.py:60-63`) chosen by evidence
+    instead: feed it `eval.ivf_recall_curve_df`'s output (or
+    `eval.ivf_recall_curve`'s list of dicts) and the curve decides.
+
+    If no measured point reaches the target, returns the LARGEST
+    measured nprobe — the closest the curve can get; callers that need
+    exactness probe all shards (``nprobe = num_shards`` ≡ brute force).
+
+    Driver-side over a len(nprobes)-row frame — bounded by construction.
+    """
+    if not 0.0 <= float(target_recall) <= 1.0:
+        raise ValueError(
+            f"target_recall must be in [0, 1], got {target_recall!r}"
+        )
+    if isinstance(recall_curve, DataFrame):
+        rows = recall_curve.select("nprobe", "mean_recall").collect()
+        points = [(int(r["nprobe"]), float(r["mean_recall"])) for r in rows]
+    else:
+        points = [
+            (int(r["nprobe"]), float(r["mean_recall"])) for r in recall_curve
+        ]
+    if not points:
+        raise ValueError("recall_curve has no measured points")
+    meeting = [np_ for np_, rec in points if rec >= float(target_recall)]
+    return min(meeting) if meeting else max(np_ for np_, _ in points)
+
+
 def fit_centroids(
     df: DataFrame,
     num_shards: int,
@@ -352,13 +382,28 @@ class IVFIndex:
         k: int = 5,
         nprobe: int = 1,
         metric: str = "cosine",
+        *,
+        target_recall: float | None = None,
+        recall_curve=None,
     ) -> DataFrame:
         """IVF top-k: prune to nprobe shards, brute-force score, merge.
 
         `reference: POST /search` (src/compute_server.py:107-138) as one
         declarative job. With nprobe == num_shards this is EXACT search —
         the primary correctness invariant (SURVEY.md §5.3).
+
+        Autotuned mode: pass ``target_recall`` plus a measured
+        ``recall_curve`` (`eval.ivf_recall_curve_df` output) and nprobe
+        is chosen by :func:`pick_nprobe` — the evidence-driven form of
+        the reference's hand-set ``shards_to_search``.
         """
+        if target_recall is not None:
+            if recall_curve is None:
+                raise ValueError(
+                    "target_recall needs a measured recall_curve "
+                    "(eval.ivf_recall_curve_df output)"
+                )
+            nprobe = pick_nprobe(recall_curve, target_recall)
         return topk(
             self.probe(query_vector, nprobe),
             query_vector,

@@ -193,22 +193,35 @@ def point_in_time_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    dim_cols = [
+        c
+        for c in dim_history.columns
+        if c not in keys and c not in (from_col, to_col)
+    ]
+    # A dim payload column sharing a fact column's name would produce a
+    # duplicate output column (ADVICE r9) — refuse loudly so the caller
+    # renames on one side instead of debugging an ambiguous frame.
+    colliding = sorted(set(dim_cols) & set(facts.columns))
+    if colliding:
+        raise ValueError(
+            "dim payload columns collide with fact columns — rename them "
+            f"before the PIT join: {colliding}"
+        )
     f, d = facts.alias("f"), dim_history.alias("d")
     cond = None
     for k in keys:
         c = F.col(f"f.{k}") == F.col(f"d.{k}")
         cond = c if cond is None else (cond & c)
     at = F.col(f"f.{at_col}")
+    # Open interval = "to is null" (the current version), NOT a numeric
+    # sentinel: a +inf literal silently assumes a numeric as-of column and
+    # breaks on the timestamp-typed PIT shape (ADVICE r9).
+    to = F.col(f"d.{to_col}")
     cond = (
         cond
         & (F.col(f"d.{from_col}") <= at)
-        & (at < F.coalesce(F.col(f"d.{to_col}"), F.lit(2**62)))
+        & (to.isNull() | (at < to))
     )
-    dim_cols = [
-        c
-        for c in dim_history.columns
-        if c not in keys and c not in (from_col, to_col)
-    ]
     return f.join(d, cond, how).select(
         *[F.col(f"f.{c}") for c in facts.columns],
         *[F.col(f"d.{c}") for c in dim_cols],

@@ -11585,7 +11585,8 @@ WITH assets AS (
   FROM documents t1 WHERE doc_id % 5 = 0
 ),
 a AS (SELECT doc_id, list_transform(string_split(t, ''), x -> ascii(x)) AS b,
-             strlen(t)::BIGINT AS L FROM assets),
+             strlen(t)::BIGINT AS L FROM assets
+      WHERE strlen(t) >= 65),
 sm AS (SELECT doc_id, L, [{blocks}] AS s FROM a),
 f AS MATERIALIZED (
   SELECT doc_id, ({hi})::BIGINT AS hi, ({lo})::BIGINT AS lo FROM sm),
@@ -11616,7 +11617,10 @@ def q_payload_dhash_pairs(spark, sf_dir):
     pigeonhole). The workload models re-encoded/patched asset revisions:
     every 5th document arrives again with a 3-byte patch, and the screen
     must pair each revision with its original WITHOUT pairing any of the
-    500 distinct documents. At sf0.01: 100 twins found, 0 false pairs.
+    500 distinct documents. At sf0.01: 96 twins found, 0 false pairs
+    (the other 4 twins are sub-65-byte payloads whose dHash is NULL by
+    the min-length guard — degenerate tiny fingerprints would otherwise
+    flood a real asset mix with hamming-0 false pairs, ADVICE r9).
     Token-level SimHash cannot run here — binary columns have no tokens;
     this is the image/audio near-dup rung of the dedup ladder."""
     from distributed_vector_database_spark.operators.dedup import (
@@ -11671,8 +11675,9 @@ def q_payload_dedup_agreement(spark, sf_dir):
     PERCEPTUAL screen (dHash hamming <= 3) on the same asset corpus.
     Patched revisions are invisible to exact hashing by construction,
     so perceptual_only_assets quantifies exactly what the dHash rung
-    adds: at sf0.01 — 600 assets, 0 exact dups, 100 perceptual dups,
-    100 perceptual-only. The byte-modality counterpart of the
+    adds: at sf0.01 — 600 assets, 0 exact dups, 96 perceptual dups,
+    96 perceptual-only (4 revisions are sub-65-byte payloads, NULL
+    dHash by the min-length guard). The byte-modality counterpart of the
     token/chunk `dedup_modality_agreement` dashboard; all four counts
     are result-sized aggregates (no pair fan-out beyond the banded
     screen)."""
@@ -12413,6 +12418,190 @@ def q_stream_payload_dhash_pairs(spark, sf_dir):
     )
     _DHASH_STATE_CACHE[sf_dir] = state
     return out
+
+
+@register(
+    "ivf_autotuned_search",
+    f"""
+WITH {_ASSIGN_CTE},
+qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id IN (0, 25, 50, 75, 100)),
+cprobe AS (
+  SELECT qs.query_id, c.shard_id,
+         ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                            ORDER BY list_distance(c.cv, qs.qv) ASC,
+                                     c.shard_id ASC) AS pr
+  FROM qs, c),
+scored AS (
+  SELECT qs.query_id, e.vec_id, a.shard_id,
+         ROUND({_cos(E, 'qs.qv')}, 6) AS score
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, qs),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rk
+    FROM scored) t
+  WHERE rk <= 10),
+np AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+approx AS (
+  SELECT nprobe, query_id, vec_id FROM (
+    SELECT np.nprobe, s.query_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY np.nprobe, s.query_id
+                              ORDER BY s.score DESC, s.vec_id ASC) AS rk
+    FROM np, scored s
+    JOIN cprobe p ON p.query_id = s.query_id AND p.shard_id = s.shard_id
+    WHERE p.pr <= np.nprobe) t
+  WHERE rk <= 10),
+curve AS (
+  SELECT np.nprobe,
+         ROUND(COALESCE(h.total_hits, 0) / 50.0, 6) AS mean_recall
+  FROM np LEFT JOIN (
+    SELECT nprobe, count(*) AS total_hits
+    FROM approx JOIN exact USING (query_id, vec_id)
+    GROUP BY nprobe) h ON np.nprobe = h.nprobe),
+picked AS (
+  SELECT COALESCE(
+           (SELECT min(nprobe) FROM curve WHERE mean_recall >= 0.95),
+           (SELECT max(nprobe) FROM curve))::BIGINT AS np),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 100),
+sprobe AS (
+  SELECT shard_id FROM (
+    SELECT c.shard_id,
+           ROW_NUMBER() OVER (ORDER BY list_distance(c.cv, q.qv) ASC,
+                              c.shard_id ASC) AS pr
+    FROM c, q) t, picked
+  WHERE t.pr <= picked.np),
+cand AS (SELECT e.vec_id, e.embedding FROM embeddings e
+         JOIN assign a ON e.vec_id = a.vec_id
+         WHERE a.shard_id IN (SELECT shard_id FROM sprobe))
+SELECT picked.np AS nprobe, e.vec_id AS vec_id,
+       ROUND({_cos(E, 'q.qv')}, 6) AS score
+FROM cand e, q, picked
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+""",
+)
+def q_ivf_autotuned_search(spark, sf_dir):
+    """Evidence-driven nprobe (VERDICT r9 item 4): the reference hand-sets
+    ``shards_to_search`` (`reference: src/compute_server.py:60-63`); here
+    the measured recall curve picks it. Pipeline: (1) the registered
+    recall-vs-nprobe curve over 5 fixed corpus queries
+    (`eval.ivf_recall_curve_df` — one batched exact search + one batched
+    pruned search per point); (2) `ivf.pick_nprobe(curve, 0.95)` = the
+    SMALLEST measured nprobe whose mean recall@10 meets the target;
+    (3) the standard pruned read path at that nprobe for query vec 100.
+    Output carries the picked nprobe so the choice itself is
+    oracle-checked, not just the hits. Invariants (unit-tested):
+    picked nprobe is minimal on the curve; target 1.0 picks
+    nprobe=num_shards ≡ exact search.
+
+    Scale: the curve costs len(nprobes)+1 batched jobs ONCE at tuning
+    time (amortized over every subsequent query); serving stays the
+    partition-pruned scan — now with a recall certificate instead of a
+    guessed knob."""
+    from distributed_vector_database_spark.operators.eval import (
+        ivf_recall_curve_df,
+    )
+    from distributed_vector_database_spark.operators.ivf import (
+        IVFIndex,
+        pick_nprobe,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = _fixed_centroids(spark, sf_dir)
+    idx = IVFIndex(spark, cents).attach(emb)
+    queries = emb.filter(F.col("vec_id").isin(0, 25, 50, 75, 100)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    curve = ivf_recall_curve_df(idx, queries, k=10, nprobes=(1, 2, 4, 8))
+    picked = pick_nprobe(curve, target_recall=0.95)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 100).head()["embedding"]
+    ]
+    return idx.search(qv, k=5, nprobe=picked).select(
+        F.lit(picked).cast("long").alias("nprobe"),
+        "vec_id",
+        "score",
+    )
+
+
+def _split_leakage_sql(
+    num_hashes: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{j}:' || sg)) AS mh{j}" for j in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows + r}" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    stacked = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_ix, band{b} AS bv FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_exprs} FROM sig),
+st AS MATERIALIZED ({stacked}),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM st a JOIN st b
+           ON a.band_ix = b.band_ix AND a.bv = b.bv
+          AND a.doc_id < b.doc_id),
+ver AS (SELECT c.da, c.db FROM cand c
+        JOIN sh ha ON ha.doc_id = c.da
+        JOIN sh hb ON hb.doc_id = c.db
+        WHERE round(len(list_intersect(ha.s, hb.s)) * 1.0
+              / (len(ha.s) + len(hb.s) - len(list_intersect(ha.s, hb.s))),
+              6) >= {threshold}),
+f AS (SELECT doc_id,
+        ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+          / 281474976710656.0 AS hf
+      FROM documents),
+sp AS (SELECT doc_id, CASE WHEN hf < 0.8 THEN 'train'
+                           WHEN hf < 0.9 THEN 'val'
+                           ELSE 'test' END AS split FROM f),
+lab AS (SELECT least(pa.split, pb.split) AS split_a,
+               greatest(pa.split, pb.split) AS split_b
+        FROM ver JOIN sp pa ON pa.doc_id = ver.da
+                 JOIN sp pb ON pb.doc_id = ver.db)
+SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+       (split_a != split_b) AS leaked
+FROM lab GROUP BY 1, 2
+"""
+
+
+@register("split_leakage_audit", _split_leakage_sql())
+def q_split_leakage_audit(spark, sf_dir):
+    """Near-dup leakage census across the pipeline's own train/val/test
+    carving (`curation.split_leakage_audit`): every surviving near-dup
+    pair (MinHash 8x4 band candidates, exact Jaccard >= 0.5 verify)
+    labeled with its members' hash-split assignments — pairs straddling
+    splits are eval leaks (a val/test doc that paraphrases a training
+    doc). The split-time counterpart of `neardup_decontaminate_pairs`
+    (which screens an external benchmark); together they close both
+    leak surfaces a training pipeline has. Output is the |splits|²-
+    bounded dashboard (split_a, split_b, n_pairs, leaked)."""
+    from distributed_vector_database_spark.operators.curation import (
+        split_leakage_audit,
+    )
+
+    docs = _spread(_read(spark, sf_dir, "documents"))
+    return split_leakage_audit(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        num_hashes=8,
+        bands=4,
+        n=3,
+        threshold=0.5,
+    )
 
 
 # ---------------------------------------------------------------------------

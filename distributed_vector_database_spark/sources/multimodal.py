@@ -252,6 +252,7 @@ def dhash_fingerprints(
     *,
     id_col: str = "doc_id",
     content_col: str = "content",
+    min_bytes: int = 65,
 ) -> DataFrame:
     """64-bit perceptual difference-hash (dHash) of a binary payload,
     as a 16-hex-char string: 65 equal byte-spans, bit i = 1 iff
@@ -265,6 +266,13 @@ def dhash_fingerprints(
     Computed in an Arrow-batched ``mapInPandas`` (one cumulative-sum
     pass over the bytes per payload); the fingerprint frame then feeds
     ``dedup.hamming_band_pairs`` exactly like SimHash.
+
+    Payloads shorter than ``min_bytes`` (default 65 — fewer bytes than
+    block boundaries, so most gradient bits are vacuously 0) get a NULL
+    dhash instead of a degenerate near-zero fingerprint: on a real asset
+    mix every tiny/empty file would otherwise collide at hamming 0 and
+    flood the near-dup screen with false pairs (ADVICE r9).
+    ``hamming_band_pairs`` drops NULL fingerprints before banding.
     """
     schema = f"{id_col} long, dhash string"
 
@@ -277,17 +285,18 @@ def dhash_fingerprints(
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(content)
                 length = len(b)
+                if length < min_bytes:
+                    ids.append(rid)
+                    hx.append(None)
+                    continue
                 bounds = np.array(
                     [i * length // 65 for i in range(66)], dtype=np.int64
                 )
-                if length:
-                    cs = np.zeros(length + 1, dtype=np.int64)
-                    np.cumsum(
-                        np.frombuffer(b, dtype=np.uint8), out=cs[1:]
-                    )
-                    sums = cs[bounds[1:]] - cs[bounds[:-1]]
-                else:
-                    sums = np.zeros(65, dtype=np.int64)
+                cs = np.zeros(length + 1, dtype=np.int64)
+                np.cumsum(
+                    np.frombuffer(b, dtype=np.uint8), out=cs[1:]
+                )
+                sums = cs[bounds[1:]] - cs[bounds[:-1]]
                 lens = bounds[1:] - bounds[:-1]
                 bits = sums[:-1] * lens[1:] > sums[1:] * lens[:-1]
                 fp = 0

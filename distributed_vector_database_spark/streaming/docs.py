@@ -768,6 +768,51 @@ def read_payload_fps(spark: SparkSession, state_dir: str) -> DataFrame:
         return spark.createDataFrame([], "doc_id long, dhash string")
 
 
+def fold_payload_fps(spark: SparkSession, state_dir: str) -> dict:
+    """Fold the per-batch fps dirs (``fps/batch=<id>``, one per
+    micro-batch — the idempotent-replay layout) into a single
+    consolidated ``fps/batch=-1`` partition: the periodic small-file
+    maintenance for the perceptual screen's live index. Run while the
+    stream is stopped.
+
+    Swap protocol (the MoR compact pattern): merged rows are written to
+    a dot-temp dir, the old ``fps`` tree is renamed to a trash dir, the
+    temp becomes ``fps/batch=-1``, then trash is deleted. A crash
+    mid-swap leaves the trash dir; the next fold call restores it and
+    starts over, so the fold is re-runnable. Returns
+    ``{dirs_before, rows}``.
+    """
+    import shutil
+
+    fps_path = os.path.join(state_dir, "fps")
+    tmp = os.path.join(state_dir, ".fps_fold_tmp")
+    trash = os.path.join(state_dir, ".fps_trash")
+    if os.path.exists(trash):  # crashed previous fold — restore first
+        if os.path.exists(fps_path):
+            shutil.rmtree(fps_path)
+        os.rename(trash, fps_path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if not os.path.exists(fps_path):
+        return {"dirs_before": 0, "rows": 0}
+    dirs_before = sum(
+        1 for d in os.listdir(fps_path) if d.startswith("batch=")
+    )
+    # distinct: a replay that re-overwrote its batch dir AFTER a fold had
+    # already absorbed those rows into batch=-1 leaves exact duplicates;
+    # the fold is where they get swept
+    rows = (
+        spark.read.parquet(fps_path).select("doc_id", "dhash").distinct()
+    )
+    rows.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    os.rename(fps_path, trash)
+    os.makedirs(fps_path)
+    os.rename(tmp, os.path.join(fps_path, "batch=-1"))
+    shutil.rmtree(trash)
+    return {"dirs_before": dirs_before, "rows": n}
+
+
 def read_payload_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """Accumulated near-dup pairs from the stream state. Missing path ->
     empty frame."""
@@ -802,12 +847,16 @@ def stream_payload_dhash(
          — each pair surfaces exactly once, in the batch where its
          later member arrives;
       3. overwrite the pairs into ``<state_dir>/pairs/batch=<id>`` and
-         append the batch fingerprints to ``<state_dir>/fps``.
+         the batch fingerprints into ``<state_dir>/fps/batch=<id>``.
 
-    At-least-once safety: a replayed batch overwrites its own pairs dir
-    (replaces, never duplicates), and duplicate fingerprint appends are
-    absorbed by the pair distinct (identical fingerprints produce the
-    identical pair rows).
+    At-least-once safety: a replayed batch overwrites BOTH its own pairs
+    dir and its own fps dir (replaces, never duplicates) — the per-batch
+    overwrite-dir idiom every streaming state write here uses. Fps rows
+    from a crashed earlier attempt that the re-run's index read still
+    sees only duplicate the batch's own fingerprints, which the pair
+    id-inequality/distinct absorbs (ADVICE r9: a plain append instead
+    would leave replay duplicates in the index permanently, inflating
+    every subsequent band join until a manual compaction).
 
     The accumulated pairs equal the batch screen on the full corpus for
     ANY chunking of an id-ordered stream. State is fingerprint-sized
@@ -831,7 +880,13 @@ def stream_payload_dhash(
             F.col(id_col).alias("doc_id"),
             F.encode(text_col, "UTF-8").alias("content"),
         )
-        fp = dhash_fingerprints(payloads).cache()
+        # below-min-length payloads dhash to NULL (ADVICE r9 guard); they
+        # can never witness a pair, so keep them out of the index too
+        fp = (
+            dhash_fingerprints(payloads)
+            .filter(F.col("dhash").isNotNull())
+            .cache()
+        )
         index = read_payload_fps(spark, state_dir).unionByName(fp)
         pairs = hamming_band_pairs(
             fp,
@@ -844,7 +899,9 @@ def stream_payload_dhash(
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch={batch_id}")
         )
-        fp.write.mode("append").parquet(fps_path)
+        fp.write.mode("overwrite").parquet(
+            os.path.join(fps_path, f"batch={batch_id}")
+        )
         fp.unpersist()
 
     q = (

@@ -715,6 +715,14 @@ def stream_event_transitions(
     For time-ordered arrival the accumulated counts equal the batch
     operator on the full stream under ANY chunking (proven in tests).
     State is one row per (user, batch) — id-sized, never event-sized.
+
+    Lifecycle contract (ADVICE r9): ``state_dir`` and its embedded
+    ``_checkpoint`` are created and retired TOGETHER. A fresh checkpoint
+    restarts batch ids at 0, so running it against previously
+    accumulated state would make batch 0 ignore every persisted
+    last-event (``_sbatch < 0`` matches nothing) and overwrite
+    ``transitions/batch=0`` — silent count corruption. That signature
+    (state present, checkpoint absent) is refused at startup.
     """
     import os
 
@@ -724,6 +732,14 @@ def stream_event_transitions(
     trans_path = os.path.join(state_dir, "transitions")
     last_path = os.path.join(state_dir, "last_events")
     ckpt_path = os.path.join(state_dir, "_checkpoint")
+    if os.path.exists(last_path) and not os.path.exists(ckpt_path):
+        raise ValueError(
+            f"{state_dir!r} holds accumulated transition state but no "
+            "_checkpoint: a fresh checkpoint would restart batch ids at 0 "
+            "over that state and silently corrupt the counts. Retire the "
+            "whole state_dir (state + checkpoint together) or restore the "
+            "original checkpoint."
+        )
 
     def _prior_last(batch_id: int) -> DataFrame:
         try:

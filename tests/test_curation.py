@@ -583,3 +583,63 @@ def test_ql_dirichlet_rejects_all_oov_query(spark):
     )
     with _pytest.raises(ValueError, match="no query term"):
         ql_dirichlet_search(docs, ["zzz"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# Split leakage audit (curation.split_leakage_audit)
+# ---------------------------------------------------------------------------
+
+
+def _split_of(i: int) -> str:
+    import hashlib
+
+    hf = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) / 2**48
+    return "train" if hf < 0.8 else ("val" if hf < 0.9 else "test")
+
+
+def test_split_leakage_audit_flags_cross_split_neardups(spark):
+    """A planted near-dup pair straddling train/val must surface as a
+    leaked row; a same-split near-dup pair must not be flagged."""
+    from distributed_vector_database_spark.operators.curation import (
+        split_leakage_audit,
+    )
+
+    # deterministically find ids per split (hash_split is key-hash only)
+    by_split = {"train": [], "val": [], "test": []}
+    i = 0
+    while min(len(v) for v in by_split.values()) < 2:
+        by_split[_split_of(i)].append(i)
+        i += 1
+    t1, t2 = by_split["train"][:2]
+    v1 = by_split["val"][0]
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota " * 4
+    base_b = "one two three four five six seven eight nine ten " * 4
+    rows = [
+        (t1, base_a),                 # train
+        (t2, "XX " + base_a[6:]),     # train near-dup of t1 (same split)
+        (v1, "YY " + base_b[4:]),     # val near-dup of test doc below
+        (by_split["test"][0], base_b),
+        (by_split["test"][1], "unrelated words entirely distinct " * 5),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["leaked"])
+        for r in split_leakage_audit(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, threshold=0.5
+        ).collect()
+    }
+    assert got[("train", "train")] == (1, False)
+    assert got[("test", "val")] == (1, True)
+    assert len(got) == 2  # nothing else pairs
+
+
+def test_split_leakage_audit_threshold_validation(spark):
+    import pytest as _pytest
+
+    from distributed_vector_database_spark.operators.curation import (
+        split_leakage_audit,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        split_leakage_audit(df, {"train": 1.0}, threshold=1.5)

@@ -189,3 +189,77 @@ def test_ivf_recall_curve_df_matches_list_variant(spark):
             got[np_]["total_hits"] / 15.0, abs=5e-7
         )
     assert got[4]["mean_recall"] == 1.0
+
+
+def test_pick_nprobe_minimal_on_fixture_curve(spark):
+    """VERDICT r9 item 4: pick_nprobe selects the SMALLEST measured nprobe
+    meeting the target; unattainable targets fall back to the largest
+    measured point; bad inputs refuse."""
+    from distributed_vector_database_spark.operators.ivf import pick_nprobe
+
+    fixture = [
+        {"nprobe": 1, "mean_recall": 0.62},
+        {"nprobe": 2, "mean_recall": 0.81},
+        {"nprobe": 4, "mean_recall": 0.97},
+        {"nprobe": 8, "mean_recall": 1.0},
+    ]
+    assert pick_nprobe(fixture, 0.95) == 4
+    assert pick_nprobe(fixture, 0.81) == 2   # boundary: >= is inclusive
+    assert pick_nprobe(fixture, 0.5) == 1
+    assert pick_nprobe(fixture, 1.0) == 8
+    # a non-monotone curve (sampling noise) still picks the smallest
+    noisy = fixture + [{"nprobe": 3, "mean_recall": 0.96}]
+    assert pick_nprobe(noisy, 0.95) == 3
+    df = spark.createDataFrame(
+        [(r["nprobe"], r["mean_recall"]) for r in fixture],
+        "nprobe long, mean_recall double",
+    )
+    assert pick_nprobe(df, 0.95) == 4
+    with pytest.raises(ValueError, match="target_recall"):
+        pick_nprobe(fixture, 1.5)
+    with pytest.raises(ValueError, match="no measured"):
+        pick_nprobe([], 0.9)
+
+
+def test_autotuned_search_target_one_equals_exact(spark):
+    """target_recall=1.0 on a curve that reaches 1.0 at nprobe=num_shards
+    picks num_shards, so the autotuned search IS the exact search — and
+    any autotuned result is a subset of the corpus the exact path scores
+    (the invariant the registered row ivf_autotuned_search rides on)."""
+    from distributed_vector_database_spark.operators.eval import (
+        ivf_recall_curve_df,
+    )
+    from distributed_vector_database_spark.operators.ivf import (
+        IVFIndex,
+        pick_nprobe,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    idx = IVFIndex(spark, cents).attach(emb)
+    qdf = emb.filter(F.col("vec_id").isin([11, 23])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    curve = ivf_recall_curve_df(idx, qdf, k=5, nprobes=(1, 2, 4))
+    picked = pick_nprobe(curve, 1.0)
+    pts = {r["nprobe"]: r["mean_recall"] for r in curve.collect()}
+    assert pts[picked] == 1.0
+    # minimality: every smaller measured nprobe misses the target
+    assert all(rec < 1.0 for np_, rec in pts.items() if np_ < picked)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 11).head()["embedding"]
+    ]
+    # recall 1.0 over the query set means every query's top-k id set is
+    # exact, so the autotuned search returns exactly the exact rows
+    tuned = idx.search(qv, k=5, target_recall=1.0, recall_curve=curve)
+    exact = idx.exact_search(qv, k=5)
+    assert sorted(map(tuple, tuned.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    with pytest.raises(ValueError, match="recall_curve"):
+        idx.search(qv, k=5, target_recall=0.9)

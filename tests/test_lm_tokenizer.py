@@ -22,6 +22,17 @@ from distributed_vector_database_spark.operators.tokenizer import (
 )
 
 
+def _h6(mics):
+    """Mirror of the operator's exact cross-entropy rounding (ADVICE r9):
+    integer micros sum m over n grams -> half-away-from-zero 6dp division
+    `(2*(-m) + n) // (2*n) / 1e6`. Python `round()` on the double quotient
+    is banker's rounding and would diverge from the operator when the
+    exact rational -m/n lands ON a 6dp tie — a spurious test failure, not
+    a product bug."""
+    m, n = sum(mics), len(mics)
+    return (2 * (-m) + n) // (2 * n) / 1e6
+
+
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -50,7 +61,7 @@ def test_cross_entropy_matches_hand_computation(spark):
         round(math.log(3 / 4) * 1e6),
         round(math.log(2 / 3) * 1e6),
     ]
-    h = round(-(sum(mics) / 1e6) / 3, 6)
+    h = _h6(mics)
     assert row["n_bigrams"] == 3
     assert row["cross_entropy"] == pytest.approx(h, abs=1e-9)
     assert row["ppl"] == pytest.approx(round(math.exp(h), 6), abs=1e-9)
@@ -63,7 +74,7 @@ def test_cross_entropy_heldout_unseen_backoff(spark):
     held = _docs(spark, [(9, "z z z")])
     row = doc_bigram_cross_entropy(held, lm_docs=lm).head()
     floor_mic = round(math.log(1.0 / 3.0) * 1e6)
-    h = round(-(2 * floor_mic / 1e6) / 2, 6)
+    h = _h6([floor_mic, floor_mic])
     assert row["n_bigrams"] == 2
     assert row["cross_entropy"] == pytest.approx(h, abs=1e-9)
 
@@ -274,7 +285,7 @@ def test_kn_cross_entropy_matches_python_reference(spark):
     for did, text in score_texts.items():
         w = text.split()
         mics = [round(math.log(p(a, b)) * 1e6) for a, b in zip(w, w[1:])]
-        h = round((-sum(mics) / 1e6) / len(mics), 6)
+        h = _h6(mics)
         assert got[did]["n_bigrams"] == len(mics)
         assert got[did]["cross_entropy"] == h, (did, got[did], h)
         assert got[did]["ppl"] == round(math.exp(h), 6)
@@ -386,7 +397,7 @@ def test_trigram_kn_matches_python_reference(spark):
             round(math.log(p(a, b, c)) * 1e6)
             for a, b, c in zip(w, w[1:], w[2:])
         ]
-        h = round((-sum(mics) / 1e6) / len(mics), 6)
+        h = _h6(mics)
         assert got[did]["n_trigrams"] == len(mics)
         assert got[did]["cross_entropy"] == h, (did, got[did], h)
         assert got[did]["ppl"] == round(math.exp(h), 6)

@@ -349,3 +349,57 @@ def test_point_in_time_join_left_keeps_dead_facts(store, spark):
     assert len(rows) == 1 and rows[0]["payload"] is None
     with _pytest.raises(ValueError, match="how"):
         point_in_time_join(facts, hist, keys=["id"], at_col="b", how="full")
+
+
+def test_point_in_time_join_timestamp_typed_as_of(spark):
+    """ADVICE r9: the open interval must be modeled as `to IS NULL`, not a
+    numeric +inf sentinel — a timestamp-typed as-of column is the other
+    common PIT shape and must join correctly."""
+    from distributed_vector_database_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    hist = spark.createDataFrame(
+        [
+            (1, "old", "2024-01-01 00:00:00", "2024-06-01 00:00:00"),
+            (1, "new", "2024-06-01 00:00:00", None),
+        ],
+        "id long, payload string, vfrom string, vto string",
+    ).selectExpr(
+        "id",
+        "payload",
+        "CAST(vfrom AS TIMESTAMP) AS vfrom",
+        "CAST(vto AS TIMESTAMP) AS vto",
+    )
+    facts = spark.createDataFrame(
+        [(1, "2024-03-15 12:00:00"), (1, "2024-07-01 00:00:00")],
+        "id long, at string",
+    ).selectExpr("id", "CAST(at AS TIMESTAMP) AS at")
+    got = {
+        str(r["at"]): r["payload"]
+        for r in point_in_time_join(
+            facts, hist, keys=["id"], at_col="at",
+            from_col="vfrom", to_col="vto",
+        ).collect()
+    }
+    assert got == {
+        "2024-03-15 12:00:00": "old",
+        "2024-07-01 00:00:00": "new",
+    }
+
+
+def test_point_in_time_join_rejects_colliding_payload_columns(spark):
+    """ADVICE r9: a dim payload column named like a fact column would emit
+    a duplicate output column — the join must refuse it loudly."""
+    from distributed_vector_database_spark.operators.temporal import (
+        point_in_time_join,
+    )
+    import pytest as _pytest
+
+    hist = spark.createDataFrame(
+        [(1, "x", 0, None)],
+        "id long, b string, valid_from_batch long, valid_to_batch long",
+    )
+    facts = spark.createDataFrame([(1, 1)], "id long, b long")
+    with _pytest.raises(ValueError, match="collide.*\\['b'\\]"):
+        point_in_time_join(facts, hist, keys=["id"], at_col="b")

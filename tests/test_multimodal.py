@@ -215,3 +215,44 @@ def test_hamming_band_pairs_validation(spark):
         hamming_band_pairs(df, fp_col="dhash", max_hamming=4, bands=4)
     with _pytest.raises(ValueError, match="divide"):
         hamming_band_pairs(df, fp_col="dhash", max_hamming=2, bands=3)
+
+
+def test_dhash_fingerprints_null_below_min_bytes(spark):
+    """ADVICE r9: payloads shorter than min_bytes (default 65) must emit a
+    NULL dhash — not the degenerate near-zero fingerprint that would pair
+    every tiny file with every other at hamming 0 — and
+    hamming_band_pairs must drop NULLs before banding."""
+    from distributed_vector_database_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+
+    long_a = b"the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (0, b""),            # empty
+        (1, b"tiny"),        # 4 bytes
+        (2, b"x" * 64),      # one below the boundary
+        (3, b"y" * 65),      # exactly at the boundary -> fingerprinted
+        (4, long_a),
+        (5, long_a),         # byte-identical twin of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r["dhash"] for r in dhash_fingerprints(df).collect()}
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] is not None and got[4] is not None
+    assert got[4] == got[5]
+    fp = dhash_fingerprints(df)
+    pairs = sorted(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in hamming_band_pairs(
+            fp, fp_col="dhash", max_hamming=3, bands=4
+        ).collect()
+    )
+    # ONLY the true twin pairs; no tiny-payload all-pairs flood, and no
+    # accidental (2, 3)-style pair from constant-byte degenerate content
+    assert pairs == [(4, 5)]
+    # min_bytes=0 restores the old behavior for callers that want it
+    all_fp = dhash_fingerprints(df, min_bytes=0)
+    assert all_fp.filter("dhash IS NULL").count() == 0

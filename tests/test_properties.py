@@ -444,7 +444,8 @@ def test_dhash_arrow_kernel_matches_python_reference(spark, payloads):
     comparisons over numpy int64) must agree bit-for-bit with the pure
     python reference on ARBITRARY payloads — empty, shorter than the 65
     spans, and longer — pinning the floor-boundary arithmetic both
-    implementations share."""
+    implementations share. min_bytes=0 exercises the full range; at the
+    default guard (65, ADVICE r9) sub-65-byte payloads must be NULL."""
     from distributed_vector_database_spark.sources.multimodal import (
         dhash_bits,
         dhash_fingerprints,
@@ -456,7 +457,13 @@ def test_dhash_arrow_kernel_matches_python_reference(spark, payloads):
     )
     got = {
         r["doc_id"]: r["dhash"]
-        for r in dhash_fingerprints(df).collect()
+        for r in dhash_fingerprints(df, min_bytes=0).collect()
     }
     for i, p in enumerate(payloads):
         assert got[i] == f"{dhash_bits(p):016x}", (i, len(p))
+    guarded = {
+        r["doc_id"]: r["dhash"] for r in dhash_fingerprints(df).collect()
+    }
+    for i, p in enumerate(payloads):
+        exp = None if len(p) < 65 else f"{dhash_bits(p):016x}"
+        assert guarded[i] == exp, (i, len(p))

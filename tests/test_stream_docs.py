@@ -557,17 +557,67 @@ def test_stream_payload_dhash_absorbs_redelivered_fps(spark, tmp_path):
             ).collect(),
         )
     )
-    # redeliver: append one asset's fingerprint again
+    # redeliver: a stale batch dir from a crashed attempt (one asset's
+    # fingerprint duplicated under an id no live batch will overwrite)
     dup = dhash_fingerprints(
         assets.limit(1).select(
             "doc_id", F.encode("text", "UTF-8").alias("content")
         )
     )
-    dup.write.mode("append").parquet(os.path.join(state, "fps"))
+    dup.write.mode("overwrite").parquet(
+        os.path.join(state, "fps", "batch=999")
+    )
     n_fps = read_payload_fps(spark, state).count()
     assert n_fps == assets.count() + 1  # the dup row IS in the raw state
     after = sorted(map(tuple, read_payload_pairs(spark, state).collect()))
     assert after == before  # ...but the pair view is unchanged
+
+
+def test_stream_payload_dhash_replay_does_not_inflate_fps_index(
+    spark, tmp_path
+):
+    """ADVICE r9: a replayed batch must OVERWRITE its own fps dir, not
+    append — otherwise replay duplicates persist in the index and inflate
+    every later band join. Simulate a crashed first attempt by pre-seeding
+    fps/batch=0 with garbage duplicates; the re-run's overwrite must wipe
+    it, leaving exactly one fingerprint row per asset."""
+    from distributed_vector_database_spark.sources.multimodal import (
+        dhash_fingerprints,
+    )
+    from distributed_vector_database_spark.streaming.docs import (
+        read_payload_fps,
+        stream_payload_dhash,
+    )
+
+    assets = _asset_frame(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_chunks(assets, 2, d)
+    state = str(tmp_path / "state")
+    # batch 0 = the first id-half chunk (mtime-ordered source); its crashed
+    # first attempt wrote exactly those fingerprints before dying
+    ids = sorted(r[0] for r in assets.select("doc_id").collect())
+    median = ids[len(ids) // 2 - 1]
+    stale = dhash_fingerprints(
+        assets.filter(F.col("doc_id") <= median).select(
+            "doc_id", F.encode("text", "UTF-8").alias("content")
+        )
+    )
+    stale.write.mode("overwrite").parquet(
+        os.path.join(state, "fps", "batch=0")
+    )
+    got = stream_payload_dhash(
+        read_document_stream(
+            spark, d, max_files_per_trigger=1,
+            schema="doc_id long, text string",
+        ),
+        state,
+    )
+    assert read_payload_fps(spark, state).count() == assets.count()
+    exp = _dhash_batch_pairs(assets)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
 
 
 def test_payload_state_reads_before_first_batch_are_empty(spark, tmp_path):
@@ -627,16 +677,14 @@ def test_hamming_band_pairs_against_index_matches_self_join(spark):
     assert len(acc) == len(set(acc))  # no pair emitted twice
 
 
-def test_payload_fp_state_compaction_preserves_pairs(spark, tmp_path):
-    """The fps state is append-only (one file per batch); compact_layout
-    folds it in place and the pair view must be unchanged — the periodic
-    maintenance story for the perceptual screen's live index."""
-    import glob
-
-    from distributed_vector_database_spark.sources.compaction import (
-        compact_layout,
-    )
+def test_payload_fp_state_fold_preserves_pairs(spark, tmp_path):
+    """The fps state is one batch=<id> dir per micro-batch (the
+    idempotent-replay layout, ADVICE r9); fold_payload_fps consolidates
+    them into a single batch=-1 partition, sweeps exact duplicates, and
+    the pair view must be unchanged — the periodic maintenance story for
+    the perceptual screen's live index."""
     from distributed_vector_database_spark.streaming.docs import (
+        fold_payload_fps,
         read_payload_fps,
         read_payload_pairs,
         stream_payload_dhash,
@@ -660,13 +708,28 @@ def test_payload_fp_state_compaction_preserves_pairs(spark, tmp_path):
         )
     )
     fps_dir = os.path.join(state, "fps")
-    files_before = len(glob.glob(os.path.join(fps_dir, "*.parquet")))
-    assert files_before >= 4  # one append per batch
-    summary = compact_layout(spark, fps_dir, target_file_bytes=1 << 30)
-    files_after = len(glob.glob(os.path.join(fps_dir, "*.parquet")))
-    assert files_after < files_before
-    assert summary["files_after"] <= summary["files_before"]
+    dirs = [f for f in os.listdir(fps_dir) if f.startswith("batch=")]
+    assert len(dirs) >= 4  # one overwrite-dir per batch
+    # plant an exact duplicate row (replay-after-fold signature): the
+    # fold must sweep it
+    dup_src = os.path.join(fps_dir, sorted(dirs)[0])
+    spark.read.parquet(dup_src).limit(1).write.mode("overwrite").parquet(
+        os.path.join(fps_dir, "batch=999")
+    )
+    summary = fold_payload_fps(spark, state)
+    assert summary["dirs_before"] == len(dirs) + 1
+    assert summary["rows"] == assets.count()  # dup swept
+    after_dirs = [
+        f for f in os.listdir(fps_dir) if f.startswith("batch=")
+    ]
+    assert after_dirs == ["batch=-1"]
     fps = read_payload_fps(spark, state)
     assert fps.count() == assets.count()
     after = sorted(map(tuple, read_payload_pairs(spark, state).collect()))
     assert after == before
+    # re-runnable: a second fold is a no-op fold of one dir
+    again = fold_payload_fps(spark, state)
+    assert again["rows"] == assets.count()
+    assert sorted(
+        map(tuple, read_payload_pairs(spark, state).collect())
+    ) == before

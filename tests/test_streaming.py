@@ -507,3 +507,32 @@ def test_read_transition_counts_empty_state(spark, tmp_path):
     )
 
     assert read_transition_counts(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_stream_transitions_refuses_state_without_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r9: restarting against accumulated state with a FRESH
+    checkpoint would reset batch ids to 0, ignore all persisted
+    last-events and overwrite transitions/batch=0 — the stream must
+    refuse that signature at startup instead of corrupting counts."""
+    import os
+    import shutil
+
+    from distributed_vector_database_spark.streaming.events import (
+        stream_event_transitions,
+    )
+
+    ev = _transitions_events(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_time_chunks(ev, 2, d)
+    state = str(tmp_path / "st")
+    stream_event_transitions(
+        read_event_stream(spark, d, max_files_per_trigger=1), state
+    ).collect()
+    shutil.rmtree(os.path.join(state, "_checkpoint"))
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_event_transitions(
+            read_event_stream(spark, d, max_files_per_trigger=1), state
+        )
