@@ -21,10 +21,15 @@ re-measures, are suspect; the run prints a loud warning and stamps
 `contention_warning` into the artifact so it is never silently committed
 as the new reference. Refined in round 10 (measured reason, see
 `_fleet_drift`): the slow-count band is centered on the run's median
-host-state drift vs committed, with an absolute 1.30x drift ceiling —
+host-state drift vs committed, with an absolute drift ceiling —
 a best-ever committed baseline no longer makes every honest refresh on a
 verified-idle host read as 'contended', while uniformly-slow contended
-runs (the r6 signature) still refuse via the ceiling.
+runs (the r6 signature) still refuse via the ceiling. Tightened in round
+11 (ADVICE r10): the ceiling dropped 1.30 -> 1.15 (just above the
+1.05-1.08x measured honest idle drift) and a p90/median ratio-tail check
+(`_ratio_tail`, ceiling 1.30) closes the laundering window where a
+moderate-median contended run hid per-key slowdowns up to ~1.63x inside
+the drift-normalized slow band.
 """
 
 from __future__ import annotations
@@ -184,17 +189,29 @@ def _contention_guard(
     frac: float = 0.10,
     floor: int = 15,
     drift: float = 1.0,
-    max_drift: float = 1.30,
+    max_drift: float = 1.15,
+    tail: float = 1.0,
+    max_tail: float = 1.30,
 ) -> bool:
     """True when the RUN ITSELF was contended (module-docstring policy)
-    and its artifact must not become the committed reference. Two
-    signatures, either one fires:
+    and its artifact must not become the committed reference. Three
+    signatures, any one fires:
 
-    1. ``drift > max_drift`` — the whole fleet read >=1.3x the committed
-       reference (the r6 incident: unrelated keys uniformly 1.5-5x slow).
-       An absolute ceiling, deliberately NOT normalized: uniform
-       contention must never pass by shifting the median.
-    2. more than max(floor, frac*n_keys) keys adjudicated slower than
+    1. ``drift > max_drift`` — the whole fleet read slower than the
+       committed reference (the r6 incident: unrelated keys uniformly
+       1.5-5x slow). An absolute ceiling, deliberately NOT normalized:
+       uniform contention must never pass by shifting the median. 1.15
+       (ADVICE r10): honest idle drift measures 1.05-1.08x across three
+       verified-idle sweeps; the old 1.30 ceiling combined with the
+       drift-normalized slow band opened a laundering window where a
+       1.28x-drift run masked per-key slowdowns up to ~1.63x.
+    2. ``tail > max_tail`` — the p90/median of the raw sweep/committed
+       ratio distribution (`_ratio_tail`): a moderate-median run whose
+       slow TAIL is heavy is a partially-contended run even when
+       signatures 1 and 3 stay quiet. Honest idle sweeps measure a
+       tail of 1.15-1.18 (p90 ~1.24 over median ~1.06); genuine
+       contention drags p90 to 1.5x+.
+    3. more than max(floor, frac*n_keys) keys adjudicated slower than
        committed BEYOND the fleet drift (see `_slow_adjudicated`) — the
        bursty signature: a background load that hit a contiguous slice
        of the sweep. The r6 driver refresh had 31 such of 228.
@@ -205,10 +222,37 @@ def _contention_guard(
     Centering the band on the measured drift (round 10) keeps an
     unreproducibly-fast committed baseline from making every honest
     refresh look contended — three r9/r10 sweeps on verified-idle hosts
-    read a uniform ~1.08x and were refused by the raw count."""
+    read a uniform ~1.08x and were refused by the raw count. Residual
+    window after the r11 tightening: <=max(floor, frac*n) keys can still
+    hide inside the 1.25*drift band (<=~1.44x at the ceiling) without
+    moving p90 — two rounds' slow-count floor, not a fleet signature."""
     if drift > max_drift:
         return True
+    if tail > max_tail:
+        return True
     return n_slow_adjudicated > max(floor, int(frac * n_keys))
+
+
+def _ratio_tail(
+    measured: dict[str, float], committed: dict[str, float]
+) -> float:
+    """p90/median of the raw sweep/committed ratios over shared keys —
+    the deviation-TAIL companion to `_fleet_drift` (ADVICE r10). A
+    contended slice of the sweep inflates p90 while leaving the median
+    (and thus the drift-normalized slow band) nearly untouched; this
+    statistic catches that shape. Computed on raw sweep values BEFORE
+    isolated re-measures replace them. 1.0 when there is nothing to
+    compare."""
+    ratios = sorted(
+        v / committed[k]
+        for k, v in measured.items()
+        if committed.get(k, 0) > 0 and v > 0
+    )
+    if not ratios:
+        return 1.0
+    med = ratios[len(ratios) // 2]
+    p90 = ratios[min(len(ratios) - 1, int(0.9 * len(ratios)))]
+    return p90 / med if med > 0 else 1.0
 
 
 def _slow_adjudicated(
@@ -362,9 +406,11 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     committed = _reference_queries(_committed_bench(repo_dir), sf_val)
     adjudicated: dict[str, dict[str, float]] = {}
-    # host-state drift of the RAW sweep vs committed — captured before the
-    # defense replaces deviant values with isolated medians
+    # host-state drift + deviation tail of the RAW sweep vs committed —
+    # captured before the defense replaces deviant values with isolated
+    # medians
     drift = _fleet_drift(per_query, committed)
+    tail = _ratio_tail(per_query, committed)
     if committed and os.environ.get("SPARK_GRAFT_BENCH_DEFEND", "1") != "0":
         registry_fns = _q.spark_queries()
         deviants = _deviant_keys(per_query, committed)
@@ -439,15 +485,22 @@ def main() -> None:
     }
     if committed:
         full["fleet_drift"] = round(drift, 4)
-    if adjudicated:
-        full["adjudicated"] = adjudicated
+        full["ratio_tail"] = round(tail, 4)
+        if adjudicated:
+            full["adjudicated"] = adjudicated
+        # The guard runs whenever a committed reference exists — a heavy
+        # drift/tail must stamp the artifact even if the defense pass
+        # produced no adjudications (ADVICE r10).
         n_slow = _slow_adjudicated(adjudicated, drift=drift)
-        if _contention_guard(n_slow, len(per_query), drift=drift):
+        if _contention_guard(
+            n_slow, len(per_query), drift=drift, tail=tail
+        ):
             full["contention_warning"] = (
                 f"{n_slow}/{len(per_query)} keys adjudicated SLOWER than "
                 f"committed beyond the {drift:.3f}x fleet drift (drift "
-                "ceiling 1.30x) — this RUN was contended; do NOT commit "
-                "this artifact as the quiet-machine reference (bench.py "
+                f"ceiling 1.15x, p90/median tail {tail:.3f} ceiling "
+                "1.30x) — this RUN was contended; do NOT commit this "
+                "artifact as the quiet-machine reference (bench.py "
                 "module policy)"
             )
             print(

@@ -206,6 +206,11 @@ class IVFIndex:
         self.vector_col = vector_col
         self.id_col = id_col
         self._df: DataFrame | None = None
+        # measured recall-vs-nprobe curve (list of {nprobe, mean_recall,
+        # n_queries, k} dicts) — the persisted tuning artifact autotuned
+        # search reads (VERDICT r10 item 5). None until `tune()` runs or
+        # `load()` finds one on disk.
+        self.recall_curve: list[dict] | None = None
 
     # ---- build ------------------------------------------------------------
 
@@ -240,8 +245,16 @@ class IVFIndex:
         src/compute_server.py:67-71). Existing partitioned data is NOT
         rewritten (same as the reference — which is how its duplicate-id
         quirk arises, SURVEY.md §1.3); call ``write`` again to re-shard.
+
+        Invalidates any measured recall curve: the curve was measured
+        against the OLD routing table, so autotuning from it under new
+        centroids would be evidence about a different index. The next
+        ``save_centroids()`` (e.g. via ``write``) also removes the
+        persisted ``_recall_curve`` so a later ``load`` cannot resurrect
+        the stale artifact.
         """
         self.centroids = [list(map(float, c)) for c in centroids]
+        self.recall_curve = None
 
     def assign(self, df: DataFrame) -> DataFrame:
         return assign_shards(
@@ -295,6 +308,82 @@ class IVFIndex:
         cent.coalesce(1).write.mode("overwrite").json(
             f"{self.path}/_centroids"
         )
+        # keep the persisted tuning artifact in sync with the instance:
+        # a live curve rides along; an invalidated one (set_centroids)
+        # is removed so load() cannot resurrect stale evidence
+        curve_dir = f"{self.path}/_recall_curve"
+        if self.recall_curve is not None:
+            self._write_recall_curve()
+        else:
+            import shutil
+
+            shutil.rmtree(curve_dir, ignore_errors=True)
+
+    def _write_recall_curve(self) -> None:
+        """Persist the measured curve next to the centroids (same hidden
+        ``_``-dir convention). The reference's ``shards_to_search`` knob
+        (`reference: src/compute_server.py:60-63`) becomes a durable,
+        evidence-backed index property instead of a per-session
+        recomputation (VERDICT r10 item 5)."""
+        if self.path is None:
+            raise ValueError("in-memory index: no path to save curve to")
+        if not self.recall_curve:
+            raise ValueError("no measured recall curve to persist")
+        rows = [
+            (
+                int(p["nprobe"]),
+                float(p["mean_recall"]),
+                int(p.get("n_queries", 0)),
+                int(p.get("k", 0)),
+            )
+            for p in self.recall_curve
+        ]
+        frame = self.spark.createDataFrame(
+            rows,
+            "nprobe int, mean_recall double, n_queries int, k int",
+        )
+        frame.coalesce(1).write.mode("overwrite").json(
+            f"{self.path}/_recall_curve"
+        )
+
+    def tune(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobes: tuple[int, ...] = (1, 2, 4, 8),
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vector",
+    ) -> list[dict]:
+        """Measure the recall-vs-nprobe curve over ``queries`` and attach
+        it to the index (persisting it when the index has a path).
+        Tuning-time cost: len(nprobes)+1 batched search jobs
+        (`eval.ivf_recall_curve_df`); serving afterwards reads the stored
+        curve driver-side — zero extra jobs per query."""
+        from distributed_vector_database_spark.operators.eval import (
+            ivf_recall_curve_df,
+        )
+
+        rows = ivf_recall_curve_df(
+            self,
+            queries,
+            k,
+            nprobes,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        ).collect()
+        self.recall_curve = [
+            {
+                "nprobe": int(r["nprobe"]),
+                "mean_recall": float(r["mean_recall"]),
+                "n_queries": int(r["n_queries"]),
+                "k": int(k),
+            }
+            for r in rows
+        ]
+        if self.path is not None:
+            self._write_recall_curve()
+        return self.recall_curve
 
     @classmethod
     def load(
@@ -315,9 +404,33 @@ class IVFIndex:
         if not rows:
             raise ValueError(f"no centroids found under {path}/_centroids")
         cents = [list(map(float, r["centroid"])) for r in rows]
-        return cls(
+        idx = cls(
             spark, cents, path=path, vector_col=vector_col, id_col=id_col
         )
+        # pick up the persisted tuning artifact when one rode along —
+        # autotuned search on a loaded index then pays ZERO curve jobs
+        import os
+
+        if os.path.isdir(f"{path}/_recall_curve"):
+            curve_rows = (
+                spark.read.schema(
+                    "nprobe int, mean_recall double, n_queries int, k int"
+                )
+                .json(f"{path}/_recall_curve")
+                .orderBy("nprobe")
+                .collect()
+            )
+            if curve_rows:
+                idx.recall_curve = [
+                    {
+                        "nprobe": int(r["nprobe"]),
+                        "mean_recall": float(r["mean_recall"]),
+                        "n_queries": int(r["n_queries"]),
+                        "k": int(r["k"]),
+                    }
+                    for r in curve_rows
+                ]
+        return idx
 
     def compact(self) -> None:
         """Rewrite the layout into few whole files per shard.
@@ -392,18 +505,28 @@ class IVFIndex:
         declarative job. With nprobe == num_shards this is EXACT search —
         the primary correctness invariant (SURVEY.md §5.3).
 
-        Autotuned mode: pass ``target_recall`` plus a measured
-        ``recall_curve`` (`eval.ivf_recall_curve_df` output) and nprobe
-        is chosen by :func:`pick_nprobe` — the evidence-driven form of
-        the reference's hand-set ``shards_to_search``.
+        Autotuned mode: pass ``target_recall`` and nprobe is chosen by
+        :func:`pick_nprobe` from a measured curve — the evidence-driven
+        form of the reference's hand-set ``shards_to_search``. The curve
+        is, in order: the explicit ``recall_curve`` argument
+        (`eval.ivf_recall_curve_df` output), else the index's own stored
+        curve (``tune()`` result, persisted with the layout and restored
+        by ``load()`` — so a reloaded index autotunes with zero curve
+        jobs). No curve anywhere is an error, not a silent full probe.
         """
         if target_recall is not None:
-            if recall_curve is None:
+            curve = (
+                recall_curve
+                if recall_curve is not None
+                else self.recall_curve
+            )
+            if curve is None:
                 raise ValueError(
-                    "target_recall needs a measured recall_curve "
-                    "(eval.ivf_recall_curve_df output)"
+                    "target_recall needs a measured recall_curve: pass "
+                    "eval.ivf_recall_curve_df output, or tune() this "
+                    "index (the curve persists with the layout)"
                 )
-            nprobe = pick_nprobe(recall_curve, target_recall)
+            nprobe = pick_nprobe(curve, target_recall)
         return topk(
             self.probe(query_vector, nprobe),
             query_vector,

@@ -781,12 +781,32 @@ def fold_payload_fps(spark: SparkSession, state_dir: str) -> dict:
     mid-swap leaves the trash dir; the next fold call restores it and
     starts over, so the fold is re-runnable. Returns
     ``{dirs_before, rows}``.
+
+    Live-stream refusal (ADVICE r10): the stopped-stream contract is
+    ENFORCED, not docstring-only — `stream_payload_dhash` holds a
+    ``.stream_lock`` file for its lifetime, and folding refuses while
+    the lock exists. A micro-batch landing between the fps->trash
+    rename and trash deletion would otherwise be silently destroyed,
+    and readers mid-swap would see an empty index. A lock left by a
+    hard-killed stream must be removed by hand once the stream is
+    known dead — a loud manual step, mirroring `stream_event_transitions`'s
+    startup refusal (streaming/events.py).
     """
     import shutil
 
     fps_path = os.path.join(state_dir, "fps")
     tmp = os.path.join(state_dir, ".fps_fold_tmp")
     trash = os.path.join(state_dir, ".fps_trash")
+    lock = os.path.join(state_dir, ".stream_lock")
+    if os.path.exists(lock):
+        raise ValueError(
+            f"{state_dir!r} is locked by a payload-dhash stream "
+            f"({open(lock).read().strip() or 'unknown query'}): folding "
+            "while a micro-batch can land would destroy rows written "
+            "between the swap's rename and its trash deletion. Stop the "
+            "stream first; if it died without cleanup, delete "
+            f"{lock!r} by hand."
+        )
     if os.path.exists(trash):  # crashed previous fold — restore first
         if os.path.exists(fps_path):
             shutil.rmtree(fps_path)
@@ -904,13 +924,37 @@ def stream_payload_dhash(
         )
         fp.unpersist()
 
-    q = (
-        doc_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", ckpt_path)
-        .start()
-    )
+    # lifetime lock: fold_payload_fps refuses while this exists (ADVICE
+    # r10 — the stopped-stream contract enforced, not docstring-only);
+    # also refuses a concurrent writer on the same state_dir
+    lock = os.path.join(state_dir, ".stream_lock")
+    if os.path.exists(lock):
+        raise ValueError(
+            f"{state_dir!r} is already locked by a payload-dhash stream "
+            f"({open(lock).read().strip() or 'unknown query'}): two "
+            "writers on one state_dir would interleave batch ids. If the "
+            f"previous stream died without cleanup, delete {lock!r} by "
+            "hand."
+        )
+    os.makedirs(state_dir, exist_ok=True)
+    # taken BEFORE start so no micro-batch can land while unlocked
+    with open(lock, "w") as fh:
+        fh.write("starting")
     try:
-        q.processAllAvailable()
+        q = (
+            doc_stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt_path)
+            .start()
+        )
+        with open(lock, "w") as fh:
+            fh.write(str(q.id))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
     return read_payload_pairs(spark, state_dir)

@@ -732,7 +732,13 @@ def stream_event_transitions(
     trans_path = os.path.join(state_dir, "transitions")
     last_path = os.path.join(state_dir, "last_events")
     ckpt_path = os.path.join(state_dir, "_checkpoint")
-    if os.path.exists(last_path) and not os.path.exists(ckpt_path):
+    # EITHER accumulated dir is the signature (ADVICE r10): a partial
+    # manual cleanup that removed last_events/ but left transitions/
+    # would otherwise restart batch ids at 0 and silently overwrite
+    # transitions/batch=0
+    if (
+        os.path.exists(last_path) or os.path.exists(trans_path)
+    ) and not os.path.exists(ckpt_path):
         raise ValueError(
             f"{state_dir!r} holds accumulated transition state but no "
             "_checkpoint: a fresh checkpoint would restart batch ids at 0 "

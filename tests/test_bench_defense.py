@@ -116,6 +116,20 @@ def test_contention_guard_thresholds():
     assert _contention_guard(31, 228)       # the r6 driver-refresh case
     assert _contention_guard(16, 100)       # past the floor on small sweeps
 
+    # drift ceiling (tightened 1.30 -> 1.15, ADVICE r10): honest idle
+    # drift is 1.05-1.08x and passes; the r10 laundering scenario (fleet
+    # drift 1.28x hiding 1.5x per-key slowdowns inside the normalized
+    # band) now refuses on drift alone, with zero slow-adjudications
+    assert not _contention_guard(0, 274, drift=1.08)
+    assert _contention_guard(0, 274, drift=1.28)
+    assert _contention_guard(0, 274, drift=1.16)
+
+    # deviation-tail ceiling (ADVICE r10): a moderate-median run with a
+    # heavy slow tail (p90/median > 1.30) refuses even when the drift
+    # and the slow count both stay quiet; honest tails measure 1.15-1.18
+    assert not _contention_guard(0, 274, drift=1.06, tail=1.18)
+    assert _contention_guard(0, 274, drift=1.06, tail=1.45)
+
     # only slow deviations count toward the guard: a quiet run correcting
     # an inflated committed reference adjudicates many FAST keys (r8 saw
     # 42 fast / 13 slow of 55) and must not stamp the artifact
@@ -126,3 +140,28 @@ def test_contention_guard_thresholds():
         "inband": {"sweep": 1.2, "committed": 1.0, "isolated": 1.1},
     }
     assert _slow_adjudicated(adj) == 1
+
+
+def test_ratio_tail_catches_partial_contention():
+    """_ratio_tail is p90/median of raw sweep/committed ratios: a
+    contended 15% slice at 1.6x moves p90 but not the median, producing
+    the tail signature the r10 laundering window exploited."""
+    from bench import _contention_guard, _fleet_drift, _ratio_tail
+
+    committed = {f"k{i}": 1.0 for i in range(100)}
+    honest = {f"k{i}": 1.06 for i in range(100)}
+    assert _ratio_tail(honest, committed) == 1.0  # uniform -> flat tail
+
+    # 15 of 100 keys read 1.6x while the fleet reads 1.06x: median stays
+    # 1.06 (drift passes the 1.15 ceiling), but p90 = 1.6 -> tail ~1.51
+    contended = {
+        f"k{i}": (1.6 if i >= 85 else 1.06) for i in range(100)
+    }
+    drift = _fleet_drift(contended, committed)
+    tail = _ratio_tail(contended, committed)
+    assert drift < 1.15
+    assert tail > 1.30
+    assert _contention_guard(0, 100, drift=drift, tail=tail)
+
+    assert _ratio_tail({}, committed) == 1.0
+    assert _ratio_tail(honest, {}) == 1.0

@@ -207,3 +207,108 @@ def test_index_save_load_roundtrip(spark, embeddings, tmp_path):
     a = [(r["vec_id"], r["score"]) for r in idx.search(q, k=5, nprobe=4).collect()]
     b = [(r["vec_id"], r["score"]) for r in reopened.search(q, k=5, nprobe=4).collect()]
     assert a == b and len(a) == 5
+
+
+def test_tune_persists_curve_and_loaded_index_autotunes_without_jobs(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 5: `tune()` measures the recall curve ONCE and
+    persists it with the layout; `load()` restores it; autotuned search
+    on the reloaded index picks the same nprobe and returns the same
+    rows as the in-memory autotuned search — with ZERO curve jobs on the
+    loaded path (the reference's shards_to_search knob as a durable,
+    evidence-backed index property, reference: src/compute_server.py:60-63)."""
+    import os
+
+    from distributed_vector_database_spark.operators import eval as eval_mod
+    from distributed_vector_database_spark.operators.ivf import (
+        IVFIndex,
+        pick_nprobe,
+    )
+
+    path = str(tmp_path / "tuned_ivf")
+    cents = fit_centroids(
+        embeddings, num_shards=8, sample_fraction=0.5, seed=42
+    )
+    idx = IVFIndex(spark, cents, path=path)
+    idx.write(embeddings)
+
+    queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    curve = idx.tune(queries, k=5, nprobes=(1, 2, 4, 8))
+    assert [p["nprobe"] for p in curve] == [1, 2, 4, 8]
+    assert curve[-1]["mean_recall"] == 1.0  # nprobe=all is exact
+    assert all(p["k"] == 5 and p["n_queries"] == 8 for p in curve)
+    assert os.path.isdir(os.path.join(path, "_recall_curve"))
+
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    mem = [
+        (r["vec_id"], r["score"])
+        for r in idx.search(q, k=5, target_recall=0.9).collect()
+    ]
+
+    reopened = IVFIndex.load(spark, path)
+    assert reopened.recall_curve == curve
+    # the loaded path must never re-measure: any curve job is a bug
+    monkeypatch.setattr(
+        eval_mod,
+        "ivf_recall_curve_df",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("loaded autotuned search re-measured the curve")
+        ),
+    )
+    loaded = [
+        (r["vec_id"], r["score"])
+        for r in reopened.search(q, k=5, target_recall=0.9).collect()
+    ]
+    assert loaded == mem and len(loaded) == 5
+    assert pick_nprobe(curve, 0.9) == pick_nprobe(
+        reopened.recall_curve, 0.9
+    )
+
+
+def test_set_centroids_invalidates_persisted_curve(
+    spark, embeddings, tmp_path
+):
+    """The tuning artifact is evidence about ONE routing table: replacing
+    the centroids drops the in-memory curve, the next save_centroids
+    removes the persisted one, and a reloaded index refuses autotuned
+    search instead of serving from stale evidence."""
+    import os
+
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    path = str(tmp_path / "retuned_ivf")
+    cents = fit_centroids(
+        embeddings, num_shards=4, sample_fraction=0.5, seed=42
+    )
+    idx = IVFIndex(spark, cents, path=path)
+    idx.write(embeddings)
+    queries = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    idx.tune(queries, k=5, nprobes=(1, 4))
+    assert os.path.isdir(os.path.join(path, "_recall_curve"))
+
+    new_cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    idx.set_centroids(new_cents)
+    assert idx.recall_curve is None
+    idx.write(embeddings)  # re-shard under the new routing table
+    assert not os.path.isdir(os.path.join(path, "_recall_curve"))
+
+    reopened = IVFIndex.load(spark, path)
+    assert reopened.recall_curve is None
+    q = new_cents[0]
+    with pytest.raises(ValueError, match="measured recall_curve"):
+        reopened.search(q, k=5, target_recall=0.9)

@@ -733,3 +733,48 @@ def test_payload_fp_state_fold_preserves_pairs(spark, tmp_path):
     assert sorted(
         map(tuple, read_payload_pairs(spark, state).collect())
     ) == before
+
+
+def test_fold_payload_fps_refuses_while_stream_lock_held(spark, tmp_path):
+    """ADVICE r10: the fold's 'run while the stream is stopped' contract
+    is enforced — stream_payload_dhash holds <state>/.stream_lock for
+    its lifetime, a fold attempt under the lock refuses loudly (a
+    micro-batch landing mid-swap would be silently destroyed), a
+    concurrent second stream on the same state_dir refuses too, and a
+    clean stop releases the lock so maintenance can proceed."""
+    from distributed_vector_database_spark.streaming.docs import (
+        fold_payload_fps,
+        stream_payload_dhash,
+    )
+
+    assets = _asset_frame(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_chunks(assets, 2, d)
+    state = str(tmp_path / "state")
+    stream_payload_dhash(
+        read_document_stream(
+            spark, d, max_files_per_trigger=1,
+            schema="doc_id long, text string",
+        ),
+        state,
+    ).collect()
+    lock = os.path.join(state, ".stream_lock")
+    assert not os.path.exists(lock)  # clean stop released it
+
+    # simulate a live (or hard-killed) stream holding the lock
+    with open(lock, "w") as fh:
+        fh.write("some-query-id")
+    with pytest.raises(ValueError, match="locked by a payload-dhash"):
+        fold_payload_fps(spark, state)
+    with pytest.raises(ValueError, match="already locked"):
+        stream_payload_dhash(
+            read_document_stream(
+                spark, d, max_files_per_trigger=1,
+                schema="doc_id long, text string",
+            ),
+            state,
+        )
+    os.remove(lock)  # the documented manual step once the stream is dead
+    summary = fold_payload_fps(spark, state)
+    assert summary["rows"] == assets.count()

@@ -536,3 +536,35 @@ def test_stream_transitions_refuses_state_without_checkpoint(
         stream_event_transitions(
             read_event_stream(spark, d, max_files_per_trigger=1), state
         )
+
+
+def test_stream_transitions_refuses_partial_state_without_checkpoint(
+    spark, tmp_path
+):
+    """ADVICE r10: a partial manual cleanup that removed last_events/ but
+    left transitions/ is the SAME corruption signature — a fresh
+    checkpoint would restart batch ids at 0 and silently overwrite
+    transitions/batch=0. Either accumulated dir must trigger the
+    refusal."""
+    import os
+    import shutil
+
+    from distributed_vector_database_spark.streaming.events import (
+        stream_event_transitions,
+    )
+
+    ev = _transitions_events(spark)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_time_chunks(ev, 2, d)
+    state = str(tmp_path / "st")
+    stream_event_transitions(
+        read_event_stream(spark, d, max_files_per_trigger=1), state
+    ).collect()
+    shutil.rmtree(os.path.join(state, "_checkpoint"))
+    shutil.rmtree(os.path.join(state, "last_events"))
+    assert os.path.exists(os.path.join(state, "transitions"))
+    with pytest.raises(ValueError, match="checkpoint"):
+        stream_event_transitions(
+            read_event_stream(spark, d, max_files_per_trigger=1), state
+        )
