@@ -12420,9 +12420,10 @@ def q_stream_payload_dhash_pairs(spark, sf_dir):
     return out
 
 
-@register(
-    "ivf_autotuned_search",
-    f"""
+# shared by ivf_autotuned_search (in-memory attach) and
+# ivf_persisted_autotuned_search (cold load from the persisted layout):
+# same fixed centroids + same corpus => identical curve, pick and hits
+_AUTOTUNED_IVF_SQL = f"""
 WITH {_ASSIGN_CTE},
 qs AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        FROM embeddings WHERE vec_id IN (0, 25, 50, 75, 100)),
@@ -12480,8 +12481,10 @@ SELECT picked.np AS nprobe, e.vec_id AS vec_id,
 FROM cand e, q, picked
 ORDER BY score DESC, vec_id ASC
 LIMIT 5
-""",
-)
+"""
+
+
+@register("ivf_autotuned_search", _AUTOTUNED_IVF_SQL)
 def q_ivf_autotuned_search(spark, sf_dir):
     """Evidence-driven nprobe (VERDICT r9 item 4): the reference hand-sets
     ``shards_to_search`` (`reference: src/compute_server.py:60-63`); here
@@ -12604,77 +12607,133 @@ def q_split_leakage_audit(spark, sf_dir):
     )
 
 
+_PERSISTED_IVF_CACHE: dict = {}
+
+
+@register("ivf_persisted_autotuned_search", _AUTOTUNED_IVF_SQL)
+def q_ivf_persisted_autotuned_search(spark, sf_dir):
+    """The serving-path end-to-end story (VERDICT r10 items 5+8): build
+    and TUNE the persisted IVF index ONCE (index build time — partitioned
+    parquet layout + `_centroids` + the measured `_recall_curve` tuning
+    artifact, `IVFIndex.tune`), then COLD-LOAD it from disk and serve the
+    autotuned pruned search — `search(target_recall=0.95)` picks nprobe
+    from the PERSISTED curve with zero curve jobs (round-trip-tested in
+    tests/test_store_ivf.py). The reference re-sets ``shards_to_search``
+    per router process and loses all routing state on restart
+    (`reference: src/compute_server.py:23-26,60-63`); here the knob's
+    evidence survives restart inside the index layout itself.
+
+    Same oracle as `ivf_autotuned_search`: identical fixed centroids +
+    identical corpus give an identical curve, pick, and hit set whether
+    served from the in-memory attach or the reloaded layout — so the
+    oracle also checks that persistence round-trips the evidence."""
+    import tempfile
+
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    path = _PERSISTED_IVF_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dvdb_ivftuned_") + "/index"
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IVFIndex(spark, _fixed_centroids(spark, sf_dir), path=path)
+        idx.write(emb)
+        idx.tune(
+            emb.filter(F.col("vec_id").isin(0, 25, 50, 75, 100)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vector"),
+            ),
+            k=10,
+            nprobes=(1, 2, 4, 8),
+        )
+        _PERSISTED_IVF_CACHE[sf_dir] = path
+    cold = IVFIndex.load(spark, path)  # centroids + curve from disk
+    qv = [
+        float(x)
+        for x in _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 100)
+        .head()["embedding"]
+    ]
+    from distributed_vector_database_spark.operators.ivf import pick_nprobe
+
+    picked = pick_nprobe(cold.recall_curve, 0.95)
+    return cold.search(qv, k=5, target_recall=0.95).select(
+        F.lit(picked).cast("long").alias("nprobe"),
+        "vec_id",
+        "score",
+    )
+
+
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 10).
+# Registration-order rotation (round 11).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-10 window = ROADMAP's
-# round-10 ```next-window``` ledger (the 27 round-9 registrations never
-# driver-verified, fronted) + the first 23 round-6 window names
-# (CORRECTNESS_r06 order) per the round-robin refresh schedule (ROADMAP.md
-# "Rotation re-verification schedule"): r10 = r6 names, repeat. The 27
-# round-6 names that don't fit (doc_token_stats .. dedup_docs_to_drop)
-# are refresh-only displacements — they stay driver-green on their r6 rows
-# and rejoin the cycle later.
+# each round rotates a window to the front. This round-11 window = ROADMAP's
+# next-window ledger (the 2 round-10 registrations never driver-verified,
+# fronted) + the first 48 round-7 window names (CORRECTNESS_r07 order) per
+# the round-robin refresh schedule (ROADMAP.md "Rotation re-verification
+# schedule"): r11 = r7 names, repeat. The 2 round-7 names that don't fit
+# (late_orders_by_priority, large_volume_customers) are refresh-only
+# displacements — they stay driver-green on their r7 rows and rejoin the
+# cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 11 before any refresh names.
+# ```next-window``` block so they front round 12 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 27 round-9 registrations never driver-verified (fronted,
-    # in the round-10 next-window ledger order) ---
-    "cdc_chunk_search_hashed",
-    "stream_cdc_chunk_search",
-    "doc_novelty_ngram",
-    "hll_order_year_overlap",
-    "hll_rollup_distinct_users",
-    "stream_doc_novelty",
-    "cdc_chunk_ivf_search",
-    "cdc_dup_clusters",
-    "cms_join_size_estimate",
-    "hdr_sliding_value_quantiles",
-    "hll_sliding_distinct_users",
-    "rocchio_expanded_search",
-    "payload_dhash_pairs",
-    "trigram_kn_ppl",
-    "trigram_kn_heldout_ppl",
-    "stream_payload_dhash_pairs",
-    "payload_dedup_agreement",
-    "bm25_prf_topk",
-    "neardup_decontaminate_pairs",
-    "mor_scd2_history",
-    "mor_pit_read",
-    "ql_dirichlet_topk",
-    "hourly_session_concurrency",
-    "copurchase_lift",
-    "event_transition_matrix",
-    "stream_event_transitions",
-    "kmv_order_year_churn",
-    # --- round-robin refresh: the first 23 round-6 window names,
-    # in their CORRECTNESS_r06 order (rotation schedule, ROADMAP.md) ---
-    "duplicate_paragraph_report",
-    "knn_graph_lsh",
-    "knn_graph_lsh_capped",
-    "dedup_embedding_cosine_lsh",
-    "cms_heavy_hitters",
-    "kmv_order_year_overlap",
-    "stream_cms_heavy_hitters",
-    "winnow_shared_span_pairs",
-    "shared_span_longest_run",
-    "binary_asym_topk",
-    "cms_merge_heavy_hitters",
-    "cms_top_spenders",
-    "fixed_k_sample_per_lang",
-    "topk_cosine",
-    "topk_euclidean",
-    "topk_dot",
-    "batch_topk_cosine",
-    "point_lookup",
-    "list_ids_stats",
-    "ivf_assign",
-    "ivf_count_per_shard",
-    "ivf_search_pruned",
-    "upsert_keep_latest",
+    # --- the 2 round-10 registrations never driver-verified (fronted,
+    # in the round-11 next-window ledger order) ---
+    "ivf_autotuned_search",
+    "split_leakage_audit",
+    # --- round-robin refresh: the first 48 round-7 window names,
+    # in their CORRECTNESS_r07 order (rotation schedule, ROADMAP.md) ---
+    "substring_dedup_excised_stats",
+    "bloom_decontaminate_stats",
+    "winnow_dup_flags",
+    "stream_winnow_dup_flags",
+    "hdr_value_quantiles",
+    "stream_hdr_value_quantiles",
+    "asof_last_click_before_purchase",
+    "quantize_int8_recon",
+    "multimodal_payload_stats",
+    "customers_no_big_order",
+    "big_purchasers_never_erroring",
+    "shipping_priority",
+    "stateful_running_totals",
+    "range_clicks_before_purchase",
+    "event_cohort_cube",
+    "sql_topk_cosine",
+    "skewed_type_totals",
+    "multires_rollup",
+    "local_supplier_volume",
+    "kmv_distinct_users_by_type",
+    "hash_sample_docs",
+    "brand_revenue",
+    "vector_json_roundtrip",
+    "event_value_pivot",
+    "moving_avg_value",
+    "curation_funnel",
+    "lang_confusion",
+    "pq_encode_recon",
+    "pq_adc_topk",
+    "csv_roundtrip_orders",
+    "json_roundtrip_events",
+    "event_gaps",
+    "salted_event_enrichment",
+    "ivfpq_search",
+    "term_frequencies",
+    "doc_tfidf_top_terms",
+    "stream_dedup_counts",
+    "zorder_curve_stats",
+    "stream_tumbling_counts",
+    "udaf_mean_cents_by_type",
+    "orders_above_global_avg",
+    "customer_max_order",
+    "pq_adc_batch_topk",
+    "dedup_clusters",
+    "pq_rerank_topk",
+    "user_spend_quartiles",
+    "forecast_revenue_change",
+    "train_val_test_split",
 ]
 
 

@@ -20,6 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from distributed_vector_database_spark import queries as q  # noqa: E402
+from distributed_vector_database_spark import docs_anchors as da  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN = "<!-- BEGIN REGISTERED-QUERY INDEX (auto-generated: scripts/sync_docs_index.py) -->"
@@ -45,26 +46,43 @@ FRAMING = {
         "## Appendix — registered query index\n\n"
         "Plan audits above cover each family's representative physical "
         "plan; every name below ({n} rows) executes one of those audited "
-        "shapes (shared helpers in `queries.py` / the owning operator "
-        "module):\n"
+        "shapes. Mapped names show their plan-sketch family (`name` → "
+        "`family`, hand-assigned in "
+        "`distributed_vector_database_spark/docs_anchors.py`); bare names "
+        "are self-anchored (their own sketch heading is above):\n"
     ),
     "SCALING.md": (
         "## Appendix — registered query index\n\n"
         "Decade-law rows above are measured per family representative; "
         "every name below ({n} rows) runs one of those measured shapes. "
-        "Bench medians per name: BENCH_FULL.json:\n"
+        "Mapped names show their decade-law family (`name` → `family`, "
+        "hand-assigned in "
+        "`distributed_vector_database_spark/docs_anchors.py`); bare names "
+        "are self-anchored (their own decade row is above). Bench medians "
+        "per name: BENCH_FULL.json:\n"
     ),
 }
 
+# docs with a per-name anchor cross-reference (the substance assignment
+# tests/test_registry_meta.py enforces); README/SURVEY stay a plain list
+ANCHORS = {
+    "SCALING.md": da.SCALING_ANCHOR,
+    "PLANS.md": da.PLANS_ANCHOR,
+}
 
-def _index_lines(names: list[str]) -> str:
-    # Compact grep-able form: one bullet per name, 4 names per line keeps
-    # the block short while every name stays a literal token in the doc.
+
+def _index_lines(names: list[str], anchors: dict[str, str] | None) -> str:
+    # Compact grep-able form: a few names per line keeps the block short
+    # while every name stays a literal backticked token in the doc.
+    per_line = 3 if anchors else 4
     out = []
     row: list[str] = []
     for n in sorted(names):
-        row.append(f"`{n}`")
-        if len(row) == 4:
+        tok = f"`{n}`"
+        if anchors and n in anchors:
+            tok += f" → `{anchors[n]}`"
+        row.append(tok)
+        if len(row) == per_line:
             out.append("- " + " · ".join(row))
             row = []
     if row:
@@ -74,8 +92,8 @@ def _index_lines(names: list[str]) -> str:
 
 def main() -> None:
     names = list(q.registry())
-    body = _index_lines(names)
     for doc, frame in FRAMING.items():
+        body = _index_lines(names, ANCHORS.get(doc))
         path = os.path.join(REPO, doc)
         text = open(path).read()
         block = (
@@ -89,7 +107,9 @@ def main() -> None:
                 text += "\n"
             text += "\n" + block
         open(path, "w").write(text)
-        missing = [n for n in names if n not in text]
+        # backticked token form (ADVICE r10): substring containment would
+        # pass vacuously for names nested in longer present names
+        missing = [n for n in names if f"`{n}`" not in text]
         assert not missing, f"{doc} still missing {missing[:5]}"
         print(f"{doc}: index block synced ({len(names)} names)")
 

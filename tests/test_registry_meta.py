@@ -135,20 +135,93 @@ def test_no_oracle_emits_top_level_list_or_struct_column():
     )
 
 
+_INDEX_BEGIN = (
+    "<!-- BEGIN REGISTERED-QUERY INDEX "
+    "(auto-generated: scripts/sync_docs_index.py) -->"
+)
+_INDEX_END = "<!-- END REGISTERED-QUERY INDEX -->"
+
+
+def _without_index_block(text: str) -> str:
+    import re
+
+    return re.sub(
+        re.escape(_INDEX_BEGIN) + r".*?" + re.escape(_INDEX_END),
+        "",
+        text,
+        flags=re.S,
+    )
+
+
 def test_four_ledger_docs_contain_every_registered_name():
     """Registration discipline, all four ledger docs (VERDICT r9 item 3):
     every registered name must be grep-able in SURVEY.md, PLANS.md,
     SCALING.md AND README.md. Narrative sections cover names selectively;
     the auto-generated index block (scripts/sync_docs_index.py) guarantees
-    completeness — run that script after registering a query."""
+    completeness — run that script after registering a query.
+
+    Matches the BACKTICKED token form the index emits (ADVICE r10): plain
+    substring containment let a name that is a substring of another
+    present name (`topk_cosine` inside `batch_topk_cosine`) pass
+    vacuously even when dropped from the index block."""
     names = list(q.registry())
     stale: dict[str, list[str]] = {}
     for doc in ("README.md", "SURVEY.md", "PLANS.md", "SCALING.md"):
         text = (REPO / doc).read_text()
-        missing = [n for n in names if n not in text]
+        missing = [n for n in names if f"`{n}`" not in text]
         if missing:
             stale[doc] = missing
     assert not stale, (
         "ledger docs missing registered names — run "
         f"scripts/sync_docs_index.py: {stale}"
     )
+
+
+def test_every_registered_name_has_substantive_doc_anchor():
+    """VERDICT r10 item 4 (the auto-index masking hole): name presence
+    inside the auto-generated index block does NOT satisfy SCALING.md /
+    PLANS.md. Every registered name must resolve — via the hand-
+    maintained `docs_anchors` assignment — to a decade-law / plan-sketch
+    family representative whose name appears in the doc's NARRATIVE
+    (outside the index block). A new registration therefore fails until
+    its author either writes the decade row + plan sketch (self-anchor)
+    or consciously assigns an existing measured family in
+    `distributed_vector_database_spark/docs_anchors.py`."""
+    from distributed_vector_database_spark import docs_anchors as da
+
+    names = set(q.registry())
+
+    # the maps must not accumulate entries for unregistered names
+    dangling = sorted(
+        k
+        for k in set(da.SCALING_ANCHOR) | set(da.PLANS_ANCHOR)
+        if k not in names
+    )
+    assert not dangling, f"docs_anchors maps unregistered names: {dangling}"
+
+    # anchors must be terminal (self-anchored representatives), never
+    # chains — a chain would let a family's substance be deleted while
+    # the test stays green through an intermediate hop
+    chain_sc = sorted(
+        n for n, a in da.SCALING_ANCHOR.items() if a in da.SCALING_ANCHOR
+    )
+    chain_pl = sorted(
+        n for n, a in da.PLANS_ANCHOR.items() if a in da.PLANS_ANCHOR
+    )
+    assert not chain_sc, f"SCALING anchor chains: {chain_sc}"
+    assert not chain_pl, f"PLANS anchor chains: {chain_pl}"
+
+    for doc, resolve in (
+        ("SCALING.md", da.scaling_anchor),
+        ("PLANS.md", da.plans_anchor),
+    ):
+        narrative = _without_index_block((REPO / doc).read_text())
+        missing = {
+            n: resolve(n) for n in sorted(names) if resolve(n) not in narrative
+        }
+        assert not missing, (
+            f"{doc}: registered names whose anchor has no substantive "
+            f"narrative entry (decade row / plan sketch) — write the "
+            f"substance or assign a measured family in docs_anchors.py: "
+            f"{missing}"
+        )
