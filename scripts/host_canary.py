@@ -1,0 +1,75 @@
+"""Quick host-state probe before a full bench sweep.
+
+Runs a handful of short, stable registry keys (1 warm-up + median of 3,
+isolated) and prints their ratio to the committed BENCH_FULL.json — a
+~90-second estimate of the fleet drift a full 35-minute sweep would
+measure. Fire the real sweep only when the canary reads at or below the
+guard's soft ceiling; otherwise wait for a quieter host window.
+
+Why it exists (round 11, measured): three verified-idle sweeps in one
+afternoon read fleet drift 1.168 / 1.169 / 1.200 against the round-9
+reference and were all refused by bench.py's contention guard — about
+1.8 h of sweep time that a 90-second canary would have predicted.
+
+Usage: python scripts/host_canary.py
+"""
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import SF_DIR, _committed_bench, _reference_queries  # noqa: E402
+from distributed_vector_database_spark import queries as q  # noqa: E402
+from distributed_vector_database_spark.session import get_session  # noqa: E402
+
+# short keys with low variance and no heavyweight memoized build steps
+CANARY_KEYS = [
+    "point_lookup",
+    "lineitem_pricing_summary",
+    "topk_cosine",
+    "event_type_rollup",
+    "dedup_exact",
+    "moving_avg_value",
+    "term_frequencies",
+]
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    committed = _reference_queries(_committed_bench(repo), sf_val)
+    if not committed:
+        print("no committed BENCH_FULL reference — nothing to compare")
+        return 2
+    spark = get_session(app_name="host-canary")
+    reg = q.spark_queries()
+    ratios = []
+    for name in CANARY_KEYS:
+        if name not in committed or name not in reg:
+            continue
+        fn = reg[name]
+        fn(spark, SF_DIR).count()  # warm-up
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        med = statistics.median(runs)
+        r = med / committed[name]
+        ratios.append(r)
+        print(f"{name}: {med:.3f}s vs committed {committed[name]}s = {r:.3f}x")
+    if not ratios:
+        print("no comparable canary keys")
+        return 2
+    est = statistics.median(ratios)
+    print(f"\nestimated fleet drift: {est:.3f}x "
+          f"({'GO — fire the sweep' if est <= 1.15 else 'WAIT — host above the guard soft ceiling'})")
+    return 0 if est <= 1.15 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

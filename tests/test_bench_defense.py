@@ -165,3 +165,39 @@ def test_ratio_tail_catches_partial_contention():
 
     assert _ratio_tail({}, committed) == 1.0
     assert _ratio_tail(honest, {}) == 1.0
+
+
+def test_drift_confirmation_band():
+    """Round-11 ratchet fix: drift in (1.15, 1.25] passes ONLY when the
+    adjudicated keys' isolated re-measures confirm the drift (median
+    iso/committed >= drift - 0.05 over >= 20 adjudications); above 1.25
+    always refuses; the r6 vanish-on-isolation signature never
+    confirms."""
+    from bench import _contention_guard, _drift_confirmed
+
+    def adj(iso_ratio, n=30):
+        return {
+            f"k{i}": {"sweep": 1.4, "committed": 1.0, "isolated": iso_ratio}
+            for i in range(n)
+        }
+
+    # reproducible host state: deviants still ~drift-slow in isolation
+    assert _drift_confirmed(1.17, adj(1.16))
+    assert not _contention_guard(
+        0, 275, drift=1.17, tail=1.23, confirmed=True
+    )
+    # r6-style contention: deviants revert toward committed when alone
+    assert not _drift_confirmed(1.17, adj(1.02))
+    assert _contention_guard(
+        0, 275, drift=1.17, tail=1.23, confirmed=False
+    )
+    # polluted-slow isolateds still confirm (conservative direction: the
+    # run is then judged by the tail and slow-count signatures)
+    assert _drift_confirmed(1.17, adj(1.30))
+    # not enough adjudications = no evidence = no confirmation
+    assert not _drift_confirmed(1.17, adj(1.16, n=5))
+    # the hard ceiling is unconditional
+    assert not _drift_confirmed(1.30, adj(1.29))
+    assert _contention_guard(0, 275, drift=1.30, confirmed=True)
+    # below the soft ceiling nothing changes
+    assert not _contention_guard(0, 275, drift=1.08, confirmed=False)
