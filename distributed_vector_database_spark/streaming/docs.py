@@ -768,6 +768,35 @@ def read_payload_fps(spark: SparkSession, state_dir: str) -> DataFrame:
         return spark.createDataFrame([], "doc_id long, dhash string")
 
 
+def _acquire_state_lock(state_dir: str, holder: str, *, refusal: str) -> str:
+    """Atomically acquire ``<state_dir>/.stream_lock`` via
+    ``open(..., 'x')`` — the single mutual-exclusion point for every
+    writer of a payload-dhash state dir (the live stream AND the fold's
+    swap). ADVICE r11: a check-then-create race let two concurrent
+    starts both pass, and the fold held no lock at all during its
+    multi-second rename swap, so a stream started mid-fold could land a
+    micro-batch inside the destruction window. ``'x'`` delegates the
+    race to the filesystem: exactly one creator wins; the loser reads
+    the holder string out of the existing file for the refusal message.
+    Returns the lock path (caller removes it in its ``finally``)."""
+    os.makedirs(state_dir, exist_ok=True)
+    lock = os.path.join(state_dir, ".stream_lock")
+    try:
+        with open(lock, "x") as fh:
+            fh.write(holder)
+    except FileExistsError:
+        try:
+            held_by = open(lock).read().strip() or "unknown holder"
+        except OSError:
+            held_by = "unknown holder"
+        raise ValueError(
+            f"{state_dir!r} is locked ({held_by}): {refusal}; if the "
+            f"previous holder died without cleanup, delete {lock!r} by "
+            "hand."
+        )
+    return lock
+
+
 def fold_payload_fps(spark: SparkSession, state_dir: str) -> dict:
     """Fold the per-batch fps dirs (``fps/batch=<id>``, one per
     micro-batch — the idempotent-replay layout) into a single
@@ -782,55 +811,64 @@ def fold_payload_fps(spark: SparkSession, state_dir: str) -> dict:
     starts over, so the fold is re-runnable. Returns
     ``{dirs_before, rows}``.
 
-    Live-stream refusal (ADVICE r10): the stopped-stream contract is
-    ENFORCED, not docstring-only — `stream_payload_dhash` holds a
-    ``.stream_lock`` file for its lifetime, and folding refuses while
-    the lock exists. A micro-batch landing between the fps->trash
-    rename and trash deletion would otherwise be silently destroyed,
-    and readers mid-swap would see an empty index. A lock left by a
-    hard-killed stream must be removed by hand once the stream is
-    known dead — a loud manual step, mirroring `stream_event_transitions`'s
-    startup refusal (streaming/events.py).
+    Live-stream refusal (ADVICE r10, hardened per ADVICE r11): the
+    stopped-stream contract is MUTUAL — `stream_payload_dhash` holds
+    ``.stream_lock`` for its lifetime, and the fold acquires the SAME
+    lock (atomically, ``open(..., 'x')``) for the duration of its swap.
+    A micro-batch landing between the fps->trash rename and trash
+    deletion would otherwise be silently destroyed, and readers
+    mid-swap would see an empty index; with a one-directional check a
+    stream started mid-fold saw no lock and ran straight into that
+    window. A lock left by a hard-killed process must be removed by
+    hand once it is known dead — a loud manual step, mirroring
+    `stream_event_transitions`'s startup refusal (streaming/events.py).
     """
     import shutil
 
     fps_path = os.path.join(state_dir, "fps")
     tmp = os.path.join(state_dir, ".fps_fold_tmp")
     trash = os.path.join(state_dir, ".fps_trash")
-    lock = os.path.join(state_dir, ".stream_lock")
-    if os.path.exists(lock):
-        raise ValueError(
-            f"{state_dir!r} is locked by a payload-dhash stream "
-            f"({open(lock).read().strip() or 'unknown query'}): folding "
-            "while a micro-batch can land would destroy rows written "
-            "between the swap's rename and its trash deletion. Stop the "
-            "stream first; if it died without cleanup, delete "
-            f"{lock!r} by hand."
-        )
-    if os.path.exists(trash):  # crashed previous fold — restore first
-        if os.path.exists(fps_path):
-            shutil.rmtree(fps_path)
-        os.rename(trash, fps_path)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    if not os.path.exists(fps_path):
+    if not os.path.isdir(state_dir):
         return {"dirs_before": 0, "rows": 0}
-    dirs_before = sum(
-        1 for d in os.listdir(fps_path) if d.startswith("batch=")
+    lock = _acquire_state_lock(
+        state_dir,
+        "fold",
+        refusal=(
+            "folding while a micro-batch can land would destroy rows "
+            "written between the swap's rename and its trash deletion. "
+            "Stop the stream first"
+        ),
     )
-    # distinct: a replay that re-overwrote its batch dir AFTER a fold had
-    # already absorbed those rows into batch=-1 leaves exact duplicates;
-    # the fold is where they get swept
-    rows = (
-        spark.read.parquet(fps_path).select("doc_id", "dhash").distinct()
-    )
-    rows.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    os.rename(fps_path, trash)
-    os.makedirs(fps_path)
-    os.rename(tmp, os.path.join(fps_path, "batch=-1"))
-    shutil.rmtree(trash)
-    return {"dirs_before": dirs_before, "rows": n}
+    try:
+        if os.path.exists(trash):  # crashed previous fold — restore first
+            if os.path.exists(fps_path):
+                shutil.rmtree(fps_path)
+            os.rename(trash, fps_path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if not os.path.exists(fps_path):
+            return {"dirs_before": 0, "rows": 0}
+        dirs_before = sum(
+            1 for d in os.listdir(fps_path) if d.startswith("batch=")
+        )
+        # distinct: a replay that re-overwrote its batch dir AFTER a fold
+        # had already absorbed those rows into batch=-1 leaves exact
+        # duplicates; the fold is where they get swept
+        rows = (
+            spark.read.parquet(fps_path).select("doc_id", "dhash").distinct()
+        )
+        rows.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        os.rename(fps_path, trash)
+        os.makedirs(fps_path)
+        os.rename(tmp, os.path.join(fps_path, "batch=-1"))
+        shutil.rmtree(trash)
+        return {"dirs_before": dirs_before, "rows": n}
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def read_payload_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -926,20 +964,19 @@ def stream_payload_dhash(
 
     # lifetime lock: fold_payload_fps refuses while this exists (ADVICE
     # r10 — the stopped-stream contract enforced, not docstring-only);
-    # also refuses a concurrent writer on the same state_dir
-    lock = os.path.join(state_dir, ".stream_lock")
-    if os.path.exists(lock):
-        raise ValueError(
-            f"{state_dir!r} is already locked by a payload-dhash stream "
-            f"({open(lock).read().strip() or 'unknown query'}): two "
-            "writers on one state_dir would interleave batch ids. If the "
-            f"previous stream died without cleanup, delete {lock!r} by "
-            "hand."
-        )
-    os.makedirs(state_dir, exist_ok=True)
-    # taken BEFORE start so no micro-batch can land while unlocked
-    with open(lock, "w") as fh:
-        fh.write("starting")
+    # also refuses a concurrent writer on the same state_dir. Acquired
+    # atomically (ADVICE r11: exists-check + open('w') let two
+    # concurrent starts both pass) and BEFORE start so no micro-batch
+    # can land while unlocked.
+    lock = _acquire_state_lock(
+        state_dir,
+        "starting payload-dhash stream",
+        refusal=(
+            "two writers on one state_dir would interleave batch ids, "
+            "and starting while a fold swap is mid-rename would land a "
+            "micro-batch inside its destruction window"
+        ),
+    )
     try:
         q = (
             doc_stream.writeStream.foreachBatch(process)

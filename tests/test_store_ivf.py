@@ -312,3 +312,54 @@ def test_set_centroids_invalidates_persisted_curve(
     q = new_cents[0]
     with pytest.raises(ValueError, match="measured recall_curve"):
         reopened.search(q, k=5, target_recall=0.9)
+
+
+def test_write_invalidates_curve_but_compact_preserves_it(
+    spark, embeddings, tmp_path
+):
+    """ADVICE r11: the curve is evidence about (centroids, corpus), so
+    re-indexing ANY corpus through write() — overwrite or append, even
+    with unchanged centroids — drops the in-memory curve and removes the
+    persisted one; a cold load then refuses autotuned search instead of
+    tuning nprobe against data the index no longer holds. Compaction is
+    the one rewrite that must NOT invalidate: it rewrites the identical
+    rows, so the curve survives it on the instance and on disk."""
+    import os
+
+    from distributed_vector_database_spark.operators.ivf import IVFIndex
+
+    path = str(tmp_path / "rewritten_ivf")
+    cents = fit_centroids(
+        embeddings, num_shards=4, sample_fraction=0.5, seed=42
+    )
+    idx = IVFIndex(spark, cents, path=path)
+    idx.write(embeddings)
+    queries = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    curve = idx.tune(queries, k=5, nprobes=(1, 4))
+    assert os.path.isdir(os.path.join(path, "_recall_curve"))
+
+    # content-identical rewrite: curve survives compact, in memory + disk
+    idx.compact()
+    assert idx.recall_curve == curve
+    assert IVFIndex.load(spark, path).recall_curve == curve
+
+    # corpus-changing rewrite: same centroids, different data -> the
+    # curve is stale evidence and must go, everywhere
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    idx.write(half)
+    assert idx.recall_curve is None
+    assert not os.path.isdir(os.path.join(path, "_recall_curve"))
+    reopened = IVFIndex.load(spark, path)
+    assert reopened.recall_curve is None
+    q = [float(x) for x in embeddings.head()["embedding"]]
+    with pytest.raises(ValueError, match="measured recall_curve"):
+        reopened.search(q, k=5, target_recall=0.9)
+
+    # attach() rebinds the corpus too — same invalidation
+    idx2 = IVFIndex.load(spark, path)
+    idx2.recall_curve = [{"nprobe": 1, "mean_recall": 1.0}]
+    idx2.attach(embeddings)
+    assert idx2.recall_curve is None

@@ -736,12 +736,14 @@ def test_payload_fp_state_fold_preserves_pairs(spark, tmp_path):
 
 
 def test_fold_payload_fps_refuses_while_stream_lock_held(spark, tmp_path):
-    """ADVICE r10: the fold's 'run while the stream is stopped' contract
-    is enforced — stream_payload_dhash holds <state>/.stream_lock for
-    its lifetime, a fold attempt under the lock refuses loudly (a
+    """ADVICE r10 + r11: the fold's 'run while the stream is stopped'
+    contract is MUTUAL — stream_payload_dhash holds <state>/.stream_lock
+    for its lifetime, a fold attempt under the lock refuses loudly (a
     micro-batch landing mid-swap would be silently destroyed), a
-    concurrent second stream on the same state_dir refuses too, and a
-    clean stop releases the lock so maintenance can proceed."""
+    concurrent second stream on the same state_dir refuses too, the
+    fold holds the SAME lock during its swap so a stream started
+    mid-fold refuses symmetrically, and a clean stop/fold releases the
+    lock so the other side can proceed."""
     from distributed_vector_database_spark.streaming.docs import (
         fold_payload_fps,
         stream_payload_dhash,
@@ -765,9 +767,9 @@ def test_fold_payload_fps_refuses_while_stream_lock_held(spark, tmp_path):
     # simulate a live (or hard-killed) stream holding the lock
     with open(lock, "w") as fh:
         fh.write("some-query-id")
-    with pytest.raises(ValueError, match="locked by a payload-dhash"):
+    with pytest.raises(ValueError, match="is locked .*some-query-id"):
         fold_payload_fps(spark, state)
-    with pytest.raises(ValueError, match="already locked"):
+    with pytest.raises(ValueError, match="is locked .*some-query-id"):
         stream_payload_dhash(
             read_document_stream(
                 spark, d, max_files_per_trigger=1,
@@ -775,6 +777,22 @@ def test_fold_payload_fps_refuses_while_stream_lock_held(spark, tmp_path):
             ),
             state,
         )
-    os.remove(lock)  # the documented manual step once the stream is dead
+    # ADVICE r11 symmetric direction: a fold (or hard-killed fold)
+    # holding the lock refuses a stream start and a second fold
+    with open(lock, "w") as fh:
+        fh.write("fold")
+    with pytest.raises(ValueError, match="is locked .*fold"):
+        stream_payload_dhash(
+            read_document_stream(
+                spark, d, max_files_per_trigger=1,
+                schema="doc_id long, text string",
+            ),
+            state,
+        )
+    with pytest.raises(ValueError, match="is locked .*fold"):
+        fold_payload_fps(spark, state)
+    os.remove(lock)  # the documented manual step once the holder is dead
     summary = fold_payload_fps(spark, state)
     assert summary["rows"] == assets.count()
+    # a clean fold released the lock: the stream can start again
+    assert not os.path.exists(lock)
