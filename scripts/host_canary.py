@@ -11,9 +11,19 @@ afternoon read fleet drift 1.168 / 1.169 / 1.200 against the round-9
 reference and were all refused by bench.py's contention guard — about
 1.8 h of sweep time that a 90-second canary would have predicted.
 
+Besides printing GO/WAIT, the probe records its reading to
+`.host_canary.json` ({ts, drift, loadavg1, verdict}) — bench.py's
+`_drift_confirmed` requires this out-of-band corroboration before
+accepting an in-band (MAX_DRIFT, HARD_DRIFT] fleet drift as host state
+(ADVICE r11: same-run isolated re-measures cannot tell a run-long
+background load from durable host state; a fresh idle-host canary that
+already read elevated can). The 1-minute loadavg is sampled BEFORE the
+Spark session starts, so it describes the idle host, not the probe.
+
 Usage: python scripts/host_canary.py
 """
 
+import json
 import os
 import statistics
 import sys
@@ -21,7 +31,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import SF_DIR, _committed_bench, _reference_queries  # noqa: E402
+from bench import (  # noqa: E402
+    CANARY_FILE,
+    MAX_DRIFT,
+    SF_DIR,
+    _committed_bench,
+    _reference_queries,
+)
 from distributed_vector_database_spark import queries as q  # noqa: E402
 from distributed_vector_database_spark.session import get_session  # noqa: E402
 
@@ -45,6 +61,10 @@ def main() -> int:
     if not committed:
         print("no committed BENCH_FULL reference — nothing to compare")
         return 2
+    # idle-host load BEFORE the probe's own Spark session exists — the
+    # corroboration signal that the elevated reading (if any) was not a
+    # competing process
+    loadavg1 = os.getloadavg()[0]
     spark = get_session(app_name="host-canary")
     reg = q.spark_queries()
     # session-level warm-up: the committed sweep values come from a HOT
@@ -75,9 +95,21 @@ def main() -> int:
         print("no comparable canary keys")
         return 2
     est = statistics.median(ratios)
+    verdict = "GO" if est <= MAX_DRIFT else "WAIT"
+    with open(os.path.join(repo, CANARY_FILE), "w") as fh:
+        json.dump(
+            {
+                "ts": time.time(),
+                "drift": round(est, 4),
+                "loadavg1": round(loadavg1, 3),
+                "verdict": verdict,
+            },
+            fh,
+        )
     print(f"\nestimated fleet drift: {est:.3f}x "
-          f"({'GO — fire the sweep' if est <= 1.15 else 'WAIT — host above the guard soft ceiling'})")
-    return 0 if est <= 1.15 else 1
+          f"({'GO — fire the sweep' if verdict == 'GO' else 'WAIT — host above the guard soft ceiling'})"
+          f" [recorded to {CANARY_FILE}, idle loadavg1={loadavg1:.2f}]")
+    return 0 if verdict == "GO" else 1
 
 
 if __name__ == "__main__":

@@ -167,12 +167,24 @@ def test_ratio_tail_catches_partial_contention():
     assert _ratio_tail(honest, {}) == 1.0
 
 
+def _good_canary(drift=1.18, age_sec=600.0, load=0.5):
+    import time as _time
+
+    return {
+        "ts": _time.time() - age_sec,
+        "drift": drift,
+        "loadavg1": load,
+        "verdict": "WAIT",
+    }
+
+
 def test_drift_confirmation_band():
-    """Round-11 ratchet fix: drift in (1.15, 1.25] passes ONLY when the
-    adjudicated keys' isolated re-measures confirm the drift (median
-    iso/committed >= drift - 0.05 over >= 20 adjudications); above 1.25
-    always refuses; the r6 vanish-on-isolation signature never
-    confirms."""
+    """Round-11 ratchet fix (hardened per ADVICE r11): drift in
+    (MAX_DRIFT, HARD_DRIFT] passes ONLY when the adjudicated keys'
+    isolated re-measures confirm the drift (median iso/committed >=
+    drift - 0.05 over >= 20 adjudications) AND a fresh idle-host
+    pre-sweep canary corroborates out-of-band; above HARD_DRIFT always
+    refuses; the r6 vanish-on-isolation signature never confirms."""
     from bench import _contention_guard, _drift_confirmed
 
     def adj(iso_ratio, n=30):
@@ -181,23 +193,85 @@ def test_drift_confirmation_band():
             for i in range(n)
         }
 
+    canary = _good_canary()
     # reproducible host state: deviants still ~drift-slow in isolation
-    assert _drift_confirmed(1.17, adj(1.16))
+    # and the pre-sweep canary saw the elevated host
+    assert _drift_confirmed(1.17, adj(1.16), canary=canary)
     assert not _contention_guard(
         0, 275, drift=1.17, tail=1.23, confirmed=True
     )
     # r6-style contention: deviants revert toward committed when alone
-    assert not _drift_confirmed(1.17, adj(1.02))
+    assert not _drift_confirmed(1.17, adj(1.02), canary=canary)
     assert _contention_guard(
         0, 275, drift=1.17, tail=1.23, confirmed=False
     )
     # polluted-slow isolateds still confirm (conservative direction: the
     # run is then judged by the tail and slow-count signatures)
-    assert _drift_confirmed(1.17, adj(1.30))
+    assert _drift_confirmed(1.17, adj(1.30), canary=canary)
     # not enough adjudications = no evidence = no confirmation
-    assert not _drift_confirmed(1.17, adj(1.16, n=5))
+    assert not _drift_confirmed(1.17, adj(1.16, n=5), canary=canary)
     # the hard ceiling is unconditional
-    assert not _drift_confirmed(1.30, adj(1.29))
+    assert not _drift_confirmed(1.30, adj(1.29), canary=canary)
     assert _contention_guard(0, 275, drift=1.30, confirmed=True)
     # below the soft ceiling nothing changes
     assert not _contention_guard(0, 275, drift=1.08, confirmed=False)
+
+
+def test_drift_confirmation_requires_out_of_band_canary():
+    """ADVICE r11: same-run isolated re-measures cannot distinguish a
+    background load sustained across the whole run from durable host
+    state — both keep deviants slow in isolation. Confirmation therefore
+    also needs the pre-sweep host_canary reading: fresh, taken on an
+    idle host, and itself already elevated."""
+    from bench import _canary_corroborates, _drift_confirmed
+
+    def adj(iso_ratio, n=30):
+        return {
+            f"k{i}": {"sweep": 1.4, "committed": 1.0, "isolated": iso_ratio}
+            for i in range(n)
+        }
+
+    # no canary recorded -> never confirmed, however reproducible
+    assert not _drift_confirmed(1.17, adj(1.16))
+    assert not _drift_confirmed(1.17, adj(1.16), canary=None)
+    # stale canary (older than CANARY_MAX_AGE_SEC) -> describes some
+    # other day's host, not this sweep's
+    assert not _drift_confirmed(
+        1.17, adj(1.16), canary=_good_canary(age_sec=7 * 3600)
+    )
+    # canary taken under load -> the elevation could BE the load
+    assert not _drift_confirmed(
+        1.17, adj(1.16), canary=_good_canary(load=12.0)
+    )
+    # GO-grade canary (1.02x) then an in-band sweep drift: the slowdown
+    # arrived DURING the run — the contention signature
+    assert not _drift_confirmed(
+        1.17, adj(1.16), canary=_good_canary(drift=1.02)
+    )
+    # malformed recording never confirms
+    assert not _canary_corroborates({"drift": "nan?"})
+    assert not _canary_corroborates({})
+    # the full good reading confirms (direct check of the helper)
+    assert _canary_corroborates(_good_canary())
+
+
+def test_adjudication_publishes_isolated_median_not_min():
+    """ADVICE r11: publishing min(sweep, isolated) selected the lower
+    noise tail on every adjudicated key, ratcheting the committed
+    reference faster each refresh. The published value is the isolated
+    median (the same 1-warmup+median-of-3 protocol every committed
+    number uses); the sweep value is kept only in the documented
+    JVM-pollution case (isolated > ISO_POLLUTION_RATIO x sweep)."""
+    from bench import _publish_adjudicated
+
+    # isolated slightly above sweep -> isolated published (the old min()
+    # would have kept the faster sweep reading)
+    assert _publish_adjudicated(1.00, 1.10) == (1.10, "isolated")
+    # isolated below sweep also publishes isolated — symmetric protocol
+    assert _publish_adjudicated(1.00, 0.80) == (0.80, "isolated")
+    # pollution case (measured: sweep 0.60 s vs isolated 3.94 s): the
+    # sweep value is published, loudly labeled
+    val, label = _publish_adjudicated(0.60, 3.94)
+    assert val == 0.60 and "polluted" in label
+    # exactly at the ratio boundary is NOT pollution
+    assert _publish_adjudicated(1.00, 2.00) == (2.00, "isolated")
