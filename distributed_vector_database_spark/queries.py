@@ -12664,76 +12664,75 @@ def q_ivf_persisted_autotuned_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 11).
+# Registration-order rotation (round 12).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-11 window = ROADMAP's
-# next-window ledger (the 2 round-10 registrations never driver-verified,
-# fronted) + the first 48 round-7 window names (CORRECTNESS_r07 order) per
+# each round rotates a window to the front. This round-12 window = ROADMAP's
+# next-window ledger (the 1 round-11 registration never driver-verified,
+# fronted) + the first 49 round-8 window names (CORRECTNESS_r08 order) per
 # the round-robin refresh schedule (ROADMAP.md "Rotation re-verification
-# schedule"): r11 = r7 names, repeat. The 2 round-7 names that don't fit
-# (late_orders_by_priority, large_volume_customers) are refresh-only
-# displacements — they stay driver-green on their r7 rows and rejoin the
-# cycle later.
+# schedule"): r12 = r8 names, repeat. The round-8 name that doesn't fit
+# (nation_profit_by_year) is a refresh-only displacement — it stays
+# driver-green on its r8 row and rejoins the cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 12 before any refresh names.
+# ```next-window``` block so they front round 13 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 2 round-10 registrations never driver-verified (fronted,
-    # in the round-11 next-window ledger order) ---
-    "ivf_autotuned_search",
-    "split_leakage_audit",
-    # --- round-robin refresh: the first 48 round-7 window names,
-    # in their CORRECTNESS_r07 order (rotation schedule, ROADMAP.md) ---
-    "substring_dedup_excised_stats",
-    "bloom_decontaminate_stats",
-    "winnow_dup_flags",
-    "stream_winnow_dup_flags",
-    "hdr_value_quantiles",
-    "stream_hdr_value_quantiles",
-    "asof_last_click_before_purchase",
-    "quantize_int8_recon",
-    "multimodal_payload_stats",
-    "customers_no_big_order",
-    "big_purchasers_never_erroring",
-    "shipping_priority",
-    "stateful_running_totals",
-    "range_clicks_before_purchase",
-    "event_cohort_cube",
-    "sql_topk_cosine",
-    "skewed_type_totals",
-    "multires_rollup",
-    "local_supplier_volume",
-    "kmv_distinct_users_by_type",
-    "hash_sample_docs",
-    "brand_revenue",
-    "vector_json_roundtrip",
-    "event_value_pivot",
-    "moving_avg_value",
-    "curation_funnel",
-    "lang_confusion",
-    "pq_encode_recon",
-    "pq_adc_topk",
-    "csv_roundtrip_orders",
-    "json_roundtrip_events",
-    "event_gaps",
-    "salted_event_enrichment",
-    "ivfpq_search",
-    "term_frequencies",
-    "doc_tfidf_top_terms",
-    "stream_dedup_counts",
-    "zorder_curve_stats",
-    "stream_tumbling_counts",
-    "udaf_mean_cents_by_type",
-    "orders_above_global_avg",
-    "customer_max_order",
-    "pq_adc_batch_topk",
-    "dedup_clusters",
-    "pq_rerank_topk",
-    "user_spend_quartiles",
-    "forecast_revenue_change",
-    "train_val_test_split",
+    # --- the 1 round-11 registration never driver-verified (fronted,
+    # from ROADMAP's next-window ledger) ---
+    "ivf_persisted_autotuned_search",
+    # --- round-robin refresh: the first 49 round-8 window names,
+    # in their CORRECTNESS_r08 order (rotation schedule, ROADMAP.md) ---
+    "w2v_doc_embed_transform",
+    "winnow_screen_dedup_stats",
+    "minhash_jaccard_estimate",
+    "minhash_band_bucket_stats",
+    "bloom_screened_decontaminate_stats",
+    "ivfpq_residual_search",
+    "opq_rotated_adc_topk",
+    "binary_rerank_search",
+    "matryoshka_rerank_search",
+    "knn_graph_exact",
+    "ivf_shard_rebalance",
+    "bm25_topk",
+    "late_interaction_search",
+    "hybrid_search_rrf",
+    "doc_chunks",
+    "chunk_search_hashed",
+    "semantic_dedup",
+    "minhash_dedup_flags",
+    "stream_minhash_dedup_flags",
+    "dedup_simhash_pairs",
+    "dedup_keep_best",
+    "paragraph_dedup_stats",
+    "snm_candidate_pairs",
+    "fuzzy_dup_pairs",
+    "bigram_lm_ppl",
+    "bpe_pair_counts",
+    "doc_perplexity_filter",
+    "stream_bigram_lm_counts",
+    "merge_into_orders",
+    "mor_upsert_read",
+    "mor_delete_read",
+    "mor_changes_feed",
+    "mor_time_travel",
+    "sqlite_store_scan",
+    "sqlite_store_point_lookup",
+    "footer_minmax_stats",
+    "dq_violations_report",
+    "dq_quarantined_events",
+    "sole_failing_suppliers",
+    "supplier_diversity_by_part",
+    "priority_shipping_split",
+    "disjunctive_brand_revenue",
+    "idle_rich_customers",
+    "customer_order_distribution",
+    "small_quantity_part_revenue",
+    "nation_market_share",
+    "volume_shipping",
+    "promo_revenue_monthly",
+    "min_cost_supplier",
 ]
 
 
