@@ -47,10 +47,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["MorStore"]
+__all__ = ["ConcurrentWriteConflict", "MorStore"]
 
 _BATCH = "_batch"
 _DELETED = "_deleted"
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """Another writer committed the batch id this append raced for.
+
+    The MoR commit protocol is optimistic concurrency (the
+    Delta/Iceberg/Hudi pattern on plain parquet): a writer READS the
+    current high batch id, PREPARES its batch under a writer-unique
+    dot-temp dir, then COMMITS by renaming the temp onto the next
+    visible batch dir. The rename is the atomic arbitration point —
+    the filesystem lets exactly one writer create ``delta/bN`` — so
+    when two writers race the same slot, one wins and the other gets
+    this exception (its prepared temp already cleaned up). Losing is
+    LOUD by design: the caller decides whether to retry
+    (``append(..., max_retries=k)`` re-reads the high id and
+    re-prepares — its rows then land AFTER the winner's, keep-latest
+    semantics preserved) or surface the failure. Nothing is ever
+    silently interleaved or lost."""
 
 
 class MorStore:
@@ -116,6 +134,34 @@ class MorStore:
         finally:
             out.close()
 
+    def _commit_rename(self, src: str, dst: str) -> bool:
+        """The atomic commit primitive: land ``src`` at EXACTLY ``dst``,
+        refusing if ``dst`` already exists. `FileSystem.rename` cannot
+        arbitrate a commit race — its legacy semantics move src INTO an
+        existing destination directory (measured on LocalFileSystem: the
+        loser's temp would nest inside the winner's committed batch and
+        the call still returns true). `FileContext.rename(...,
+        Rename.NONE)` has the strict contract (HDFS enforces it
+        atomically server-side; local throws FileAlreadyExistsException
+        with src left intact). Returns False when dst already existed —
+        the concurrency loss; re-raises nothing else silently (the
+        caller distinguishes an IO fault via exists(dst))."""
+        fs, jvm = self._fs()
+        hPath = jvm.org.apache.hadoop.fs.Path
+        gw = self.spark.sparkContext._gateway
+        Rename = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(Rename, 1)
+        opts[0] = Rename.NONE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            hPath(self.root).toUri(),
+            self.spark._jsc.hadoopConfiguration(),
+        )
+        try:
+            fc.rename(hPath(src), hPath(dst), opts)
+            return True
+        except Exception:
+            return False
+
     # -- write path --------------------------------------------------------
     def write_base(self, df: DataFrame) -> None:
         """Bootstrap (or replace) the base with ``df``; batch watermark 0."""
@@ -126,28 +172,63 @@ class MorStore:
         ).parquet(self._base)
         self._write_watermark(0)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, *, max_retries: int = 0) -> int:
         """Append one upsert batch as a new delta dir; returns its batch id.
 
-        Written to a dot-temp dir first, then renamed in — a crashed append
-        leaves only an invisible temp, never a half-visible batch.
+        Optimistic-concurrency commit (read high id -> prepare -> atomic
+        rename-commit): the batch is written to a WRITER-UNIQUE dot-temp
+        dir (a crashed append leaves only an invisible temp, never a
+        half-visible batch; two preparing writers can never clobber each
+        other's files), then renamed onto the next visible batch dir.
+        The filesystem lets exactly one writer create ``delta/bN``, so a
+        concurrent writer that raced the same slot loses LOUDLY with
+        `ConcurrentWriteConflict` — its temp cleaned up, the store
+        untouched by it. ``max_retries=k`` opts into the standard OCC
+        retry loop: re-read the high id, re-stamp, re-prepare, re-commit
+        — the retried rows land at a HIGHER batch id than the winner's,
+        so keep-latest precedence follows commit order, never wall-clock
+        write order.
         """
-        deltas = self._delta_dirs()
-        next_id = (
-            max(deltas[-1][0] if deltas else 0, self._read_watermark()) + 1
-        )
+        import uuid
+
         fs, jvm = self._fs()
         hPath = jvm.org.apache.hadoop.fs.Path
-        tmp = f"{self.root}/delta/.b{next_id:08d}.writing"
-        dst = f"{self.root}/delta/b{next_id:08d}"
         if _DELETED not in df.columns:
             df = df.withColumn(_DELETED, F.lit(False))
-        df.withColumn(_BATCH, F.lit(next_id).cast("long")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        if not fs.rename(hPath(tmp), hPath(dst)):
-            raise IOError(f"mor append: rename {tmp} -> {dst} failed")
-        return next_id
+        attempt = 0
+        while True:
+            deltas = self._delta_dirs()
+            next_id = (
+                max(deltas[-1][0] if deltas else 0, self._read_watermark())
+                + 1
+            )
+            tmp = (
+                f"{self.root}/delta/"
+                f".b{next_id:08d}.{uuid.uuid4().hex[:12]}.writing"
+            )
+            dst = f"{self.root}/delta/b{next_id:08d}"
+            df.withColumn(_BATCH, F.lit(next_id).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            # commit: the strict rename arbitrates — exactly one racer
+            # lands delta/bN (see _commit_rename)
+            if self._commit_rename(tmp, dst):
+                return next_id
+            fs.delete(hPath(tmp), True)  # loser's prepared batch: gone
+            if not fs.exists(hPath(dst)):
+                # rename failed with NO winner in place — an IO fault,
+                # not a concurrency loss; never retried silently
+                raise IOError(f"mor append: rename {tmp} -> {dst} failed")
+            if attempt < max_retries:
+                attempt += 1
+                continue
+            raise ConcurrentWriteConflict(
+                f"mor append lost the race for batch {next_id}: another "
+                f"writer committed {dst} first. The prepared batch was "
+                "discarded and the store is untouched by this writer; "
+                "retry (append(..., max_retries=k)) to commit after the "
+                "winner, or surface the failure."
+            )
 
     def delete(self, ids) -> int:
         """Append a tombstone batch for ``ids`` (a DataFrame with the id

@@ -403,3 +403,84 @@ def test_point_in_time_join_rejects_colliding_payload_columns(spark):
     facts = spark.createDataFrame([(1, 1)], "id long, b long")
     with _pytest.raises(ValueError, match="collide.*\\['b'\\]"):
         point_in_time_join(facts, hist, keys=["id"], at_col="b")
+
+
+def test_concurrent_append_one_writer_loses_loudly(store, spark):
+    """Optimistic concurrency (VERDICT r11 item 6): two writers race the
+    same batch slot — the commit rename arbitrates, exactly one lands
+    delta/bN, the loser raises ConcurrentWriteConflict with its prepared
+    temp cleaned up and the store untouched by it. The legacy
+    FileSystem.rename hazard (loser's temp silently NESTING inside the
+    winner's committed batch) must never occur."""
+    import os
+
+    from unittest import mock
+
+    from distributed_vector_database_spark.sources.mor import (
+        ConcurrentWriteConflict,
+    )
+
+    a_rows = spark.createDataFrame(
+        [(5, "writer_A")], "id long, payload string"
+    )
+    b_rows = spark.createDataFrame(
+        [(5, "writer_B")], "id long, payload string"
+    )
+    # writer B reads the store state (high id 0), then writer A commits
+    # b1 inside B's read->commit window: B's first _delta_dirs call
+    # returns the STALE pre-A listing, everything after is live
+    real_listing = store._delta_dirs
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return []  # B's optimistic read, before A committed
+        return real_listing()
+
+    assert store.append(a_rows) == 1  # writer A wins the slot
+    with mock.patch.object(store, "_delta_dirs", side_effect=stale_once):
+        with pytest.raises(ConcurrentWriteConflict, match="batch 1"):
+            store.append(b_rows)
+
+    # the loser left nothing behind: no temp litter, no nested dir, and
+    # the read is exactly the winner's state
+    delta_root = os.path.join(store.root, "delta")
+    assert sorted(os.listdir(delta_root)) == ["b00000001"]
+    assert not any(
+        n.endswith(".writing") for n in os.listdir("%s/b00000001" % delta_root)
+    )
+    got = _as_dict(store.read())
+    assert got[5] == "writer_A"
+
+
+def test_concurrent_append_retry_commits_after_winner(store, spark):
+    """The standard OCC retry: append(max_retries=1) re-reads the high
+    id after losing and lands at a HIGHER batch than the winner — so
+    keep-latest precedence follows commit order, and the retried
+    writer's overlapping rows win the merged view."""
+    from unittest import mock
+
+    a_rows = spark.createDataFrame(
+        [(5, "writer_A"), (6, "writer_A")], "id long, payload string"
+    )
+    b_rows = spark.createDataFrame(
+        [(5, "writer_B"), (7, "writer_B")], "id long, payload string"
+    )
+    real_listing = store._delta_dirs
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return []
+        return real_listing()
+
+    assert store.append(a_rows) == 1
+    with mock.patch.object(store, "_delta_dirs", side_effect=stale_once):
+        assert store.append(b_rows, max_retries=1) == 2  # after the winner
+
+    got = _as_dict(store.read())
+    assert got[5] == "writer_B"  # retried commit outranks the winner
+    assert got[6] == "writer_A" and got[7] == "writer_B"
+    assert len(got) == 20  # ids 5/6/7 are updates of base rows, not inserts
