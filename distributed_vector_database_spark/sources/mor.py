@@ -416,6 +416,29 @@ class MorStore:
         fs, jvm = self._fs()
         hPath = jvm.org.apache.hadoop.fs.Path
 
+        # mutual exclusion between compactors (same loud-refusal
+        # discipline as the append commit and the streaming dhash fold):
+        # two concurrent folds would double-delete each other's folded
+        # deltas and collide on the base swap's trash/tmp names.
+        # `createNewFile` is the atomic arbiter (HDFS: server-side;
+        # local: File.createNewFile). Appends need NO lock — they touch
+        # only delta/, and a mid-fold append lands at a batch id above
+        # the fold watermark, surviving untouched (tested).
+        lock = f"{self.root}/.compact_lock"
+        if not fs.createNewFile(hPath(lock)):
+            raise ConcurrentWriteConflict(
+                f"mor compact: another compaction holds {lock}; two "
+                "concurrent folds would double-delete folded deltas and "
+                "collide on the base swap. Wait for it (or, if it died "
+                f"mid-fold, delete {lock} by hand — the fold itself is "
+                "crash-safe and re-runnable)."
+            )
+        try:
+            return self._fold_locked(deltas, watermark, fs, hPath)
+        finally:
+            fs.delete(hPath(lock), False)
+
+    def _fold_locked(self, deltas, watermark, fs, hPath) -> dict:
         base = self.spark.read.parquet(self._base)
         delta = (
             self.spark.read.option("mergeSchema", "true")

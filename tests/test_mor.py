@@ -484,3 +484,31 @@ def test_concurrent_append_retry_commits_after_winner(store, spark):
     assert got[5] == "writer_B"  # retried commit outranks the winner
     assert got[6] == "writer_A" and got[7] == "writer_B"
     assert len(got) == 20  # ids 5/6/7 are updates of base rows, not inserts
+
+
+def test_concurrent_compaction_refuses_loudly(store, spark):
+    """Two concurrent folds would double-delete folded deltas and
+    collide on the base swap, so compact()/vacuum() arbitrate through
+    an atomic .compact_lock — the second compactor refuses loudly; a
+    clean fold releases the lock."""
+    import os
+
+    from distributed_vector_database_spark.sources.mor import (
+        ConcurrentWriteConflict,
+    )
+
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    lock = os.path.join(store.root, ".compact_lock")
+    with open(lock, "w"):
+        pass  # a fold in flight (or died mid-fold)
+    with pytest.raises(ConcurrentWriteConflict, match="compact_lock"):
+        store.compact()
+    with pytest.raises(ConcurrentWriteConflict, match="compact_lock"):
+        store.vacuum(0)
+    os.remove(lock)  # the documented manual step for a dead holder
+    out = store.compact()
+    assert out["folded_batches"] == 1
+    assert not os.path.exists(lock)  # released after a clean fold
+    assert _as_dict(store.read())[1] == "v1_1"
