@@ -164,7 +164,21 @@ class MorStore:
 
     # -- write path --------------------------------------------------------
     def write_base(self, df: DataFrame) -> None:
-        """Bootstrap (or replace) the base with ``df``; batch watermark 0."""
+        """Bootstrap (or replace) the base with ``df``; batch watermark 0.
+
+        Refuses while delta batches exist: replacing only the base would
+        leave the stale deltas OUTRANKING the new rows on every read
+        (their batch ids exceed the reset watermark) — a silent
+        new-data-loses state. ``compact()`` first (folding history into
+        the old base) or remove ``delta/`` deliberately."""
+        if self._delta_dirs():
+            raise ValueError(
+                "mor write_base: delta batches exist under "
+                f"{self.root}/delta and would outrank the replacement "
+                "base on every read (keep-latest: higher batch wins). "
+                "compact() first, or delete delta/ if the history is "
+                "truly disposable."
+            )
         if _DELETED not in df.columns:
             df = df.withColumn(_DELETED, F.lit(False))
         df.withColumn(_BATCH, F.lit(0).cast("long")).write.mode(

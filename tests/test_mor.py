@@ -512,3 +512,61 @@ def test_concurrent_compaction_refuses_loudly(store, spark):
     assert out["folded_batches"] == 1
     assert not os.path.exists(lock)  # released after a clean fold
     assert _as_dict(store.read())[1] == "v1_1"
+
+
+def test_write_base_refuses_while_deltas_exist(store, spark):
+    """Replacing only the base while deltas exist would leave the stale
+    deltas outranking every replacement row (higher batch ids than the
+    reset watermark) — write_base refuses loudly; after compact() the
+    bootstrap path reopens."""
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    fresh = spark.createDataFrame([(1, "NEW")], "id long, payload string")
+    with pytest.raises(ValueError, match="outrank"):
+        store.write_base(fresh)
+    assert _as_dict(store.read())[1] == "v1_1"  # store untouched
+    store.compact()
+    store.write_base(fresh)  # no deltas left -> legitimate re-bootstrap
+    assert _as_dict(store.read()) == {1: "NEW"}
+
+
+def test_truly_concurrent_appends_commit_distinct_batches(store, spark):
+    """A REAL race (two threads, no simulation): both writers append
+    concurrently with the OCC retry enabled. Whatever the interleaving,
+    both must commit, at DISTINCT batch ids, with no temp litter and
+    both rows present — the arbitration can cost a loser a retry but
+    never data."""
+    import os
+    import threading
+
+    a_rows = spark.createDataFrame(
+        [(101, "writer_A")], "id long, payload string"
+    )
+    b_rows = spark.createDataFrame(
+        [(102, "writer_B")], "id long, payload string"
+    )
+    results, errors = {}, []
+    barrier = threading.Barrier(2)
+
+    def run(name, rows):
+        try:
+            barrier.wait()
+            results[name] = store.append(rows, max_retries=5)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=run, args=("A", a_rows)),
+        threading.Thread(target=run, args=("B", b_rows)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(results.values()) == [1, 2]  # distinct consecutive ids
+    delta_root = os.path.join(store.root, "delta")
+    assert sorted(os.listdir(delta_root)) == ["b00000001", "b00000002"]
+    got = _as_dict(store.read())
+    assert got[101] == "writer_A" and got[102] == "writer_B"
