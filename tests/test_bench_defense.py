@@ -275,3 +275,30 @@ def test_adjudication_publishes_isolated_median_not_min():
     assert val == 0.60 and "polluted" in label
     # exactly at the ratio boundary is NOT pollution
     assert _publish_adjudicated(1.00, 2.00) == (2.00, "isolated")
+
+
+def test_canary_recording_round_trips_into_the_guard(tmp_path):
+    """Schema contract between scripts/host_canary.py's recording and
+    bench's reader: a file written with the script's exact shape must
+    load via _read_canary and corroborate via _canary_corroborates —
+    so the two sides cannot drift apart silently."""
+    import json
+    import time as _time
+
+    from bench import CANARY_FILE, _canary_corroborates, _read_canary
+
+    # the exact dict shape host_canary.py json.dump's
+    recorded = {
+        "ts": _time.time(),
+        "drift": 1.18,
+        "loadavg1": 0.25,
+        "verdict": "WAIT",
+    }
+    with open(tmp_path / CANARY_FILE, "w") as fh:
+        json.dump(recorded, fh)
+    loaded = _read_canary(str(tmp_path))
+    assert loaded == recorded
+    assert _canary_corroborates(loaded)
+    # absent file -> None -> never corroborates
+    assert _read_canary(str(tmp_path / "nowhere")) is None
+    assert not _canary_corroborates(None)
