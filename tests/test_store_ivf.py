@@ -363,3 +363,51 @@ def test_write_invalidates_curve_but_compact_preserves_it(
     idx2.recall_curve = [{"nprobe": 1, "mean_recall": 1.0}]
     idx2.attach(embeddings)
     assert idx2.recall_curve is None
+
+
+def test_file_uri_index_root_loads_and_invalidates_curve(
+    spark, embeddings, tmp_path
+):
+    """ADVICE r12: `write`/`save_centroids` persist via Spark to any
+    Hadoop FS, but `load` read the sidecars with os.listdir/open and
+    `save_centroids` invalidated the curve with shutil.rmtree — on a
+    non-plain-local root (file:, hdfs://, s3a://) load failed with a
+    misleading "no centroids found" and the curve removal was a silent
+    no-op. Exercised here with a `file:` URI (the Hadoop LocalFileSystem
+    path that os.path cannot parse)."""
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = "file:" + str(tmp_path / "ivf_uri_store")
+    idx = IVFIndex(spark, cents, path=path)
+    idx.write(embeddings)
+
+    reopened = IVFIndex.load(spark, path)  # Hadoop-FS sidecar fallback
+    assert reopened.centroids == idx.centroids
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    a = [(r["vec_id"], r["score"]) for r in idx.search(q, k=5, nprobe=4).collect()]
+    b = [
+        (r["vec_id"], r["score"])
+        for r in reopened.search(q, k=5, nprobe=4).collect()
+    ]
+    assert a == b and len(a) == 5
+
+    # curve persisted on the file: root, restored by load
+    queries = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    curve = idx.tune(queries, k=5, nprobes=(1, 4))
+    assert IVFIndex.load(spark, path).recall_curve == curve
+
+    # corpus rewrite must remove the persisted curve on the file: root
+    # too (the rmtree no-op bug): a cold load may not resurrect it
+    idx.write(embeddings.filter(F.col("vec_id") % 2 == 0))
+    assert idx.recall_curve is None
+    assert IVFIndex.load(spark, path).recall_curve is None
