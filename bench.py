@@ -47,6 +47,20 @@ isolated on an idle host). min(sweep, isolated) was abandoned: it
 selected the lower noise tail on every adjudication, ratcheting the
 reference faster each refresh — the exact unreachable-baseline failure
 `_drift_confirmed` exists to work around.
+
+Round 13 (VERDICT r12 item 1): BASELINE EPOCHS. When the host's durable
+state sits above HARD_DRIFT relative to the committed reference (the r12
+wedge: eight idle canary probes 1.42-1.97x across a whole session), no
+honest sweep can ever publish and regression detection is dead. The
+explicit exit is `python bench.py --rebase-epoch` (or env
+SPARK_GRAFT_BENCH_REBASE_EPOCH=1): the superseded reference is archived
+as BENCH_FULL.epoch{N}.json, the new artifact is stamped epoch N+1 with
+full provenance (pre-sweep canary, drift vs the old epoch, isolation
+sample, loadavg), and every guard ceiling stays unchanged WITHIN the new
+epoch. `_epoch_rebase_verdict` accepts only the full wedge state —
+drift > HARD_DRIFT, a wedge-grade pre-sweep idle canary, quiet relative
+signatures, isolation agreement — so an epoch change can never launder
+an ordinary contended run.
 """
 
 from __future__ import annotations
@@ -288,7 +302,10 @@ def _read_canary(repo_dir: str) -> dict | None:
 
 
 def _canary_corroborates(
-    canary: dict | None, *, max_drift: float = MAX_DRIFT
+    canary: dict | None,
+    *,
+    max_drift: float = MAX_DRIFT,
+    sweep_start: float | None = None,
 ) -> bool:
     """Whether the out-of-band pre-sweep canary reading corroborates a
     host-state (not contention) explanation for an in-band fleet drift
@@ -296,8 +313,12 @@ def _canary_corroborates(
     background load sustained across the whole run from durable host
     state — both keep deviants slow in isolation). Three requirements:
 
-    1. fresh — recorded within CANARY_MAX_AGE_SEC before now, i.e. the
-       probe predates this sweep rather than describing some other day;
+    1. fresh AND pre-sweep — recorded within CANARY_MAX_AGE_SEC before
+       the SWEEP'S START (ADVICE r12: measuring freshness at the
+       end-of-sweep check let a canary written mid-sweep corroborate a
+       rebase, voiding the "out-of-band, predates the run" contract;
+       with no sweep_start the caller gets the conservative now-based
+       window, which only ever shortens the accepted age);
     2. idle — the probe's 1-minute loadavg was at or below
        CANARY_IDLE_LOAD, so the elevated reading was measured with no
        competing process running: whatever slows the host is durable
@@ -315,7 +336,8 @@ def _canary_corroborates(
         load1 = float(canary["loadavg1"])
     except (KeyError, TypeError, ValueError):
         return False
-    if not (0 <= time.time() - ts <= CANARY_MAX_AGE_SEC):
+    anchor = sweep_start if sweep_start is not None else time.time()
+    if not (0 <= anchor - ts <= CANARY_MAX_AGE_SEC):
         return False
     if load1 > CANARY_IDLE_LOAD:
         return False
@@ -330,6 +352,7 @@ def _drift_confirmed(
     max_drift: float = MAX_DRIFT,
     hard_drift: float = HARD_DRIFT,
     min_adjudicated: int = 20,
+    sweep_start: float | None = None,
 ) -> bool:
     """Whether a fleet drift in (max_drift, hard_drift] is CONFIRMED as
     genuine host state rather than contention, neutralizing the absolute
@@ -357,16 +380,14 @@ def _drift_confirmed(
     moderate-median run with a contended slice refuses regardless."""
     if drift > hard_drift or len(adjudicated) < min_adjudicated:
         return False
-    if not _canary_corroborates(canary, max_drift=max_drift):
+    if not _canary_corroborates(
+        canary, max_drift=max_drift, sweep_start=sweep_start
+    ):
         return False
-    ratios = sorted(
-        a["isolated"] / a["committed"]
-        for a in adjudicated.values()
-        if a.get("committed", 0) > 0 and a.get("isolated", 0) > 0
-    )
-    if len(ratios) < min_adjudicated:
+    iso_med, n_iso = _isolation_median(adjudicated)
+    if n_iso < min_adjudicated or iso_med is None:
         return False
-    return ratios[len(ratios) // 2] >= drift - 0.05
+    return iso_med >= drift - 0.05
 
 
 def _ratio_tail(
@@ -422,8 +443,126 @@ def _slow_adjudicated(
     )
 
 
+def _isolation_median(adjudicated: dict) -> tuple[float | None, int]:
+    """(median isolated/committed ratio, count) over the adjudicated
+    keys — the shared "deviants did not vanish on isolation" statistic
+    used by both the (MAX_DRIFT, HARD_DRIFT] rebase band
+    (`_drift_confirmed`) and the epoch-change gate
+    (`_epoch_rebase_verdict`)."""
+    ratios = sorted(
+        a["isolated"] / a["committed"]
+        for a in adjudicated.values()
+        if a.get("committed", 0) > 0 and a.get("isolated", 0) > 0
+    )
+    if not ratios:
+        return None, 0
+    return ratios[len(ratios) // 2], len(ratios)
+
+
+def _epoch_rebase_verdict(
+    *,
+    drift: float,
+    tail: float,
+    n_slow: int,
+    n_keys: int,
+    adjudicated: dict,
+    canary: dict | None,
+    sweep_start: float,
+    min_adjudicated: int = 20,
+) -> tuple[bool, str]:
+    """Whether an EXPLICIT `--rebase-epoch` run may publish itself as the
+    next baseline epoch (VERDICT r12 item 1: the principled exit from a
+    wedged bench system — the committed reference was captured in a host
+    state this machine can no longer reach, so every honest sweep reads
+    above HARD_DRIFT forever and regression detection is dead). This is
+    NOT a widened ceiling: every guard semantic stays unchanged WITHIN
+    an epoch; an epoch change is a provenance-stamped, archived,
+    explicitly-requested event that must satisfy ALL of:
+
+    1. drift > HARD_DRIFT — otherwise the normal machinery (plain
+       commit at <= MAX_DRIFT, or the isolation-confirmed rebase band
+       up to HARD_DRIFT) applies and an epoch change is refused as
+       unnecessary;
+    2. the pre-sweep canary shows the WEDGE state: recorded before the
+       sweep started (ADVICE r12 anchor), on an idle host
+       (loadavg1 <= CANARY_IDLE_LOAD), itself reading >= HARD_DRIFT —
+       out-of-band evidence the elevation is durable host state, not a
+       load this run brought along;
+    3. the run is internally quiet by the RELATIVE signatures: ratio
+       tail <= MAX_TAIL and the drift-centered slow count inside the
+       contention band — a bursty sweep cannot become a reference,
+       epoch change or not;
+    4. isolation agreement: >= min_adjudicated adjudications whose
+       median isolated/committed is >= drift - 0.05 (the sweep's
+       elevation reproduces key-by-key in isolation; contention
+       reverts). The rebase sweep guarantees this sample exists by
+       adjudicating a deterministic spread of in-band keys on top of
+       the usual deviants.
+    """
+    if drift <= HARD_DRIFT:
+        return False, (
+            f"fleet drift {drift:.3f}x <= HARD_DRIFT {HARD_DRIFT}x: the "
+            "normal guard machinery applies; an epoch change is not "
+            "justified"
+        )
+    if not _canary_corroborates(
+        canary,
+        max_drift=HARD_DRIFT + CANARY_AGREE_TOL,
+        sweep_start=sweep_start,
+    ):
+        return False, (
+            "no wedge-grade pre-sweep canary: need a recording made "
+            "BEFORE the sweep started, at idle loadavg1 <= "
+            f"{CANARY_IDLE_LOAD}, reading >= {HARD_DRIFT}x"
+        )
+    if tail > MAX_TAIL:
+        return False, (
+            f"ratio tail {tail:.3f} > {MAX_TAIL}: partially-contended "
+            "run; a rebase sweep must be internally quiet"
+        )
+    if n_slow > max(15, int(0.10 * n_keys)):
+        return False, (
+            f"{n_slow}/{n_keys} keys slow beyond the drift-centered "
+            "band: bursty run; a rebase sweep must be internally quiet"
+        )
+    iso_med, n_iso = _isolation_median(adjudicated)
+    if n_iso < min_adjudicated or iso_med is None:
+        return False, (
+            f"only {n_iso} adjudications (< {min_adjudicated}): not "
+            "enough isolation evidence for an epoch change"
+        )
+    if iso_med < drift - 0.05:
+        return False, (
+            f"isolation median {iso_med:.3f}x < drift - 0.05 "
+            f"({drift - 0.05:.3f}x): deviants revert when re-run alone "
+            "— the contention signature, never an epoch change"
+        )
+    return True, (
+        f"drift {drift:.3f}x above HARD_DRIFT with wedge-grade canary, "
+        f"quiet relative signatures (tail {tail:.3f}, slow {n_slow}) and "
+        f"isolation agreement ({iso_med:.3f}x over {n_iso} keys)"
+    )
+
+
+def _archive_epoch(repo_dir: str, committed_full: dict) -> str:
+    """Preserve the superseded committed reference as
+    BENCH_FULL.epoch{N}.json (committed alongside, never overwritten) so
+    the old epoch's numbers stay inspectable after the rebase."""
+    n = int(committed_full.get("epoch", 1))
+    name = f"BENCH_FULL.epoch{n}.json"
+    path = os.path.join(repo_dir, name)
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump(committed_full, f, indent=1, sort_keys=True)
+    return name
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # captured BEFORE any timing: the canary-corroboration contract is
+    # "the probe predates this sweep" (ADVICE r12), so freshness is
+    # measured against this instant, not the end-of-sweep check.
+    sweep_start = time.time()
     spark = get_session(app_name="dvdb-bench")
 
     per_query: dict[str, float] = {}
@@ -557,7 +696,12 @@ def main() -> None:
     # what the sweep had said.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    committed = _reference_queries(_committed_bench(repo_dir), sf_val)
+    committed_full = _committed_bench(repo_dir)
+    committed = _reference_queries(committed_full, sf_val)
+    rebase_requested = (
+        "--rebase-epoch" in sys.argv
+        or os.environ.get("SPARK_GRAFT_BENCH_REBASE_EPOCH") == "1"
+    )
     adjudicated: dict[str, dict[str, float]] = {}
     # host-state drift + deviation tail of the RAW sweep vs committed —
     # captured before the defense replaces deviant values with isolated
@@ -566,7 +710,25 @@ def main() -> None:
     tail = _ratio_tail(per_query, committed)
     if committed and os.environ.get("SPARK_GRAFT_BENCH_DEFEND", "1") != "0":
         registry_fns = _q.spark_queries()
-        deviants = _deviant_keys(per_query, committed)
+        if rebase_requested:
+            # Epoch-rebase sweep: against an unreachable baseline MOST
+            # keys exceed the raw 1.25x band, which would re-measure the
+            # whole registry; center the deviant band on the fleet drift
+            # (bursty outliers still adjudicate) and ADD a deterministic
+            # spread of ~25 in-band keys so `_epoch_rebase_verdict` has
+            # its isolation-agreement sample either way.
+            shifted = {k: v * drift for k, v in committed.items()}
+            deviants = set(_deviant_keys(per_query, shifted))
+            shared = sorted(
+                k
+                for k, v in per_query.items()
+                if committed.get(k, 0) > 0 and v > 0
+            )
+            step = max(1, len(shared) // 25)
+            deviants |= set(shared[::step])
+            deviants = sorted(deviants)
+        else:
+            deviants = _deviant_keys(per_query, committed)
         per_key_redo, regroup = _defense_plan(
             deviants, set(registry_fns), key_to_group
         )
@@ -652,8 +814,63 @@ def main() -> None:
         # produced no adjudications (ADVICE r10).
         n_slow = _slow_adjudicated(adjudicated, drift=drift)
         canary = _read_canary(repo_dir)
-        confirmed = _drift_confirmed(drift, adjudicated, canary=canary)
-        if _contention_guard(
+        confirmed = _drift_confirmed(
+            drift, adjudicated, canary=canary, sweep_start=sweep_start
+        )
+        # baseline-epoch stamp rides along unchanged on every normal
+        # refresh; an accepted --rebase-epoch run advances it below
+        full["epoch"] = int(committed_full.get("epoch", 1))
+        rebased = False
+        if rebase_requested:
+            ok, why = _epoch_rebase_verdict(
+                drift=drift,
+                tail=tail,
+                n_slow=n_slow,
+                n_keys=len(per_query),
+                adjudicated=adjudicated,
+                canary=canary,
+                sweep_start=sweep_start,
+            )
+            if ok:
+                archived = _archive_epoch(repo_dir, committed_full)
+                full["epoch"] = int(committed_full.get("epoch", 1)) + 1
+                full["epoch_provenance"] = {
+                    "rebased_from": archived,
+                    "prev_epoch": int(committed_full.get("epoch", 1)),
+                    "drift_vs_prev_epoch": round(drift, 4),
+                    "ratio_tail": round(tail, 4),
+                    "slow_adjudicated": n_slow,
+                    "adjudicated_count": len(adjudicated),
+                    "isolation_median_ratio": round(
+                        _isolation_median(adjudicated)[0] or 0.0, 4
+                    ),
+                    "canary": canary,
+                    "sweep_start_unix": round(sweep_start, 1),
+                    "loadavg_at_finish": [
+                        round(x, 3) for x in os.getloadavg()
+                    ],
+                    "verdict": why,
+                    "reason": (
+                        "committed reference unreachable on this host's "
+                        "durable state (wedge-grade canary at idle); "
+                        "explicit provenance-stamped epoch change — all "
+                        "guard ceilings unchanged within the new epoch"
+                    ),
+                }
+                rebased = True
+                print(
+                    f"# EPOCH REBASE accepted -> epoch "
+                    f"{full['epoch']}: {why}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            else:
+                print(
+                    f"# EPOCH REBASE refused: {why}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        if not rebased and _contention_guard(
             n_slow,
             len(per_query),
             drift=drift,

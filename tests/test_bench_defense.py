@@ -255,6 +255,43 @@ def test_drift_confirmation_requires_out_of_band_canary():
     assert _canary_corroborates(_good_canary())
 
 
+def test_canary_must_predate_the_sweep_start():
+    """ADVICE r12: freshness was measured at the end-of-sweep check, so
+    a canary written MID-SWEEP could corroborate a rebase. With the
+    sweep's start time passed through, the probe must predate it — and
+    its age window is anchored there too."""
+    import time as _time
+
+    from bench import CANARY_MAX_AGE_SEC, _canary_corroborates, _drift_confirmed
+
+    def adj(iso_ratio, n=30):
+        return {
+            f"k{i}": {"sweep": 1.4, "committed": 1.0, "isolated": iso_ratio}
+            for i in range(n)
+        }
+
+    now = _time.time()
+    sweep_start = now - 2400.0  # a 40-minute sweep just finished
+    pre = _good_canary(age_sec=3000.0)   # 10 min before the sweep
+    mid = _good_canary(age_sec=1200.0)   # written 20 min INTO the sweep
+    assert _canary_corroborates(pre, sweep_start=sweep_start)
+    assert not _canary_corroborates(mid, sweep_start=sweep_start)
+    assert _drift_confirmed(
+        1.17, adj(1.16), canary=pre, sweep_start=sweep_start
+    )
+    assert not _drift_confirmed(
+        1.17, adj(1.16), canary=mid, sweep_start=sweep_start
+    )
+    # the age window is anchored at sweep start, not at the check: a
+    # probe that was already CANARY_MAX_AGE_SEC old when the sweep began
+    # is stale even if "now - ts" would still pass
+    old_probe = _good_canary(age_sec=2400.0 + CANARY_MAX_AGE_SEC + 60)
+    assert not _canary_corroborates(old_probe, sweep_start=sweep_start)
+    # without a sweep_start the helper falls back to the conservative
+    # now-anchored window (legacy callers)
+    assert _canary_corroborates(_good_canary())
+
+
 def test_adjudication_publishes_isolated_median_not_min():
     """ADVICE r11: publishing min(sweep, isolated) selected the lower
     noise tail on every adjudicated key, ratcheting the committed
@@ -302,3 +339,79 @@ def test_canary_recording_round_trips_into_the_guard(tmp_path):
     # absent file -> None -> never corroborates
     assert _read_canary(str(tmp_path / "nowhere")) is None
     assert not _canary_corroborates(None)
+
+
+def test_epoch_rebase_gate():
+    """VERDICT r12 item 1: the principled exit from a wedged bench
+    system is an explicit provenance-stamped baseline EPOCH change, not
+    a widened ceiling. `_epoch_rebase_verdict` accepts only the full
+    wedge state: drift above HARD_DRIFT, a pre-sweep idle canary itself
+    reading >= HARD_DRIFT, internally-quiet relative signatures, and
+    isolation agreement over a real sample."""
+    import time as _time
+
+    from bench import _epoch_rebase_verdict
+
+    now = _time.time()
+    start = now - 3600.0
+    wedge_canary = {"ts": start - 600, "drift": 1.5, "loadavg1": 0.2}
+
+    def adj(iso_ratio, n=25):
+        return {
+            f"k{i}": {"sweep": 1.45, "committed": 1.0, "isolated": iso_ratio}
+            for i in range(n)
+        }
+
+    base = dict(
+        drift=1.45,
+        tail=1.1,
+        n_slow=3,
+        n_keys=276,
+        adjudicated=adj(1.43),
+        canary=wedge_canary,
+        sweep_start=start,
+    )
+    ok, why = _epoch_rebase_verdict(**base)
+    assert ok and "isolation agreement" in why
+
+    # below the hard ceiling the normal machinery applies
+    assert not _epoch_rebase_verdict(**{**base, "drift": 1.2})[0]
+    # no canary / canary written mid-sweep / loaded canary / GO-grade
+    # canary: no out-of-band wedge evidence
+    assert not _epoch_rebase_verdict(**{**base, "canary": None})[0]
+    assert not _epoch_rebase_verdict(
+        **{**base, "canary": {**wedge_canary, "ts": start + 600}}
+    )[0]
+    assert not _epoch_rebase_verdict(
+        **{**base, "canary": {**wedge_canary, "loadavg1": 12.0}}
+    )[0]
+    assert not _epoch_rebase_verdict(
+        **{**base, "canary": {**wedge_canary, "drift": 1.1}}
+    )[0]
+    # internally-contended runs never become a reference
+    assert not _epoch_rebase_verdict(**{**base, "tail": 1.5})[0]
+    assert not _epoch_rebase_verdict(**{**base, "n_slow": 60})[0]
+    # isolation evidence: enough keys, and they must not revert
+    assert not _epoch_rebase_verdict(
+        **{**base, "adjudicated": adj(1.43, n=5)}
+    )[0]
+    assert not _epoch_rebase_verdict(
+        **{**base, "adjudicated": adj(1.05)}
+    )[0]
+
+
+def test_epoch_archive_never_overwritten(tmp_path):
+    """The superseded reference is preserved as BENCH_FULL.epoch{N}.json
+    exactly once; a second archive call cannot clobber it."""
+    import json
+
+    from bench import _archive_epoch
+
+    committed = {"epoch": 1, "value": 0.1672, "queries": {"q": 1.0}}
+    name = _archive_epoch(str(tmp_path), committed)
+    assert name == "BENCH_FULL.epoch1.json"
+    with open(tmp_path / name) as fh:
+        assert json.load(fh) == committed
+    _archive_epoch(str(tmp_path), {"epoch": 1, "value": 9.9})
+    with open(tmp_path / name) as fh:
+        assert json.load(fh)["value"] == 0.1672
