@@ -12800,75 +12800,188 @@ def q_mor_concurrent_append_audit(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 12).
+# mor_compact_read_isolation: reads DURING a compaction fold (VERDICT r12
+# item 3/5 — the one concurrency pair the OCC story didn't cover). The old
+# swap protocol renamed the live base dir (base -> .base.trash -> new
+# base), leaving a window where a concurrent read resolved NO base at all;
+# the version-pointer commit (sources/mor.py: write base_v{N+1} ->
+# advance watermark -> flip _base_version atomically -> delete folded
+# deltas, retaining the superseded version one fold) closes it. This row
+# audits the claim with real filesystem stages: a read executed at EVERY
+# fold stage — before the fold, after the new version is written but
+# before the pointer flips, after the flip with folded deltas still on
+# disk, and after the fold completes — must return EXACTLY the keep-latest
+# rows, as all-integer (count, sum) evidence. The reference has no
+# compaction at all (its "reset" is delete-the-files,
+# `reference: README.md:59`); this defends the engine's own claim.
+# ---------------------------------------------------------------------------
+
+_MOR_ISO_CACHE: dict = {}
+
+_MOR_ISO_SQL = """
+WITH live AS (
+  SELECT vec_id FROM embeddings WHERE vec_id % 5 <> 0
+)
+SELECT CAST(s.stage AS BIGINT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM (VALUES (0), (1), (2), (3)) s(stage)
+CROSS JOIN live
+GROUP BY s.stage
+ORDER BY stage
+"""
+
+
+@register("mor_compact_read_isolation", _MOR_ISO_SQL)
+def q_mor_compact_read_isolation(spark, sf_dir):
+    """Reader-vs-compaction isolation audit: the MoR base is committed by
+    VERSION-POINTER flip (the Delta/Iceberg metadata-pointer pattern on
+    plain parquet), so a read concurrent with ``compact()`` always
+    resolves an intact base directory — either the superseded version
+    (retained one fold) or the new one. The audit stages a real fold over
+    base(all ids, v1) + an upsert delta (%7 -> v2) + a tombstone delta
+    (%5 deleted) and executes a FULL merged read at each stage, hooked at
+    the pointer-flip commit point:
+
+      stage 0  before the fold
+      stage 1  new base version written, watermark advanced, pointer
+               still on the old version (a reader here scans the OLD
+               base + all deltas)
+      stage 2  pointer flipped, folded deltas still on disk (a reader
+               here scans the NEW base; surviving delta rows tie with
+               identical folded content, tombstones re-suppress)
+      stage 3  fold complete, folded deltas deleted (live read)
+
+    Every stage must report the identical keep-latest integers
+    (count, sum of vec_id over ids not deleted) — under the old swap
+    protocol stage 1/2-equivalent reads could observe a MISSING base
+    (path error) or partial state, which would either throw or shift the
+    exact-integer evidence. Stage 3 is computed by a live distributed
+    read in the returned plan; stages 0-2 are the audited integers from
+    the staged fold. O(1) filesystem metadata per commit regardless of
+    corpus size — the isolation mechanism never reads or shuffles data.
+    """
+    import tempfile
+
+    from distributed_vector_database_spark.sources.mor import MorStore
+
+    emb = _read(spark, sf_dir, "embeddings")
+
+    cached = _MOR_ISO_CACHE.get(sf_dir)
+    if cached is None:
+        store = MorStore(
+            spark, tempfile.mkdtemp(prefix="dvdb_moriso_"), id_col="vec_id"
+        )
+        store.write_base(emb.select("vec_id"))
+        store.append(
+            emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+        store.delete(emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"))
+
+        def read_counts():
+            row = store.read().agg(
+                F.count("*").alias("n"),
+                F.sum("vec_id").alias("s"),
+            ).head()
+            return int(row["n"]), int(row["s"])
+
+        audited = {0: read_counts()}
+        orig_flip = store._flip_pointer
+
+        def staged_flip(version):
+            audited[1] = read_counts()  # old pointer, new version staged
+            orig_flip(version)
+            audited[2] = read_counts()  # new pointer, deltas intact
+
+        store._flip_pointer = staged_flip
+        try:
+            store.compact()
+        finally:
+            store._flip_pointer = orig_flip
+        _MOR_ISO_CACHE[sf_dir] = (store, audited)
+        cached = _MOR_ISO_CACHE[sf_dir]
+    store, audited = cached
+    staged = spark.createDataFrame(
+        [(s, n, t) for s, (n, t) in sorted(audited.items())],
+        "stage long, n_rows long, sum_vec_id long",
+    )
+    live = store.read().agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("vec_id").cast("long").alias("sum_vec_id"),
+    ).select(F.lit(3).cast("long").alias("stage"), "n_rows", "sum_vec_id")
+    return staged.unionByName(live).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Registration-order rotation (round 13).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-12 window = ROADMAP's
-# next-window ledger (the 1 round-11 registration never driver-verified,
-# fronted) + the first 49 round-8 window names (CORRECTNESS_r08 order) per
+# each round rotates a window to the front. This round-13 window = ROADMAP's
+# next-window ledger (the 1 round-12 registration never driver-verified,
+# fronted) + the first 49 round-9 window names (CORRECTNESS_r09 order) per
 # the round-robin refresh schedule (ROADMAP.md "Rotation re-verification
-# schedule"): r12 = r8 names, repeat. The round-8 name that doesn't fit
-# (nation_profit_by_year) is a refresh-only displacement — it stays
-# driver-green on its r8 row and rejoins the cycle later.
+# schedule"): r13 = r9 names, repeat. The round-9 name that doesn't fit
+# (conversion_funnel) is a refresh-only displacement — it stays
+# driver-green on its r9 row and rejoins the cycle later.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 13 before any refresh names.
+# ```next-window``` block so they front round 14 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 1 round-11 registration never driver-verified (fronted,
+    # --- the 1 round-12 registration never driver-verified (fronted,
     # from ROADMAP's next-window ledger) ---
-    "ivf_persisted_autotuned_search",
-    # --- round-robin refresh: the first 49 round-8 window names,
-    # in their CORRECTNESS_r08 order (rotation schedule, ROADMAP.md) ---
-    "w2v_doc_embed_transform",
-    "winnow_screen_dedup_stats",
-    "minhash_jaccard_estimate",
-    "minhash_band_bucket_stats",
-    "bloom_screened_decontaminate_stats",
-    "ivfpq_residual_search",
-    "opq_rotated_adc_topk",
-    "binary_rerank_search",
-    "matryoshka_rerank_search",
-    "knn_graph_exact",
-    "ivf_shard_rebalance",
-    "bm25_topk",
-    "late_interaction_search",
-    "hybrid_search_rrf",
-    "doc_chunks",
-    "chunk_search_hashed",
-    "semantic_dedup",
-    "minhash_dedup_flags",
-    "stream_minhash_dedup_flags",
-    "dedup_simhash_pairs",
-    "dedup_keep_best",
-    "paragraph_dedup_stats",
-    "snm_candidate_pairs",
-    "fuzzy_dup_pairs",
-    "bigram_lm_ppl",
-    "bpe_pair_counts",
-    "doc_perplexity_filter",
-    "stream_bigram_lm_counts",
-    "merge_into_orders",
-    "mor_upsert_read",
-    "mor_delete_read",
-    "mor_changes_feed",
-    "mor_time_travel",
-    "sqlite_store_scan",
-    "sqlite_store_point_lookup",
-    "footer_minmax_stats",
-    "dq_violations_report",
+    "mor_concurrent_append_audit",
+    # --- round-robin refresh: the first 49 round-9 window names,
+    # in their CORRECTNESS_r09 order (rotation schedule, ROADMAP.md) ---
+    "w2v_ivf_search",
+    "hll_distinct_users_by_type",
+    "stream_hll_distinct_users",
+    "cdc_chunk_dedup_stats",
+    "bigram_kn_ppl",
+    "cdc_chunk_dup_flags",
+    "stream_cdc_chunk_dup_flags",
+    "stream_kmv_distinct_users",
+    "cdc_shared_chunk_pairs",
+    "dedup_exact_alnum",
+    "dedup_modality_agreement",
+    "minhash_operating_points",
     "dq_quarantined_events",
-    "sole_failing_suppliers",
-    "supplier_diversity_by_part",
-    "priority_shipping_split",
-    "disjunctive_brand_revenue",
-    "idle_rich_customers",
-    "customer_order_distribution",
-    "small_quantity_part_revenue",
-    "nation_market_share",
-    "volume_shipping",
-    "promo_revenue_monthly",
-    "min_cost_supplier",
+    "sq8_encode_recon",
+    "sq8_adc_topk",
+    "sq8_rerank_topk",
+    "ivf_sq8_search",
+    "binary_hamming_topk",
+    "knn_triangle_stats",
+    "knn_two_hop_reach",
+    "hard_negatives_join_topk",
+    "hard_negative_mining",
+    "purchase_negative_samples",
+    "label_prototype_cos",
+    "ann_lsh_ndcg",
+    "diversified_topk",
+    "embedding_drift",
+    "vector_dim_stats",
+    "pii_redaction_stats",
+    "doc_oov_rate",
+    "dsir_log_weights",
+    "dsir_gumbel_sample",
+    "temperature_lang_mix",
+    "source_unigram_kl",
+    "boilerplate_report",
+    "doc_boilerplate_frac",
+    "repeated_span_report",
+    "doc_repeated_span_stats",
+    "pmi_top_pairs",
+    "corpus_card",
+    "multimodal_frame_sample",
+    "asof_next_purchase_after_click",
+    "event_grouping_sets",
+    "click_purchase_reconcile",
+    "value_range_window",
+    "hourly_gap_fill",
+    "value_quartiles_by_type",
+    "user_value_ewma",
+    "event_zscore_outliers",
 ]
 
 
