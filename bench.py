@@ -409,7 +409,16 @@ def _ratio_tail(
         return 1.0
     med = ratios[len(ratios) // 2]
     p90 = ratios[min(len(ratios) - 1, int(0.9 * len(ratios)))]
-    return p90 / med if med > 0 else 1.0
+    # Median clamped at 1.0 (round 13, measured reason): on a host
+    # FASTER than the committed reference (fleet median < 1.0 — first
+    # seen 2026-08-17, sweeps at 0.963-0.984x), dividing by the sub-1.0
+    # median inflates the tail: p90 1.2497 — an honest spread by the
+    # very measurements that calibrated MAX_TAIL (honest p90 ~1.24) —
+    # read as 1.3012 and refused. Contention can only ever make the
+    # median SLOWER, never faster, so the clamp relaxes nothing a
+    # contended run could exploit; for every drift >= 1.0 regime the
+    # statistic is byte-identical to the r11 calibration.
+    return p90 / max(med, 1.0)
 
 
 def _publish_adjudicated(sweep: float, iso: float) -> tuple[float, str]:
@@ -435,11 +444,19 @@ def _slow_adjudicated(
     """Count adjudications whose SWEEP read slower than committed by
     more than the band — measured RELATIVE to the run's fleet drift
     (`_fleet_drift`), so a uniform host-state shift does not count
-    every key as slow while key-specific (bursty) slowdowns still do."""
+    every key as slow while key-specific (bursty) slowdowns still do.
+
+    Drift clamped at 1.0 (round 13, same measured reason as
+    `_ratio_tail`'s clamp): on a faster-than-baseline host (fleet
+    median < 1.0) the drift-centered band TIGHTENS below the absolute
+    1.25x the statistic was calibrated with, counting honestly-noisy
+    keys as bursty. A contended run's median only ever moves UP, so the
+    clamp cannot launder contention; for drift >= 1.0 the band is
+    unchanged."""
     return sum(
         1
         for a in adjudicated.values()
-        if a["sweep"] > a["committed"] * ratio * drift
+        if a["sweep"] > a["committed"] * ratio * max(drift, 1.0)
     )
 
 

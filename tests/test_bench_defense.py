@@ -415,3 +415,36 @@ def test_epoch_archive_never_overwritten(tmp_path):
     _archive_epoch(str(tmp_path), {"epoch": 1, "value": 9.9})
     with open(tmp_path / name) as fh:
         assert json.load(fh)["value"] == 0.1672
+
+
+def test_fast_host_does_not_inflate_relative_signatures():
+    """Round-13 measured case: a host FASTER than the committed
+    reference (fleet median < 1.0 — sweeps read 0.963-0.984x on
+    2026-08-17) inflated p90/median past MAX_TAIL (p90 1.2497 -> 'tail'
+    1.3012) and tightened the drift-centered slow band below the
+    absolute 1.25x it was calibrated with. Both statistics clamp their
+    median normalizer at 1.0: contention can only ever push the median
+    UP, so the clamp relaxes nothing a contended run could exploit, and
+    every drift >= 1.0 regime is byte-identical to the r11 calibration."""
+    from bench import _ratio_tail, _slow_adjudicated
+
+    committed = {f"k{i}": 1.0 for i in range(100)}
+    # uniform 0.96x fleet with an honest p90 spread at ~1.24 absolute
+    fast = {f"k{i}": 0.96 for i in range(90)}
+    fast.update({f"k{i}": 1.24 for i in range(90, 100)})
+    tail = _ratio_tail(fast, committed)
+    assert tail <= 1.30, tail  # 1.24/1.0, not 1.24/0.96=1.29+
+    # the same shape shifted to a SLOW median still computes the real
+    # ratio (no clamp effect at drift >= 1)
+    slow = {k: v * 1.10 for k, v in fast.items()}
+    assert _ratio_tail(slow, committed) > 1.2
+
+    # slow-count band: at drift 0.96 a key at 1.22x absolute is inside
+    # the calibrated 1.25x band, not bursty
+    adjudicated = {
+        "a": {"sweep": 1.22, "committed": 1.0, "isolated": 1.0},
+        "b": {"sweep": 1.30, "committed": 1.0, "isolated": 1.0},
+    }
+    assert _slow_adjudicated(adjudicated, drift=0.96) == 1  # only b
+    # at drift 1.10 the band still scales UP with the drift as before
+    assert _slow_adjudicated(adjudicated, drift=1.10) == 0
