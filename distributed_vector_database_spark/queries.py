@@ -17,6 +17,7 @@ Cross-engine determinism rules (SURVEY.md §5):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -123,7 +124,102 @@ E = "(e.embedding::DOUBLE[])"  # corpus vector as DOUBLE[]
 # ===========================================================================
 
 
+def _local_parquet(sf_dir: str, table: str) -> str | None:
+    """``table``'s single local parquet file, or None when the root is a
+    remote URI or the table is a multi-file directory — those read
+    through Spark. Guide §5: tiny driver-side setup reads (one query
+    vector, 8-16 codebook rows) do not need a distributed job; at
+    cluster scale the inputs are multi-file/remote and this returns
+    None, keeping the Spark path authoritative."""
+    if "://" in sf_dir:
+        return None
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    return p if os.path.isfile(p) else None
+
+
+def _embedding_rows_local(
+    sf_dir: str, *, eq: int | None = None, lt: int | None = None
+) -> list[list[float]] | None:
+    """Driver-side fetch of embedding rows by vec_id predicate from a
+    single local parquet file (ordered by vec_id); None -> caller uses
+    Spark. float32 -> float64 widening is exact, identical to the JVM
+    collect path."""
+    f = _local_parquet(sf_dir, "embeddings")
+    if f is None:
+        return None
+    import pyarrow.dataset as ds
+
+    fld = ds.field("vec_id")
+    filt = (fld == eq) if eq is not None else (fld < lt)
+    t = (
+        ds.dataset(f)
+        .to_table(columns=["vec_id", "embedding"], filter=filt)
+        .sort_by("vec_id")
+    )
+    return [[float(x) for x in v] for v in t.column("embedding").to_pylist()]
+
+
+def _hash_embed_py(text: str, dim: int = 64) -> list[float]:
+    """Driver-side twin of ``functions.embed.hashing_embed(normalize=False)``
+    for ONE short text: ASCII-whitespace tokens (Java ``\\s`` is
+    [ \\t\\n\\x0b\\f\\r] — deliberately NOT Python's unicode ``\\s``),
+    bucket = int(md5(tok)[:6], 16) % dim, dense count vector. Counts are
+    small exact integers, so the doubles are bit-identical to the
+    Catalyst path (property-tested in tests/test_embed_hooks.py)."""
+    import hashlib
+    import re
+
+    counts = [0] * dim
+    for tok in re.split("[ \t\n\x0b\f\r]+", text):
+        if tok:
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            counts[int(h[:6], 16) % dim] += 1
+    return [float(c) for c in counts]
+
+
+def _hashed_doc_vec(sf_dir: str, doc_id: int, dim: int = 64) -> list[float] | None:
+    """The unnormalized hashed-BoW vector of one document, computed
+    driver-side from the local parquet file (None -> caller derives it
+    through Spark). Replaces a full tokenize+explode+groupBy Spark job
+    whose output is a single 64-float query vector (guide §5: the
+    driver should do almost no data work — but ONE row's hash counts is
+    exactly the 'almost')."""
+    f = _local_parquet(sf_dir, "documents")
+    if f is None:
+        return None
+    import pyarrow.dataset as ds
+
+    t = ds.dataset(f).to_table(
+        columns=["text"], filter=ds.field("doc_id") == doc_id
+    )
+    if t.num_rows != 1:
+        return None
+    return _hash_embed_py(t.column(0)[0].as_py(), dim)
+
+
+def _doc0_hash_qv(spark, sf_dir, dim: int = 64) -> list[float]:
+    """Query vector = unnormalized hashed-BoW of doc_id=0, via the local
+    fast path when available, else the original Spark derivation."""
+    qv = _hashed_doc_vec(sf_dir, 0, dim)
+    if qv is not None:
+        return qv
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return [
+        float(x)
+        for x in hashing_embed(
+            docs.filter(F.col("doc_id") == 0), dim=dim, normalize=False
+        ).head()["embedding"]
+    ]
+
+
 def _query_vec(spark, sf_dir, qid: int) -> list[float]:
+    local = _embedding_rows_local(sf_dir, eq=qid)
+    if local:
+        return local[0]
     row = (
         _read(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == qid)
@@ -266,6 +362,9 @@ assign AS (
 
 
 def _fixed_centroids(spark, sf_dir, n: int = 8) -> list[list[float]]:
+    local = _embedding_rows_local(sf_dir, lt=n)
+    if local is not None:
+        return local
     rows = (
         _read(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < n)
@@ -1165,7 +1264,7 @@ def q_doc_search_hashed(spark, sf_dir):
 
     docs = _spread(_read(spark, sf_dir, "documents"))
     dense = hashing_embed(docs, dim=64, normalize=False)
-    qv = [float(x) for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]]
+    qv = _doc0_hash_qv(spark, sf_dir)
     return topk(dense, qv, k=10, vector_col="embedding", id_col="doc_id")
 
 
@@ -2117,6 +2216,9 @@ codes AS (SELECT vec_id, j, book, dists,
 
 
 def _pq_books(spark, sf_dir, n: int = 16, m: int = 8):
+    local = _embedding_rows_local(sf_dir, lt=n)
+    if local is not None:
+        return _pq.codebooks_from_rows(local, m)
     rows = (
         _read(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < n)
@@ -2480,13 +2582,17 @@ def _residual_books(spark, sf_dir, cents, n: int = 16, m: int = 8):
     """Codebooks from the residuals of the first ``n`` vectors against
     their assigned centroid — the residual analogue of ``_pq_books``,
     reproducible row-for-row by the oracle's CTE."""
-    rows = (
-        _read(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < n)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
+    local = _embedding_rows_local(sf_dir, lt=n)
+    if local is not None:
+        rows = [(v,) for v in local]
+    else:
+        rows = (
+            _read(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < n)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
     res = []
     for r in rows:
         v = [float(x) for x in r[0]]
@@ -2633,13 +2739,17 @@ def q_opq_rotated_adc_topk(spark, sf_dir):
             t += float(x)
         return [float(x) - f * t for x in vec]
 
-    rows = (
-        _read(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 16)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
+    local = _embedding_rows_local(sf_dir, lt=16)
+    if local is not None:
+        rows = [(v,) for v in local]
+    else:
+        rows = (
+            _read(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 16)
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        )
     books = _pq.codebooks_from_rows([_hrot(r[0]) for r in rows], 8)
     qv = _hrot(_query_vec(spark, sf_dir, 100))
     enc = _pq.pq_encode_arrow(rot, books, vector_col="re").select(
@@ -5137,12 +5247,7 @@ def q_chunk_search_hashed(spark, sf_dir):
         ch, dim=64, normalize=False, text_col="chunk_text",
         id_col="chunk_key",
     )
-    qv = [
-        float(x)
-        for x in hashing_embed(
-            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
-        ).head()["embedding"]
-    ]
+    qv = _doc0_hash_qv(spark, sf_dir)
     out = topk(dense, qv, k=10, vector_col="embedding", id_col="chunk_key")
     return out.select(
         (F.col("chunk_key") / 65536).cast("long").alias("doc_id"),
@@ -5588,10 +5693,7 @@ def q_hybrid_search_rrf(spark, sf_dir):
 
     docs = _spread(_read(spark, sf_dir, "documents"))
     dense = hashing_embed(docs, dim=64, normalize=False)
-    qv = [
-        float(x)
-        for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]
-    ]
+    qv = _doc0_hash_qv(spark, sf_dir)
     arm_a = ranked(
         topk(dense, qv, k=20, vector_col="embedding", id_col="doc_id"),
         id_col="doc_id",
@@ -6310,16 +6412,10 @@ def q_late_interaction_search(spark, sf_dir):
     ).select(
         F.expr("chunk_key div 65536").alias("doc_id"), "embedding"
     )
-    qdf = spark.createDataFrame(
-        [(i, " ".join(p)) for i, p in enumerate(_LI_PHRASES)],
-        "qid long, text string",
-    )
-    qvecs = [
-        [float(x) for x in r["embedding"]]
-        for r in hashing_embed(qdf, dim=64, normalize=False, id_col="qid")
-        .orderBy("qid")
-        .collect()
-    ]
+    # phrase vectors computed driver-side: _hash_embed_py is the
+    # proven-identical twin of hashing_embed(normalize=False), and the
+    # phrases are literals — a 3-row Spark job bought nothing (guide §5)
+    qvecs = [_hash_embed_py(" ".join(p)) for p in _LI_PHRASES]
     return late_interaction_topk(units, qvecs, k=10)
 
 
@@ -10609,12 +10705,7 @@ def q_cdc_chunk_search_hashed(spark, sf_dir):
         ch, dim=64, normalize=False, text_col="chunk_text",
         id_col="chunk_key",
     )
-    qv = [
-        float(x)
-        for x in hashing_embed(
-            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
-        ).head()["embedding"]
-    ]
+    qv = _doc0_hash_qv(spark, sf_dir)
     out = topk(dense, qv, k=10, vector_col="embedding", id_col="chunk_key")
     return out.select(
         (F.col("chunk_key") / 65536).cast("long").alias("doc_id"),
@@ -10665,12 +10756,7 @@ def q_stream_cdc_chunk_search(spark, sf_dir):
         )
         _CDC_INDEX_STATE_CACHE[sf_dir] = state
     docs = _read(spark, sf_dir, "documents")
-    qv = [
-        float(x)
-        for x in hashing_embed(
-            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
-        ).head()["embedding"]
-    ]
+    qv = _doc0_hash_qv(spark, sf_dir)
     dense = idx.select(
         (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
         "embedding",
@@ -11014,12 +11100,7 @@ def q_cdc_chunk_ivf_search(spark, sf_dir):
         dense.orderBy("vec_id").select("embedding").limit(4).collect()
     )
     cents = [[float(x) for x in r[0]] for r in crows]
-    qv = [
-        float(x)
-        for x in hashing_embed(
-            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
-        ).head()["embedding"]
-    ]
+    qv = _doc0_hash_qv(spark, sf_dir)
     shards = nearest_shards(qv, cents, nprobe=2)
     cand = assign_shards(dense, cents).filter(
         F.col("shard_id").isin(shards)
@@ -11375,10 +11456,7 @@ def q_rocchio_expanded_search(spark, sf_dir):
 
     docs = _spread(_read(spark, sf_dir, "documents"))
     dense = hashing_embed(docs, dim=64, normalize=False)
-    qv = [
-        float(x)
-        for x in dense.filter(F.col("doc_id") == 0).head()["embedding"]
-    ]
+    qv = _doc0_hash_qv(spark, sf_dir)
     return rocchio_expanded_topk(
         dense,
         qv,
@@ -12520,10 +12598,7 @@ def q_ivf_autotuned_search(spark, sf_dir):
     )
     curve = ivf_recall_curve_df(idx, queries, k=10, nprobes=(1, 2, 4, 8))
     picked = pick_nprobe(curve, target_recall=0.95)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 100).head()["embedding"]
-    ]
+    qv = _query_vec(spark, sf_dir, 100)
     return idx.search(qv, k=5, nprobe=picked).select(
         F.lit(picked).cast("long").alias("nprobe"),
         "vec_id",
@@ -12647,12 +12722,7 @@ def q_ivf_persisted_autotuned_search(spark, sf_dir):
         )
         _PERSISTED_IVF_CACHE[sf_dir] = path
     cold = IVFIndex.load(spark, path)  # centroids + curve from disk
-    qv = [
-        float(x)
-        for x in _read(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 100)
-        .head()["embedding"]
-    ]
+    qv = _query_vec(spark, sf_dir, 100)
     from distributed_vector_database_spark.operators.ivf import pick_nprobe
 
     picked = pick_nprobe(cold.recall_curve, 0.95)

@@ -193,3 +193,91 @@ def test_w2v_fixture_is_committed_and_well_formed():
     )
     assert len(df) == 192 and not df.isna().any().any()
     assert str(df.val_micros.dtype) == "int64"
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (optimization): driver-side fast-path twins of the Spark setup
+# derivations. These MUST stay bit-identical to the distributed path — the
+# fast path replaces whole Spark jobs inside timed query setup, so any
+# divergence would silently change query results.
+# ---------------------------------------------------------------------------
+
+
+def test_hash_embed_py_matches_hashing_embed(spark):
+    """_hash_embed_py ≡ hashing_embed(normalize=False) element-for-element,
+    including unicode-whitespace handling (Java \\s is ASCII-only) and
+    repeated/empty tokens."""
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+    from distributed_vector_database_spark.queries import _hash_embed_py
+
+    texts = [
+        "scan join filter scan scan",
+        "  leading and trailing  ",
+        "tabs\tand\nnewlines\tmix",
+        "nbsp stays-one-token",  # unicode NBSP: NOT a Java \s split
+        "",
+        "single",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: [float(x) for x in r["embedding"]]
+        for r in hashing_embed(df, dim=64, normalize=False).collect()
+    }
+    for i, t in enumerate(texts):
+        assert _hash_embed_py(t, 64) == got[i], f"text {i!r} diverged"
+
+
+def test_embedding_rows_local_matches_spark_collect(spark):
+    """pyarrow fast path == Spark collect for both predicates the query
+    setup helpers use (vec_id == q, vec_id < n)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from distributed_vector_database_spark.queries import (
+        _embedding_rows_local,
+        _hashed_doc_vec,
+        _query_vec,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark_lt = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    assert _embedding_rows_local(sf_dir, lt=16) == spark_lt
+    spark_eq = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 100).head()["embedding"]
+    ]
+    assert _query_vec(spark, sf_dir, 100) == spark_eq
+
+    # doc-derived query vector: fast path == hashing_embed over doc 0
+    from distributed_vector_database_spark.functions.embed import (
+        hashing_embed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spark_qv = [
+        float(x)
+        for x in hashing_embed(
+            docs.filter(F.col("doc_id") == 0), dim=64, normalize=False
+        ).head()["embedding"]
+    ]
+    assert _hashed_doc_vec(sf_dir, 0, 64) == spark_qv
+
+
+def test_local_parquet_declines_remote_and_missing():
+    """The fast path must hand non-local roots back to Spark."""
+    from distributed_vector_database_spark.queries import _local_parquet
+
+    assert _local_parquet("hdfs://nn/warehouse/sf1", "embeddings") is None
+    assert _local_parquet("/nonexistent/dir", "embeddings") is None
