@@ -56,6 +56,12 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # stationary-edges round shape (guide §2.4/§8): pre-hash the
+        # cached edge frame on the join key so every round's edge-side
+        # Exchange disappears — only the node-sized label frame shuffles
+        # per round. One extra exchange up front buys diameter-many
+        # edge-shuffle removals.
+        .repartition(F.col("b"))
         .cache()  # re-joined every round — never recompute the edge source
     )
     labels = (
@@ -80,7 +86,11 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)  # truncate the growing lineage
+            # lazy local checkpoint: the convergence aggregate below is
+            # the one job that materializes this round's labels AND
+            # truncates the growing lineage — one action per round where
+            # the eager form paid two (checkpoint job + checksum job)
+            .localCheckpoint(eager=False)
         )
         # labels only decrease -> equal checksum means fixpoint
         cur_sum = labels.agg(F.sum("component")).head()[0]
@@ -228,23 +238,33 @@ def pagerank_micro(
     # materialize the loop-invariant frames once, and truncate pr's
     # lineage every round — without this the final action re-evaluates an
     # iters-deep nested join tree (and the edge derivation inside it)
-    # from scratch (measured 8.0 s -> ~2 s at sf0.1)
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=True)
+    # from scratch (measured 8.0 s -> ~2 s at sf0.1).
+    # Round 13 (guide §2.4/§8, stationary edges): the out-degree is
+    # loop-invariant, so it is joined onto the edge frame ONCE here
+    # instead of once per round (removes an |E|-shuffle join from every
+    # iteration), and the checkpointed (edge ⨝ outdeg) frame keeps its
+    # hash(_s) partitioning so per-round joins only ever move the
+    # node-sized rank frame. Per-round checkpoints became LAZY: with a
+    # fixed iteration count there is nothing to inspect between rounds,
+    # so the plan-lineage cut no longer needs a blocking job per round —
+    # the caller's single action executes the whole 5-round cascade,
+    # materializing each round's RDD exactly once via the checkpoint's
+    # block-manager persistence (measured: 5 driver-synchronized jobs
+    # -> 1).
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    ej = e.join(outdeg, "_s").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     base = (100 - damping_pct) * 1_000_000 // 100
     pr = nodes.withColumn("mass", F.lit(1_000_000).cast("long"))
     for i in range(iters):
         contrib = (
-            e.join(pr, e._s == pr.node)
-            .join(outdeg, "_s")
+            ej.join(pr, ej._s == pr.node)
             .select(
                 F.col("_d").alias("node"),
                 F.expr(f"(mass * {damping_pct}) div (100 * _deg)").alias(
@@ -261,7 +281,7 @@ def pagerank_micro(
             .alias("mass"),
         )
         if i < iters - 1:
-            pr = pr.localCheckpoint(eager=True)
+            pr = pr.localCheckpoint(eager=False)
     return pr
 
 
