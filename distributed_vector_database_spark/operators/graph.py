@@ -56,12 +56,6 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        # stationary-edges round shape (guide §2.4/§8): pre-hash the
-        # cached edge frame on the join key so every round's edge-side
-        # Exchange disappears — only the node-sized label frame shuffles
-        # per round. One extra exchange up front buys diameter-many
-        # edge-shuffle removals.
-        .repartition(F.col("b"))
         .cache()  # re-joined every round — never recompute the edge source
     )
     labels = (
