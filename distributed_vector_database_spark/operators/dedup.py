@@ -676,50 +676,99 @@ def minhash_operating_points(
         text_col=text_col,
         id_col=id_col,
     ).cache()
-    out = None
+    # Round 13 (guide §2.4): ONE config-tagged banding self-join instead
+    # of one per config. The per-config band frames are cheap projections
+    # of the shared cached signature frame; tagging them with
+    # (num_hashes, bands) literals and unioning makes the candidate
+    # generation a single equi-join on (config, band_ix, bv) over the
+    # same total row volume — 4 exchange+join+distinct pipelines collapse
+    # to 1 (plan: 66 Exchange -> ~10), and the truth-count aggregate runs
+    # once instead of once per config. Emitted counts are byte-identical:
+    # the config tag rides the join key, so no cross-config pair can
+    # match.
+    stacked = None
     for num_hashes, bands in configs:
-        cand = _candidate_pairs_from_buckets(
-            _band_buckets_from_signatures(
-                sig, num_hashes, bands, id_col=id_col
-            ),
-            id_col=id_col,
-        )
-        counts = (
-            cand.join(
-                F.broadcast(t_marked), ["doc_id_a", "doc_id_b"], "left"
-            )
-            .agg(
-                F.count("*").cast("long").alias("n_candidates"),
-                F.count("_t").cast("long").alias("n_hits"),
-            )
-            .crossJoin(
-                truth.agg(F.count("*").cast("long").alias("n_true"))
-            )
-        )
-        # 6dp ratio rounding in EXACT integer arithmetic ((2e6*num + den)
-        # div (2*den) = half-up of the exact rational): rounding the
-        # DOUBLE quotient diverges across engines when the exact value
-        # sits ON a 6dp boundary (the KN-ppl lesson, lm.py)
-        def ratio6(num: str, den: str):
-            return F.when(
-                F.col(den) > 0,
-                F.expr(
-                    f"(2000000 * {num} + {den}) div (2 * {den})"
-                ).cast("double")
-                / F.lit(1e6),
-            )
-
-        row = counts.select(
+        s = _band_buckets_from_signatures(
+            sig, num_hashes, bands, id_col=id_col
+        ).select(
             F.lit(num_hashes).cast("long").alias("num_hashes"),
             F.lit(bands).cast("long").alias("bands"),
-            "n_candidates",
-            "n_true",
-            "n_hits",
-            ratio6("n_hits", "n_true").alias("recall"),
-            ratio6("n_hits", "n_candidates").alias("precision"),
+            F.col(id_col),
+            "band_ix",
+            "bv",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        stacked = s if stacked is None else stacked.unionByName(s)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.num_hashes") == F.col("b.num_hashes"))
+            & (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_ix") == F.col("b.band_ix"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col("a.num_hashes").alias("num_hashes"),
+            F.col("a.bands").alias("bands"),
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    grouped = (
+        cand.join(F.broadcast(t_marked), ["doc_id_a", "doc_id_b"], "left")
+        .groupBy("num_hashes", "bands")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.count("_t").cast("long").alias("n_hits"),
+        )
+    )
+    # a config whose banding yields ZERO candidates must still emit its
+    # row (n_candidates=0, precision null) — the per-config agg used to
+    # guarantee that; after the groupBy it needs the literal config frame
+    spark = docs.sparkSession
+    cfg_df = spark.createDataFrame(
+        [(int(nh), int(b)) for nh, b in configs],
+        "num_hashes long, bands long",
+    )
+    counts = (
+        cfg_df.join(grouped, ["num_hashes", "bands"], "left")
+        .select(
+            "num_hashes",
+            "bands",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+        )
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true")))
+    )
+
+    # 6dp ratio rounding in EXACT integer arithmetic ((2e6*num + den)
+    # div (2*den) = half-up of the exact rational): rounding the
+    # DOUBLE quotient diverges across engines when the exact value
+    # sits ON a 6dp boundary (the KN-ppl lesson, lm.py)
+    def ratio6(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.expr(
+                f"(2000000 * {num} + {den}) div (2 * {den})"
+            ).cast("double")
+            / F.lit(1e6),
+        )
+
+    return counts.select(
+        "num_hashes",
+        "bands",
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        ratio6("n_hits", "n_true").alias("recall"),
+        ratio6("n_hits", "n_candidates").alias("precision"),
+    )
 
 
 def simhash_fingerprints(
