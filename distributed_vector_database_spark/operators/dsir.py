@@ -102,15 +102,30 @@ def importance_log_weights(
     are absent (callers decide their fate; DSIR has no evidence either way).
     """
     spark = source.sparkSession
+    # each bucket-count frame feeds its total AND the ratio join; they
+    # aggregate to <= dim rows, so cache both (one corpus pass each)
     tc = ngram_bucket_counts(
         target, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
-    )
+    ).cache()
     sc = ngram_bucket_counts(
         source, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    ).cache()
+    # the two corpus totals enter as a broadcast 1-row frame instead of
+    # two driver-collected literals — the old .head() calls ran the two
+    # bucket-count aggregations as blocking setup jobs AND the plan then
+    # re-derived both subtrees for the ratio join (round 13, guide §5);
+    # the exact integer totals are unchanged.
+    totals = tc.agg(
+        (F.coalesce(F.sum("cnt"), F.lit(0)) + dim)
+        .cast("double")
+        .alias("_td")
+    ).crossJoin(
+        sc.agg(
+            (F.coalesce(F.sum("cnt"), F.lit(0)) + dim)
+            .cast("double")
+            .alias("_sd")
+        )
     )
-    # two scalar totals on the driver — O(1) rows, like query vectors
-    t_total = tc.agg(F.sum("cnt")).head()[0] or 0
-    s_total = sc.agg(F.sum("cnt")).head()[0] or 0
 
     universe = spark.range(dim).select(F.col("id").cast("long").alias("bucket"))
     lr = (
@@ -118,17 +133,18 @@ def importance_log_weights(
         .withColumnRenamed("cnt", "ct")
         .join(sc, "bucket", "left")
         .withColumnRenamed("cnt", "cs")
+        .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(
                 (
                     F.log(
                         (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
-                        / F.lit(float(t_total + dim))
+                        / F.col("_td")
                     )
                     - F.log(
                         (F.coalesce(F.col("cs"), F.lit(0)) + 1).cast("double")
-                        / F.lit(float(s_total + dim))
+                        / F.col("_sd")
                     )
                 )
                 * 1e6
@@ -240,24 +256,35 @@ def target_cross_entropy(
     the mean divides two exact integers. One broadcast join + one shuffle.
     """
     spark = docs.sparkSession
+    # cached (<= dim rows) + total folded into the plan as a broadcast
+    # 1-row frame — same no-blocking-setup-job shape as
+    # importance_log_weights (round 13, guide §5)
     tc = ngram_bucket_counts(
         target, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col
+    ).cache()
+    total = tc.agg(
+        (F.coalesce(F.sum("cnt"), F.lit(0)) + dim)
+        .cast("double")
+        .alias("_td")
     )
-    t_total = tc.agg(F.sum("cnt")).head()[0] or 0
     universe = spark.range(dim).select(
         F.col("id").cast("long").alias("bucket")
     )
-    nlp = universe.join(tc, "bucket", "left").select(
-        "bucket",
-        F.round(
-            -F.log(
-                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
-                / F.lit(float(t_total + dim))
+    nlp = (
+        universe.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / F.col("_td")
+                )
+                * 1e6
             )
-            * 1e6
+            .cast("long")
+            .alias("nlp_micro"),
         )
-        .cast("long")
-        .alias("nlp_micro"),
     )
     feats = _features(
         docs, ngram=ngram, dim=dim, text_col=text_col, id_col=id_col

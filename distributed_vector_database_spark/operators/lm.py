@@ -106,12 +106,18 @@ def doc_bigram_cross_entropy(
     ppl)``, both floats rounded to 6dp, H summed in integer micros.
     """
     lm = lm_docs if lm_docs is not None else docs
-    c12 = bigram_counts(lm, text_col=text_col, id_col=id_col)
+    # c12 feeds c1 AND the scoring join — cache (lazy, evictable) so the
+    # corpus bigram explode runs once per job, not once per consumer
+    # (round 13, guide §2.4/§5).
+    c12 = bigram_counts(lm, text_col=text_col, id_col=id_col).cache()
     c1 = c12.groupBy("w1").agg(F.sum("n").alias("c1"))
-    v = float(
+    # V enters as a broadcast 1-row frame instead of a driver-collected
+    # literal: the old .head() was a full corpus tokenize pass run as a
+    # blocking setup job before the real query (round 13, guide §5) —
+    # as a scalar column the same exact integer rides the one job.
+    vdf = (
         lm.select(F.explode(tokens(text_col)).alias("_t"))
-        .agg(F.countDistinct("_t"))
-        .head()[0]
+        .agg(F.countDistinct("_t").cast("double").alias("_v"))
     )
 
     bg = docs.select(
@@ -125,6 +131,7 @@ def doc_bigram_cross_entropy(
     joined = (
         bg.join(c12.withColumnRenamed("n", "c12"), ["w1", "w2"], "left")
         .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vdf))
         .select(
             F.col(id_col),
             F.round(
@@ -132,7 +139,7 @@ def doc_bigram_cross_entropy(
                     (F.coalesce(F.col("c12"), F.lit(0)).cast("double") + F.lit(alpha))
                     / (
                         F.coalesce(F.col("c1"), F.lit(0)).cast("double")
-                        + F.lit(alpha) * F.lit(v)
+                        + F.lit(alpha) * F.col("_v")
                     )
                 )
                 * F.lit(1e6)
@@ -188,6 +195,11 @@ def source_unigram_kl(
     integer micros and sum exactly. Output: ``(source, n_tokens,
     n_terms, kl_nats)``.
     """
+    # st feeds ns, cw, the corpus total AND the scoring join — cache so
+    # the corpus explode runs once; the total enters as a broadcast
+    # 1-row frame instead of a driver-collected literal (which was a
+    # SECOND full tokenize pass run as a blocking setup job) — round 13,
+    # guide §5. sum(c_sw) over the aggregate == sum of token counts.
     st = (
         docs.select(
             F.col(source_col).alias("source"),
@@ -195,16 +207,18 @@ def source_unigram_kl(
         )
         .groupBy("source", "term")
         .agg(F.count("*").alias("c_sw"))
+        .cache()
     )
     ns = st.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     cw = st.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
-    n = docs.select(F.sum(F.size(tokens(text_col)))).head()[0]
+    ndf = st.agg(F.sum("c_sw").cast("double").alias("_n"))
     p_s = F.col("c_sw").cast("double") / F.col("n_s").cast("double")
-    p_c = F.col("c_w").cast("double") / F.lit(float(n))
+    p_c = F.col("c_w").cast("double") / F.col("_n")
     term_mic = F.round(p_s * F.log(p_s / p_c) * F.lit(1e6)).cast("long")
     return (
         st.join(F.broadcast(ns), "source")
         .join(cw, "term")
+        .crossJoin(F.broadcast(ndf))
         .select(F.col("source"), F.col("n_s"), term_mic.alias("_mic"))
         .groupBy("source", "n_s")
         .agg(F.count("*").alias("n_terms"), F.sum("_mic").alias("_m"))
@@ -257,7 +271,10 @@ def doc_bigram_kn_cross_entropy(
     d = float(discount)
     if not 0.0 < d < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    c12 = bigram_counts(lm, text_col=text_col, id_col=id_col)
+    # c12 feeds c1, cont, the N1+(..) scalar AND the scoring join —
+    # cache (lazy, evictable) so the corpus bigram explode runs once
+    # (round 13, guide §2.4/§5: this subtree was derived four times).
+    c12 = bigram_counts(lm, text_col=text_col, id_col=id_col).cache()
     c1 = c12.groupBy("w1").agg(
         F.sum("n").alias("c1"),
         F.count("*").cast("long").alias("n1p_fwd"),
@@ -265,14 +282,18 @@ def doc_bigram_kn_cross_entropy(
     cont = c12.groupBy("w2").agg(
         F.count("*").cast("long").alias("n1p_back")
     )
+    # N1+(..) + V enters as a broadcast 1-row frame instead of two
+    # driver-collected literals — the two blocking setup jobs (one of
+    # them a full corpus tokenize pass) fold into the scoring job
+    # (round 13, guide §5); the exact integer sum is unchanged.
     scalars = c12.agg(
-        F.count("*").cast("long").alias("nbig")
-    ).head()
-    nbig = int(scalars["nbig"])
-    v = int(
-        lm.select(F.explode(tokens(text_col)).alias("_t"))
-        .agg(F.countDistinct("_t"))
-        .head()[0]
+        F.count("*").cast("long").alias("_nbig")
+    ).crossJoin(
+        lm.select(F.explode(tokens(text_col)).alias("_t")).agg(
+            F.countDistinct("_t").cast("long").alias("_v")
+        )
+    ).select(
+        (F.col("_nbig") + F.col("_v")).cast("double").alias("_nbigv")
     )
 
     bg = docs.select(
@@ -285,7 +306,7 @@ def doc_bigram_kn_cross_entropy(
     )
     pcont = (
         F.coalesce(F.col("n1p_back"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / F.lit(float(nbig + v))
+    ) / F.col("_nbigv")
     seen = F.col("c1").isNotNull()
     p = F.when(
         seen,
@@ -302,6 +323,7 @@ def doc_bigram_kn_cross_entropy(
         bg.join(c12.withColumnRenamed("n", "c12"), ["w1", "w2"], "left")
         .join(c1, "w1", "left")
         .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(scalars))
         .select(
             F.col(id_col),
             F.round(F.log(p) * F.lit(1e6)).cast("long").alias("_mic"),
@@ -438,11 +460,17 @@ def doc_trigram_kn_cross_entropy(
     base = mid.groupBy("w3").agg(
         F.count("*").cast("long").alias("n1p_base")
     )
-    nmid_types = int(mid.count())
-    v = int(
-        lm.select(F.explode(tokens(text_col)).alias("_t"))
-        .agg(F.countDistinct("_t"))
-        .head()[0]
+    # N1+(··) + V as a broadcast 1-row frame — folds two blocking setup
+    # jobs (mid.count() and a full corpus tokenize pass) into the
+    # scoring job (round 13, guide §5); exact integer sum unchanged.
+    scalars = mid.agg(
+        F.count("*").cast("long").alias("_nmid")
+    ).crossJoin(
+        lm.select(F.explode(tokens(text_col)).alias("_t")).agg(
+            F.countDistinct("_t").cast("long").alias("_v")
+        )
+    ).select(
+        (F.col("_nmid") + F.col("_v")).cast("double").alias("_nmidv")
     )
 
     tgs = docs.select(
@@ -458,7 +486,7 @@ def doc_trigram_kn_cross_entropy(
     )
     pcont = (
         F.coalesce(F.col("n1p_base"), F.lit(0)).cast("double") + F.lit(1.0)
-    ) / F.lit(float(nmid_types + v))
+    ) / F.col("_nmidv")
     pmid = F.when(
         F.col("nmidctx").isNotNull(),
         (
@@ -490,6 +518,7 @@ def doc_trigram_kn_cross_entropy(
         .join(mid, ["w2", "w3"], "left")
         .join(midctx, "w2", "left")
         .join(base, "w3", "left")
+        .crossJoin(F.broadcast(scalars))
         .select(
             F.col(id_col),
             F.round(F.log(p) * F.lit(1e6)).cast("long").alias("_mic"),

@@ -464,11 +464,17 @@ def bm25_search(
     """
     terms = [str(t) for t in query_terms]
     base = docs.select(F.col(id_col), tokens(text_col).alias("_t"))
+    # corpus stats (N, avgdl) enter as a broadcast 1-row frame instead of
+    # a driver-collected literal pair — the old .head() ran a full corpus
+    # tokenize pass as a blocking setup job before the real query (round
+    # 13, guide §5; bm25_prf_search paid it twice). float(s)/n is the
+    # identical double division in-plan.
     st = base.agg(
-        F.sum(F.size("_t")).alias("s"), F.count("*").alias("n")
-    ).head()
-    n_docs = int(st["n"])
-    avgdl = float(st["s"]) / n_docs
+        F.count("*").cast("double").alias("_nd"),
+        (
+            F.sum(F.size("_t")).cast("double") / F.count("*")
+        ).alias("_avgdl"),
+    )
     tf = (
         base.select(
             F.col(id_col),
@@ -483,7 +489,7 @@ def bm25_search(
     dfd = F.col("df").cast("double")
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+        + (F.col("_nd") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
     )
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
@@ -493,12 +499,13 @@ def bm25_search(
         / (
             tfd
             + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * dld / F.lit(avgdl))
+            * (F.lit(1.0 - b) + F.lit(b) * dld / F.col("_avgdl"))
         )
     )
     mic = F.round(term_score * F.lit(1e6)).cast("long")
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(st))
         .select(F.col(id_col), mic.alias("_mic"))
         .groupBy(id_col)
         .agg(F.sum("_mic").alias("_m"))
@@ -719,13 +726,21 @@ def ql_dirichlet_search(
     ex = base.select(
         F.col(id_col), F.explode("_t").alias("term")
     ).filter(F.col("term").isin(terms))
-    coll_n = int(
-        base.agg(F.sum(F.size("_t")).cast("long").alias("s")).head()["s"]
+    # ONE corpus pass for both the collection total and the per-term
+    # collection frequencies (round 13, guide §1.2): group every token
+    # by its own value when it is a query term, else NULL — the collect
+    # is |terms|+1 rows, coll_n is their exact sum. The old form paid
+    # two full tokenize passes as blocking setup jobs.
+    stats = (
+        base.select(F.explode("_t").alias("term"))
+        .groupBy(
+            F.when(F.col("term").isin(terms), F.col("term")).alias("_t")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
     )
-    cf = {
-        r["term"]: int(r["cf"])
-        for r in ex.groupBy("term").agg(F.count("*").alias("cf")).collect()
-    }
+    coll_n = int(sum(r["c"] for r in stats))
+    cf = {r["_t"]: int(r["c"]) for r in stats if r["_t"] is not None}
     live = [t for t in terms if cf.get(t, 0) > 0]
     if not live:
         raise ValueError(
