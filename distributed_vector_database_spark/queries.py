@@ -6698,7 +6698,9 @@ def q_ivf_shard_rebalance(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     cents = _fixed_centroids(spark, sf_dir)
-    assigned = assign_shards(emb, cents)
+    # three consumers (cap scalar, split plan, rewrite) — cache so the
+    # centroid-argmin assignment runs once, not three times (round 13)
+    assigned = assign_shards(emb, cents).cache()
     counts = [
         r["n"]
         for r in assigned.groupBy("shard_id")
@@ -7892,6 +7894,24 @@ _SQ_COS = (
 
 
 def _sq_bounds(spark, sf_dir):
+    f = _local_parquet(sf_dir, "embeddings")
+    if f is not None:
+        # driver-side twin of fit_sq_bounds over a single local file
+        # (round 13, guide §5): per-dim min/max are order-free exact
+        # double comparisons, identical to the Spark aggregate; the
+        # float32 -> float64 widening matches the JVM cast. Equivalence
+        # is asserted in tests/test_sq.py.
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(f).to_table(columns=["embedding"])
+        mat = np.asarray(
+            t.column(0).combine_chunks().flatten(), dtype=np.float64
+        ).reshape(t.num_rows, -1)
+        return [
+            (float(lo), float(hi))
+            for lo, hi in zip(mat.min(axis=0), mat.max(axis=0))
+        ]
     from distributed_vector_database_spark.operators.sq import fit_sq_bounds
 
     return fit_sq_bounds(_read(spark, sf_dir, "embeddings"))

@@ -121,3 +121,16 @@ def test_encode_clamps_out_of_range_vectors(spark, embeddings, bounds):
     }
     assert rows[0] == [255] * dim
     assert rows[1] == [0] * dim
+
+
+def test_sq_bounds_local_fast_path_matches_spark(spark):
+    """queries._sq_bounds' pyarrow/numpy fast path must equal the Spark
+    fit_sq_bounds aggregate bound-for-bound (round-13 optimization)."""
+    import os
+
+    from distributed_vector_database_spark.operators.sq import fit_sq_bounds
+    from distributed_vector_database_spark.queries import _sq_bounds
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert _sq_bounds(spark, sf_dir) == fit_sq_bounds(emb)
