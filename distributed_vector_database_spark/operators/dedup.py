@@ -205,12 +205,24 @@ def jaccard_pairs_prefix(
     positions, the (small) candidate join, one join back to the shingle
     arrays. Every stage is partial-aggregated or narrow.
     """
-    sh = _shingled(docs, text_col, id_col, n).select(
-        F.col(id_col),
-        F.col("shingles"),
-        F.size("shingles").alias("n_sh"),
+    # three consumers (the prefix explode + both verify sides) would each
+    # re-run the shingle kernel — cache it once (round 13, guide §2.4;
+    # same idiom minhash_jaccard_estimates already used)
+    sh = (
+        _shingled(docs, text_col, id_col, n)
+        .select(
+            F.col(id_col),
+            F.col("shingles"),
+            F.size("shingles").alias("n_sh"),
+        )
+        .cache()
     )
     ex = sh.select(F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("sg"))
+    # df stays groupBy + join-back (NOT a count window by sg): the
+    # window form was measured slower here (dedup_clusters 4.1 -> 5.7 at
+    # sf0.1) and is skew-prone at scale — one hot shingle becomes one
+    # giant window partition, while the groupBy reduces map-side. The
+    # bucket-owner dedup's window idiom wins only on uniform hash keys.
     df_counts = ex.groupBy("sg").agg(F.count("*").alias("_df"))
     ranked = ex.join(df_counts, "sg").withColumn(
         "_pos",
