@@ -78,6 +78,22 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _spread_read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``_spread(_read(...))`` with a metadata-only partition-count
+    decision: ``df.rdd.getNumPartitions()`` costs a py4j RDD conversion
+    (~0.1-0.16 s measured) per call, paid by 58 query setups. A single
+    local parquet file under half the default 128 MB split size always
+    scans as ONE partition, so the small-input repartition decision
+    needs only the file size; anything else falls back to the exact
+    check (round 13, guide §5)."""
+    df = _read(spark, sf_dir, table)
+    f = _local_parquet(sf_dir, table)
+    if f is not None and os.path.getsize(f) < (64 << 20):
+        parts = spark.sparkContext.defaultParallelism
+        return df.repartition(parts) if parts > 1 else df
+    return _spread(df)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Round-robin a small input across the cluster before CPU-heavy
     per-row work (shingle explode, signature aggregation, GEMM).
@@ -654,7 +670,7 @@ WHERE ROUND(inter::DOUBLE / (na + nb - inter), 6) >= 0.8
 )
 def q_dedup_jaccard(spark, sf_dir):
     return _dd.jaccard_pairs_prefix(
-        _spread(_read(spark, sf_dir, "documents")), threshold=0.8
+        _spread_read(spark, sf_dir, "documents"), threshold=0.8
     )
 
 
@@ -688,7 +704,7 @@ FROM st a JOIN st b
 @register("dedup_minhash_lsh", _minhash_sql())
 def q_dedup_minhash_lsh(spark, sf_dir):
     return _dd.minhash_candidate_pairs(
-        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+        _spread_read(spark, sf_dir, "documents"), num_hashes=8, bands=2
     )
 
 
@@ -719,7 +735,7 @@ SELECT doc_id, {' || '.join(chars)} AS simhash FROM v
 
 @register("dedup_simhash", _simhash_sql())
 def q_dedup_simhash(spark, sf_dir):
-    return _dd.simhash_fingerprints(_spread(_read(spark, sf_dir, "documents")))
+    return _dd.simhash_fingerprints(_spread_read(spark, sf_dir, "documents"))
 
 
 def _simhash_pairs_sql(max_hamming: int = 3, bands: int = 4) -> str:
@@ -754,7 +770,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     XOR-popcount verification. Completes the simhash family from
     fingerprints to discovered pairs."""
     return _dd.simhash_neardup_pairs(
-        _spread(_read(spark, sf_dir, "documents")), max_hamming=3, bands=4
+        _spread_read(spark, sf_dir, "documents"), max_hamming=3, bands=4
     )
 
 
@@ -1262,7 +1278,7 @@ def q_doc_search_hashed(spark, sf_dir):
     recomputes the same cosine from the SPARSE representation."""
     from distributed_vector_database_spark.functions.embed import hashing_embed
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     dense = hashing_embed(docs, dim=64, normalize=False)
     qv = _doc0_hash_qv(spark, sf_dir)
     return topk(dense, qv, k=10, vector_col="embedding", id_col="doc_id")
@@ -1286,7 +1302,7 @@ def q_dedup_docs_to_drop(spark, sf_dir):
     each pair) -> distinct higher ids to drop. Production flow runs minhash
     candidates first and verifies with exact jaccard — same plan shape."""
     pairs = _dd.jaccard_pairs_prefix(
-        _spread(_read(spark, sf_dir, "documents")), threshold=0.8
+        _spread_read(spark, sf_dir, "documents"), threshold=0.8
     )
     return pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
 
@@ -3113,7 +3129,7 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
     pairs = _dd.jaccard_pairs_prefix(
-        _spread(_read(spark, sf_dir, "documents")), threshold=0.8
+        _spread_read(spark, sf_dir, "documents"), threshold=0.8
     ).select("doc_id_a", "doc_id_b")
     cc = connected_components(pairs, src="doc_id_a", dst="doc_id_b")
     return cc.select(
@@ -4489,7 +4505,7 @@ def q_decontaminate_report(spark, sf_dir):
         contaminated_doc_ids,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     return contaminated_doc_ids(tr, ev, ngram=3)
@@ -4522,7 +4538,7 @@ def q_decontaminate_clean_count(spark, sf_dir):
         decontaminate,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     clean = decontaminate(tr, ev, ngram=3)
@@ -4923,7 +4939,7 @@ def q_dedup_keep_best(spark, sf_dir):
         connected_components,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     quality = _ta.quality_scores(docs).select("doc_id", "quality")
     pairs = _dd.jaccard_pairs_prefix(docs, threshold=0.8).select(
         "doc_id_a", "doc_id_b"
@@ -5238,7 +5254,7 @@ def q_chunk_search_hashed(spark, sf_dir):
         chunk_documents,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
         (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
         "chunk_text",
@@ -5467,7 +5483,7 @@ def q_dsir_log_weights(spark, sf_dir):
         importance_log_weights,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     target = docs.filter(F.expr(_EVAL_PRED))
     source = docs.filter(~F.expr(_EVAL_PRED))
     return importance_log_weights(source, target, ngram=2, dim=256)
@@ -5517,7 +5533,7 @@ def q_dsir_gumbel_sample(spark, sf_dir):
         dsir_gumbel_sample,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     target = docs.filter(F.expr(_EVAL_PRED))
     source = docs.filter(~F.expr(_EVAL_PRED))
     return dsir_gumbel_sample(source, target, k=50, seed=0)
@@ -5556,7 +5572,7 @@ def q_doc_perplexity_filter(spark, sf_dir):
         target_cross_entropy,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     target = docs.filter(F.expr(_EVAL_PRED))
     source = docs.filter(~F.expr(_EVAL_PRED))
     return target_cross_entropy(source, target, ngram=2, dim=256)
@@ -5593,7 +5609,7 @@ def q_repeated_span_report(spark, sf_dir):
         repeated_spans,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return repeated_spans(docs, span_tokens=8, min_docs=2)
 
 
@@ -5623,7 +5639,7 @@ def q_doc_repeated_span_stats(spark, sf_dir):
         doc_repeated_span_stats,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return doc_repeated_span_stats(docs, span_tokens=8)
 
 
@@ -5691,7 +5707,7 @@ def q_hybrid_search_rrf(spark, sf_dir):
         rrf_fuse,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     dense = hashing_embed(docs, dim=64, normalize=False)
     qv = _doc0_hash_qv(spark, sf_dir)
     arm_a = ranked(
@@ -5759,7 +5775,7 @@ def q_paragraph_dedup_stats(spark, sf_dir):
         paragraph_dedup_stats,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return paragraph_dedup_stats(docs, block_tokens=16)
 
 
@@ -5780,7 +5796,7 @@ def q_duplicate_paragraph_report(spark, sf_dir):
         duplicate_paragraphs,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return duplicate_paragraphs(docs, block_tokens=16, min_docs=2)
 
 
@@ -6337,7 +6353,7 @@ def q_bm25_topk(spark, sf_dir):
         bm25_search,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return bm25_search(docs, ["scan", "join", "filter"], k=10)
 
 
@@ -6401,7 +6417,7 @@ def q_late_interaction_search(spark, sf_dir):
         late_interaction_topk,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ch = chunk_documents(docs, chunk_tokens=32, overlap_tokens=8).select(
         (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
         "chunk_text",
@@ -6470,7 +6486,7 @@ def q_bigram_lm_ppl(spark, sf_dir):
     )
 
     return doc_bigram_cross_entropy(
-        _spread(_read(spark, sf_dir, "documents")), alpha=1.0
+        _spread_read(spark, sf_dir, "documents"), alpha=1.0
     )
 
 
@@ -6519,7 +6535,7 @@ def q_bigram_kn_ppl(spark, sf_dir):
     )
 
     return doc_bigram_kn_cross_entropy(
-        _spread(_read(spark, sf_dir, "documents")), discount=0.75
+        _spread_read(spark, sf_dir, "documents"), discount=0.75
     )
 
 
@@ -6553,7 +6569,7 @@ def q_source_unigram_kl(spark, sf_dir):
         source_unigram_kl,
     )
 
-    return source_unigram_kl(_spread(_read(spark, sf_dir, "documents")))
+    return source_unigram_kl(_spread_read(spark, sf_dir, "documents"))
 
 
 @register(
@@ -6581,7 +6597,7 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
     return (
-        bpe_pair_counts(_spread(_read(spark, sf_dir, "documents")))
+        bpe_pair_counts(_spread_read(spark, sf_dir, "documents"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(50)
     )
@@ -6616,7 +6632,7 @@ def q_boilerplate_report(spark, sf_dir):
     )
 
     return boilerplate_shingles(
-        _spread(_read(spark, sf_dir, "documents")), ngram=2, min_docs=3
+        _spread_read(spark, sf_dir, "documents"), ngram=2, min_docs=3
     )
 
 
@@ -6643,7 +6659,7 @@ def q_doc_boilerplate_frac(spark, sf_dir):
     )
 
     return doc_boilerplate_frac(
-        _spread(_read(spark, sf_dir, "documents")), ngram=2, min_docs=3
+        _spread_read(spark, sf_dir, "documents"), ngram=2, min_docs=3
     )
 
 
@@ -6758,7 +6774,7 @@ def q_minhash_dedup_flags(spark, sf_dir):
     doc. One min-agg + one join on the uniform band key — no pair
     fan-out."""
     return _dd.minhash_bucket_dup_flags(
-        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+        _spread_read(spark, sf_dir, "documents"), num_hashes=8, bands=2
     )
 
 
@@ -8879,7 +8895,7 @@ def q_winnow_shared_span_pairs(spark, sf_dir):
     per row; candidates come from an equi-join on fp with ubiquitous
     fingerprints (df > 10) dropped first, so pair work is df-bounded at
     any corpus size. Integer-only output — bit-identical cross-engine."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return _dd.shared_span_pairs(
         docs, k=5, window=4, max_df=10, min_shared=3
     )
@@ -8934,7 +8950,7 @@ def q_shared_span_longest_run(spark, sf_dir):
     turn out to share runs up to 93 tokens. Grams are positioned only for
     the docs the candidate list touches (semi-join prune); every shuffle
     is keyed by the pair. Integer-only output."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     pairs = _dd.shared_span_pairs(
         docs, k=5, window=4, max_df=10, min_shared=3
     )
@@ -9198,7 +9214,7 @@ def q_substring_dedup_excised_stats(spark, sf_dir):
     within-doc gram multiplicity is 1). The tiny runs frame is
     checkpointed: both the rewrite and the stats read it, and it sits
     behind the candidate join + islands window."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     # measured-and-rejected: checkpointing `pairs` too (it feeds runs +
     # the pairs_before stat) read 6.46 vs 6.39 s at sf0.1 — the saved
     # join pass repays its own materialization, nothing more
@@ -9295,7 +9311,7 @@ def q_bloom_decontaminate_stats(spark, sf_dir):
         bloom_contains,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     evg = (
@@ -9382,7 +9398,7 @@ def q_winnow_dup_flags(spark, sf_dir):
     df cap needed — the flat-plan screen in front of the exact
     pair/verify/excise chain."""
     return _dd.winnow_owner_dup_flags(
-        _spread(_read(spark, sf_dir, "documents")),
+        _spread_read(spark, sf_dir, "documents"),
         k=5,
         window=4,
         min_shared=3,
@@ -9615,7 +9631,7 @@ def q_winnow_screen_dedup_stats(spark, sf_dir):
     the surgical path; this is the throughput path."""
     from distributed_vector_database_spark.functions.text import tokens
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     flags = _dd.winnow_owner_dup_flags(
         docs, k=5, window=4, min_shared=3
     )
@@ -9709,7 +9725,7 @@ def q_w2v_doc_embed_transform(spark, sf_dir):
         doc_embed_from_vocab_micros,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     vocab = spark.read.parquet(_W2V_FIXTURE)
     return doc_embed_from_vocab_micros(docs, vocab)
 
@@ -9768,7 +9784,7 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     GENERATOR here, never the dedup verdict. Signature frame computed
     once and checkpointed (band build + both estimate sides read it)."""
     return _dd.minhash_jaccard_estimates(
-        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+        _spread_read(spark, sf_dir, "documents"), num_hashes=8, bands=2
     )
 
 
@@ -9812,7 +9828,7 @@ def q_minhash_band_bucket_stats(spark, sf_dir):
     the expensive way; this row is the cheap detector). Two partial-agg
     shuffles on uniform hash keys, integers only."""
     return _dd.minhash_band_stats(
-        _spread(_read(spark, sf_dir, "documents")), num_hashes=8, bands=2
+        _spread_read(spark, sf_dir, "documents"), num_hashes=8, bands=2
     )
 
 
@@ -9862,7 +9878,7 @@ def q_bloom_screened_decontaminate_stats(spark, sf_dir):
         bloom_screened_contaminated_ids,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     flags, stats = bloom_screened_contaminated_ids(
@@ -9951,7 +9967,7 @@ def q_w2v_ivf_search(spark, sf_dir):
         nearest_shards,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     vocab = spark.read.parquet(_W2V_FIXTURE)
     dv = doc_embed_from_vocab_micros(docs, vocab)
     vec = (
@@ -10243,7 +10259,7 @@ def q_cdc_chunk_dedup_stats(spark, sf_dir):
         cdc_chunk_documents,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ch = cdc_chunk_documents(docs, mask_bits=4)
     per = ch.groupBy("chunk_hash").agg(
         F.count("*").alias("cnt"),
@@ -10303,7 +10319,7 @@ def q_cdc_chunk_dup_flags(spark, sf_dir):
     )
 
     return cdc_chunk_dup_flags(
-        _spread(_read(spark, sf_dir, "documents")), mask_bits=4
+        _spread_read(spark, sf_dir, "documents"), mask_bits=4
     )
 
 
@@ -10465,7 +10481,7 @@ def q_cdc_shared_chunk_pairs(spark, sf_dir):
     )
 
     return cdc_shared_chunk_pairs(
-        _spread(_read(spark, sf_dir, "documents")), mask_bits=4, max_df=10
+        _spread_read(spark, sf_dir, "documents"), mask_bits=4, max_df=10
     )
 
 
@@ -10497,7 +10513,7 @@ def q_dedup_exact_alnum(spark, sf_dir):
         doc_fingerprint_alnum,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     h = docs.select(
         F.col("doc_id"), doc_fingerprint_alnum("text").alias("hh")
     )
@@ -10598,7 +10614,7 @@ def q_dedup_modality_agreement(spark, sf_dir):
         minhash_bucket_dup_flags,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     h = docs.select(
         F.col("doc_id"), doc_fingerprint_alnum("text").alias("hh")
     )
@@ -10649,7 +10665,7 @@ def q_minhash_operating_points(spark, sf_dir):
     join against the small truth frame. More bands at fixed num_hashes
     moves along the 1-(1-s^r)^b s-curve: recall up, precision down —
     this row pins where the corpus actually sits."""
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return _dd.minhash_operating_points(docs)
 
 
@@ -10716,7 +10732,7 @@ def q_cdc_chunk_search_hashed(spark, sf_dir):
         cdc_chunk_documents,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ch = cdc_chunk_documents(docs, mask_bits=4).select(
         (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
         "chunk_text",
@@ -10820,7 +10836,7 @@ def q_doc_novelty_ngram(spark, sf_dir):
     no pair fan-out, same cost family at 100 TB as the screens already
     measured flat in SCALING.md."""
     return _ta.novelty_scores(
-        _spread(_read(spark, sf_dir, "documents")), n=3
+        _spread_read(spark, sf_dir, "documents"), n=3
     )
 
 
@@ -11107,7 +11123,7 @@ def q_cdc_chunk_ivf_search(spark, sf_dir):
         nearest_shards,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ch = cdc_chunk_documents(docs, mask_bits=4).select(
         (F.col("doc_id") * 65536 + F.col("chunk_ix")).alias("chunk_key"),
         "chunk_text",
@@ -11229,7 +11245,7 @@ def q_cdc_dup_clusters(spark, sf_dir):
     )
 
     pairs = cdc_shared_chunk_pairs(
-        _spread(_read(spark, sf_dir, "documents")),
+        _spread_read(spark, sf_dir, "documents"),
         mask_bits=4,
         max_df=10,
         min_shared=2,
@@ -11474,7 +11490,7 @@ def q_rocchio_expanded_search(spark, sf_dir):
         rocchio_expanded_topk,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     dense = hashing_embed(docs, dim=64, normalize=False)
     qv = _doc0_hash_qv(spark, sf_dir)
     return rocchio_expanded_topk(
@@ -11558,7 +11574,7 @@ def q_trigram_kn_ppl(spark, sf_dir):
     )
 
     return doc_trigram_kn_cross_entropy(
-        _spread(_read(spark, sf_dir, "documents")), discount=0.75
+        _spread_read(spark, sf_dir, "documents"), discount=0.75
     )
 
 
@@ -11641,7 +11657,7 @@ def q_trigram_kn_heldout_ppl(spark, sf_dir):
         doc_trigram_kn_cross_entropy,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return doc_trigram_kn_cross_entropy(
         docs.filter(F.col("doc_id") % 2 == 1),
         docs.filter(F.col("doc_id") % 2 == 0),
@@ -11728,7 +11744,7 @@ def q_payload_dhash_pairs(spark, sf_dir):
         dhash_fingerprints,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     orig = docs.select(
         (F.col("doc_id") * 2).alias("doc_id"),
         F.encode("text", "UTF-8").alias("content"),
@@ -11786,7 +11802,7 @@ def q_payload_dedup_agreement(spark, sf_dir):
         dhash_fingerprints,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     orig = docs.select(
         (F.col("doc_id") * 2).alias("doc_id"),
         F.encode("text", "UTF-8").alias("content"),
@@ -11891,7 +11907,7 @@ def q_bm25_prf_topk(spark, sf_dir):
         bm25_prf_search,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return bm25_prf_search(
         docs,
         ["scan", "join", "filter"],
@@ -12032,7 +12048,7 @@ def q_ql_dirichlet_topk(spark, sf_dir):
         ql_dirichlet_search,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return ql_dirichlet_search(
         docs, ["scan", "join", "filter"], k=10, mu=2000.0
     )
@@ -12424,7 +12440,7 @@ def q_neardup_decontaminate_pairs(spark, sf_dir):
         neardup_contaminated_pairs,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     ev = docs.filter(F.expr(_EVAL_PRED))
     tr = docs.filter(~F.expr(_EVAL_PRED))
     return neardup_contaminated_pairs(
@@ -12691,7 +12707,7 @@ def q_split_leakage_audit(spark, sf_dir):
         split_leakage_audit,
     )
 
-    docs = _spread(_read(spark, sf_dir, "documents"))
+    docs = _spread_read(spark, sf_dir, "documents")
     return split_leakage_audit(
         docs,
         {"train": 0.8, "val": 0.1, "test": 0.1},
