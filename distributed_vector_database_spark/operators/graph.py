@@ -52,9 +52,17 @@ def connected_components(
     Nodes are the union of both endpoint columns (isolated rows never
     appear in an edge list; callers union them back if needed).
     """
+    # the symmetric union references `edges` TWICE, and callers pass
+    # expensive pair pipelines (prefix-Jaccard verify, CDC shared-chunk
+    # mining) — materialize the edge list ONCE eagerly so the union
+    # derives from |E| stored rows instead of running the pair kernel
+    # per branch (round 13, guide §2.4; lazy is wrong here — the two
+    # branches are independent subtrees of one job and would race).
+    e0 = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .cache()  # re-joined every round — never recompute the edge source
     )
@@ -245,7 +253,13 @@ def pagerank_micro(
     # materializing each round's RDD exactly once via the checkpoint's
     # block-manager persistence (measured: 5 driver-synchronized jobs
     # -> 1).
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # materialize the caller's edge derivation ONCE: it is referenced by
+    # the outdeg join and BOTH branches of the node union, i.e. three
+    # evaluations of a potentially expensive pipeline (the supplier ->
+    # customer graph derives edges from a lineitem ⨝ orders + distinct)
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     ej = e.join(outdeg, "_s").localCheckpoint(eager=True)
     nodes = (
