@@ -694,7 +694,7 @@ def minhash_operating_points(
     # (num_hashes, bands) literals and unioning makes the candidate
     # generation a single equi-join on (config, band_ix, bv) over the
     # same total row volume — 4 exchange+join+distinct pipelines collapse
-    # to 1 (plan: 66 Exchange -> ~10), and the truth-count aggregate runs
+    # to 1 (plan: 66 Exchange -> 32), and the truth-count aggregate runs
     # once instead of once per config. Emitted counts are byte-identical:
     # the config tag rides the join key, so no cross-config pair can
     # match.
