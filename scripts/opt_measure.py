@@ -1,4 +1,4 @@
-"""Round-13 optimization measurement harness.
+"""Optimization measurement harness (rounds 13+).
 
 Isolated per-key timing with the bench's exact protocol (1 warmup +
 median of 3, timed action = df.count()) plus plan capture, so every
@@ -9,11 +9,12 @@ refreshes through bench.py's guarded path.
 Usage:
     python scripts/opt_measure.py name1 name2 ...         # time keys
     python scripts/opt_measure.py --plan name1 ...        # + save plans
-    python scripts/opt_measure.py --plan-suffix after ... # plans/r13/<n>_after.txt
+    python scripts/opt_measure.py --plan-suffix after ... # plans/<round>/<n>_after.txt
     python scripts/opt_measure.py --top 30                # 30 most expensive
                                                           # keys per committed
                                                           # BENCH_FULL.json
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
+SPARK_GRAFT_PLANS_ROUND (plans subdir, default r14).
 """
 
 from __future__ import annotations
@@ -32,7 +33,9 @@ from distributed_vector_database_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PLANS_DIR = os.path.join(REPO, "plans", "r13")
+PLANS_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+)
 
 
 def committed_queries() -> dict[str, float]:
@@ -61,20 +64,23 @@ def main() -> None:
             save_plan = True
             suffix = next(it)
         elif a == "--top":
+            # truncate only the ranked extension, never explicitly
+            # requested names (ADVICE r13)
             n = int(next(it))
             ranked = sorted(
                 committed_queries().items(), key=lambda kv: -kv[1]
             )
             reg = set(_q.spark_queries())
-            names.extend(k for k, _ in ranked if k in reg)
-            names = names[:n]
+            names.extend(
+                [k for k, _ in ranked if k in reg and k not in names][:n]
+            )
         else:
             names.append(a)
     if not names:
         print("no names given", file=sys.stderr)
         raise SystemExit(2)
 
-    spark = get_session(app_name="opt-measure-r13")
+    spark = get_session(app_name="opt-measure")
     fns = _q.spark_queries()
     committed = committed_queries()
     os.makedirs(PLANS_DIR, exist_ok=True)
@@ -84,7 +90,7 @@ def main() -> None:
         if fn is None:
             print(f"{name}: SKIP (not a registry key)", flush=True)
             continue
-        spark.sparkContext.setJobDescription(f"opt13:{name}")
+        spark.sparkContext.setJobDescription(f"opt:{name}")
         try:
             if save_plan:
                 from distributed_vector_database_spark.plans.inspect import (
