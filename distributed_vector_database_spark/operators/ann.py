@@ -542,6 +542,7 @@ def _bucket_gemm_topk(
         f"query_id {id_type}, {id_col} {id_type}, score double, rank int"
     )
     cosine = metric == "cosine"
+    out_cols = ["query_id", id_col, "score", "rank"]
 
     def _score(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -590,7 +591,57 @@ def _bucket_gemm_topk(
             }
         )
 
-    return keyed.groupBy(key_col).applyInPandas(_score, schema)
+    # ONE Python invocation per PARTITION, not per bucket (round 14,
+    # guide §4.5/§4.2): `groupBy(key_col).applyInPandas(_score)` ships
+    # every cap-sized bucket through the Arrow boundary as its own batch
+    # and calls the UDF once per group — with cap-bounded buckets that is
+    # O(|V|/cap) Python dispatches of microsecond-scale GEMMs, and the
+    # per-group dispatch dominates the actual math. Hash-partitioning by
+    # the key and sorting within partitions makes buckets contiguous, so
+    # ONE `mapInPandas` pass slices them out locally and runs the SAME
+    # `_score` kernel per bucket — identical rows (the kernel, its
+    # rounding and its tie-breaks are untouched; only the dispatch
+    # changes), one Arrow exchange either way, ~batch-per-partition
+    # instead of batch-per-bucket. Buckets can span Arrow batch
+    # boundaries within a partition; the trailing (possibly incomplete)
+    # key group of every batch is carried into the next.
+    rep = keyed.repartition(F.col(key_col)).sortWithinPartitions(key_col)
+
+    def _score_stream(batches):
+        import numpy as np  # local: runs on executors
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf[key_col].to_numpy()
+            n_tail = int((keys == keys[-1]).sum())
+            carry = pdf.iloc[n - n_tail :]
+            body = pdf.iloc[: n - n_tail]
+            if not len(body):
+                continue
+            bkeys = keys[: n - n_tail]
+            starts = np.flatnonzero(
+                np.r_[True, bkeys[1:] != bkeys[:-1]]
+            )
+            bounds = np.r_[starts, len(body)]
+            outs = []
+            for i in range(len(starts)):
+                res = _score(body.iloc[bounds[i] : bounds[i + 1]])
+                if len(res):
+                    outs.append(res)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            res = _score(carry)
+            if len(res):
+                yield res
+
+    return rep.mapInPandas(_score_stream, schema).select(*out_cols)
 
 
 def knn_graph_lsh(
@@ -733,21 +784,35 @@ def _probe_join_rank_topk(
 ) -> DataFrame:
     """Shared relational tail of both `knn_graph_lsh` paths: probe-key
     equi-join (`_probe` == `_bucket` over `_qv`/`_cv` float64 vectors),
-    inline score rounded to 6dp, per-query rank window, <= k."""
+    inline score rounded to 6dp, per-query rank window, <= k.
+
+    Cosine norms are precomputed PER ROW below the join (round 14, guide
+    §1.2 step 2): `cosine_similarity` inlined per pair evaluates three
+    interpreted higher-order-function array passes (dot + both norms) for
+    every one of the sum_b m_b^2 candidate pairs, but a row's norm is
+    join-invariant — hoisting `l2_norm` into the q/c projections leaves
+    ONE array pass per pair. The score expression is arithmetic-identical
+    (same sqrt(aggregate(zip_with)) evaluated on the same array, same
+    zero-norm guard, same division order), so results are bit-equal; the
+    shuffle carries one extra float64 per row."""
     from pyspark.sql import Window
 
     from distributed_vector_database_spark.functions.vector import (
-        cosine_similarity,
+        dot,
         euclidean_distance,
+        l2_norm,
         round_score,
     )
     from distributed_vector_database_spark.operators.topk import _order
 
-    score = (
-        cosine_similarity("_qv", "_cv")
-        if metric == "cosine"
-        else euclidean_distance("_qv", "_cv")
-    )
+    if metric == "cosine":
+        q = q.withColumn("_qn", l2_norm("_qv"))
+        c = c.withColumn("_cn", l2_norm("_cv"))
+        score = F.when(
+            (F.col("_qn") == 0.0) | (F.col("_cn") == 0.0), F.lit(0.0)
+        ).otherwise(dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")))
+    else:
+        score = euclidean_distance("_qv", "_cv")
     pairs = (
         q.join(c, q["_probe"] == c["_bucket"])
         .filter(F.col("query_id") != F.col(id_col))

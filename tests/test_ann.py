@@ -354,6 +354,44 @@ def test_knn_graph_lsh_capped_expr_gemm_identical(spark, embeddings):
     sub.unpersist()
 
 
+def test_knn_graph_lsh_gemm_groups_spanning_arrow_batches(spark, embeddings):
+    """The round-14 GEMM dispatch (one mapInPandas pass over key-sorted
+    partitions instead of one applyInPandas call per bucket) must carry a
+    bucket that straddles an Arrow batch boundary into the next batch —
+    force 1-row batches so EVERY multi-row bucket spans batches, and
+    require identity with the relational scorer."""
+    from distributed_vector_database_spark.operators.ann import (
+        knn_graph_lsh,
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(64, n_planes=8, seed=5)
+    sub = embeddings.filter(F.col("vec_id") < 120).cache()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        a = sorted(
+            map(
+                tuple,
+                knn_graph_lsh(
+                    sub, planes, k=4, max_bucket=24, impl="expr"
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                knn_graph_lsh(
+                    sub, planes, k=4, max_bucket=24, impl="gemm"
+                ).collect(),
+            )
+        )
+        assert a and a == b
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    sub.unpersist()
+
+
 def test_knn_graph_lsh_capped_guards(spark, embeddings):
     import pytest
 
