@@ -207,7 +207,14 @@ def jaccard_pairs_prefix(
     """
     # three consumers (the prefix explode + both verify sides) would each
     # re-run the shingle kernel — cache it once (round 13, guide §2.4;
-    # same idiom minhash_jaccard_estimates already used)
+    # same idiom minhash_jaccard_estimates already used). Lifetime
+    # (ADVICE r13, applies to every in-plan .cache() in this package):
+    # the cached frame is part of the returned lazy plan, so it cannot be
+    # unpersisted here without recomputing per consumer; it stays pinned
+    # (evictable — cache, not checkpoint) until the session ends. Callers
+    # here are short-lived query/bench/oracle sessions; a long-lived
+    # server would wrap calls with an explicit
+    # `spark.catalog.clearCache()` between requests.
     sh = (
         _shingled(docs, text_col, id_col, n)
         .select(
@@ -236,22 +243,48 @@ def jaccard_pairs_prefix(
         F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
     )
     prefix = ranked.filter(F.col("_pos") <= prefix_len).select(
-        id_col, "n_sh", "sg"
+        id_col, "n_sh", "sg", "_pos"
     )
 
     a = prefix.select(
-        F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("na"), "sg"
+        F.col(id_col).alias("doc_id_a"),
+        F.col("n_sh").alias("na"),
+        "sg",
+        F.col("_pos").alias("_pa"),
     )
     b = prefix.select(
-        F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("nb"), "sg"
+        F.col(id_col).alias("doc_id_b"),
+        F.col("n_sh").alias("nb"),
+        "sg",
+        F.col("_pos").alias("_pb"),
+    )
+    t = float(threshold)
+    # PPJoin positional filter (round 14, guide §2.3/§2.4 — shrink the
+    # candidate set before the distinct + verify shuffles): a match on a
+    # prefix shingle at positions (_pa, _pb) bounds the pair's overlap at
+    # 1 + min(na - _pa, nb - _pb), and J >= t needs overlap >=
+    # t*(na+nb)/(1+t). Safe by the shared global order (asc df, asc sg —
+    # identical on both sides): a true pair's FIRST shared shingle lies
+    # within both prefixes (prefix theorem) and every other shared
+    # shingle sits after it on BOTH sides, so that row's bound covers the
+    # full overlap and the row passes — at least one row per true pair
+    # survives into the distinct. The 1e-9 slack only loosens pruning
+    # (float round-off can never drop a true pair); pruned rows are
+    # candidates the exact verify would have rejected anyway.
+    ubound = 1 + F.least(
+        F.col("na") - F.col("_pa"), F.col("nb") - F.col("_pb")
     )
     cands = (
         a.join(b, "sg")
         .filter(
             (F.col("doc_id_a") < F.col("doc_id_b"))
             # length filter: J >= t requires t*|A| <= |B| and t*|B| <= |A|
-            & (F.lit(float(threshold)) * F.col("na") <= F.col("nb"))
-            & (F.lit(float(threshold)) * F.col("nb") <= F.col("na"))
+            & (F.lit(t) * F.col("na") <= F.col("nb"))
+            & (F.lit(t) * F.col("nb") <= F.col("na"))
+            & (
+                ubound * F.lit(1.0 + t)
+                >= F.lit(t) * (F.col("na") + F.col("nb")) - F.lit(1e-9)
+            )
         )
         .select("doc_id_a", "doc_id_b")
         .distinct()
@@ -1507,6 +1540,11 @@ def shared_span_pairs(
     fps = winnow_fingerprints(
         docs, k=k, window=window, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
+    # measured-and-rejected (round 14): eagerly checkpointing `keep`
+    # (the tiny surviving-fp dictionary) read winnow_shared_span_pairs
+    # 1.17-1.41 s -> 1.75-1.83 s in interleaved A/B — the added blocking
+    # job costs more than the re-evaluated aggregate, whose duplicate
+    # branches overlap inside the one main job on idle cores
     keep = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
@@ -1627,6 +1665,23 @@ def _run_islands(
         word_shingles_arrow,
     )
 
+    # The caller's candidate pipeline is referenced THREE times below
+    # (both `wanted` union branches + the `matches` join) — un-pinned,
+    # Spark re-evaluates the whole upstream candidate join per reference
+    # (round 14, guide §2.4; verified in
+    # plans/r14/shared_span_longest_run_before.txt: the pair candidate
+    # join appears 3x, 0 ReusedExchange). The TINY pair frame is eagerly
+    # checkpointed once. The self-pair/duplicate dropping (see `matches`
+    # note below) moves up here so the checkpointed frame is already
+    # canonical — a doc appearing ONLY in self-pairs drops out of
+    # `wanted` too, which cannot change results (its grams only ever
+    # matched inside its own dropped pair).
+    pairs = (
+        pairs.select("doc_id_a", "doc_id_b")
+        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     wanted = (
         pairs.select(F.col("doc_id_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_id_b").alias(id_col)))
@@ -1658,6 +1713,13 @@ def _run_islands(
         )
     else:
         grams = grams.withColumn("_tr", F.lit(False))
+    # grams stays LAZY on purpose (round 14, measured): its two
+    # evaluations (a/b sides) are independent subtrees that overlap
+    # inside the one main job; an eager checkpoint serialized them into
+    # an extra blocking job and read WORSE at sf0.1 (shared_span_
+    # longest_run 2.3-3.2 -> 2.8-3.3 interleaved with both frames
+    # pinned). The pair checkpoint above stays: it collapses THREE
+    # evaluations of the whole upstream candidate pipeline.
     a = grams.select(
         F.col(id_col).alias("doc_id_a"),
         F.col("pos").alias("_pa"),
@@ -1672,12 +1734,10 @@ def _run_islands(
     )
     # duplicate pair rows would double every match and split the
     # row_number islands (corrupting run lengths); self-pairs would just
-    # report the doc's own length — drop both
+    # report the doc's own length — both were dropped at the checkpoint
+    # above
     matches = (
-        pairs.select("doc_id_a", "doc_id_b")
-        .filter(F.col("doc_id_a") != F.col("doc_id_b"))
-        .distinct()
-        .join(a, "doc_id_a")
+        pairs.join(a, "doc_id_a")
         .join(b, ["doc_id_b", "fp"])
         .select(
             "doc_id_a",

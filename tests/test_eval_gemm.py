@@ -80,6 +80,42 @@ def test_prefix_jaccard_equals_full_join(spark):
             assert len(full) > 0
 
 
+def test_prefix_jaccard_positional_filter_keeps_boundary_pairs(spark):
+    """Round-14 PPJoin positional filter: deep-prefix match rows get
+    pruned (their overlap upper bound falls below the threshold's
+    minimum), but a true pair must survive through its FIRST shared
+    shingle's row. Crafted so the shared shingles are the most frequent
+    (sorted to the prefix tail, tightest bounds) and J sits just above
+    the threshold — if the filter over-pruned, these pairs would vanish."""
+    from distributed_vector_database_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    # unigram shingles: tokens ARE the shingle set. A/B share s1..s6 of 8
+    # (J = 0.6); C/D share c1..c5 of 10 and 8 (J = 5/13 ~ 0.385); the
+    # shared tokens have df=2 vs the uniques' df=1, so they sort LAST.
+    rows = [
+        (0, "ua1 ua2 s1 s2 s3 s4 s5 s6"),
+        (1, "ub1 ub2 s1 s2 s3 s4 s5 s6"),
+        (2, "uc1 uc2 uc3 uc4 uc5 c1 c2 c3 c4 c5"),
+        (3, "ud1 ud2 ud3 c1 c2 c3 c4 c5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.35, 0.5, 0.6):
+        full = sorted(
+            tuple(r) for r in jaccard_pairs(docs, t, n=1).collect()
+        )
+        pref = sorted(
+            tuple(r)
+            for r in jaccard_pairs_prefix(docs, t, n=1).collect()
+        )
+        assert full == pref, t
+    # sanity: the crafted pairs actually exist at their thresholds
+    assert len(jaccard_pairs_prefix(docs, 0.5, n=1).collect()) == 1
+    assert len(jaccard_pairs_prefix(docs, 0.35, n=1).collect()) == 2
+
+
 def test_ivf_recall_curve_monotone(spark):
     """Recall rises (weakly) with nprobe and hits 1.0 at nprobe=num_shards."""
     from distributed_vector_database_spark.operators.eval import ivf_recall_curve
