@@ -149,15 +149,23 @@ def bloom_screened_contaminated_ids(
     bloom = bloom_build(
         eval_sh, "shingle", num_bits=num_bits, num_hashes=num_hashes
     )
+    # the corpus-scale (doc_id, shingle) explode feeds BOTH the probe
+    # dictionary and the final flag join — un-pinned, each consumer
+    # re-runs the tokenize+shingle kernel over the full corpus (round 14,
+    # guide §5 / VERDICT r13 item 3: one corpus-scan stage removed).
+    # Eager checkpoint, not cache: the consumers are independent subtrees
+    # of one action and lazy branches race (the repo's measured CC/winnow
+    # lesson). The pinned frame is the corpus's exploded gram list —
+    # the price of halving the corpus passes; it spills under pressure.
     train_sh = train.select(
         F.col(id_col),
         F.explode(_shingles(text_col, ngram)).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)
     probe = train_sh.select("shingle").distinct()
     if with_gram_stats:
         # the stats mode reads probe three times (count, maybe, leaked) —
-        # pin the gram dictionary once so the corpus scans exactly twice
-        # (dictionary build + final flag join), same as the exact path
+        # pin the gram dictionary once so nothing re-aggregates the
+        # checkpointed explode per consumer
         probe = probe.localCheckpoint(eager=True)
     maybe = bloom_contains(
         bloom, probe, "shingle", num_bits=num_bits, num_hashes=num_hashes

@@ -81,11 +81,17 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _spread_read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """``_spread(_read(...))`` with a metadata-only partition-count
     decision: ``df.rdd.getNumPartitions()`` costs a py4j RDD conversion
-    (~0.1-0.16 s measured) per call, paid by 58 query setups. A single
-    local parquet file under half the default 128 MB split size always
-    scans as ONE partition, so the small-input repartition decision
-    needs only the file size; anything else falls back to the exact
-    check (round 13, guide §5)."""
+    (~0.1-0.16 s measured) per call, paid by 58 query setups. For a
+    single local parquet file under half the default 128 MB split size
+    the effective scan parallelism is (at most a few) partitions of one
+    small file — the repartition `_spread` would choose anyway — so the
+    decision needs only the file size; anything else falls back to the
+    exact check (round 13, guide §5). ADVICE r13 caveat, accepted: a
+    session with a non-default ``spark.sql.files.maxPartitionBytes``
+    could byte-range-split even a small single file, making this path
+    repartition a frame that already had enough partitions — an extra
+    small-input shuffle, results unchanged; the sizes where that occurs
+    are exactly the sizes where the repartition is cheap."""
     df = _read(spark, sf_dir, table)
     f = _local_parquet(sf_dir, table)
     if f is not None and os.path.getsize(f) < (64 << 20):
@@ -146,11 +152,37 @@ def _local_parquet(sf_dir: str, table: str) -> str | None:
     through Spark. Guide §5: tiny driver-side setup reads (one query
     vector, 8-16 codebook rows) do not need a distributed job; at
     cluster scale the inputs are multi-file/remote and this returns
-    None, keeping the Spark path authoritative."""
+    None, keeping the Spark path authoritative.
+
+    Also requires a local master (ADVICE r13): the driver-side read
+    assumes the driver's filesystem view of ``sf_dir`` is the one Spark
+    reads — true in local mode and for shared mounts, silently wrong
+    under Spark Connect or any deployment where client and cluster paths
+    differ. Non-local masters opt in via SPARK_GRAFT_DRIVER_READS=1
+    (for shared-mount clusters where the paths provably coincide)."""
     if "://" in sf_dir:
         return None
+    if os.environ.get("SPARK_GRAFT_DRIVER_READS") != "1":
+        sess = SparkSession.getActiveSession()
+        if sess is not None and not _master_is_local(sess):
+            return None
     p = os.path.join(sf_dir, f"{table}.parquet")
     return p if os.path.isfile(p) else None
+
+
+_MASTER_LOCAL_MEMO: dict[int, bool] = {}
+
+
+def _master_is_local(sess: SparkSession) -> bool:
+    """Memoized `spark.master startswith local` (the conf lookup is a
+    py4j round-trip; `_local_parquet` runs on every query setup)."""
+    key = id(sess)
+    hit = _MASTER_LOCAL_MEMO.get(key)
+    if hit is None:
+        hit = sess.conf.get("spark.master", "local").startswith("local")
+        _MASTER_LOCAL_MEMO.clear()  # one live session at a time; no leak
+        _MASTER_LOCAL_MEMO[key] = hit
+    return hit
 
 
 def _embedding_rows_local(
@@ -7912,22 +7944,33 @@ _SQ_COS = (
 def _sq_bounds(spark, sf_dir):
     f = _local_parquet(sf_dir, "embeddings")
     if f is not None:
-        # driver-side twin of fit_sq_bounds over a single local file
-        # (round 13, guide §5): per-dim min/max are order-free exact
-        # double comparisons, identical to the Spark aggregate; the
-        # float32 -> float64 widening matches the JVM cast. Equivalence
-        # is asserted in tests/test_sq.py.
-        import numpy as np
-        import pyarrow.dataset as ds
+        try:
+            # driver-side twin of fit_sq_bounds over a single local file
+            # (round 13, guide §5): per-dim min/max are order-free exact
+            # double comparisons, identical to the Spark aggregate; the
+            # float32 -> float64 widening matches the JVM cast.
+            # Equivalence is asserted in tests/test_sq.py. Any shape
+            # surprise (null or ragged embeddings — reshape would throw
+            # where fit_sq_bounds has defined behavior) falls back to
+            # the Spark aggregate (ADVICE r13).
+            import numpy as np
+            import pyarrow.dataset as ds
 
-        t = ds.dataset(f).to_table(columns=["embedding"])
-        mat = np.asarray(
-            t.column(0).combine_chunks().flatten(), dtype=np.float64
-        ).reshape(t.num_rows, -1)
-        return [
-            (float(lo), float(hi))
-            for lo, hi in zip(mat.min(axis=0), mat.max(axis=0))
-        ]
+            t = ds.dataset(f).to_table(columns=["embedding"])
+            col = t.column(0).combine_chunks()
+            if col.null_count:
+                # a null embedding would silently vanish in flatten();
+                # the Spark aggregate owns that case
+                raise ValueError("null embeddings")
+            mat = np.asarray(col.flatten(), dtype=np.float64).reshape(
+                t.num_rows, -1
+            )
+            return [
+                (float(lo), float(hi))
+                for lo, hi in zip(mat.min(axis=0), mat.max(axis=0))
+            ]
+        except Exception:
+            pass
     from distributed_vector_database_spark.operators.sq import fit_sq_bounds
 
     return fit_sq_bounds(_read(spark, sf_dir, "embeddings"))
@@ -9325,12 +9368,17 @@ def q_bloom_decontaminate_stats(spark, sf_dir):
     )
     num_bits = max(16 * evg.count(), 1024)
     bloom = bloom_build(evg, "g", num_bits=num_bits, num_hashes=4)
+    # three consumers (probe-dictionary distinct, bloom-flag join, exact
+    # -flag join) each re-ran the corpus tokenize+shingle explode — pin
+    # it once (round 14, guide §5; same shared-explode treatment as
+    # curation.bloom_screened_contaminated_ids). Eager: the consumers
+    # are independent subtrees of one action, lazy branches race.
     trg = tr.select(
         "doc_id",
         F.explode(
             word_shingles_arrow(F.col("text"), 3, distinct=True)
         ).alias("g"),
-    )
+    ).localCheckpoint(eager=True)
     verd = bloom_contains(
         bloom,
         trg.select("g").distinct(),
@@ -13019,75 +13067,79 @@ def q_mor_compact_read_isolation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 13).
+# Registration-order rotation (round 14).
 #
 # The round driver oracle-checks only the FIRST 50 registered queries, so
-# each round rotates a window to the front. This round-13 window = ROADMAP's
-# next-window ledger (the 1 round-12 registration never driver-verified,
-# fronted) + the first 49 round-9 window names (CORRECTNESS_r09 order) per
-# the round-robin refresh schedule (ROADMAP.md "Rotation re-verification
-# schedule"): r13 = r9 names, repeat. The round-9 name that doesn't fit
-# (conversion_funnel) is a refresh-only displacement — it stays
-# driver-green on its r9 row and rejoins the cycle later.
+# each round rotates a window to the front. This round-14 window = ROADMAP's
+# next-window ledger (the 1 round-13 BUILD-session registration never
+# driver-verified, fronted) + the first 49 round-10 window names
+# (CORRECTNESS_r10 order) per the round-robin refresh schedule (ROADMAP.md
+# "Rotation re-verification schedule"): r13 = r9 names, r14 = r10 names,
+# repeat. The round-10 name that doesn't fit (upsert_keep_latest) is a
+# refresh-only displacement — it stays driver-green on its r10 row and
+# rejoins the cycle later. This window also happens to front most of the
+# round-14 optimization targets (knn_graph_lsh/_capped, shared_span_*,
+# cdc_dup_clusters, trigram/bm25 scorers), so the driver re-verifies the
+# touched paths directly.
 # NEW queries register at the registry END and get a line in ROADMAP's
-# ```next-window``` block so they front round 14 before any refresh names.
+# ```next-window``` block so they front round 15 before any refresh names.
 # ---------------------------------------------------------------------------
 
 _CHECK_FIRST = [
-    # --- the 1 round-12 registration never driver-verified (fronted,
-    # from ROADMAP's next-window ledger) ---
-    "mor_concurrent_append_audit",
-    # --- round-robin refresh: the first 49 round-9 window names,
-    # in their CORRECTNESS_r09 order (rotation schedule, ROADMAP.md) ---
-    "w2v_ivf_search",
-    "hll_distinct_users_by_type",
-    "stream_hll_distinct_users",
-    "cdc_chunk_dedup_stats",
-    "bigram_kn_ppl",
-    "cdc_chunk_dup_flags",
-    "stream_cdc_chunk_dup_flags",
-    "stream_kmv_distinct_users",
-    "cdc_shared_chunk_pairs",
-    "dedup_exact_alnum",
-    "dedup_modality_agreement",
-    "minhash_operating_points",
-    "dq_quarantined_events",
-    "sq8_encode_recon",
-    "sq8_adc_topk",
-    "sq8_rerank_topk",
-    "ivf_sq8_search",
-    "binary_hamming_topk",
-    "knn_triangle_stats",
-    "knn_two_hop_reach",
-    "hard_negatives_join_topk",
-    "hard_negative_mining",
-    "purchase_negative_samples",
-    "label_prototype_cos",
-    "ann_lsh_ndcg",
-    "diversified_topk",
-    "embedding_drift",
-    "vector_dim_stats",
-    "pii_redaction_stats",
-    "doc_oov_rate",
-    "dsir_log_weights",
-    "dsir_gumbel_sample",
-    "temperature_lang_mix",
-    "source_unigram_kl",
-    "boilerplate_report",
-    "doc_boilerplate_frac",
-    "repeated_span_report",
-    "doc_repeated_span_stats",
-    "pmi_top_pairs",
-    "corpus_card",
-    "multimodal_frame_sample",
-    "asof_next_purchase_after_click",
-    "event_grouping_sets",
-    "click_purchase_reconcile",
-    "value_range_window",
-    "hourly_gap_fill",
-    "value_quartiles_by_type",
-    "user_value_ewma",
-    "event_zscore_outliers",
+    # --- the 1 round-13 BUILD-session registration never driver-verified
+    # (fronted, from ROADMAP's next-window ledger) ---
+    "mor_compact_read_isolation",
+    # --- round-robin refresh: the first 49 round-10 window names,
+    # in their CORRECTNESS_r10 order (rotation schedule, ROADMAP.md) ---
+    "cdc_chunk_search_hashed",
+    "stream_cdc_chunk_search",
+    "doc_novelty_ngram",
+    "hll_order_year_overlap",
+    "hll_rollup_distinct_users",
+    "stream_doc_novelty",
+    "cdc_chunk_ivf_search",
+    "cdc_dup_clusters",
+    "cms_join_size_estimate",
+    "hdr_sliding_value_quantiles",
+    "hll_sliding_distinct_users",
+    "rocchio_expanded_search",
+    "payload_dhash_pairs",
+    "trigram_kn_ppl",
+    "trigram_kn_heldout_ppl",
+    "stream_payload_dhash_pairs",
+    "payload_dedup_agreement",
+    "bm25_prf_topk",
+    "neardup_decontaminate_pairs",
+    "mor_scd2_history",
+    "mor_pit_read",
+    "ql_dirichlet_topk",
+    "hourly_session_concurrency",
+    "copurchase_lift",
+    "event_transition_matrix",
+    "stream_event_transitions",
+    "kmv_order_year_churn",
+    "duplicate_paragraph_report",
+    "knn_graph_lsh",
+    "knn_graph_lsh_capped",
+    "dedup_embedding_cosine_lsh",
+    "cms_heavy_hitters",
+    "kmv_order_year_overlap",
+    "stream_cms_heavy_hitters",
+    "winnow_shared_span_pairs",
+    "shared_span_longest_run",
+    "binary_asym_topk",
+    "cms_merge_heavy_hitters",
+    "cms_top_spenders",
+    "fixed_k_sample_per_lang",
+    "topk_cosine",
+    "topk_euclidean",
+    "topk_dot",
+    "batch_topk_cosine",
+    "point_lookup",
+    "list_ids_stats",
+    "ivf_assign",
+    "ivf_count_per_shard",
+    "ivf_search_pruned",
 ]
 
 
