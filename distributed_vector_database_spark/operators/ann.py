@@ -512,6 +512,56 @@ def adaptive_lsh_keys(
     return small.unionByName(big)
 
 
+def _grouped_map_sorted(keyed, key_col, group_fn, schema, out_cols):
+    """Run ``group_fn`` (a pandas-DataFrame -> pandas-DataFrame kernel)
+    once per ``key_col`` group with ONE Python invocation per PARTITION
+    instead of ``groupBy().applyInPandas``'s one per group (round 14,
+    guide §4.5/§4.2): with cap-bounded groups the per-group Arrow batch
+    + dispatch dominates the microsecond kernels. Hash-partitioning by
+    the key and sorting within partitions makes groups contiguous, so a
+    single `mapInPandas` pass slices them out locally — identical rows
+    (the kernel is untouched; only the dispatch changes), one Arrow
+    exchange either way. Groups can span Arrow batch boundaries within
+    a partition; the trailing (possibly incomplete) key group of every
+    batch is carried into the next."""
+    rep = keyed.repartition(F.col(key_col)).sortWithinPartitions(key_col)
+
+    def _stream(batches):
+        import numpy as np  # local: runs on executors
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            keys = pdf[key_col].to_numpy()
+            n_tail = int((keys == keys[-1]).sum())
+            carry = pdf.iloc[n - n_tail :]
+            body = pdf.iloc[: n - n_tail]
+            if not len(body):
+                continue
+            bkeys = keys[: n - n_tail]
+            starts = np.flatnonzero(np.r_[True, bkeys[1:] != bkeys[:-1]])
+            bounds = np.r_[starts, len(body)]
+            outs = []
+            for i in range(len(starts)):
+                res = group_fn(body.iloc[bounds[i] : bounds[i + 1]])
+                if len(res):
+                    outs.append(res)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            res = group_fn(carry)
+            if len(res):
+                yield res
+
+    return rep.mapInPandas(_stream, schema).select(*out_cols)
+
+
 def _bucket_gemm_topk(
     keyed: DataFrame,
     k: int,
@@ -591,57 +641,10 @@ def _bucket_gemm_topk(
             }
         )
 
-    # ONE Python invocation per PARTITION, not per bucket (round 14,
-    # guide §4.5/§4.2): `groupBy(key_col).applyInPandas(_score)` ships
-    # every cap-sized bucket through the Arrow boundary as its own batch
-    # and calls the UDF once per group — with cap-bounded buckets that is
-    # O(|V|/cap) Python dispatches of microsecond-scale GEMMs, and the
-    # per-group dispatch dominates the actual math. Hash-partitioning by
-    # the key and sorting within partitions makes buckets contiguous, so
-    # ONE `mapInPandas` pass slices them out locally and runs the SAME
-    # `_score` kernel per bucket — identical rows (the kernel, its
-    # rounding and its tie-breaks are untouched; only the dispatch
-    # changes), one Arrow exchange either way, ~batch-per-partition
-    # instead of batch-per-bucket. Buckets can span Arrow batch
-    # boundaries within a partition; the trailing (possibly incomplete)
-    # key group of every batch is carried into the next.
-    rep = keyed.repartition(F.col(key_col)).sortWithinPartitions(key_col)
-
-    def _score_stream(batches):
-        import numpy as np  # local: runs on executors
-
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            n = len(pdf)
-            if n == 0:
-                continue
-            keys = pdf[key_col].to_numpy()
-            n_tail = int((keys == keys[-1]).sum())
-            carry = pdf.iloc[n - n_tail :]
-            body = pdf.iloc[: n - n_tail]
-            if not len(body):
-                continue
-            bkeys = keys[: n - n_tail]
-            starts = np.flatnonzero(
-                np.r_[True, bkeys[1:] != bkeys[:-1]]
-            )
-            bounds = np.r_[starts, len(body)]
-            outs = []
-            for i in range(len(starts)):
-                res = _score(body.iloc[bounds[i] : bounds[i + 1]])
-                if len(res):
-                    outs.append(res)
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-        if carry is not None and len(carry):
-            res = _score(carry)
-            if len(res):
-                yield res
-
-    return rep.mapInPandas(_score_stream, schema).select(*out_cols)
+    # dispatch via the partition-batched grouped runner (round 14): the
+    # `_score` kernel, its rounding and tie-breaks are untouched — only
+    # the per-bucket Python dispatch collapses to one call per partition
+    return _grouped_map_sorted(keyed, key_col, _score, schema, out_cols)
 
 
 def knn_graph_lsh(

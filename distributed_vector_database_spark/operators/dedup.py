@@ -1051,7 +1051,17 @@ def embedding_neardup_pairs_lsh(
             }
         )
 
-    return keyed.groupBy("_key").applyInPandas(verify, out_schema)
+    # one Python dispatch per partition instead of per bucket (round 14
+    # — same grouped-runner treatment as ann._bucket_gemm_topk; the
+    # verify kernel is untouched)
+    from distributed_vector_database_spark.operators.ann import (
+        _grouped_map_sorted,
+    )
+
+    return _grouped_map_sorted(
+        keyed, "_key", verify, out_schema,
+        ["vec_id_a", "vec_id_b", "score"],
+    )
 
 
 def keep_best_per_cluster(
